@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by the ``presto_ads_spark`` package: ``queries()``/``oracle_sql()``
+expose the query registry (presto_ads_spark/queries/), one entry per
+implemented operator from SURVEY.md §2 plus the LLM-pipeline extensions.
 """
 
 from __future__ import annotations
@@ -13,26 +11,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from presto_ads_spark.queries import load_all
+from presto_ads_spark.session import apply_runtime_conf
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H q3 shipping-priority) on sf0.001."""
+    apply_runtime_conf(spark)
+    registry = load_all()
+    return registry["q03_shipping_priority"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    registry = load_all()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def make(name):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_conf(spark)
+            return registry[name].spark_fn(spark, sf_dir)
+
+        return run
+
+    return {name: make(name) for name in sorted(registry)}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    registry = load_all()
+    return {
+        name: spec.oracle
+        for name, spec in sorted(registry.items())
+        if spec.oracle is not None
+    }

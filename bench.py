@@ -1,0 +1,55 @@
+"""Headline benchmark: runs the bench-flagged registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol mirrors the reference's benchto setup (prewarm + measured run;
+presto-benchto-benchmarks/.../tpch.yaml:3-6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from presto_ads_spark.queries import load_all
+    from presto_ads_spark.session import get_spark
+
+    spark = get_spark("presto-ads-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    bench_queries = {n: s for n, s in sorted(registry.items()) if s.bench}
+
+    # Prewarm: JVM + parquet footer caches (1 pass, not timed).
+    for name, spec in bench_queries.items():
+        spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_queries.items():
+        t0 = time.perf_counter()
+        spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,27 @@
+"""Presto function-compatibility layer (SURVEY.md §2.4 / M2).
+
+Reference inventory: presto-main/.../metadata/FunctionRegistry.java:418-660.
+Three mechanisms, in order of preference:
+
+1. *Pure renames* — handled in rewrite.py (zero runtime cost).
+2. *SQL temp functions* (Spark 4 ``CREATE TEMPORARY FUNCTION … RETURN expr``)
+   — expression-level shims that stay JVM-side inside whole-stage codegen;
+   this is the default for everything expressible as a Spark expression.
+3. *Python/pandas UDFs* — last resort (none needed so far; decode stubs for
+   multimodal live in llm/multimodal.py).
+
+``register_all(spark)`` installs the whole layer on a session; it is
+idempotent and cheap, so the Engine calls it at construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .sql_udfs import SQL_FUNCTIONS
+from . import datetime_compat  # noqa: F401  (re-export)
+
+
+def register_all(spark: SparkSession) -> None:
+    for stmt in SQL_FUNCTIONS:
+        spark.sql(stmt)

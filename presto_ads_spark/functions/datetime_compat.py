@@ -1,0 +1,89 @@
+"""Datetime pattern translation: Presto (MySQL-style) → Spark (java.time).
+
+Presto's ``date_format``/``date_parse`` use MySQL ``%``-patterns
+(reference: presto-main/.../scalar/DateTimeFunctions.java —
+``@ScalarFunction("date_format")`` delegating to a MySQL-compatible
+formatter); ``format_datetime``/``parse_datetime`` use Joda patterns, which
+are close enough to java.time for the common subset. This module translates
+the MySQL patterns and exposes Column-level helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# MySQL %-token → java.time pattern (common subset; unknown tokens raise).
+_MYSQL_TO_JAVA: dict[str, str] = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%c": "M",
+    "%d": "dd",
+    "%e": "d",
+    "%H": "HH",
+    "%k": "H",
+    "%h": "hh",
+    "%I": "hh",
+    "%i": "mm",
+    "%s": "ss",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%p": "a",
+    "%M": "MMMM",
+    "%b": "MMM",
+    "%a": "EEE",
+    "%W": "EEEE",
+    "%j": "DDD",
+    "%T": "HH:mm:ss",
+    "%v": "ww",
+    "%%": "%",
+}
+
+
+def translate_mysql_pattern(pattern: str) -> str:
+    out: list[str] = []
+    i = 0
+    literal: list[str] = []
+
+    def flush_literal() -> None:
+        if literal:
+            chunk = "".join(literal)
+            # java.time treats letters as pattern chars → quote literals.
+            if any(c.isalpha() for c in chunk):
+                chunk = "'" + chunk.replace("'", "''") + "'"
+            out.append(chunk)
+            literal.clear()
+
+    while i < len(pattern):
+        if pattern[i] == "%" and i + 1 < len(pattern):
+            tok = pattern[i : i + 2]
+            if tok not in _MYSQL_TO_JAVA:
+                raise ValueError(f"unsupported MySQL datetime token: {tok}")
+            flush_literal()
+            out.append(_MYSQL_TO_JAVA[tok])
+            i += 2
+        else:
+            literal.append(pattern[i])
+            i += 1
+    flush_literal()
+    return "".join(out)
+
+
+def date_format(col: Column | str, mysql_pattern: str) -> Column:
+    """Presto date_format(ts, '%Y-%m-%d') on Spark."""
+    return F.date_format(col, translate_mysql_pattern(mysql_pattern))
+
+
+def date_parse(col: Column | str, mysql_pattern: str) -> Column:
+    """Presto date_parse(s, '%Y-%m-%d') on Spark."""
+    return F.to_timestamp(col, translate_mysql_pattern(mysql_pattern))
+
+
+def format_datetime(col: Column | str, joda_pattern: str) -> Column:
+    """Presto format_datetime (Joda); the common subset matches java.time."""
+    return F.date_format(col, joda_pattern)
+
+
+def parse_datetime(col: Column | str, joda_pattern: str) -> Column:
+    return F.to_timestamp(col, joda_pattern)

@@ -1,0 +1,149 @@
+"""SQL temp-function definitions for Presto functions Spark lacks.
+
+Each is a Spark 4 SQL UDF (``CREATE OR REPLACE TEMPORARY FUNCTION``): the
+body is a Spark expression, so calls inline into Catalyst plans and stay
+inside whole-stage codegen — unlike Python UDFs there is no serialization
+boundary, which is what makes this layer viable at 100 TB.
+
+Reference for each function: presto-main/.../operator/scalar/ (file noted
+per group).
+"""
+
+# NOTE: keep each body a single deterministic expression. Spark resolves the
+# body at CREATE time against function names only, so order within this list
+# matters when one shim calls another.
+SQL_FUNCTIONS: list[str] = [
+    # --- StringFunctions.java -------------------------------------------
+    # strpos(s, sub): 1-based position, 0 if absent (same as instr).
+    """CREATE OR REPLACE TEMPORARY FUNCTION strpos(haystack STRING, needle STRING)
+       RETURNS INT RETURN instr(haystack, needle)""",
+    # hamming_distance (StringFunctions.java:721): equal-length strings.
+    """CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance(a STRING, b STRING)
+       RETURNS BIGINT RETURN
+         size(filter(zip_with(split(a, ''), split(b, ''), (x, y) -> x <> y), v -> v))""",
+    # codepoint (StringFunctions.java): first codepoint of a 1-char string.
+    """CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING)
+       RETURNS INT RETURN ascii(s)""",
+    # split_to_map(s, entryDelim, kvDelim) (SplitToMapFunction.java).
+    """CREATE OR REPLACE TEMPORARY FUNCTION split_to_map(s STRING, ed STRING, kd STRING)
+       RETURNS MAP<STRING, STRING> RETURN str_to_map(s, ed, kd)""",
+    # --- MathFunctions.java ---------------------------------------------
+    """CREATE OR REPLACE TEMPORARY FUNCTION truncate_num(x DOUBLE)
+       RETURNS DOUBLE RETURN CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_base(s STRING, b INT)
+       RETURNS BIGINT RETURN CAST(conv(s, b, 10) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_base(x BIGINT, b INT)
+       RETURNS STRING RETURN lower(conv(CAST(x AS STRING), 10, b))""",
+    # cosine_similarity over double arrays (Presto's is over sparse maps;
+    # the array form is what the embeddings workload needs).
+    """CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+       RETURNS DOUBLE RETURN
+         aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+         / (sqrt(aggregate(a, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))
+            * sqrt(aggregate(b, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION wilson_interval_lower(successes BIGINT, trials BIGINT, z DOUBLE)
+       RETURNS DOUBLE RETURN
+         (successes / CAST(trials AS DOUBLE) + z * z / (2 * trials)
+          - z * sqrt((successes / CAST(trials AS DOUBLE)) * (1 - successes / CAST(trials AS DOUBLE)) / trials
+                     + z * z / (4.0 * trials * trials))) / (1 + z * z / trials)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION wilson_interval_upper(successes BIGINT, trials BIGINT, z DOUBLE)
+       RETURNS DOUBLE RETURN
+         (successes / CAST(trials AS DOUBLE) + z * z / (2 * trials)
+          + z * sqrt((successes / CAST(trials AS DOUBLE)) * (1 - successes / CAST(trials AS DOUBLE)) / trials
+                     + z * z / (4.0 * trials * trials))) / (1 + z * z / trials)""",
+    # --- JsonFunctions.java ---------------------------------------------
+    # json_extract_scalar ≈ get_json_object (same $.path dialect).
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(js STRING, path STRING)
+       RETURNS STRING RETURN get_json_object(js, path)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_get(js STRING, idx BIGINT)
+       RETURNS STRING RETURN get_json_object(js, concat('$[', CAST(idx AS STRING), ']'))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains_str(js STRING, v STRING)
+       RETURNS BOOLEAN RETURN array_contains(from_json(js, 'array<string>'), v)""",
+    # json_size (JsonFunctions.java): element count of the array/object at
+    # path. Arrays via json_array_length; objects via map keys; scalars → 0.
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_size(js STRING, path STRING)
+       RETURNS INT RETURN
+         CASE
+           WHEN get_json_object(js, path) IS NULL THEN NULL
+           WHEN startswith(ltrim(get_json_object(js, path)), '[')
+             THEN CAST(json_array_length(get_json_object(js, path)) AS INT)
+           WHEN startswith(ltrim(get_json_object(js, path)), '{')
+             THEN size(json_object_keys(get_json_object(js, path)))
+           ELSE 0
+         END""",
+    # --- UrlFunctions.java:55-77 ----------------------------------------
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_protocol(url STRING)
+       RETURNS STRING RETURN parse_url(url, 'PROTOCOL')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_host(url STRING)
+       RETURNS STRING RETURN parse_url(url, 'HOST')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_path(url STRING)
+       RETURNS STRING RETURN parse_url(url, 'PATH')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(url STRING)
+       RETURNS STRING RETURN parse_url(url, 'QUERY')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_fragment(url STRING)
+       RETURNS STRING RETURN parse_url(url, 'REF')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_parameter(url STRING, name STRING)
+       RETURNS STRING RETURN parse_url(url, 'QUERY', name)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_port(url STRING)
+       RETURNS BIGINT RETURN CAST(regexp_extract(parse_url(url, 'AUTHORITY'), ':(\\\\d+)$', 1) AS BIGINT)""",
+    # --- ArrayFunctions --------------------------------------------------
+    # array_ngrams (Presto ArrayNgramsFunction): n-grams of an array.
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_ngrams(arr ARRAY<STRING>, n INT)
+       RETURNS ARRAY<ARRAY<STRING>> RETURN
+         CASE WHEN size(arr) < n THEN array(arr)
+              ELSE transform(sequence(0, size(arr) - n), i -> slice(arr, i + 1, n)) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_sum(arr ARRAY<DOUBLE>)
+       RETURNS DOUBLE RETURN aggregate(arr, CAST(0 AS DOUBLE), (acc, v) -> acc + v)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_average(arr ARRAY<DOUBLE>)
+       RETURNS DOUBLE RETURN array_sum(arr) / size(arr)""",
+    # arrays_overlap exists in Spark; contains/element_at/cardinality renamed
+    # in rewrite.py.
+    # --- DateTimeFunctions.java (signature shims; pattern translation is in
+    #     datetime_compat.py because it needs literal rewriting) ----------
+    """CREATE OR REPLACE TEMPORARY FUNCTION day_of_week(ts TIMESTAMP)
+       RETURNS INT RETURN ((dayofweek(ts) + 5) % 7) + 1""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION day_of_year(ts TIMESTAMP)
+       RETURNS INT RETURN dayofyear(ts)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION year_of_week(ts TIMESTAMP)
+       RETURNS INT RETURN CAST(extract(YEAROFWEEK FROM ts) AS INT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION week_of_year(ts TIMESTAMP)
+       RETURNS INT RETURN weekofyear(ts)""",
+    # Presto date_add('unit', n, ts) → timestampadd; unit names align.
+    """CREATE OR REPLACE TEMPORARY FUNCTION date_add_unit(unit STRING, n INT, ts TIMESTAMP)
+       RETURNS TIMESTAMP RETURN
+         CASE lower(unit)
+           WHEN 'millisecond' THEN timestampadd(MICROSECOND, n * 1000, ts)
+           WHEN 'second' THEN timestampadd(SECOND, n, ts)
+           WHEN 'minute' THEN timestampadd(MINUTE, n, ts)
+           WHEN 'hour' THEN timestampadd(HOUR, n, ts)
+           WHEN 'day' THEN timestampadd(DAY, n, ts)
+           WHEN 'week' THEN timestampadd(WEEK, n, ts)
+           WHEN 'month' THEN timestampadd(MONTH, n, ts)
+           WHEN 'quarter' THEN timestampadd(QUARTER, n, ts)
+           WHEN 'year' THEN timestampadd(YEAR, n, ts)
+         END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION date_diff_unit(unit STRING, a TIMESTAMP, b TIMESTAMP)
+       RETURNS BIGINT RETURN
+         CASE lower(unit)
+           WHEN 'millisecond' THEN timestampdiff(MICROSECOND, a, b) DIV 1000
+           WHEN 'second' THEN timestampdiff(SECOND, a, b)
+           WHEN 'minute' THEN timestampdiff(MINUTE, a, b)
+           WHEN 'hour' THEN timestampdiff(HOUR, a, b)
+           WHEN 'day' THEN timestampdiff(DAY, a, b)
+           WHEN 'week' THEN timestampdiff(WEEK, a, b)
+           WHEN 'month' THEN timestampdiff(MONTH, a, b)
+           WHEN 'quarter' THEN timestampdiff(QUARTER, a, b)
+           WHEN 'year' THEN timestampdiff(YEAR, a, b)
+         END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(ts TIMESTAMP)
+       RETURNS BIGINT RETURN unix_millis(ts)""",
+    # --- BitwiseFunctions.java:50-74 ------------------------------------
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_and(a BIGINT, b BIGINT)
+       RETURNS BIGINT RETURN a & b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_or(a BIGINT, b BIGINT)
+       RETURNS BIGINT RETURN a | b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_xor(a BIGINT, b BIGINT)
+       RETURNS BIGINT RETURN a ^ b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_not(a BIGINT)
+       RETURNS BIGINT RETURN ~a""",
+]

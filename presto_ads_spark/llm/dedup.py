@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each choice):
+
+- *Exact*: hash-groupBy on md5(text) — one shuffle keyed by digest; at 100 TB
+  the digest (16 B) shuffles, never the text.
+- *MinHash+LSH*: per-doc signature of K minima (one pass over exploded
+  shingles, map-side partial MIN combine), then candidate generation by LSH
+  *band* self-join — the join key is a band fingerprint, so the shuffle is
+  O(docs × bands) tiny rows and the quadratic blow-up only happens inside a
+  bucket. This is the standard web-scale near-dup pipeline (cf. the MinHash
+  scheme of Broder'97; Spark ML has MinHashLSH, but the explicit version
+  keeps the hash deterministic across engines for the oracle).
+- *SimHash*: K sign-summed bit positions per doc (one grouped agg), pairs by
+  fingerprint equality.
+- *n-gram Jaccard*: exact pairwise verify — only ever run on LSH candidates,
+  never all pairs.
+
+All hashes derive from md5 hex prefixes so DuckDB can reproduce them exactly
+(integer arithmetic only; products bounded < 2^48 to avoid BIGINT overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Prime modulus < 2^28 keeps a*h + b < 2^48 (no BIGINT overflow, both engines).
+MINHASH_P = 268435399
+# (a, b) parameters for K=16 universal-hash permutations — fixed, arbitrary,
+# coprime with P; deterministic across engines and runs.
+MINHASH_AB: list[tuple[int, int]] = [
+    (464955, 99), (533000, 569), (365261, 8190), (602939, 40897),
+    (869677, 123984), (975319, 268042), (131071, 524287), (747211, 2),
+    (87178, 291201), (479001, 60000), (655360, 1048573), (999983, 777),
+    (222561, 33521), (104729, 104723), (15485863, 32452843 % MINHASH_P),
+    (49979687, 67867967 % MINHASH_P),
+][:16]
+# keep a < 2^26 so a*h < 2^54 — trim the two big ones
+MINHASH_AB = [(a % (1 << 20), b % MINHASH_P) for a, b in MINHASH_AB]
+
+SIMHASH_BITS = 16
+
+
+def md5_hash_col(c: Column, hex_chars: int = 7) -> Column:
+    """Deterministic 28-bit-ish integer hash of a string (md5 hex prefix).
+
+    DuckDB equivalent: ``('0x' || substr(md5(x),1,7))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(c), 1, hex_chars), 16, 10).cast("bigint")
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (Spark-native HOFs)."""
+    return F.array_distinct(
+        F.when(
+            F.size(tokens) < n, F.array(F.array_join(tokens, " "))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+            )
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: groups identical texts, keeps the min
+    id as canonical. Output: (digest, canonical_id, n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(toks, n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """K-column MinHash signature per id from a (id, shingle) table.
+
+    Single grouped aggregation → map-side partial MINs; shuffle carries K
+    longs per doc regardless of document size."""
+    h = (md5_hash_col(F.col("shingle")) % MINHASH_P).alias("h")
+    base = sh.select("id", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return base.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 4) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become candidates.
+
+    Output: distinct (id_a, id_b), id_a < id_b. The per-band join key is one
+    concatenated string — at scale, the self-join shuffles only
+    (band_key, id)."""
+    k = len(MINHASH_AB)
+    rows = k // bands
+    pair_frames = []
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * rows, (b + 1) * rows)]
+        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+        left = sig.select(F.col("id").alias("id_a"), key.alias("bk"))
+        right = sig.select(F.col("id").alias("id_b"), key.alias("bk"))
+        pair_frames.append(
+            left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        )
+    out = pair_frames[0]
+    for f in pair_frames[1:]:
+        out = out.unionAll(f)
+    return out.distinct()
+
+
+def minhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
+    """Full MinHash+LSH pipeline → (id_a, id_b, est_jaccard ≥ threshold)."""
+    sh = shingle_table(df, text_col, id_col)
+    sig = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sig)
+    a = sig.select([F.col("id").alias("id_a")] + [F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))])
+    b = sig.select([F.col("id").alias("id_b")] + [F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))])
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(len(MINHASH_AB))
+    )
+    k = float(len(MINHASH_AB))
+    return (
+        joined.select(
+            "id_a", "id_b", (matches / F.lit(k)).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for pairs (all pairs if candidates is None —
+    only sane for small inputs / verification of LSH candidates)."""
+    sh = shingle_table(df, text_col, id_col, n)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidate_pairs is not None:
+        inter = inter.join(candidate_pairs, ["id_a", "id_b"], "left_semi")
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash: per token hash, sum ±1 per bit position, sign → bit.
+
+    One explode + one grouped agg (bits columns); fingerprint is a BIGINT."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    h = md5_hash_col(F.col("tok"), 15)  # 60-bit token hash
+    base = toks.select("id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), i) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = base.groupBy("id").agg(*bit_sums)
+    fingerprint = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0) for i in range(bits)
+    )
+    return agg.select("id", fingerprint.cast("bigint").alias("simhash"))

@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism contract (so DuckDB oracles hash-match): float→double casts are
+exact; dot products are *left folds* in index order (Spark ``aggregate`` HOF
+≡ DuckDB ``list_reduce``) — identical IEEE operation sequences on both
+engines, so cosines are bit-identical and safe to compare/rank on.
+
+Scale design:
+- brute-force top-k: O(Q×N) — fine when one side broadcasts (queries small).
+- sign-LSH bucketed: hyperplane LSH using axis-aligned planes (sign bits of
+  the first B dims) — candidates shuffle by an 8-bit bucket key, so the
+  quadratic term only applies within buckets. Swap the planes for learned
+  ones (IVF centroids) without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", threshold: float = 0.8) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact; for modest N or verification)."""
+    e = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors for each query vector (broadcast the queries).
+
+    Ties broken by neighbor id → fully deterministic ranking."""
+    e = emb.select(F.col(id_col).alias("nbr_id"), as_double(F.col(vec_col)).alias("v"))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q")
+    )
+    scored = (
+        e.join(F.broadcast(qs), F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", cosine(F.col("q"), F.col("v")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("nbr_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def sign_lsh_bucket(vec: Column, bits: int = 8) -> Column:
+    """Hyperplane-LSH bucket id: sign bits of the first ``bits`` dims."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at(vec, i + 1) >= 0, 1).otherwise(0),
+    )
+
+
+def lsh_topk(emb: DataFrame, k: int = 5, bits: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: candidates share an LSH bucket; exact cosine inside buckets.
+
+    The self-join shuffles on the bucket key — at 100 TB the pairwise work is
+    confined to buckets (~N²/2^bits instead of N²)."""
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", sign_lsh_bucket(F.col("v"), bits))
+    a = e.select(F.col("id").alias("query_id"), F.col("v").alias("q"), "bucket")
+    b = e.select(F.col("id").alias("nbr_id"), F.col("v").alias("v"), "bucket")
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", cosine(F.col("q"), F.col("v")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("nbr_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )

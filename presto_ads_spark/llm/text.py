@@ -1,0 +1,90 @@
+"""Text analysis operators: stats/quality, language-ID heuristic, token
+counting, document fingerprinting. All pure Spark expressions (JVM-side,
+codegen) — no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash_col
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# Tiny per-language marker profiles for the n-gram/stopword language-ID
+# heuristic. (The synthetic corpus shares one vocabulary, so this exercises
+# the scoring plumbing; real profiles drop in without plan changes.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "la", "les"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: token/char counts, token length stats,
+    stopword ratio, type-token ratio. One projection — no shuffle."""
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("int").alias("n_chars"),
+        n_toks.cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_types"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")).alias(
+            "type_token_ratio"
+        ),
+        (total_tok_chars.cast("double") / n_toks.cast("double")).alias("avg_token_len"),
+        (stop_hits.cast("double") / n_toks.cast("double")).alias("stopword_ratio"),
+        (n_toks >= 20).alias("len_ok"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language scoring; argmax with fixed lang order tiebreak."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.size(F.filter(toks, lambda x: x.isin(*marks))).alias(f"score_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), F.col("lang").alias("lang_true"), *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        id_col,
+        "lang_true",
+        pred.alias("lang_pred"),
+        best.cast("int").alias("best_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling polynomial hash over normalized tokens (order-sensitive
+    content fingerprint, exact integer left fold — oracle-reproducible)."""
+    p = 268435399
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+    rolled = F.aggregate(
+        F.transform(toks, lambda x: md5_hash_col(x) % p),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 131 + h) % p,
+    )
+    return df.select(
+        F.col(id_col),
+        rolled.alias("fingerprint"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("digest"),
+    )

@@ -1,0 +1,106 @@
+"""Query registry: every implemented operator/query from SURVEY.md §2 gets a
+named entry with (a) a Spark implementation and (b) a DuckDB oracle SQL
+string. ``__spark_entry__.py`` exposes this registry to the driver; pytest
+mirrors the driver's compare (tests/test_oracle_parity.py).
+
+Determinism rules (so Spark and DuckDB hash-match bit-for-bit):
+
+- Double SUMs are order-dependent → route them through exact DECIMAL
+  arithmetic and CAST the final aggregate back to DOUBLE. Each decimal
+  product multiplies at most two decimals; extra double factors are
+  pre-folded (IEEE double ops are deterministic, decimal sums are exact).
+- AVG = CAST(exact-decimal-SUM AS DOUBLE) / COUNT — a single double
+  division of identical operands is deterministic on both engines.
+- LIMIT/top-N only over a total order (unique tiebreaker columns).
+- Approximate aggregates (HLL etc.) differ by algorithm across engines →
+  the query outputs an error-bound *check* instead of the raw estimate, or
+  registers without an oracle (driver then does the rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _double_casts_via_varchar(sql: str) -> str:
+    """Rewrite every ``CAST(expr AS DOUBLE)`` in an oracle to
+    ``CAST(CAST(expr AS VARCHAR) AS DOUBLE)``.
+
+    DuckDB's decimal→double cast rounds twice (int128→double, then ×10⁻ˢ) and
+    can be 1 ulp off; the string route is correctly rounded — matching Spark,
+    whose Decimal→Double goes through BigDecimal.doubleValue (string parse).
+    Int/double→varchar→double round-trips exactly, so the blanket rewrite is
+    safe for every expression type we emit."""
+    upper = sql.upper()
+    out: list[str] = []
+    i = 0
+    while True:
+        j = upper.find("CAST(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        depth = 0
+        k = j + 4  # index of '('
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = sql[j + 5 : k]
+        if inner.upper().rstrip().endswith("AS DOUBLE"):
+            expr = inner[: inner.upper().rfind(" AS DOUBLE")]
+            out.append(sql[i:j])
+            out.append(
+                f"CAST(CAST({_double_casts_via_varchar(expr)} AS VARCHAR) AS DOUBLE)"
+            )
+            i = k + 1
+        else:
+            out.append(sql[i : j + 5])
+            i = j + 5
+
+
+def q(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator registering a query implementation."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        fixed = _double_casts_via_varchar(oracle) if oracle else oracle
+        REGISTRY[name] = Query(name, fn, fixed, doc, bench, tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import all query modules (side effect: fills REGISTRY)."""
+    from . import tpch  # noqa: F401
+    from . import relational  # noqa: F401
+    from . import window  # noqa: F401
+    from . import functions_sql  # noqa: F401
+    from . import llm  # noqa: F401
+
+    return REGISTRY

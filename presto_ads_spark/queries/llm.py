@@ -1,0 +1,385 @@
+"""LLM-pipeline query registry entries + DuckDB oracles.
+
+The dedup oracles are *generated* from the same (a,b,P) constants the Spark
+implementation uses, so MinHash/SimHash signatures are bit-identical across
+engines. Near-dup demos run over ``near_corpus``: the documents table plus
+deterministic mutated/exact copies, so the expected pairs are non-empty and
+scale with the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import q
+from ..llm import dedup, multimodal, similarity, text
+from ..llm.dedup import MINHASH_AB, MINHASH_P
+from ._util import t
+
+# --- shared corpus ---------------------------------------------------------
+
+
+def near_corpus(spark, sf_dir):
+    """documents ∪ near-dup copies (id+1e6, last 3 tokens dropped, every 5th
+    doc) ∪ exact copies (id+2e6, every 7th doc)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = (
+        d.filter((F.col("doc_id") % 5 == 0) & (F.size(toks) > 10))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ").alias("text"),
+        )
+    )
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return d.unionAll(near).unionAll(exact)
+
+
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string((split(text, ' '))[1:len(split(text, ' ')) - 3], ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0 AND len(split(text, ' ')) > 10
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+SHINGLES_SQL = """
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT doc_id AS id,
+      unnest(CASE WHEN len(split(text, ' ')) < 3
+                  THEN [array_to_string(split(text, ' '), ' ')]
+                  ELSE list_transform(range(1, len(split(text, ' ')) - 1),
+                       i -> concat_ws(' ', split(text, ' ')[i],
+                                      split(text, ' ')[i + 1],
+                                      split(text, ' ')[i + 2])) END) AS shingle
+    FROM corpus
+  ) raw
+)
+"""
+
+_HASH = "('0x' || substr(md5(shingle), 1, 7))::BIGINT % {p}".format(p=MINHASH_P)
+
+_SIG_COLS = ",\n    ".join(
+    f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(MINHASH_AB)
+)
+_BANDS = 4
+_ROWS = len(MINHASH_AB) // _BANDS
+_BAND_JOINS = "\n  UNION\n".join(
+    "  SELECT a.id AS id_a, b.id AS id_b FROM sigs a JOIN sigs b ON "
+    + " AND ".join(
+        f"a.mh{i} = b.mh{i}" for i in range(band * _ROWS, (band + 1) * _ROWS)
+    )
+    + " WHERE a.id < b.id"
+    for band in range(_BANDS)
+)
+_MATCHES = " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(len(MINHASH_AB))
+)
+
+MINHASH_ORACLE = f"""
+WITH {CORPUS_SQL.strip().rstrip()},
+{SHINGLES_SQL.strip()},
+hashes AS (SELECT id, {_HASH} AS h FROM sh),
+sigs AS (SELECT id, {_SIG_COLS} FROM hashes GROUP BY id),
+cands AS (
+{_BAND_JOINS}
+)
+SELECT c.id_a, c.id_b, ({_MATCHES}) / {float(len(MINHASH_AB))} AS est_jaccard
+FROM cands c
+JOIN sigs a ON a.id = c.id_a
+JOIN sigs b ON b.id = c.id_b
+WHERE ({_MATCHES}) / {float(len(MINHASH_AB))} >= 0.5
+"""
+
+
+@q(
+    "dedup_exact",
+    tags=("llm", "dedup"),
+    bench=True,
+    doc="Exact dedup: md5-digest groupBy (digest shuffles, text does not).",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()}
+SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(near_corpus(spark, sf_dir))
+
+
+@q(
+    "dedup_minhash_lsh",
+    tags=("llm", "dedup"),
+    bench=True,
+    doc="MinHash(K=16)+LSH(4 bands): near-dup pairs with est_jaccard ≥ 0.5. "
+    "Oracle reproduces the exact md5-based universal hashes.",
+    oracle=MINHASH_ORACLE,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_near_dups(near_corpus(spark, sf_dir), threshold=0.5)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    tags=("llm", "dedup"),
+    doc="Exact 3-gram Jaccard ≥ 0.5 over the near-dup corpus (the verify "
+    "stage of the LSH pipeline, run standalone at test scale).",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLES_SQL.strip()},
+counts AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN counts ca ON ca.id = id_a
+JOIN counts cb ON cb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(near_corpus(spark, sf_dir), threshold=0.5)
+
+
+_SIMHASH_SUMS = ",\n    ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END"
+    for i in range(dedup.SIMHASH_BITS)
+)
+
+
+@q(
+    "dedup_simhash",
+    tags=("llm", "dedup"),
+    doc="SimHash 16-bit fingerprints per document (sign-summed token-hash "
+    "bits); duplicate groups share fingerprints.",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+toks AS (
+  SELECT doc_id AS id, unnest(split(text, ' ')) AS tok FROM corpus
+),
+hashes AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+sums AS (SELECT id, {_SIMHASH_SUMS} FROM hashes GROUP BY id)
+SELECT id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM sums
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(near_corpus(spark, sf_dir))
+
+
+# --- similarity search -----------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "z -> z[1] * z[2])), (x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)), "
+    "(x, y) -> x + y))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_DOT.format(a=a, b=b)} / ({_NORM.format(v=a)} * {_NORM.format(v=b)})"
+
+
+@q(
+    "sim_cosine_pairs",
+    tags=("llm", "similarity"),
+    doc="Exact all-pairs cosine ≥ 0.25 (left-fold double arithmetic → "
+    "bit-identical across engines).",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.v', 'b.v')} AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.v', 'b.v')} >= 0.25
+""",
+)
+def sim_cosine_pairs(spark, sf_dir):
+    return similarity.cosine_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.25
+    )
+
+
+@q(
+    "sim_brute_topk",
+    tags=("llm", "similarity"),
+    bench=True,
+    doc="Exact cosine top-5 for 20 query vectors (broadcast queries).",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS nbr_id,
+         {_cos_sql('q.v', 'n.v')} AS cos_sim
+  FROM qs q JOIN e n ON n.vec_id <> q.vec_id
+)
+SELECT query_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+  FROM scored
+) r WHERE rnk <= 5
+""",
+)
+def sim_brute_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "nbr_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+_BUCKET_BITS = 4
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << (_BUCKET_BITS - 1 - i)} ELSE 0 END)"
+    for i in range(_BUCKET_BITS)
+)
+
+
+@q(
+    "sim_lsh_topk",
+    tags=("llm", "similarity"),
+    doc="Hyperplane-LSH ANN: bucket on sign bits of leading dims, exact "
+    "cosine within buckets, top-3 per query.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         {_cos_sql('a.v', 'b.v')} AS cos_sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT query_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+  FROM scored
+) r WHERE rnk <= 3
+""",
+)
+def sim_lsh_topk(spark, sf_dir):
+    out = similarity.lsh_topk(
+        t(spark, sf_dir, "embeddings"), k=3, bits=_BUCKET_BITS
+    )
+    return out.select(
+        "query_id", "nbr_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@q(
+    "text_quality_stats",
+    tags=("llm", "text"),
+    bench=True,
+    oracle="""
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(len(split(text, ' ')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(split(text, ' '))) AS INT) AS n_types,
+  CAST(len(list_distinct(split(text, ' '))) AS DOUBLE) / len(split(text, ' ')) AS type_token_ratio,
+  CAST(list_sum(list_transform(split(text, ' '), x -> length(x))) AS DOUBLE) / len(split(text, ' ')) AS avg_token_len,
+  CAST(len(list_filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+    / len(split(text, ' ')) AS stopword_ratio,
+  len(split(text, ' ')) >= 20 AS len_ok
+FROM documents
+""",
+)
+def text_quality_stats(spark, sf_dir):
+    return text.text_stats(t(spark, sf_dir, "documents"))
+
+
+_LANG_SCORES = ",\n  ".join(
+    "CAST(len(list_filter(split(text, ' '), x -> x IN ({marks}))) AS INT) AS score_{lang}".format(
+        lang=lang, marks=", ".join(f"'{m}'" for m in marks)
+    )
+    for lang, marks in text.LANG_MARKERS.items()
+)
+_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in text.LANG_MARKERS) + ")"
+_PRED_CASES = "\n    ".join(
+    f"WHEN score_{lang} = {_BEST} THEN '{lang}'" for lang in text.LANG_MARKERS
+)
+
+
+@q(
+    "text_lang_id",
+    tags=("llm", "text"),
+    doc="Marker-word language-ID heuristic (argmax with fixed tiebreak); "
+    "same scoring on both engines.",
+    oracle=f"""
+SELECT doc_id, lang_true,
+  CASE WHEN {_BEST} <= 0 THEN 'und'
+    {_PRED_CASES}
+  END AS lang_pred,
+  {_BEST} AS best_score
+FROM (
+  SELECT doc_id, lang AS lang_true,
+  {_LANG_SCORES}
+  FROM documents
+) s
+""",
+)
+def text_lang_id(spark, sf_dir):
+    return text.lang_id(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_fingerprint",
+    tags=("llm", "text"),
+    doc="Rolling polynomial token-hash fingerprint (left fold, exact ints).",
+    oracle=f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(split(lower(trim(text)), ' '),
+                     tok -> ('0x' || substr(md5(tok), 1, 7))::BIGINT % {MINHASH_P})),
+    (acc, h) -> (acc * 131 + h) % {MINHASH_P}) AS fingerprint,
+  md5(lower(trim(text))) AS digest
+FROM documents
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprint(t(spark, sf_dir, "documents"))
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+@q(
+    "multimodal_features",
+    tags=("llm", "multimodal"),
+    doc="Binary payload + mapInPandas feature extraction (deterministic "
+    "md5 stand-in for the decode step; real codec stubbed — "
+    "llm/multimodal.py).",
+    oracle="""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  ('0x' || substr(md5(text), 1, 4))::BIGINT / 65535.0 AS feature0,
+  CAST(('0x' || substr(md5(text), 5, 2))::BIGINT % 64 + 1 AS INT) AS width,
+  CAST(('0x' || substr(md5(text), 7, 2))::BIGINT % 64 + 1 AS INT) AS height
+FROM documents
+""",
+)
+def multimodal_features(spark, sf_dir):
+    payloads = multimodal.attach_payload(t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(payloads)

@@ -1,0 +1,134 @@
+"""Presto-SQL → Spark-SQL rewrite layer.
+
+Spark SQL parses ~95% of Presto 0.216's grammar directly (SURVEY.md §2.3;
+grammar: reference presto-parser/.../SqlBase.g4). The gaps are closed here by
+*string-level* rewriting applied before ``spark.sql``:
+
+- function renames (``approx_distinct`` → ``approx_count_distinct``, …)
+- ``TABLESAMPLE BERNOULLI(p)`` → ``TABLESAMPLE (p PERCENT)``
+- ``CROSS JOIN UNNEST(expr) [WITH ORDINALITY] AS t(c[, o])`` →
+  ``LATERAL VIEW [pos]explode(expr) t AS [o,] c``
+- MySQL-style datetime patterns in ``date_format``/``date_parse`` literals
+  (Presto's DateTimeFunctions.java uses MySQL ``%Y-%m-%d``; Spark uses
+  java.time patterns) — see functions/datetime_compat.py.
+
+The rewriter is deliberately conservative: it only touches text outside
+single-quoted string literals, and every rewrite has a unit test.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+# Presto name -> Spark name, applied as word-boundary renames outside string
+# literals. Only pure renames belong here; anything needing argument surgery
+# gets a regex rule or a registered compat function instead.
+# Reference inventory: presto-main/.../metadata/FunctionRegistry.java:418-660.
+FUNCTION_RENAMES: dict[str, str] = {
+    "approx_distinct": "approx_count_distinct",
+    "approx_percentile": "percentile_approx",
+    "arbitrary": "any_value",
+    "bool_and": "every",
+    "bool_or": "some",
+    "strpos": "instr",
+    "cardinality": "size",
+    "json_extract_scalar": "get_json_object",
+    "array_union": "array_union",  # identity — documents parity
+    "regexp_like": "rlike",
+    "to_unixtime": "unix_timestamp",
+    "from_iso8601_timestamp": "to_timestamp",
+    "from_iso8601_date": "to_date",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "truncate": "truncate_num",  # registered compat fn (Presto truncate(x))
+}
+
+
+def _split_literals(sql: str) -> list[tuple[str, bool]]:
+    """Split SQL into (chunk, is_string_literal) segments."""
+    out: list[tuple[str, bool]] = []
+    i, n = 0, len(sql)
+    buf = []
+    in_str = False
+    while i < n:
+        c = sql[i]
+        if not in_str:
+            if c == "'":
+                out.append(("".join(buf), False))
+                buf = [c]
+                in_str = True
+            else:
+                buf.append(c)
+        else:
+            buf.append(c)
+            if c == "'":
+                # '' is an escaped quote inside the literal
+                if i + 1 < n and sql[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    out.append(("".join(buf), True))
+                    buf = []
+                    in_str = False
+        i += 1
+    if buf:
+        out.append(("".join(buf), in_str))
+    return out
+
+
+def _apply_outside_literals(sql: str, fn: Callable[[str], str]) -> str:
+    return "".join(
+        chunk if is_lit else fn(chunk) for chunk, is_lit in _split_literals(sql)
+    )
+
+
+_UNNEST_RE = re.compile(
+    r"CROSS\s+JOIN\s+UNNEST\s*\(([^()]*(?:\([^()]*\))?[^()]*)\)"
+    r"(\s+WITH\s+ORDINALITY)?\s+(?:AS\s+)?(\w+)\s*\(\s*(\w+)(?:\s*,\s*(\w+))?\s*\)",
+    re.IGNORECASE,
+)
+
+_TABLESAMPLE_RE = re.compile(
+    r"TABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_unnest(m: re.Match) -> str:
+    expr, ordinality, alias, col, col2 = m.groups()
+    if ordinality and col2:
+        # WITH ORDINALITY: Presto appends a 1-based ordinal column LAST.
+        # inline(arrays_zip(...)) emits both columns under ONE alias, which
+        # posexplode (pos first, and under a second alias) cannot.
+        return (
+            f"LATERAL VIEW inline(arrays_zip({expr}, "
+            f"sequence(1, size({expr})))) {alias} AS {col}, {col2}"
+        )
+    if col2:
+        # UNNEST(map) yields (key, value) pairs.
+        return f"LATERAL VIEW explode({expr}) {alias} AS {col}, {col2}"
+    return f"LATERAL VIEW explode({expr}) {alias} AS {col}"
+
+
+def _rename_functions(chunk: str) -> str:
+    for presto, spark in FUNCTION_RENAMES.items():
+        if presto == spark:
+            continue
+        chunk = re.sub(
+            rf"\b{presto}\s*\(", f"{spark}(", chunk, flags=re.IGNORECASE
+        )
+    return chunk
+
+
+def rewrite(sql: str) -> str:
+    """Rewrite a Presto SQL string into Spark SQL.
+
+    Structural rewrites (UNNEST/TABLESAMPLE) run over the whole text — their
+    operand may itself contain string literals (e.g. ``UNNEST(split(text,
+    ' '))``), so literal-splitting first would hide them. Function renames
+    are word-boundary regexes and DO respect literal boundaries."""
+    sql = _UNNEST_RE.sub(_rewrite_unnest, sql)
+    sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
+    return _apply_outside_literals(sql, _rename_functions)

@@ -126,9 +126,14 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4) -> DataFrame:
 
 def minhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
-    """Full MinHash+LSH pipeline → (id_a, id_b, est_jaccard ≥ threshold)."""
+    """Full MinHash+LSH pipeline → (id_a, id_b, est_jaccard ≥ threshold).
+
+    The signature table feeds 4 band self-joins + 2 verify joins; persist it
+    so the shingle explode + MIN aggregation runs once. (At 100 TB the
+    signatures would be written to a table between the two stages — same
+    idea, durable form.)"""
     sh = shingle_table(df, text_col, id_col)
-    sig = minhash_signatures(sh)
+    sig = minhash_signatures(sh).persist()
     cands = lsh_candidate_pairs(sig)
     a = sig.select([F.col("id").alias("id_a")] + [F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))])
     b = sig.select([F.col("id").alias("id_b")] + [F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))])

@@ -30,6 +30,8 @@ from pyspark.sql import SparkSession
 # 128-256m so a task's working set fits executor memory).
 DEFAULT_CONF: dict[str, str] = {
     "spark.ui.showConsoleProgress": "false",
+    # static conf — writable location for saveAsTable/CTAS (local runs)
+    "spark.sql.warehouse.dir": "/tmp/presto-ads-spark-warehouse",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,0 +1,93 @@
+"""Structured Streaming operators — beyond-parity surface.
+
+The reference has NO streaming execution (SURVEY.md §2.6: Kafka is read as a
+static table, KafkaRecordSet.java:53). These operators give the engine the
+streaming shapes a training-data pipeline needs: windowed aggregation with
+watermarked late-data handling, and event sessionization. Batch/stream
+parity is tested by running the same transformation both ways
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Raw file schema: ts is TIMESTAMP(NANOS) in parquet → read as bigint
+# (nanosAsLong) and convert; see catalog.load_table for the batch twin.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """ns-long → µs timestamp (identical truncation to DuckDB's reader)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    (In production this is the kafka source — swap ``readStream.format``;
+    every transformation downstream is source-agnostic.)"""
+    return with_event_time(spark.readStream.schema(EVENTS_SCHEMA).parquet(directory))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + exact decimal sums per event_type.
+
+    The watermark bounds state: at 100 TB/day the state store only retains
+    ``watermark`` worth of windows per key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120):
+    """Drain an availableNow stream into an in-memory table; returns the
+    resulting batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(name)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a session breaks after ``gap_minutes`` idle.
+
+    Expressed with window functions (lag + running sum) — the batch twin of
+    ``session_window`` streaming aggregation; used as the oracle-checkable
+    form (events_sessionize query)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    is_new = (
+        gap.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(gap)) > gap_minutes * 60)
+    ).cast("int")
+    sess = F.sum(is_new).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        "event_id", "user_id", "ts", "event_type", sess.alias("session_id")
+    )

@@ -1,0 +1,54 @@
+"""Physical-plan shape tests: pushdown, pruning, broadcast, codegen, no
+row-at-a-time Python — the 100-TB checklist from SURVEY.md §4.2 applied to
+the headline queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_ads_spark import plans
+from presto_ads_spark.queries import load_all
+from presto_ads_spark.queries._util import t
+from tests.conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def test_q06_filters_pushed_and_pruned(spark):
+    df = REGISTRY["q06_forecast_revenue"].spark_fn(spark, SF_DIR)
+    plans.assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    plans.assert_read_schema_only(
+        df, "lineitem", "l_extendedprice", "l_discount"
+    )
+    plans.assert_whole_stage_codegen(df)
+
+
+def test_q03_broadcasts_customer(spark):
+    df = REGISTRY["q03_shipping_priority"].spark_fn(spark, SF_DIR)
+    plans.assert_broadcast_join(df, expect=1)
+    plans.assert_pushed_filters(df, "c_mktsegment")
+
+
+def test_q05_broadcasts_dims(spark):
+    df = REGISTRY["q05_local_supplier"].spark_fn(spark, SF_DIR)
+    plans.assert_broadcast_join(df, expect=3)
+
+
+def test_topn_uses_take_ordered(spark):
+    df = (
+        t(spark, SF_DIR, "orders")
+        .orderBy(F.desc("o_totalprice"))
+        .limit(5)
+    )
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    df = REGISTRY["window_topn_per_group"].spark_fn(spark, SF_DIR)
+    assert "WindowGroupLimit" in plans.formatted_plan(df)
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    for name in ("q01_pricing_summary", "q18_large_volume", "dedup_minhash_lsh"):
+        df = REGISTRY[name].spark_fn(spark, SF_DIR)
+        plans.assert_no_python_udf(df)

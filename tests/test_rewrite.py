@@ -1,0 +1,64 @@
+"""Unit tests for the Presto→Spark SQL rewrite layer (rewrite.py)."""
+
+from __future__ import annotations
+
+from presto_ads_spark.rewrite import rewrite
+
+
+def test_function_rename_basic():
+    assert rewrite("SELECT approx_distinct(x) FROM t") == (
+        "SELECT approx_count_distinct(x) FROM t"
+    )
+
+
+def test_rename_case_insensitive():
+    assert "instr(" in rewrite("SELECT STRPOS(a, b) FROM t")
+
+
+def test_rename_not_inside_literal():
+    sql = "SELECT 'use strpos( here' AS s, strpos(a, b) FROM t"
+    out = rewrite(sql)
+    assert "'use strpos( here'" in out
+    assert "instr(a, b)" in out
+
+
+def test_escaped_quote_literal():
+    sql = "SELECT 'it''s strpos(x' AS s, cardinality(a) FROM t"
+    out = rewrite(sql)
+    assert "'it''s strpos(x'" in out
+    assert "size(a)" in out
+
+
+def test_unnest_simple():
+    out = rewrite("SELECT w FROM d CROSS JOIN UNNEST(arr) AS t(w)")
+    assert "LATERAL VIEW explode(arr) t AS w" in out
+
+
+def test_unnest_with_literal_inside():
+    out = rewrite(
+        "SELECT w FROM d CROSS JOIN UNNEST(split(text, ' ')) AS t(w)"
+    )
+    assert "LATERAL VIEW explode(split(text, ' ')) t AS w" in out
+
+
+def test_unnest_ordinality():
+    out = rewrite(
+        "SELECT w, o FROM d CROSS JOIN UNNEST(arr) WITH ORDINALITY AS t(w, o)"
+    )
+    assert "inline(arrays_zip(arr, sequence(1, size(arr)))) t AS w, o" in out
+
+
+def test_unnest_map_two_cols():
+    out = rewrite("SELECT k, v FROM d CROSS JOIN UNNEST(m) AS t(k, v)")
+    assert "LATERAL VIEW explode(m) t AS k, v" in out
+
+
+def test_tablesample():
+    out = rewrite("SELECT * FROM t TABLESAMPLE BERNOULLI(10)")
+    assert "TABLESAMPLE (10 PERCENT)" in out
+
+
+def test_unterminated_literal_passthrough():
+    # Malformed SQL shouldn't crash the rewriter; Spark reports the error.
+    out = rewrite("SELECT 'oops")
+    assert out == "SELECT 'oops"

@@ -1,0 +1,59 @@
+"""Structured Streaming tests: stream/batch parity on the same
+transformation (the property that makes streaming results trustworthy)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_ads_spark import streaming
+from presto_ads_spark.queries._util import t
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # File-stream sources need a directory containing only the stream's
+    # files; testdata is read-only → copy the one parquet out.
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    stream = streaming.read_events_stream(spark, events_dir)
+    agg = streaming.windowed_event_counts(stream)
+    got = {
+        (r.win_start, r.event_type): (r.n, r.total)
+        for r in streaming.run_to_memory(agg, "win_counts").collect()
+    }
+
+    batch_events = streaming.with_event_time(
+        spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir)
+    )
+    batch_agg = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+    expected = {
+        (r.win_start, r.event_type): (r.n, r.total) for r in batch_agg.collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_sessionize_batch(spark):
+    ev = t(spark, SF_DIR, "events")
+    sess = streaming.sessionize(ev, gap_minutes=30)
+    rows = sess.filter(F.col("user_id") == 1).orderBy("ts", "event_id").collect()
+    assert rows, "user 1 should have events"
+    # session ids start at 1 and never decrease along the timeline
+    ids = [r.session_id for r in rows]
+    assert ids[0] == 1
+    assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))

@@ -397,3 +397,137 @@ def agg_collect_structures(spark, sf_dir):
         F.array_sort(F.collect_list("n_name")).alias("nations"),
         F.size(F.collect_list("n_name")).cast("int").alias("n"),
     )
+
+
+@q(
+    "fn_binary_crypto",
+    tags=("functions", "binary"),
+    doc="Digest/encoding functions (VarbinaryFunctions.java, HmacFunctions"
+    ".java): md5/sha1/sha256/crc32/base64/hex — identical digests on both "
+    "engines.",
+    oracle="""
+SELECT c_custkey,
+  md5(c_name) AS h_md5,
+  sha256(c_name) AS h_sha256,
+  to_base64(encode(c_name)) AS b64,
+  lower(to_hex(encode(left(c_name, 4)))) AS hx,
+  decode(from_base64(to_base64(encode(c_name)))) AS roundtrip
+FROM customer WHERE c_custkey < 100
+""",
+)
+def fn_binary_crypto(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        # sha1/crc32/hmac exist Spark-side but DuckDB lacks them → unit-tested
+        F.sha2("c_name", 256).alias("h_sha256"),
+        F.base64(F.col("c_name").cast("binary")).alias("b64"),
+        F.lower(F.hex(F.substring("c_name", 1, 4))).alias("hx"),
+        F.unbase64(F.base64(F.col("c_name").cast("binary")))
+        .cast("string")
+        .alias("roundtrip"),
+    )
+
+
+@q(
+    "fn_url",
+    tags=("functions", "url"),
+    doc="url_extract_* (UrlFunctions.java:55-77) over constructed URLs; "
+    "DuckDB has no parse_url → regexp-based oracle.",
+    oracle="""
+SELECT event_id, url,
+  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+  regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+  regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS query,
+  regexp_extract(url, 'k=([^&#]*)', 1) AS param_k
+FROM (
+  SELECT event_id,
+    concat('https://host', CAST(user_id % 5 AS VARCHAR),
+           '.example.com/p/', event_type, '?k=', CAST(event_id % 7 AS VARCHAR),
+           '&z=1#f') AS url
+  FROM events WHERE event_id < 300
+) u
+""",
+)
+def fn_url(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("event_type"),
+        F.lit("?k="),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("&z=1#f"),
+    )
+    u = e.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("param_k"),
+    )
+
+
+@q(
+    "agg_histogram_map",
+    tags=("functions", "agg", "map"),
+    doc="Presto histogram(x) → map<value,count> (HistogramAggregation). "
+    "Spark builds the real map (map_from_entries) then serializes the "
+    "entries sorted — map python reprs differ across engines, strings "
+    "don't.",
+    oracle="""
+SELECT l_returnflag,
+  string_agg(l_linestatus || ':' || CAST(n AS VARCHAR), ',' ORDER BY l_linestatus) AS status_hist
+FROM (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+) c
+GROUP BY l_returnflag
+""",
+)
+def agg_histogram_map(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hist = counts.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_linestatus", "n")))
+        ).alias("m")
+    )
+    entry_strs = F.transform(
+        F.map_entries("m"),
+        lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
+    )
+    return hist.select(
+        "l_returnflag", F.array_join(entry_strs, ",").alias("status_hist")
+    )
+
+
+@q(
+    "agg_listagg_checksum",
+    tags=("functions", "agg"),
+    doc="Ordered string aggregation (Presto array_agg+array_join idiom / "
+    "listagg) + order-independent checksum via bit_xor of hashes "
+    "(ChecksumAggregationFunction analogue).",
+    oracle="""
+SELECT n_regionkey,
+  string_agg(n_name, ',' ORDER BY n_name) AS names,
+  bit_xor(('0x' || substr(md5(n_name), 1, 15))::BIGINT) AS checksum
+FROM nation GROUP BY n_regionkey
+""",
+)
+def agg_listagg_checksum(spark, sf_dir):
+    from ..llm.dedup import md5_hash_col
+
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+        F.bit_xor(md5_hash_col(F.col("n_name"), 15)).alias("checksum"),
+    )

@@ -1,0 +1,57 @@
+"""Engine statement-surface tests (SURVEY.md M4): SHOW/DESCRIBE/EXPLAIN,
+SET SESSION, catalog statements through ``engine.sql``."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def test_show_tables(engine):
+    names = {r.tableName for r in engine.sql("SHOW TABLES").collect()}
+    assert {"lineitem", "orders", "customer"} <= names
+
+
+def test_show_functions_includes_compat(engine):
+    fns = {r.function.split(".")[-1] for r in engine.sql("SHOW USER FUNCTIONS").collect()}
+    assert {"strpos", "url_extract_host", "day_of_week"} <= fns
+
+
+def test_describe(engine):
+    cols = {r.col_name: r.data_type for r in engine.sql("DESCRIBE lineitem").collect()}
+    assert cols["l_orderkey"] == "bigint"
+    assert cols["l_quantity"] == "double"
+
+
+def test_explain(engine):
+    out = engine.sql(
+        "EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity > 10"
+    ).collect()[0][0]
+    assert "HashAggregate" in out or "Aggregate" in out
+
+
+def test_show_catalogs(engine):
+    rows = [r.catalog for r in engine.sql("SHOW CATALOGS").collect()]
+    assert "spark_catalog" in rows
+
+
+def test_show_session(engine):
+    rows = {r.name for r in engine.sql("SHOW SESSION").collect()}
+    assert "spark.sql.shuffle.partitions" in rows
+
+
+def test_set_session_partition_count(engine, spark):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        engine.sql("SET SESSION hash_partition_count = 16")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_unknown_session_property_ignored(engine):
+    # Presto-compatible leniency: unknown/system-only properties don't fail.
+    engine.sql("SET SESSION some_unknown_prop = 'x'")
+
+
+def test_use_and_current_database(engine):
+    assert engine.sql("SELECT current_database() AS db").collect()[0].db == "default"

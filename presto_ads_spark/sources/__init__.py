@@ -108,3 +108,43 @@ def memory_table(spark: SparkSession, name: str, rows, schema) -> DataFrame:
 def blackhole(df: DataFrame) -> None:
     """Presto blackhole connector: execute fully, discard output."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def delete_partitions(spark: SparkSession, path: str, **partition_values) -> int:
+    """Partition-drop DELETE — the flavor Presto 0.216's hive connector
+    actually supports (MetadataDeleteOperator, reference
+    operator/MetadataDeleteOperator.java:34): removing whole partition
+    directories, no row rewrite. Returns partitions removed."""
+    import shutil
+    import os
+
+    removed = 0
+    for k, v in partition_values.items():
+        target = os.path.join(path, f"{k}={v}")
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+            removed += 1
+    return removed
+
+
+def delete_where(spark: SparkSession, path: str, condition: str,
+                 fmt: str = "parquet") -> int:
+    """Row-level DELETE via staged rewrite (DeleteOperator analogue,
+    reference operator/DeleteOperator.java:39 — there it needs connector
+    support; on plain files it's rewrite-and-swap).
+
+    Reads, anti-filters, writes to a staging dir, swaps atomically-ish.
+    At 100 TB you'd do this per-partition (combine with partition pruning
+    on ``condition``) or use a table format (Delta/Iceberg) — this is the
+    dependency-free form. Returns rows deleted."""
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    before = df.count()
+    kept = df.filter(f"NOT ({condition})")
+    staging = path.rstrip("/") + ".__staging__"
+    kept.write.format(fmt).mode("overwrite").save(staging)
+    after = spark.read.format(fmt).load(staging).count()
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    return before - after

@@ -80,3 +80,26 @@ def test_memory_and_blackhole(spark):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unknown file format"):
         sources.read(spark, "xlsx", "/tmp/nope")
+
+
+def test_delete_partitions(spark, tmp_path):
+    df = t(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_del")
+    sources.write(df, "parquet", path, partition_by=["o_orderstatus"])
+    n = sources.delete_partitions(spark, path, o_orderstatus="F")
+    assert n == 1
+    left = {r.o_orderstatus for r in sources.read(spark, "parquet", path)
+            .select("o_orderstatus").distinct().collect()}
+    assert left == {"O", "P"}
+
+
+def test_delete_where(spark, tmp_path):
+    df = t(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_del")
+    sources.write(df, "parquet", path)
+    expected = df.filter("n_regionkey = 0").count()
+    deleted = sources.delete_where(spark, path, "n_regionkey = 0")
+    assert deleted == expected and deleted > 0
+    back = sources.read(spark, "parquet", path)
+    assert back.filter("n_regionkey = 0").count() == 0
+    assert back.count() == df.count() - deleted

@@ -81,6 +81,20 @@ class Engine:
         # Unknown properties are accepted and ignored (documented gap).
         return self.spark.range(0).select()
 
+    # -- UDF registration (Plugin.getFunctions parity,
+    #    reference presto-spi/.../Plugin.java:53) ------------------------
+    def register_function(self, name: str, fn, return_type=None) -> None:
+        """Register a user scalar function callable from SQL.
+
+        Python UDFs are the slow path (SURVEY §2.4) — prefer
+        ``register_sql_function`` for anything expressible as a Spark
+        expression."""
+        self.spark.udf.register(name, fn, return_type)
+
+    def register_sql_function(self, create_stmt: str) -> None:
+        """Register a SQL-bodied function (JVM-side, codegen-friendly)."""
+        self.spark.sql(create_stmt)
+
     def _show(self, what: str) -> DataFrame:
         if what == "CATALOGS":
             return self.spark.createDataFrame(

@@ -137,6 +137,40 @@ SQL_FUNCTIONS: list[str] = [
          END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(ts TIMESTAMP)
        RETURNS BIGINT RETURN unix_millis(ts)""",
+    # --- MathFunctions.java constants / classification -------------------
+    """CREATE OR REPLACE TEMPORARY FUNCTION infinity()
+       RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION nan()
+       RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION is_nan(x DOUBLE)
+       RETURNS BOOLEAN RETURN isnan(x)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION is_infinite(x DOUBLE)
+       RETURNS BOOLEAN RETURN abs(x) = CAST('Infinity' AS DOUBLE)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION is_finite(x DOUBLE)
+       RETURNS BOOLEAN RETURN NOT isnan(x) AND abs(x) <> CAST('Infinity' AS DOUBLE)""",
+    # --- DateTimeFunctions.java extras -----------------------------------
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(ts TIMESTAMP)
+       RETURNS STRING RETURN date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS")""",
+    # current_timezone(): Spark-native, same name — no shim needed.
+    # parse_duration('3.2m') → seconds as double (Presto returns interval;
+    # seconds keeps it composable with arithmetic).
+    """CREATE OR REPLACE TEMPORARY FUNCTION parse_duration_seconds(s STRING)
+       RETURNS DOUBLE RETURN
+         CAST(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) *
+         CASE regexp_extract(s, '([a-z]+)$', 1)
+           WHEN 'ns' THEN 0.000000001
+           WHEN 'us' THEN 0.000001
+           WHEN 'ms' THEN 0.001
+           WHEN 's' THEN 1
+           WHEN 'm' THEN 60
+           WHEN 'h' THEN 3600
+           WHEN 'd' THEN 86400
+         END""",
+    # --- Teradata compat (presto-teradata-functions) ---------------------
+    """CREATE OR REPLACE TEMPORARY FUNCTION index(haystack STRING, needle STRING)
+       RETURNS INT RETURN instr(haystack, needle)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION char2hexint(s STRING)
+       RETURNS STRING RETURN upper(hex(encode(s, 'UTF-16BE')))""",
     # --- BitwiseFunctions.java:50-74 ------------------------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_and(a BIGINT, b BIGINT)
        RETURNS BIGINT RETURN a & b""",

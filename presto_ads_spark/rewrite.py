@@ -95,6 +95,37 @@ _TABLESAMPLE_RE = re.compile(
     r"TABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)", re.IGNORECASE
 )
 
+# Presto TRY(CAST(x AS T)) → Spark TRY_CAST(x AS T). (General TRY(expr)
+# needs expression-level analysis — documented gap; the CAST form is the
+# overwhelmingly common one.)
+_TRY_CAST_RE = re.compile(r"\bTRY\s*\(\s*CAST\s*\(", re.IGNORECASE)
+
+
+def _rewrite_try_cast(sql: str) -> str:
+    """TRY(CAST(x AS T)) → TRY_CAST(x AS T), dropping the outer paren."""
+    while True:
+        m = _TRY_CAST_RE.search(sql)
+        if not m:
+            return sql
+        # find the close paren matching CAST( and then the TRY's close
+        depth = 1
+        i = m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        # i is just past CAST's ')'; skip whitespace to TRY's ')'
+        j = i
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == ")":
+            inner = sql[m.end() : i]  # "x AS T)"
+            sql = sql[: m.start()] + "TRY_CAST(" + inner + sql[j + 1 :]
+        else:  # malformed; leave untouched to avoid infinite loop
+            return sql
+
 
 def _rewrite_unnest(m: re.Match) -> str:
     expr, ordinality, alias, col, col2 = m.groups()
@@ -131,4 +162,5 @@ def rewrite(sql: str) -> str:
     are word-boundary regexes and DO respect literal boundaries."""
     sql = _UNNEST_RE.sub(_rewrite_unnest, sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
+    sql = _rewrite_try_cast(sql)
     return _apply_outside_literals(sql, _rename_functions)

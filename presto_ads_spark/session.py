@@ -46,6 +46,10 @@ DEFAULT_CONF: dict[str, str] = {
     # Vectorized parquet reader + pushdown are on by default; pinned here as
     # documentation of load-bearing behavior.
     "spark.sql.parquet.filterPushdown": "true",
+    # Presto map_union/map_concat keep one value on key clash; Spark errors
+    # by default — LAST_WIN (+ sorted entries in our builders) matches and
+    # stays deterministic.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
     # read as long and convert (catalog.load_table) — truncation to µs
     # matches what DuckDB's reader does with the same file.

@@ -145,3 +145,91 @@ def test_date_parse_roundtrip(engine, spark):
     )
     row = df.select(date_format("ts", "%Y/%m/%d %H:%i").alias("s")).collect()[0]
     assert row.s == "2024/03/05 07:08"
+
+
+def test_try_cast_rewrite(engine):
+    assert one(engine, "TRY(CAST('12' AS INTEGER))") == 12
+    assert one(engine, "TRY(CAST('nope' AS INTEGER))") is None
+
+
+def test_math_constants_classification(engine):
+    assert one(engine, "is_finite(1.5)") is True
+    assert one(engine, "is_infinite(infinity())") is True
+    assert one(engine, "is_nan(nan())") is True
+    assert one(engine, "is_finite(infinity())") is False
+
+
+def test_iso8601_and_duration(engine):
+    assert (
+        one(engine, "to_iso8601(TIMESTAMP '2024-03-05 07:08:09')")
+        == "2024-03-05T07:08:09.000"
+    )
+    assert one(engine, "parse_duration_seconds('3.5m')") == 210.0
+    assert one(engine, "parse_duration_seconds('250ms')") == 0.25
+
+
+def test_teradata_compat(engine):
+    assert one(engine, "index('hello', 'll')") == 3
+    assert one(engine, "char2hexint('AB')") == "00410042"
+
+
+def test_aggregate_builders(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from presto_ads_spark.functions import aggregates as A
+
+    df = spark.createDataFrame(
+        [("a", "k1", 2.0), ("a", "k2", 8.0), ("a", "k1", 4.0), ("b", "k3", 5.0)],
+        "g string, k string, v double",
+    )
+    row = (
+        df.groupBy("g")
+        .agg(
+            A.geometric_mean("v").alias("gm"),
+            A.map_agg("k", "v").alias("m"),
+            A.multimap_agg("k", "v").alias("mm"),
+            A.checksum("k").alias("ck"),
+            A.histogram("k").alias("h"),
+        )
+        .orderBy("g")
+        .collect()
+    )
+    a = row[0]
+    assert math.isclose(a.gm, (2.0 * 8.0 * 4.0) ** (1 / 3), rel_tol=1e-12)
+    assert a.m == {"k1": 2.0, "k2": 8.0} or a.m == {"k1": 4.0, "k2": 8.0}
+    assert sorted(a.mm["k1"]) == [2.0, 4.0] and a.mm["k2"] == [8.0]
+    assert a.h == {"k1": 2, "k2": 1}
+    assert isinstance(a.ck, int)
+
+    red = df.agg(
+        A.reduce_agg(
+            "v", F.lit(0.0), lambda acc, x: acc + x, lambda a2, b2: a2 + b2
+        ).alias("s")
+    ).collect()[0]
+    assert red.s == 19.0
+
+    arr = df.agg(A.approx_percentile_array("v", [0.0, 1.0]).alias("p")).collect()[0]
+    assert arr.p == [2.0, 8.0]
+
+
+def test_map_union(spark):
+    from pyspark.sql import functions as F
+
+    from presto_ads_spark.functions import aggregates as A
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (1, {"b": 3, "c": 4})], "g int, m map<string,int>"
+    )
+    out = df.groupBy("g").agg(A.map_union("m").alias("u")).collect()[0]
+    assert out.u == {"a": 1, "b": 3, "c": 4}
+
+
+def test_engine_register_function(engine):
+    engine.register_function("py_double_it", lambda x: x * 2, "int")
+    assert one(engine, "py_double_it(21)") == 42
+    engine.register_sql_function(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sql_triple(x INT) RETURNS INT RETURN x * 3"
+    )
+    assert one(engine, "sql_triple(14)") == 42

@@ -62,3 +62,14 @@ def test_unterminated_literal_passthrough():
     # Malformed SQL shouldn't crash the rewriter; Spark reports the error.
     out = rewrite("SELECT 'oops")
     assert out == "SELECT 'oops"
+
+
+def test_try_cast():
+    assert rewrite("SELECT TRY(CAST(x AS INT)) FROM t") == (
+        "SELECT TRY_CAST(x AS INT) FROM t"
+    )
+
+
+def test_try_cast_nested_parens():
+    out = rewrite("SELECT TRY(CAST(substr(a, 1, 2) AS INT)) FROM t")
+    assert out == "SELECT TRY_CAST(substr(a, 1, 2) AS INT) FROM t"

@@ -81,6 +81,36 @@ class Engine:
         # Unknown properties are accepted and ignored (documented gap).
         return self.spark.range(0).select()
 
+    # -- system / information_schema connectors (reference:
+    #    presto-main/.../connector/system/, connector/informationSchema/) --
+    def information_schema_columns(self) -> DataFrame:
+        """information_schema.columns synthesized from the session catalog."""
+        rows = []
+        for tbl in self.spark.catalog.listTables():
+            for col in self.spark.catalog.listColumns(tbl.name):
+                rows.append(
+                    (tbl.database or "default", tbl.name, col.name, col.dataType)
+                )
+        return self.spark.createDataFrame(
+            rows, "table_schema string, table_name string, column_name string, data_type string"
+        )
+
+    def system_runtime_nodes(self) -> DataFrame:
+        """system.runtime.nodes analogue from the Spark status tracker."""
+        sc = self.spark.sparkContext
+        infos = sc._jsc.sc().statusTracker().getExecutorInfos()  # JVM API
+        rows = [
+            (
+                e.host(),
+                e.numRunningTasks(),
+                int(e.totalOnHeapStorageMemory()),
+            )
+            for e in infos
+        ]
+        return self.spark.createDataFrame(
+            rows, "host string, running_tasks int, onheap_storage_bytes long"
+        )
+
     # -- UDF registration (Plugin.getFunctions parity,
     #    reference presto-spi/.../Plugin.java:53) ------------------------
     def register_function(self, name: str, fn, return_type=None) -> None:

@@ -55,3 +55,15 @@ def test_unknown_session_property_ignored(engine):
 
 def test_use_and_current_database(engine):
     assert engine.sql("SELECT current_database() AS db").collect()[0].db == "default"
+
+
+def test_information_schema_columns(engine):
+    df = engine.information_schema_columns()
+    rows = {(r.table_name, r.column_name) for r in df.collect()}
+    assert ("lineitem", "l_orderkey") in rows
+    assert ("region", "r_name") in rows
+
+
+def test_system_runtime_nodes(engine):
+    rows = engine.system_runtime_nodes().collect()
+    assert len(rows) >= 1 and rows[0].onheap_storage_bytes > 0

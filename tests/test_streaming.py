@@ -57,3 +57,50 @@ def test_sessionize_batch(spark):
     ids = [r.session_id for r in rows]
     assert ids[0] == 1
     assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+
+
+def test_stateful_sessionize_stream(spark, events_dir):
+    """applyInPandasWithState sessionization: closed sessions from the
+    stream must match the batch sessionizer's session inventory."""
+    from pyspark.sql import functions as F
+
+    from presto_ads_spark.streaming import stateful
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    out = stateful.streaming_sessionize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("sess_stream")
+
+    # Batch twin: sessions with their aggregates.
+    ev = streaming.with_event_time(
+        spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir)
+    )
+    batch = (
+        streaming.sessionize(ev, gap_minutes=30)
+        .join(ev.select("event_id", "value"), "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    got_keys = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.collect()
+    }
+    batch_keys = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    # The stream only emits *closed* sessions (watermark can hold back the
+    # tail session per user) → subset, and substantial.
+    assert got_keys <= batch_keys
+    assert len(got_keys) >= 0.5 * len(batch_keys) and len(got_keys) > 0

@@ -27,15 +27,19 @@ def main() -> None:
     registry = load_all()
     bench_queries = {n: s for n, s in sorted(registry.items()) if s.bench}
 
-    # Prewarm: JVM + parquet footer caches (1 pass, not timed).
+    # Prewarm: JVM + parquet footer caches (1 pass, not timed), then 2
+    # measured runs taking the min — the small-N version of the reference's
+    # 2-prewarm/6-run protocol (tpch.yaml:3-6).
     for name, spec in bench_queries.items():
         spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name, spec in bench_queries.items():
-        t0 = time.perf_counter()
-        spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name, spec in bench_queries.items():
+            t0 = time.perf_counter()
+            spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(el, timings.get(name, el))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -106,3 +106,30 @@ def lsh_topk(emb: DataFrame, k: int = 5, bits: int = 8,
         scored.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", threshold: float = 0.2,
+                        bits: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: LSH-bucketed candidate
+    pairs above ``threshold``, each item assigned a canonical id = min id
+    among its neighbors (single-pass star assignment — at scale, iterate
+    to convergence for full connected components).
+
+    Output: (id, canonical_id, best_cos) for every item in a near-dup pair.
+    """
+    e = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", sign_lsh_bucket(F.col("v"), bits))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs.groupBy(F.col("id_a").alias("id")).agg(
+        F.least(F.min("id_b"), F.min("id_a")).alias("canonical_id"),
+        F.max("cos_sim").alias("best_cos"),
+    )

@@ -383,3 +383,31 @@ FROM documents
 def multimodal_features(spark, sf_dir):
     payloads = multimodal.attach_payload(t(spark, sf_dir, "documents"))
     return multimodal.extract_features(payloads)
+
+
+@q(
+    "dedup_embedding_cosine",
+    tags=("llm", "dedup", "similarity"),
+    doc="Embedding-cosine near-dup dedup: LSH-bucketed pairs >= 0.2, "
+    "canonical id = min neighbor id (star assignment).",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_sql('a.v', 'b.v')} AS cos_sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= 0.2
+)
+SELECT id_a AS id,
+       least(MIN(id_b), MIN(id_a)) AS canonical_id,
+       MAX(cos_sim) AS best_cos
+FROM pairs GROUP BY id_a
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return similarity.embedding_near_dups(
+        t(spark, sf_dir, "embeddings"), threshold=0.2, bits=_BUCKET_BITS
+    )

@@ -46,6 +46,9 @@ DEFAULT_CONF: dict[str, str] = {
     # Vectorized parquet reader + pushdown are on by default; pinned here as
     # documentation of load-bearing behavior.
     "spark.sql.parquet.filterPushdown": "true",
+    # Presto errors on division-by-zero / overflow / bad casts; ANSI mode
+    # matches (Spark 4 default — pinned as load-bearing).
+    "spark.sql.ansi.enabled": "true",
     # Presto map_union/map_concat keep one value on key clash; Spark errors
     # by default — LAST_WIN (+ sorted entries in our builders) matches and
     # stays deterministic.

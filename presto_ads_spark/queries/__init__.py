@@ -101,6 +101,7 @@ def load_all() -> dict[str, Query]:
     from . import relational  # noqa: F401
     from . import window  # noqa: F401
     from . import functions_sql  # noqa: F401
+    from . import events  # noqa: F401
     from . import llm  # noqa: F401
 
     return REGISTRY

@@ -19,9 +19,10 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from .sql_udfs import SQL_FUNCTIONS
+from .geospatial import GEOSPATIAL_SQL_FUNCTIONS
 from . import datetime_compat  # noqa: F401  (re-export)
 
 
 def register_all(spark: SparkSession) -> None:
-    for stmt in SQL_FUNCTIONS:
+    for stmt in SQL_FUNCTIONS + GEOSPATIAL_SQL_FUNCTIONS:
         spark.sql(stmt)

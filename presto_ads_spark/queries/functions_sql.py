@@ -346,13 +346,17 @@ def fn_approx_aggregates(spark, sf_dir):
 SELECT l_returnflag,
   (sx2 - sx * sx / n) / (n - 1) AS var_samp_qty,
   sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_samp_qty,
-  (sxy - sx * sy / n) / (n - 1) AS covar_samp
+  (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+  ((sxy - sx * sy / n) / (n - 1))
+    / (sqrt((sx2 - sx * sx / n) / (n - 1)) * sqrt((sy2 - sy * sy / n) / (n - 1))) AS corr_qd,
+  (sxy - sx * sy / n) / (sy2 - sy * sy / n) AS regr_slope_q_on_d
 FROM (
   SELECT l_returnflag,
     CAST(COUNT(*) AS DOUBLE) AS n,
     CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sx,
     CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sx2,
     CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sy2,
     CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 ) m
@@ -367,15 +371,20 @@ def agg_stats_variance(spark, sf_dir):
         F.sum(qd).cast("double").alias("sx"),
         F.sum(qd * qd).cast("double").alias("sx2"),
         F.sum(dd).cast("double").alias("sy"),
+        F.sum(dd * dd).cast("double").alias("sy2"),
         F.sum(qd * dd).cast("double").alias("sxy"),
     )
-    var = (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
-    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    n, sx, sx2, sy, sy2, sxy = (F.col(c) for c in ("n", "sx", "sx2", "sy", "sy2", "sxy"))
+    var_x = (sx2 - sx * sx / n) / (n - 1)
+    var_y = (sy2 - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
     return m.select(
         "l_returnflag",
-        var.alias("var_samp_qty"),
-        F.sqrt(var).alias("stddev_samp_qty"),
+        var_x.alias("var_samp_qty"),
+        F.sqrt(var_x).alias("stddev_samp_qty"),
         cov.alias("covar_samp"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qd"),
+        ((sxy - sx * sy / n) / (sy2 - sy * sy / n)).alias("regr_slope_q_on_d"),
     )
 
 
@@ -530,4 +539,43 @@ def agg_listagg_checksum(spark, sf_dir):
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
         F.bit_xor(md5_hash_col(F.col("n_name"), 15)).alias("checksum"),
+    )
+
+
+@q(
+    "fn_geospatial_join",
+    tags=("functions", "geospatial", "join"),
+    doc="Broadcast spatial join on the point/envelope subset "
+    "(SpatialJoinOperator analogue via plain predicates): events as points "
+    "(value, user_id%100) vs a VALUES zone table; pure arithmetic oracle.",
+    oracle="""
+SELECT z.zone, COUNT(*) AS n_points,
+  CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+FROM events e
+JOIN (VALUES ('low', 0.0, 0.0, 100.0, 50.0),
+             ('high', 100.0, 0.0, 500.0, 100.0)) z(zone, xmin, ymin, xmax, ymax)
+  ON e.value >= z.xmin AND e.value <= z.xmax
+ AND (e.user_id % 100) >= z.ymin AND (e.user_id % 100) <= z.ymax
+GROUP BY z.zone
+""",
+)
+def fn_geospatial_join(spark, sf_dir):
+    from .tpch import spark_sql_tables
+
+    spark_sql_tables(spark, sf_dir)
+    from ..functions import register_all
+
+    register_all(spark)
+    return spark.sql(
+        """
+SELECT z.zone, COUNT(*) AS n_points,
+  CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+FROM (SELECT *, st_point(value, CAST(user_id % 100 AS DOUBLE)) AS pt FROM events) e
+JOIN (
+  SELECT zone, st_make_envelope(xmin, ymin, xmax, ymax) AS env
+  FROM (VALUES ('low', 0.0D, 0.0D, 100.0D, 50.0D),
+               ('high', 100.0D, 0.0D, 500.0D, 100.0D)) raw(zone, xmin, ymin, xmax, ymax)
+) z ON st_contains(z.env, e.pt)
+GROUP BY z.zone
+"""
     )

@@ -233,3 +233,21 @@ def test_engine_register_function(engine):
         "CREATE OR REPLACE TEMPORARY FUNCTION sql_triple(x INT) RETURNS INT RETURN x * 3"
     )
     assert one(engine, "sql_triple(14)") == 42
+
+
+def test_geospatial_lite(engine):
+    assert one(engine, "st_x(st_point(3.0, 4.0))") == 3.0
+    assert one(engine, "st_distance(st_point(0.0, 0.0), st_point(3.0, 4.0))") == 5.0
+    assert one(
+        engine,
+        "st_contains(st_make_envelope(0.0, 0.0, 10.0, 10.0), st_point(5.0, 5.0))",
+    ) is True
+    assert one(
+        engine,
+        "st_within(st_point(11.0, 5.0), st_make_envelope(0.0, 0.0, 10.0, 10.0))",
+    ) is False
+    assert one(engine, "st_area(st_make_envelope(0.0, 0.0, 4.0, 5.0))") == 20.0
+    assert one(
+        engine,
+        "st_intersects_env(st_make_envelope(0.0,0.0,5.0,5.0), st_make_envelope(4.0,4.0,9.0,9.0))",
+    ) is True

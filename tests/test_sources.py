@@ -103,3 +103,23 @@ def test_delete_where(spark, tmp_path):
     back = sources.read(spark, "parquet", path)
     assert back.filter("n_regionkey = 0").count() == 0
     assert back.count() == df.count() - deleted
+
+
+def test_decoders_json_csv_raw(spark):
+    from presto_ads_spark.sources import decoders
+
+    payloads = spark.createDataFrame(
+        [(1, bytearray(b'{"a": 7, "b": "x"}')), (2, bytearray(b'{"a": 9, "b": "y"}'))],
+        "offset int, value binary",
+    )
+    out = decoders.decode_json(payloads, "a int, b string").collect()
+    assert {(r.offset, r.a, r.b) for r in out} == {(1, 7, "x"), (2, 9, "y")}
+
+    csvp = spark.createDataFrame(
+        [(1, bytearray(b"7,x")), (2, bytearray(b"9,y"))], "offset int, value binary"
+    )
+    out = decoders.decode_csv(csvp, "a int, b string").collect()
+    assert {(r.offset, r.a, r.b) for r in out} == {(1, 7, "x"), (2, 9, "y")}
+
+    raw = decoders.decode_raw(csvp).collect()
+    assert {r.decoded for r in raw} == {"7,x", "9,y"}

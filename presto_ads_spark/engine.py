@@ -33,6 +33,19 @@ _SET_SESSION_RE = re.compile(
     r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE | re.DOTALL
 )
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(CATALOGS|SESSION)\s*$", re.IGNORECASE)
+# PREPARE name FROM <sql> / EXECUTE name USING v1, v2 / DEALLOCATE PREPARE
+# (grammar: SqlBase.g4:33-100; Presto implements these client-side —
+# StatementClientV1 substitutes parameters, so a text-level implementation
+# is the faithful one).
+_PREPARE_RE = re.compile(
+    r"^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?\s*$", re.IGNORECASE | re.DOTALL
+)
+_DEALLOCATE_RE = re.compile(
+    r"^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", re.IGNORECASE
+)
 
 
 class Engine:
@@ -56,6 +69,7 @@ class Engine:
             from .functions import register_all
 
             register_all(self.spark)
+        self._prepared: dict[str, str] = {}
 
     # -- statement entry point -------------------------------------------
     def sql(self, text: str) -> DataFrame:
@@ -65,7 +79,52 @@ class Engine:
         m = _SHOW_RE.match(text)
         if m:
             return self._show(m.group(1).upper())
+        m = _PREPARE_RE.match(text)
+        if m:
+            self._prepared[m.group(1).lower()] = m.group(2).strip()
+            return self.spark.range(0).select()
+        m = _DEALLOCATE_RE.match(text)
+        if m:
+            self._prepared.pop(m.group(1).lower(), None)
+            return self.spark.range(0).select()
+        m = _EXECUTE_RE.match(text)
+        if m and m.group(1).lower() in self._prepared:
+            return self._execute_prepared(m.group(1).lower(), m.group(2))
         return self.spark.sql(rewrite(text))
+
+    def _execute_prepared(self, name: str, using: str | None) -> DataFrame:
+        stmt = self._prepared[name]
+        if using:
+            # split USING args at top-level commas (respects quotes/parens)
+            args, depth, buf, in_str = [], 0, [], False
+            for ch in using:
+                if in_str:
+                    buf.append(ch)
+                    if ch == "'":
+                        in_str = False
+                elif ch == "'":
+                    buf.append(ch)
+                    in_str = True
+                elif ch in "([":
+                    depth += 1
+                    buf.append(ch)
+                elif ch in ")]":
+                    depth -= 1
+                    buf.append(ch)
+                elif ch == "," and depth == 0:
+                    args.append("".join(buf).strip())
+                    buf = []
+                else:
+                    buf.append(ch)
+            if buf:
+                args.append("".join(buf).strip())
+            for value in args:
+                if "?" not in stmt:
+                    raise ValueError("more USING values than ? parameters")
+                stmt = stmt.replace("?", value, 1)
+        if "?" in stmt:
+            raise ValueError("unbound ? parameter in prepared statement")
+        return self.spark.sql(rewrite(stmt))
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -137,6 +137,14 @@ SQL_FUNCTIONS: list[str] = [
          END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(ts TIMESTAMP)
        RETURNS BIGINT RETURN unix_millis(ts)""",
+    # --- HyperLogLog sketch functions (HyperLogLogFunctions.java:31,
+    #     ApproximateSetAggregation) → Spark 3.5+ DataSketches HLL.
+    #     approx_set/merge are aggregates (rewrite-level aliases to
+    #     hll_sketch_agg/hll_union_agg); the scalar surface is shimmed here.
+    """CREATE OR REPLACE TEMPORARY FUNCTION cardinality_hll(sketch BINARY)
+       RETURNS BIGINT RETURN hll_sketch_estimate(sketch)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION merge_hll(a BINARY, b BINARY)
+       RETURNS BINARY RETURN hll_union(a, b)""",
     # --- MathFunctions.java constants / classification -------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION infinity()
        RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)""",

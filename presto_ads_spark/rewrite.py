@@ -28,6 +28,9 @@ from collections.abc import Callable
 FUNCTION_RENAMES: dict[str, str] = {
     "approx_distinct": "approx_count_distinct",
     "approx_percentile": "percentile_approx",
+    # HLL sketch aggregates (mergeable across groups, Presto approx_set /
+    # merge → Spark DataSketches HLL)
+    "approx_set": "hll_sketch_agg",
     "arbitrary": "any_value",
     "bool_and": "every",
     "bool_or": "some",

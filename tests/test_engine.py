@@ -67,3 +67,26 @@ def test_information_schema_columns(engine):
 def test_system_runtime_nodes(engine):
     rows = engine.system_runtime_nodes().collect()
     assert len(rows) >= 1 and rows[0].onheap_storage_bytes > 0
+
+
+def test_prepare_execute_deallocate(engine):
+    engine.sql("PREPARE q_by_seg FROM SELECT count(*) AS n FROM customer WHERE c_mktsegment = ? AND c_acctbal > ?")
+    n1 = engine.sql("EXECUTE q_by_seg USING 'BUILDING', 0").collect()[0].n
+    n2 = engine.sql("EXECUTE q_by_seg USING 'MACHINERY', 0").collect()[0].n
+    assert n1 > 0 and n2 > 0 and n1 != n2
+    engine.sql("DEALLOCATE PREPARE q_by_seg")
+    import pyspark.errors
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql("EXECUTE q_by_seg USING 'BUILDING', 0").collect()
+
+
+def test_prepare_execute_unbound_param(engine):
+    engine.sql("PREPARE p2 FROM SELECT ? AS a, ? AS b")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unbound"):
+        engine.sql("EXECUTE p2 USING 1")
+    row = engine.sql("EXECUTE p2 USING 1, 'x'").collect()[0]
+    assert (row.a, row.b) == (1, "x")

@@ -251,3 +251,18 @@ def test_geospatial_lite(engine):
         engine,
         "st_intersects_env(st_make_envelope(0.0,0.0,5.0,5.0), st_make_envelope(4.0,4.0,9.0,9.0))",
     ) is True
+
+
+def test_hll_sketch_functions(engine):
+    # mergeable HLL sketches (Presto approx_set/merge/cardinality family)
+    row = engine.sql(
+        """
+        SELECT cardinality_hll(hll_union(a.s, b.s)) AS merged_nd
+        FROM (SELECT approx_set(l_partkey) AS s FROM lineitem WHERE l_orderkey % 2 = 0) a,
+             (SELECT approx_set(l_partkey) AS s FROM lineitem WHERE l_orderkey % 2 = 1) b
+        """
+    ).collect()[0]
+    exact = engine.sql(
+        "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem"
+    ).collect()[0].nd
+    assert abs(row.merged_nd - exact) <= 0.05 * exact

@@ -52,3 +52,4 @@ def test_no_python_udf_in_relational_queries(spark):
     for name in ("q01_pricing_summary", "q18_large_volume", "dedup_minhash_lsh"):
         df = REGISTRY[name].spark_fn(spark, SF_DIR)
         plans.assert_no_python_udf(df)
+

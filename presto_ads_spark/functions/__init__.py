@@ -26,3 +26,17 @@ from . import datetime_compat  # noqa: F401  (re-export)
 def register_all(spark: SparkSession) -> None:
     for stmt in SQL_FUNCTIONS + GEOSPATIAL_SQL_FUNCTIONS:
         spark.sql(stmt)
+    _register_python_udfs(spark)
+
+
+def _register_python_udfs(spark: SparkSession) -> None:
+    """The (tiny) set of functions with no Spark-expression equivalent.
+    Python UDFs — off the hot path by design; documented per function."""
+    import unicodedata
+
+    # Presto normalize(s[, form]) — Unicode normalization (NFC default).
+    spark.udf.register(
+        "normalize_unicode",
+        lambda s, form="NFC": None if s is None else unicodedata.normalize(form, s),
+        "string",
+    )

@@ -27,6 +27,31 @@ SQL_FUNCTIONS: list[str] = [
     # split_to_map(s, entryDelim, kvDelim) (SplitToMapFunction.java).
     """CREATE OR REPLACE TEMPORARY FUNCTION split_to_map(s STRING, ed STRING, kd STRING)
        RETURNS MAP<STRING, STRING> RETURN str_to_map(s, ed, kd)""",
+    # split_to_multimap (SplitToMultimapFunction): duplicate keys keep all
+    # values, grouped into arrays.
+    """CREATE OR REPLACE TEMPORARY FUNCTION split_to_multimap(s STRING, ed STRING, kd STRING)
+       RETURNS MAP<STRING, ARRAY<STRING>> RETURN
+         map_from_arrays(
+           array_distinct(transform(split(s, ed), e -> split_part(e, kd, 1))),
+           transform(
+             array_distinct(transform(split(s, ed), e -> split_part(e, kd, 1))),
+             k -> transform(
+               filter(split(s, ed), e -> split_part(e, kd, 1) = k),
+               e -> substr(e, instr(e, kd) + length(kd)))))""",
+    # word_stem (WordStemFunction uses a Porter stemmer): simplified
+    # suffix-stripping rules — documented approximation, parity for the
+    # common plural/participle cases.
+    """CREATE OR REPLACE TEMPORARY FUNCTION word_stem(w STRING)
+       RETURNS STRING RETURN
+         CASE
+           WHEN w RLIKE '.*sses$' THEN regexp_replace(w, 'sses$', 'ss')
+           WHEN w RLIKE '.*ies$' THEN regexp_replace(w, 'ies$', 'i')
+           WHEN w RLIKE '.*ss$' THEN w
+           WHEN w RLIKE '..s$' THEN regexp_replace(w, 's$', '')
+           WHEN w RLIKE '...ing$' THEN regexp_replace(w, 'ing$', '')
+           WHEN w RLIKE '..ed$' THEN regexp_replace(w, 'ed$', '')
+           ELSE w
+         END""",
     # --- MathFunctions.java ---------------------------------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION truncate_num(x DOUBLE)
        RETURNS DOUBLE RETURN CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END""",

@@ -266,3 +266,22 @@ def test_hll_sketch_functions(engine):
         "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem"
     ).collect()[0].nd
     assert abs(row.merged_nd - exact) <= 0.05 * exact
+
+
+def test_split_to_multimap(engine):
+    v = one(engine, "split_to_multimap('a=1,b=2,a=3', ',', '=')")
+    assert v == {"a": ["1", "3"], "b": ["2"]}
+
+
+def test_word_stem_simplified(engine):
+    assert one(engine, "word_stem('caresses')") == "caress"
+    assert one(engine, "word_stem('ponies')") == "poni"
+    assert one(engine, "word_stem('cats')") == "cat"
+    assert one(engine, "word_stem('running')") == "runn"
+    assert one(engine, "word_stem('table')") == "table"
+
+
+def test_normalize_unicode_udf(engine):
+    # NFD "é" (e + combining accent) normalizes to NFC single codepoint
+    v = one(engine, "normalize_unicode('é')")
+    assert v == "é"

@@ -7,4 +7,4 @@ oracle in queries/llm.py; hashing is md5-based so both engines compute
 identical values.
 """
 
-from . import dedup, similarity, text, multimodal  # noqa: F401
+from . import dedup, similarity, text, multimodal, ml  # noqa: F401

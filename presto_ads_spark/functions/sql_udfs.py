@@ -162,6 +162,25 @@ SQL_FUNCTIONS: list[str] = [
          END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(ts TIMESTAMP)
        RETURNS BIGINT RETURN unix_millis(ts)""",
+    # --- VarbinaryFunctions.java: endian conversions ---------------------
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_big_endian_64(x BIGINT)
+       RETURNS BINARY RETURN unhex(lpad(hex(x), 16, '0'))""",
+    # from_big_endian_64: conv() yields the unsigned decimal string; route
+    # through the sign bit to recover two's-complement negatives exactly.
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_big_endian_64(b BINARY)
+       RETURNS BIGINT RETURN
+         CASE WHEN substr(hex(b), 1, 1) IN ('8','9','A','B','C','D','E','F')
+              THEN CAST(conv(hex(b), 16, 10) AS DECIMAL(20,0) ) - CAST(18446744073709551616 AS DECIMAL(21,0))
+              ELSE CAST(conv(hex(b), 16, 10) AS BIGINT)
+         END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_big_endian_32(x INT)
+       RETURNS BINARY RETURN unhex(lpad(hex(x & 4294967295), 8, '0'))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_big_endian_32(b BINARY)
+       RETURNS INT RETURN
+         CASE WHEN CAST(conv(hex(b), 16, 10) AS BIGINT) >= 2147483648
+              THEN CAST(CAST(conv(hex(b), 16, 10) AS BIGINT) - 4294967296 AS INT)
+              ELSE CAST(conv(hex(b), 16, 10) AS INT)
+         END""",
     # --- HyperLogLog sketch functions (HyperLogLogFunctions.java:31,
     #     ApproximateSetAggregation) → Spark 3.5+ DataSketches HLL.
     #     approx_set/merge are aggregates (rewrite-level aliases to

@@ -285,3 +285,20 @@ def test_normalize_unicode_udf(engine):
     # NFD "é" (e + combining accent) normalizes to NFC single codepoint
     v = one(engine, "normalize_unicode('é')")
     assert v == "é"
+
+
+def test_big_endian_roundtrip(engine):
+    assert one(engine, "from_big_endian_64(to_big_endian_64(123456789))") == 123456789
+    assert one(engine, "from_big_endian_64(to_big_endian_64(-42))") == -42
+    assert one(engine, "from_big_endian_32(to_big_endian_32(77))") == 77
+    assert one(engine, "from_big_endian_32(to_big_endian_32(-77))") == -77
+    assert one(engine, "hex(to_big_endian_64(1))") == "0000000000000001"
+
+
+def test_native_digest_functions(engine):
+    import zlib
+
+    assert one(engine, "crc32(encode('abc', 'UTF-8'))") == zlib.crc32(b"abc")
+    assert one(engine, "bit_count(255)") == 8
+    assert isinstance(one(engine, "xxhash64('abc')"), int)
+    assert one(engine, "sha1('abc')") == "a9993e364706816aba3e25717850c26c9cd0d89d"

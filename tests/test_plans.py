@@ -53,3 +53,15 @@ def test_no_python_udf_in_relational_queries(spark):
         df = REGISTRY[name].spark_fn(spark, SF_DIR)
         plans.assert_no_python_udf(df)
 
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """Distributed sort (Presto MergeOperator / DISTRIBUTED_SORT): a global
+    ORDER BY plans as range-partitioned exchange + per-partition sort, not a
+    single-node sort."""
+    import pyspark.sql.functions as F
+
+    df = t(spark, SF_DIR, "lineitem").orderBy("l_orderkey", "l_linenumber")
+    plan = plans.formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan

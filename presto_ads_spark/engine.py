@@ -46,6 +46,9 @@ _EXECUTE_RE = re.compile(
 _DEALLOCATE_RE = re.compile(
     r"^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", re.IGNORECASE
 )
+_EXPLAIN_ANALYZE_RE = re.compile(
+    r"^\s*EXPLAIN\s+ANALYZE\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 
 
 class Engine:
@@ -79,6 +82,9 @@ class Engine:
         m = _SHOW_RE.match(text)
         if m:
             return self._show(m.group(1).upper())
+        m = _EXPLAIN_ANALYZE_RE.match(text)
+        if m:
+            return self._explain_analyze(m.group(1))
         m = _PREPARE_RE.match(text)
         if m:
             self._prepared[m.group(1).lower()] = m.group(2).strip()
@@ -91,6 +97,17 @@ class Engine:
         if m and m.group(1).lower() in self._prepared:
             return self._execute_prepared(m.group(1).lower(), m.group(2))
         return self.spark.sql(rewrite(text))
+
+    def _explain_analyze(self, inner_sql: str) -> DataFrame:
+        """EXPLAIN ANALYZE: execute, then return the AQE-final physical plan
+        (ExplainAnalyzeOperator analogue, reference
+        operator/ExplainAnalyzeOperator.java:34 — runs the query and
+        annotates the plan; detailed per-operator metrics live in the Spark
+        UI / status store)."""
+        df = self.spark.sql(rewrite(inner_sql))
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+        return self.spark.createDataFrame([(plan,)], "query_plan string")
 
     def _execute_prepared(self, name: str, using: str | None) -> DataFrame:
         stmt = self._prepared[name]

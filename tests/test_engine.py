@@ -90,3 +90,11 @@ def test_prepare_execute_unbound_param(engine):
         engine.sql("EXECUTE p2 USING 1")
     row = engine.sql("EXECUTE p2 USING 1, 'x'").collect()[0]
     assert (row.a, row.b) == (1, "x")
+
+
+def test_explain_analyze_runs_and_annotates(engine):
+    out = engine.sql(
+        "EXPLAIN ANALYZE SELECT o_orderstatus, count(*) FROM orders GROUP BY 1"
+    ).collect()[0].query_plan
+    assert "isFinalPlan=true" in out
+    assert "HashAggregate" in out

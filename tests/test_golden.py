@@ -146,6 +146,81 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         "SELECT strpos('abcabc', 'c') AS p, split_part('x/y/z', '/', 3) AS sp",
         [(3, "z")],
     ),
+    (
+        "datetime_literals",
+        "SELECT date_trunc('hour', TIMESTAMP '2024-05-06 07:08:09') AS h,"
+        " year(TIMESTAMP '2024-05-06 00:00:00') AS y,"
+        " TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 2 DAY AS plus2",
+        [(__import__("datetime").datetime(2024, 5, 6, 7, 0),
+          2024,
+          __import__("datetime").datetime(2024, 1, 3, 0, 0))],
+    ),
+    (
+        "decimal_exact_arithmetic",
+        "SELECT CAST(1.10 AS DECIMAL(10,2)) + CAST(2.20 AS DECIMAL(10,2)) = CAST(3.30 AS DECIMAL(10,2)) AS exact",
+        [(True,)],
+    ),
+    (
+        "bitwise_golden",
+        "SELECT bitwise_and(12, 10) AS a, bitwise_xor(12, 10) AS x, 5 & 3 AS amp",
+        [(8, 6, 1)],
+    ),
+    (
+        "regexp_golden",
+        "SELECT regexp_extract('foo123bar', '([0-9]+)', 1) AS d,"
+        " regexp_replace('a1b2', '[0-9]', '#') AS r,"
+        " regexp_like('hello', 'ell') AS m",
+        [("123", "a#b#", True)],
+    ),
+    (
+        "json_golden",
+        "SELECT json_extract_scalar('{\"a\": [1, {\"b\": 2}]}', '$.a[1].b') AS v,"
+        " json_array_length('[1,2,3]') AS n",
+        [("2", 3)],
+    ),
+    (
+        "cast_coercions",
+        "SELECT CAST('12' AS BIGINT) AS i, CAST(3.9 AS INTEGER) AS trunc_i, CAST(1 AS DOUBLE) / 2 AS d",
+        [(12, 3, 0.5)],
+    ),
+    (
+        "greatest_least_null",
+        "SELECT greatest(1, 5, 3) AS g, least(1, 5, 3) AS l, greatest(1, NULL) AS gn",
+        [(5, 1, 1)],
+    ),
+    (
+        "interval_day_arith",
+        "SELECT CAST(date_diff_unit('day', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-03-01 00:00:00') AS INT) AS days",
+        [(60,)],
+    ),
+    (
+        "array_set_ops",
+        "SELECT array_intersect(array(1,2,3), array(2,3,4)) AS i,"
+        " array_except(array(1,2,3), array(2)) AS e,"
+        " arrays_overlap(array(1,2), array(2,9)) AS o",
+        [([2, 3], [1, 3], True)],
+    ),
+    (
+        "concat_pipe_arrays",
+        "SELECT array(1,2) || array(3) AS a",
+        [([1, 2, 3],)],
+    ),
+    (
+        "exists_literal",
+        "SELECT EXISTS (SELECT 1 FROM (VALUES 1) t(x) WHERE x = 1) AS e,"
+        " EXISTS (SELECT 1 FROM (VALUES 1) t(x) WHERE x = 2) AS ne",
+        [(True, False)],
+    ),
+    (
+        "having_literal",
+        "SELECT g, count(*) AS n FROM (VALUES 'a','a','b') t(g) GROUP BY g HAVING count(*) > 1",
+        [("a", 2)],
+    ),
+    (
+        "cube_literal",
+        "SELECT g, count(*) AS n FROM (VALUES 'a','b') t(g) GROUP BY CUBE(g)",
+        [(None, 2), ("a", 1), ("b", 1)],
+    ),
 ]
 
 

@@ -156,6 +156,58 @@ def _rename_functions(chunk: str) -> str:
     return chunk
 
 
+_DATE_FN_RE = re.compile(r"\b(date_format|date_parse)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_datetime_patterns(sql: str) -> str:
+    """Translate MySQL %-patterns in date_format/date_parse literal args.
+
+    Presto's date_format/date_parse use MySQL patterns
+    (DateTimeFunctions.java); Spark's use java.time. Only the common
+    literal-last-argument form is rewritten (paren-aware scan); date_parse
+    maps to to_timestamp."""
+    from .functions.datetime_compat import translate_mysql_pattern
+
+    out = []
+    i = 0
+    while True:
+        m = _DATE_FN_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        fn = m.group(1).lower()
+        # find matching close paren
+        depth, j, in_str = 1, m.end(), False
+        while j < len(sql) and depth:
+            c = sql[j]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        args = sql[m.end() : j - 1]
+        pat = re.search(r"'([^']*)'\s*$", args)
+        if pat and "%" in pat.group(1):
+            try:
+                translated = translate_mysql_pattern(pat.group(1))
+            except ValueError:
+                out.append(sql[i : j])
+                i = j
+                continue
+            new_fn = "to_timestamp" if fn == "date_parse" else "date_format"
+            new_args = args[: pat.start()] + "'" + translated.replace("'", "''") + "'"
+            out.append(sql[i : m.start()])
+            out.append(f"{new_fn}({new_args})")
+            i = j
+        else:
+            out.append(sql[i : j])
+            i = j
+
+
 def rewrite(sql: str) -> str:
     """Rewrite a Presto SQL string into Spark SQL.
 
@@ -166,4 +218,5 @@ def rewrite(sql: str) -> str:
     sql = _UNNEST_RE.sub(_rewrite_unnest, sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
+    sql = _rewrite_datetime_patterns(sql)
     return _apply_outside_literals(sql, _rename_functions)

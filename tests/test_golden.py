@@ -240,3 +240,14 @@ def test_golden(engine, name, sql, expected):
     )
     want = sorted((_canon_row(r) for r in expected), key=_sort_key)
     assert got == want, f"{name}: got {got}, want {want}"
+
+
+def test_golden_date_format_pattern(engine):
+    got = engine.sql(
+        "SELECT date_format(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%d %H:%i') AS s,"
+        " date_parse('2024/03/05', '%Y/%m/%d') AS ts"
+    ).collect()[0]
+    import datetime
+
+    assert got.s == "2024-03-05 07:08"
+    assert got.ts == datetime.datetime(2024, 3, 5, 0, 0)

@@ -73,3 +73,24 @@ def test_try_cast():
 def test_try_cast_nested_parens():
     out = rewrite("SELECT TRY(CAST(substr(a, 1, 2) AS INT)) FROM t")
     assert out == "SELECT TRY_CAST(substr(a, 1, 2) AS INT) FROM t"
+
+
+def test_date_format_mysql_pattern():
+    out = rewrite("SELECT date_format(ts, '%Y-%m-%d') FROM t")
+    assert out == "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+
+
+def test_date_parse_mysql_pattern():
+    out = rewrite("SELECT date_parse(s, '%Y/%m/%d %H:%i:%s') FROM t")
+    assert out == "SELECT to_timestamp(s, 'yyyy/MM/dd HH:mm:ss') FROM t"
+
+
+def test_date_format_nested_args():
+    out = rewrite("SELECT date_format(date_trunc('month', ts), '%Y-%m') FROM t")
+    assert out == "SELECT date_format(date_trunc('month', ts), 'yyyy-MM') FROM t"
+
+
+def test_date_format_java_pattern_untouched():
+    # no % tokens → assume it's already a java pattern; leave alone
+    out = rewrite("SELECT date_format(ts, 'yyyy-MM') FROM t")
+    assert out == "SELECT date_format(ts, 'yyyy-MM') FROM t"

@@ -156,6 +156,10 @@ def _rename_functions(chunk: str) -> str:
     return chunk
 
 
+# Presto allows unparameterized VARCHAR in casts; Spark requires a length
+# (or STRING). Also covers TRY_CAST and DDL-ish usage `AS VARCHAR`.
+_BARE_VARCHAR_RE = re.compile(r"\bAS\s+VARCHAR\s*(?=[,)\s]|$)", re.IGNORECASE)
+
 _DATE_FN_RE = re.compile(r"\b(date_format|date_parse)\s*\(", re.IGNORECASE)
 
 
@@ -219,4 +223,6 @@ def rewrite(sql: str) -> str:
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_datetime_patterns(sql)
-    return _apply_outside_literals(sql, _rename_functions)
+    return _apply_outside_literals(
+        sql, lambda c: _rename_functions(_BARE_VARCHAR_RE.sub("AS STRING", c))
+    )

@@ -1,13 +1,14 @@
 """Minimal HTTP statement API — the reference's primary entry point.
 
-Presto clients POST SQL to ``/v1/statement`` and poll result pages
-(reference: presto-main/.../server/protocol/StatementResource.java:84-170;
-CLI/JDBC speak the same protocol, SURVEY.md §3.2). This facade accepts the
-same POST shape and returns a single-page response with Presto-style
-``columns``/``data``/``stats`` fields (small results; ``nextUri`` is always
-absent — pagination buys nothing when Spark already streamed the result to
-the driver). For heavy remote clients use Spark Connect instead; this
-endpoint exists so a presto-ads user's curl/HTTP integration keeps working.
+Presto clients POST SQL to ``/v1/statement`` and poll result pages via
+``nextUri`` (reference:
+presto-main/.../server/protocol/StatementResource.java:84 (@Path), :150
+(Query create), :166-170 (GET /v1/statement/{queryId}/{token});
+CLI/JDBC speak the same protocol, SURVEY.md §3.2). This facade implements
+that flow: POST returns the first page + ``nextUri`` when more rows exist;
+GET ``/v1/statement/{id}/{token}`` pages through the buffered result. For
+heavy remote clients use Spark Connect instead; this endpoint exists so a
+presto-ads user's curl/HTTP integration keeps working.
 """
 
 from __future__ import annotations
@@ -31,25 +32,23 @@ def _json_default(v):
 
 
 class StatementServer:
-    """``POST /v1/statement`` with the SQL text as the request body."""
+    """``POST /v1/statement`` with the SQL text as the request body;
+    ``GET /v1/statement/{id}/{token}`` for subsequent pages."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 max_rows: int = 10_000):
+                 max_rows: int = 100_000, page_rows: int = 1_000):
         self.engine = engine
         self.max_rows = max_rows
+        self.page_rows = page_rows
+        # queryId → (columns, all rows); bounded by max_rows per query.
+        self._results: dict[str, tuple[list[dict], list[list]]] = {}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
                 pass
 
-            def do_POST(self):
-                if self.path.rstrip("/") != "/v1/statement":
-                    self.send_error(404)
-                    return
-                length = int(self.headers.get("Content-Length", 0))
-                sql = self.rfile.read(length).decode("utf-8")
-                body = outer.execute(sql)
+            def _reply(self, body: dict) -> None:
                 payload = json.dumps(body, default=_json_default).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -57,24 +56,55 @@ class StatementServer:
                 self.end_headers()
                 self.wfile.write(payload)
 
+            def do_POST(self):
+                if self.path.rstrip("/") != "/v1/statement":
+                    self.send_error(404)
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                sql = self.rfile.read(length).decode("utf-8")
+                self._reply(outer.execute(sql))
+
+            def do_GET(self):
+                parts = self.path.strip("/").split("/")
+                if len(parts) == 4 and parts[:2] == ["v1", "statement"]:
+                    body = outer.page(parts[2], int(parts[3]))
+                    if body is not None:
+                        self._reply(body)
+                        return
+                self.send_error(404)
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address
         self._thread: threading.Thread | None = None
+
+    def _page_body(self, query_id: str, token: int) -> dict:
+        columns, rows = self._results[query_id]
+        start, end = token * self.page_rows, (token + 1) * self.page_rows
+        body = {
+            "id": query_id,
+            "columns": columns,
+            "data": rows[start:end],
+            "stats": {"state": "FINISHED", "rows": len(rows)},
+        }
+        if end < len(rows):
+            body["nextUri"] = (
+                f"http://{self.host}:{self.port}/v1/statement/{query_id}/{token + 1}"
+            )
+        else:
+            self._results.pop(query_id, None)  # drained
+        return body
 
     def execute(self, sql: str) -> dict:
         query_id = str(uuid.uuid4())
         try:
             df = self.engine.sql(sql)
-            rows = df.limit(self.max_rows).collect()
-            return {
-                "id": query_id,
-                "columns": [
-                    {"name": f.name, "type": f.dataType.simpleString()}
-                    for f in df.schema.fields
-                ],
-                "data": [list(r) for r in rows],
-                "stats": {"state": "FINISHED", "rows": len(rows)},
-            }
+            rows = [list(r) for r in df.limit(self.max_rows).collect()]
+            columns = [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in df.schema.fields
+            ]
+            self._results[query_id] = (columns, rows)
+            return self._page_body(query_id, 0)
         except Exception as e:  # Presto reports errors in-band
             return {
                 "id": query_id,
@@ -84,6 +114,11 @@ class StatementServer:
                 },
                 "stats": {"state": "FAILED"},
             }
+
+    def page(self, query_id: str, token: int) -> dict | None:
+        if query_id not in self._results:
+            return None
+        return self._page_body(query_id, token)
 
     def start(self) -> int:
         self._thread = threading.Thread(

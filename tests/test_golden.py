@@ -251,3 +251,16 @@ def test_golden_date_format_pattern(engine):
 
     assert got.s == "2024-03-05 07:08"
     assert got.ts == datetime.datetime(2024, 3, 5, 0, 0)
+
+
+def test_golden_ignore_nulls_window(engine):
+    rows = engine.sql(
+        """
+        SELECT x, last_value(v) IGNORE NULLS OVER
+          (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM (VALUES (1, 'a'), (2, CAST(NULL AS STRING)), (3, 'c'), (4, CAST(NULL AS STRING))) t(x, v)
+        """
+    ).collect()
+    assert [(r.x, r.filled) for r in sorted(rows)] == [
+        (1, "a"), (2, "a"), (3, "c"), (4, "c"),
+    ]

@@ -94,3 +94,16 @@ def test_date_format_java_pattern_untouched():
     # no % tokens → assume it's already a java pattern; leave alone
     out = rewrite("SELECT date_format(ts, 'yyyy-MM') FROM t")
     assert out == "SELECT date_format(ts, 'yyyy-MM') FROM t"
+
+
+def test_bare_varchar_cast():
+    assert rewrite("SELECT CAST(x AS VARCHAR) FROM t") == "SELECT CAST(x AS STRING) FROM t"
+    assert rewrite("SELECT TRY_CAST(x AS VARCHAR), y FROM t") == (
+        "SELECT TRY_CAST(x AS STRING), y FROM t"
+    )
+    # parameterized VARCHAR(n) untouched
+    assert rewrite("SELECT CAST(x AS VARCHAR(10)) FROM t") == (
+        "SELECT CAST(x AS VARCHAR(10)) FROM t"
+    )
+    # inside string literal untouched
+    assert rewrite("SELECT 'CAST(x AS VARCHAR)' AS s") == "SELECT 'CAST(x AS VARCHAR)' AS s"

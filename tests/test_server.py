@@ -54,3 +54,31 @@ def test_statement_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req, timeout=30)
     assert exc.value.code == 404
+
+
+def _get(server, uri: str) -> dict:
+    with urllib.request.urlopen(uri, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def test_pagination_next_uri(engine):
+    s = StatementServer(engine, page_rows=100)
+    s.start()
+    try:
+        body = _post(s, "SELECT o_orderkey FROM orders WHERE o_orderkey < 250")
+        total = body["stats"]["rows"]
+        seen = [r[0] for r in body["data"]]
+        pages = 1
+        while "nextUri" in body:
+            body = _get(s, body["nextUri"])
+            seen.extend(r[0] for r in body["data"])
+            pages += 1
+        assert pages >= 2, "expected multiple pages"
+        assert len(seen) == total == len(set(seen))
+        # drained query is gone
+        import pytest as _pytest
+
+        with _pytest.raises(urllib.error.HTTPError):
+            _get(s, f"http://{s.host}:{s.port}/v1/statement/{body['id']}/0")
+    finally:
+        s.stop()

@@ -42,6 +42,11 @@ _MYSQL_TO_JAVA: dict[str, str] = {
 
 
 def translate_mysql_pattern(pattern: str) -> str:
+    """Translate; raises ValueError on unsupported tokens AND on adjacent
+    field tokens whose pattern letters would merge (e.g. ``%j%j`` →
+    ``DDDDDD``): java.time cannot express two adjacent identical fields,
+    so silent corruption is replaced by an explicit error. (Real-world
+    patterns always delimit fields.)"""
     out: list[str] = []
     i = 0
     literal: list[str] = []
@@ -61,7 +66,13 @@ def translate_mysql_pattern(pattern: str) -> str:
             if tok not in _MYSQL_TO_JAVA:
                 raise ValueError(f"unsupported MySQL datetime token: {tok}")
             flush_literal()
-            out.append(_MYSQL_TO_JAVA[tok])
+            java = _MYSQL_TO_JAVA[tok]
+            if out and not literal and out[-1] and out[-1][-1] == java[0]:
+                raise ValueError(
+                    f"adjacent datetime fields merge ambiguously in "
+                    f"java.time: …{tok} in {pattern!r}"
+                )
+            out.append(java)
             i += 2
         else:
             literal.append(pattern[i])

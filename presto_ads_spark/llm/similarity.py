@@ -84,22 +84,35 @@ def sign_lsh_bucket(vec: Column, bits: int = 8) -> Column:
     )
 
 
+def normalized(arr: Column) -> Column:
+    """v / ||v|| — so pairwise cosine is a single dot fold (norms computed
+    once per vector, not once per pair)."""
+    return F.transform(arr, lambda x: x / norm(arr))
+
+
 def lsh_topk(emb: DataFrame, k: int = 5, bits: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN: candidates share an LSH bucket; exact cosine inside buckets.
+    """ANN: candidates share an LSH bucket; exact cosine inside buckets via
+    pre-normalized vectors (dot-only per pair).
 
     The self-join shuffles on the bucket key — at 100 TB the pairwise work is
     confined to buckets (~N²/2^bits instead of N²)."""
-    e = emb.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", sign_lsh_bucket(F.col("v"), bits))
+    # persist: CollapseProject would otherwise inline the normalization
+    # into the per-pair dot lambda (O(d²) per pair instead of per vector).
+    e = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            normalized(as_double(F.col(vec_col))).alias("v"),
+        )
+        .withColumn("bucket", sign_lsh_bucket(F.col("v"), bits))
+        .persist()
+    )
     a = e.select(F.col("id").alias("query_id"), F.col("v").alias("q"), "bucket")
     b = e.select(F.col("id").alias("nbr_id"), F.col("v").alias("v"), "bucket")
     scored = (
         a.join(b, "bucket")
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", cosine(F.col("q"), F.col("v")).alias("cos_sim"))
+        .select("query_id", "nbr_id", dot(F.col("q"), F.col("v")).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("nbr_id"))
     return (
@@ -118,15 +131,20 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
 
     Output: (id, canonical_id, best_cos) for every item in a near-dup pair.
     """
-    e = emb.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", sign_lsh_bucket(F.col("v"), bits))
+    e = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            normalized(as_double(F.col(vec_col))).alias("v"),
+        )
+        .withColumn("bucket", sign_lsh_bucket(F.col("v"), bits))
+        .persist()  # see lsh_topk: stop projection inlining into the join
+    )
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
     return pairs.groupBy(F.col("id_a").alias("id")).agg(

@@ -44,6 +44,7 @@ def events_time_rollup(spark, sf_dir):
 
 @q(
     "events_sessionize",
+    bench=True,
     tags=("events", "window", "streaming"),
     doc="Gap-based sessionization (lag + running sum of session breaks) — "
     "the oracle-checkable batch twin of streaming session windows.",

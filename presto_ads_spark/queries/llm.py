@@ -247,27 +247,34 @@ def sim_brute_topk(spark, sf_dir):
     )
 
 
-_BUCKET_BITS = 4
+_BUCKET_BITS = 6
 _BUCKET_SQL = " + ".join(
     f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << (_BUCKET_BITS - 1 - i)} ELSE 0 END)"
     for i in range(_BUCKET_BITS)
 )
 
 
+_NORMALIZED = (
+    "list_transform(embedding::DOUBLE[], x -> x / "
+    + _NORM.format(v="embedding::DOUBLE[]") + ")"
+)
+
+
 @q(
     "sim_lsh_topk",
+    bench=True,
     tags=("llm", "similarity"),
-    doc="Hyperplane-LSH ANN: bucket on sign bits of leading dims, exact "
-    "cosine within buckets, top-3 per query.",
+    doc="Hyperplane-LSH ANN: bucket on sign bits of leading dims; vectors "
+    "pre-normalized so the per-pair kernel is a single dot fold.",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
+  SELECT vec_id, {_NORMALIZED} AS v,
          {_BUCKET_SQL} AS bucket
   FROM embeddings
 ),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
-         {_cos_sql('a.v', 'b.v')} AS cos_sim
+         {_DOT.format(a='a.v', b='b.v')} AS cos_sim
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
 )
 SELECT query_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
@@ -392,14 +399,14 @@ def multimodal_features(spark, sf_dir):
     "canonical id = min neighbor id (star assignment).",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bucket
+  SELECT vec_id, {_NORMALIZED} AS v, {_BUCKET_SQL} AS bucket
   FROM embeddings
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {_cos_sql('a.v', 'b.v')} AS cos_sim
+         {_DOT.format(a='a.v', b='b.v')} AS cos_sim
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-  WHERE {_cos_sql('a.v', 'b.v')} >= 0.2
+  WHERE {_DOT.format(a='a.v', b='b.v')} >= 0.2
 )
 SELECT id_a AS id,
        least(MIN(id_b), MIN(id_a)) AS canonical_id,

@@ -308,6 +308,7 @@ def q07(spark, sf_dir):
 
 @q(
     "q08_market_share",
+    bench=True,
     tags=("join", "agg", "tpch"),
     oracle=f"""
 SELECT o_year,
@@ -430,6 +431,7 @@ def q09(spark, sf_dir):
 
 @q(
     "q10_returned_items",
+    bench=True,
     tags=("join", "topn", "tpch"),
     oracle=f"""
 SELECT c_custkey, c_name, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
@@ -632,6 +634,7 @@ def q15(spark, sf_dir):
 
 @q(
     "q17_small_qty_revenue",
+    bench=True,
     tags=("subquery", "agg", "tpch"),
     oracle="""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0 AS avg_yearly
@@ -760,6 +763,7 @@ def q19(spark, sf_dir):
 
 @q(
     "q21_waiting_supplier",
+    bench=True,
     tags=("semijoin", "antijoin", "tpch"),
     oracle="""
 SELECT s_name, COUNT(*) AS numwait

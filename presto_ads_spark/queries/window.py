@@ -114,6 +114,7 @@ def window_frames(spark, sf_dir):
 @q(
     "window_topn_per_group",
     tags=("window", "topn"),
+    bench=True,
     doc="TopNRowNumberOperator analogue; Spark plans WindowGroupLimit "
     "(rank pushdown) — the 100-TB-safe top-N-per-key pattern.",
     oracle="""

@@ -101,6 +101,30 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return base.groupBy("id").agg(*aggs)
 
 
+def minhash_signatures_rowwise(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """ZERO-shuffle MinHash signatures: shingles → hashes → K array-mins,
+    all as per-row HOF folds. At 100 TB this is the form you want —
+    signature computation is embarrassingly parallel with the scan; only
+    the (id, K longs) signature rows ever move."""
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(
+        shingles(toks, n), lambda s: md5_hash_col(s) % MINHASH_P
+    )
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+            )
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    # persist the hash arrays: CollapseProject would otherwise inline the
+    # md5 pipeline into each of the K array-min expressions.
+    hashed = df.select(F.col(id_col).alias("id"), hashes.alias("hs")).persist()
+    return hashed.select("id", *cols)
+
+
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become candidates.
 
@@ -128,12 +152,11 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
     """Full MinHash+LSH pipeline → (id_a, id_b, est_jaccard ≥ threshold).
 
-    The signature table feeds 4 band self-joins + 2 verify joins; persist it
-    so the shingle explode + MIN aggregation runs once. (At 100 TB the
-    signatures would be written to a table between the two stages — same
-    idea, durable form.)"""
-    sh = shingle_table(df, text_col, id_col)
-    sig = minhash_signatures(sh).persist()
+    Signatures computed row-wise (zero shuffle); the table feeds 4 band
+    self-joins + 2 verify joins, so persist it. (At 100 TB the signatures
+    would be written to a table between the two stages — same idea,
+    durable form.)"""
+    sig = minhash_signatures_rowwise(df, text_col, id_col).persist()
     cands = lsh_candidate_pairs(sig)
     a = sig.select([F.col("id").alias("id_a")] + [F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))])
     b = sig.select([F.col("id").alias("id_b")] + [F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))])

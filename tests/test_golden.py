@@ -264,3 +264,30 @@ def test_golden_ignore_nulls_window(engine):
     assert [(r.x, r.filled) for r in sorted(rows)] == [
         (1, "a"), (2, "a"), (3, "c"), (4, "c"),
     ]
+
+
+def test_golden_lambda_variants(engine):
+    # comparator-lambda array_sort (ArraySortComparatorFunction),
+    # zip_with, map_zip_with, 4-arg reduce/aggregate with finisher
+    row = engine.sql(
+        """
+        SELECT
+          array_sort(array(3, 1, 2), (x, y) -> CASE WHEN x < y THEN 1 WHEN x > y THEN -1 ELSE 0 END) AS desc_sorted,
+          zip_with(array(1, 2), array(10, 20), (a, b) -> a + b) AS zipped,
+          map_zip_with(map('a', 1), map('a', 10), (k, v1, v2) -> v1 + v2) AS mz,
+          aggregate(array(1, 2, 3), 0, (acc, x) -> acc + x, acc -> acc * 10) AS reduced,
+          flatten(array(array(1), array(2, 3))) AS flat,
+          sequence(1, 4) AS seq
+        """
+    ).collect()[0]
+    assert row.desc_sorted == [3, 2, 1]
+    assert row.zipped == [11, 22]
+    assert row.mz == {"a": 11}
+    assert row.reduced == 60
+    assert row.flat == [1, 2, 3]
+    assert row.seq == [1, 2, 3, 4]
+
+
+def test_golden_show_schemas(engine):
+    rows = engine.sql("SHOW SCHEMAS").collect()
+    assert any(r[0] == "default" for r in rows)

@@ -204,6 +204,10 @@ SQL_FUNCTIONS: list[str] = [
     """CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(ts TIMESTAMP)
        RETURNS STRING RETURN date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS")""",
     # current_timezone(): Spark-native, same name — no shim needed.
+    # AT TIME ZONE / at_timezone(ts, zone): render the same instant in
+    # another zone (DesugarAtTimeZone.java rule in the reference).
+    """CREATE OR REPLACE TEMPORARY FUNCTION at_timezone(ts TIMESTAMP, tz STRING)
+       RETURNS TIMESTAMP RETURN convert_timezone(current_timezone(), tz, ts)""",
     # parse_duration('3.2m') → seconds as double (Presto returns interval;
     # seconds keeps it composable with arithmetic).
     """CREATE OR REPLACE TEMPORARY FUNCTION parse_duration_seconds(s STRING)

@@ -418,3 +418,61 @@ def dedup_embedding_cosine(spark, sf_dir):
     return similarity.embedding_near_dups(
         t(spark, sf_dir, "embeddings"), threshold=0.2, bits=_BUCKET_BITS
     )
+
+
+@q(
+    "pipeline_clean_corpus",
+    tags=("llm", "pipeline"),
+    bench=True,
+    doc="End-to-end training-data cleaning pipeline in one plan: quality "
+    "stats -> filter (length / stopword-ratio / type-token-ratio gates) -> "
+    "exact dedup -> per-language survivor stats. The composed shape a real "
+    "100TB ingest job runs nightly; every stage is the oracle-checked "
+    "operator from this module.",
+    oracle="""
+WITH stats AS (
+  SELECT doc_id, lang, text,
+    length(text) AS n_chars,
+    len(split(text, ' ')) AS n_tokens,
+    CAST(len(list_distinct(split(text, ' '))) AS DOUBLE) / len(split(text, ' ')) AS ttr,
+    CAST(len(list_filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      / len(split(text, ' ')) AS stop_ratio
+  FROM documents
+),
+kept AS (
+  SELECT * FROM stats
+  WHERE n_tokens >= 20 AND stop_ratio < 0.3 AND ttr > 0.3
+),
+deduped AS (
+  SELECT lang, md5(text) AS digest, MIN(doc_id) AS canonical_id,
+         MIN(n_chars) AS n_chars
+  FROM kept GROUP BY lang, md5(text)
+)
+SELECT lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(MIN(canonical_id) AS BIGINT) AS first_doc
+FROM deduped GROUP BY lang
+""",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    from ..llm import text as llm_text
+
+    docs = t(spark, sf_dir, "documents")
+    stats = llm_text.text_stats(docs).join(
+        docs.select("doc_id", "lang", "text"), "doc_id"
+    )
+    kept = stats.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("stopword_ratio") < 0.3)
+        & (F.col("type_token_ratio") > 0.3)
+    )
+    deduped = kept.groupBy("lang", F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("canonical_id").cast("long").alias("first_doc"),
+    )

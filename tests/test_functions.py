@@ -302,3 +302,12 @@ def test_native_digest_functions(engine):
     assert one(engine, "bit_count(255)") == 8
     assert isinstance(one(engine, "xxhash64('abc')"), int)
     assert one(engine, "sha1('abc')") == "a9993e364706816aba3e25717850c26c9cd0d89d"
+
+
+def test_at_timezone(engine):
+    # instant preserved, rendered in the target zone
+    v = one(
+        engine,
+        "at_timezone(TIMESTAMP '2024-01-01 12:00:00', 'America/New_York')",
+    )
+    assert str(v) == "2024-01-01 07:00:00"

@@ -43,4 +43,20 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
          b STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)
        RETURNS BOOLEAN RETURN
          a.xmin <= b.xmax AND b.xmin <= a.xmax AND a.ymin <= b.ymax AND b.ymin <= a.ymax""",
+    # --- BingTileFunctions.java: Web-Mercator tile math (pure integer /
+    #     trig; the spatial-indexing primitive for tile-bucketed joins) ----
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_x(lon DOUBLE, zoom INT)
+       RETURNS INT RETURN
+         CAST(least(greatest(floor((lon + 180.0) / 360.0 * shiftleft(1, zoom)), 0),
+                    shiftleft(1, zoom) - 1) AS INT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_y(lat DOUBLE, zoom INT)
+       RETURNS INT RETURN
+         CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+                    / 2.0 * shiftleft(1, zoom)), 0), shiftleft(1, zoom) - 1) AS INT)""",
+    # quadkey: base-4 string of interleaved x/y bits, length = zoom.
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_quadkey(tx INT, ty INT, zoom INT)
+       RETURNS STRING RETURN
+         array_join(transform(sequence(zoom, 1, -1),
+           i -> CAST((CASE WHEN (tx & shiftleft(1, i - 1)) > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN (ty & shiftleft(1, i - 1)) > 0 THEN 2 ELSE 0 END) AS STRING)), '')""",
 ]

@@ -91,3 +91,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return events.select(
         "event_id", "user_id", "ts", "event_type", sess.alias("session_id")
     )
+
+
+def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop duplicate events within the watermark
+    horizon (state bounded by the watermark — the streaming twin of
+    llm.dedup.exact_dedup). Default key: event_id."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

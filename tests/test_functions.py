@@ -311,3 +311,17 @@ def test_at_timezone(engine):
         "at_timezone(TIMESTAMP '2024-01-01 12:00:00', 'America/New_York')",
     )
     assert str(v) == "2024-01-01 07:00:00"
+
+
+def test_bing_tiles(engine):
+    # zoom 1: lon<0 → x=0, lon>0 → x=1; lat>0 → y=0 (northern hemisphere)
+    assert one(engine, "bing_tile_x(-100.0, 1)") == 0
+    assert one(engine, "bing_tile_x(100.0, 1)") == 1
+    assert one(engine, "bing_tile_y(45.0, 1)") == 0
+    assert one(engine, "bing_tile_y(-45.0, 1)") == 1
+    # known quadkey: tile (3, 5) at zoom 3 → "213"
+    assert one(engine, "bing_tile_quadkey(3, 5, 3)") == "213"
+    # seattle-ish at zoom 10: (-122.33+180)/360*1024 = 164.03 → 164;
+    # mercator-y for 47.61° → 357
+    assert one(engine, "bing_tile_x(-122.33, 10)") == 164
+    assert one(engine, "bing_tile_y(47.61, 10)") == 357

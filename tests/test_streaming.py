@@ -104,3 +104,28 @@ def test_stateful_sessionize_stream(spark, events_dir):
     # tail session per user) → subset, and substantial.
     assert got_keys <= batch_keys
     assert len(got_keys) >= 0.5 * len(batch_keys) and len(got_keys) > 0
+
+
+def test_streaming_dedup(spark, events_dir, tmp_path):
+    """Duplicate the stream input (two copies of the file) — streaming
+    dedup must restore the original cardinality."""
+    import shutil
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(f"{events_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{events_dir}/events.parquet", d / "b.parquet")
+
+    stream = streaming.read_events_stream(spark, str(d))
+    deduped = streaming.streaming_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("dedup_stream").count()
+    original = spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir).count()
+    assert got == original

@@ -129,3 +129,37 @@ def test_streaming_dedup(spark, events_dir, tmp_path):
     got = spark.table("dedup_stream").count()
     original = spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir).count()
     assert got == original
+
+
+def test_native_session_window_agg(spark, events_dir):
+    """Native session_window streaming aggregation (the built-in twin of the
+    custom stateful sessionizer): totals must match a batch session_window."""
+    from pyspark.sql import functions as F
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), "user_id", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("native_sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.s, r.user_id): r.n for r in spark.table("native_sess").collect()}
+
+    ev = streaming.with_event_time(
+        spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir)
+    )
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), "user_id", "n")
+    )
+    expected = {(r.s, r.user_id): r.n for r in batch.collect()}
+    assert got == expected and len(got) > 0

@@ -36,6 +36,12 @@ FUNCTION_RENAMES: dict[str, str] = {
     "bool_or": "some",
     "strpos": "instr",
     "cardinality": "size",
+    # Presto element_at returns NULL on missing key / out-of-bounds; ANSI
+    # Spark's element_at errors → the try_ variant matches Presto.
+    "element_at": "try_element_at",
+    # Presto repeat(x, n) builds an array (ArrayFunctions); Spark's repeat
+    # is string repetition.
+    "repeat": "array_repeat",
     "json_extract_scalar": "get_json_object",
     "array_union": "array_union",  # identity — documents parity
     "regexp_like": "rlike",

@@ -291,3 +291,27 @@ def test_golden_lambda_variants(engine):
 def test_golden_show_schemas(engine):
     rows = engine.sql("SHOW SCHEMAS").collect()
     assert any(r[0] == "default" for r in rows)
+
+
+def test_golden_element_at_null_semantics(engine):
+    row = engine.sql(
+        "SELECT element_at(map('a', 1), 'zz') AS missing_key,"
+        " element_at(array(1, 2), 99) AS oob,"
+        " element_at(array(1, 2), 2) AS ok,"
+        " element_at(array(1, 2), -1) AS neg"
+    ).collect()[0]
+    assert (row.missing_key, row.oob, row.ok, row.neg) == (None, None, 2, 2)
+
+
+def test_golden_repeat_array(engine):
+    assert engine.sql("SELECT repeat(7, 3) AS a").collect()[0].a == [7, 7, 7]
+
+
+def test_golden_intersect_all(engine):
+    got = sorted(
+        r.x for r in engine.sql(
+            "SELECT * FROM (VALUES 1, 2, 2, 3) t(x) INTERSECT ALL "
+            "SELECT * FROM (VALUES 2, 2, 4) u(y)"
+        ).collect()
+    )
+    assert got == [2, 2]

@@ -315,3 +315,21 @@ def test_golden_intersect_all(engine):
         ).collect()
     )
     assert got == [2, 2]
+
+
+def test_golden_map_hofs(engine):
+    row = engine.sql(
+        """
+        SELECT
+          map_filter(map('a', 1, 'b', 5), (k, v) -> v > 1) AS mf,
+          transform_values(map('a', 1), (k, v) -> v * 10) AS tv,
+          transform_keys(map('a', 1), (k, v) -> upper(k)) AS tk,
+          map_concat(map('a', 1), map('b', 2)) AS mc,
+          cardinality(map('x', 1, 'y', 2)) AS n
+        """
+    ).collect()[0]
+    assert row.mf == {"b": 5}
+    assert row.tv == {"a": 10}
+    assert row.tk == {"A": 1}
+    assert row.mc == {"a": 1, "b": 2}
+    assert row.n == 2

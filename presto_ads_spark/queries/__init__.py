@@ -103,5 +103,6 @@ def load_all() -> dict[str, Query]:
     from . import functions_sql  # noqa: F401
     from . import events  # noqa: F401
     from . import llm  # noqa: F401
+    from . import sketches  # noqa: F401
 
     return REGISTRY

@@ -325,3 +325,71 @@ def test_bing_tiles(engine):
     # mercator-y for 47.61° → 357
     assert one(engine, "bing_tile_x(-122.33, 10)") == 164
     assert one(engine, "bing_tile_y(47.61, 10)") == 357
+
+
+# ------------------------------------------------------------------ qdigest
+
+
+def test_qdigest_weighted_and_nulls(spark):
+    """Weighted build: value 10 with weight 3x that of value 20 puts the
+    median at 10; nulls and non-positive weights are dropped."""
+    from pyspark.sql import functions as F
+
+    from presto_ads_spark.functions import qdigest as qd
+
+    df = spark.createDataFrame(
+        [(10.0, 3.0), (20.0, 1.0), (None, 5.0), (30.0, 0.0), (40.0, None)],
+        "x double, w double",
+    )
+    sk = qd.qdigest_agg(df, [], "x", weight="w")
+    row = sk.select(
+        qd.total_weight("qdigest").alias("tw"),
+        qd.value_at_quantile("qdigest", 0.5).alias("p50"),
+        qd.value_at_quantile("qdigest", 1.0).alias("p100"),
+        qd.quantile_at_value("qdigest", 10.0).alias("q10"),
+        qd.quantile_at_value("qdigest", 5.0).alias("q5"),
+    ).collect()[0]
+    assert row.tw == 4.0
+    assert row.p50 == 10.0
+    assert row.p100 == 20.0
+    assert row.q10 == 0.75
+    assert row.q5 == 0.0
+
+
+def test_qdigest_merge_matches_direct(spark):
+    """Merging fine-grained sketches approximates the direct sketch: same
+    total weight exactly, quantiles within the documented rank bound."""
+    from pyspark.sql import functions as F
+
+    from presto_ads_spark.functions import qdigest as qd
+
+    df = spark.range(0, 50000, 1, 8).select(
+        (F.col("id") % 10).alias("sub"), F.col("id").cast("double").alias("x")
+    )
+    direct = qd.qdigest_agg(df, [], "x")
+    merged = qd.merge_qdigest(qd.qdigest_agg(df, ["sub"], "x"), [])
+    for sk in (direct, merged):
+        row = sk.select(
+            qd.total_weight("qdigest").alias("tw"),
+            qd.value_at_quantile("qdigest", 0.25).alias("p25"),
+        ).collect()[0]
+        assert row.tw == 50000.0
+        # uniform 0..50000 -> p25 ~ 12500, rank bound 2/200 = 1% -> +-500
+        assert abs(row.p25 - 12500) < 750
+
+
+def test_qdigest_empty_and_scale(spark):
+    from pyspark.sql import functions as F
+
+    from presto_ads_spark.functions import qdigest as qd
+
+    empty = spark.createDataFrame([], "g int, x double")
+    assert qd.qdigest_agg(empty, ["g"], "x").count() == 0
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    sk = qd.qdigest_agg(df, [], "x")
+    row = sk.select(
+        qd.total_weight(qd.scale_qdigest("qdigest", 2.5)).alias("tw"),
+        qd.quantile_at_value("qdigest", 0.5).alias("qnone"),
+    ).collect()[0]
+    assert row.tw == 5.0
+    assert row.qnone == 0.0

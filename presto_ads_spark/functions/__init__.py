@@ -40,3 +40,27 @@ def _register_python_udfs(spark: SparkSession) -> None:
         lambda s, form="NFC": None if s is None else unicodedata.normalize(form, s),
         "string",
     )
+
+    # Presto hmac_md5/sha1/sha256/sha512(varbinary, varbinary) -> varbinary
+    # (VarbinaryFunctions.java hmacMd5/hmacSha1/hmacSha256/hmacSha512).
+    # HMAC's keyed byte-level XOR has no Spark-expression form, so these are
+    # Python UDFs; HMAC is never a hot-path analytic function, so the
+    # serialization boundary is acceptable here.
+    import hashlib
+    import hmac as _hmac
+
+    def _mk_hmac(algo):
+        def fn(data, key):
+            if data is None or key is None:
+                return None
+            return _hmac.new(bytes(key), bytes(data), algo).digest()
+
+        return fn
+
+    for name, algo in (
+        ("hmac_md5", hashlib.md5),
+        ("hmac_sha1", hashlib.sha1),
+        ("hmac_sha256", hashlib.sha256),
+        ("hmac_sha512", hashlib.sha512),
+    ):
+        spark.udf.register(name, _mk_hmac(algo), "binary")

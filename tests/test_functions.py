@@ -393,3 +393,23 @@ def test_qdigest_empty_and_scale(spark):
     ).collect()[0]
     assert row.tw == 5.0
     assert row.qnone == 0.0
+
+
+def test_hmac_functions(engine):
+    # RFC 4231 test case 2: key "Jefe", data "what do ya want for nothing?"
+    v = one(
+        engine,
+        "hex(hmac_sha256(CAST('what do ya want for nothing?' AS BINARY), "
+        "CAST('Jefe' AS BINARY)))",
+    )
+    assert v.lower() == (
+        "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843"
+    )
+    # RFC 2202 hmac_md5 case 2 (same key/data)
+    v = one(
+        engine,
+        "hex(hmac_md5(CAST('what do ya want for nothing?' AS BINARY), "
+        "CAST('Jefe' AS BINARY)))",
+    )
+    assert v.lower() == "750c783e6ab0b503eaa86e310a5db738"
+    assert one(engine, "hmac_sha1(CAST(NULL AS BINARY), CAST('k' AS BINARY))") is None

@@ -162,6 +162,11 @@ SQL_FUNCTIONS: list[str] = [
          END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(ts TIMESTAMP)
        RETURNS BIGINT RETURN unix_millis(ts)""",
+    # --- VarbinaryFunctions.java: utf8 codec -----------------------------
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_utf8(s STRING)
+       RETURNS BINARY RETURN encode(s, 'UTF-8')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_utf8(b BINARY)
+       RETURNS STRING RETURN decode(b, 'UTF-8')""",
     # --- VarbinaryFunctions.java: endian conversions ---------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION to_big_endian_64(x BIGINT)
        RETURNS BINARY RETURN unhex(lpad(hex(x), 16, '0'))""",

@@ -53,6 +53,12 @@ FUNCTION_RENAMES: dict[str, str] = {
     "to_hex": "hex",
     "from_hex": "unhex",
     "truncate": "truncate_num",  # registered compat fn (Presto truncate(x))
+    # Presto contains(array, elem) (ArrayContains.java); 0.216 has no string
+    # contains, so the blanket rename is faithful.
+    "contains": "array_contains",
+    # Presto zip pads the shorter array with NULLs — same as arrays_zip.
+    "zip": "arrays_zip",
+    "levenshtein_distance": "levenshtein",
 }
 
 

@@ -221,11 +221,323 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         "SELECT g, count(*) AS n FROM (VALUES 'a','b') t(g) GROUP BY CUBE(g)",
         [(None, 2), ("a", 1), ("b", 1)],
     ),
+    # --- StringFunctions.java golden batch -------------------------------
+    (
+        "string_basics",
+        "SELECT length('héllo') AS len, upper('ab') AS u, lower('AB') AS l,"
+        " reverse('abc') AS rev, trim('  x ') AS t",
+        [(5, "AB", "ab", "cba", "x")],
+    ),
+    (
+        "string_pad_translate",
+        "SELECT lpad('7', 3, '0') AS lp, rpad('7', 3, '#') AS rp,"
+        " translate('abcb', 'bc', 'xy') AS tr, replace('aXbX', 'X', '') AS rep",
+        [("007", "7##", "axyx", "ab")],
+    ),
+    (
+        "string_substr_negative",
+        "SELECT substr('hello', 2, 3) AS mid, substr('hello', -3) AS tail,"
+        " substr('hello', 1, 1) AS head",
+        [("ell", "llo", "h")],
+    ),
+    (
+        "string_position_chr",
+        "SELECT position('b' IN 'abcb') AS p, chr(65) AS c, codepoint('A') AS cp,"
+        " levenshtein_distance('kitten', 'sitting') AS lev",
+        [(2, "A", 65, 3)],
+    ),
+    (
+        "string_split_join",
+        "SELECT split('a,b,c', ',') AS parts, concat_ws('-', 'x', 'y') AS cw,"
+        " array_join(array('a', 'b'), '/') AS aj",
+        [((["a", "b", "c"]), "x-y", "a/b")],
+    ),
+    (
+        "string_hamming_char2hex",
+        "SELECT hamming_distance('abc', 'abd') AS hd, char2hexint('A') AS h",
+        [(1, "0041")],
+    ),
+    # --- MathFunctions.java golden batch ---------------------------------
+    (
+        "math_basics",
+        "SELECT abs(-7) AS a, mod(10, 3) AS m, mod(-10, 3) AS mneg,"
+        " power(2, 10) AS p, sqrt(49) AS sq, cbrt(27) AS cb",
+        [(7, 1, -1, 1024.0, 7.0, 3.0)],
+    ),
+    (
+        "math_rounding",
+        "SELECT round(2.5) AS half_up, round(-2.5) AS neg_half, round(3.14159, 2) AS two,"
+        " ceiling(1.1) AS ce, floor(-1.1) AS fl, truncate(3.7) AS tr, truncate(-3.7) AS trn",
+        [(3, -3, 3.14, 2, -2, 3.0, -3.0)],
+    ),
+    (
+        "math_constants_classify",
+        "SELECT degrees(pi()) AS deg, is_nan(nan()) AS n, is_infinite(infinity()) AS inf,"
+        " is_finite(1.0) AS fin, sign(-5) AS sg",
+        [(180.0, True, True, True, -1.0)],
+    ),
+    (
+        "math_bases_bucket",
+        "SELECT from_base('ff', 16) AS fb, to_base(255, 16) AS tb,"
+        " width_bucket(3.14, 0, 4, 3) AS wb, ln(1) AS l0, log2(8) AS l2, log10(1000) AS l10",
+        [(255, "ff", 3, 0.0, 3.0, 3.0)],
+    ),
+    # --- ArrayFunctions golden batch -------------------------------------
+    (
+        "array_minmax_distinct",
+        "SELECT array_max(array(3, 9, 1)) AS mx, array_min(array(3, 9, 1)) AS mn,"
+        " array_distinct(array(1, 2, 1, 3)) AS dist, array_remove(array(1, 2, 1), 1) AS rm",
+        [(9, 1, [1, 2, 3], [2])],
+    ),
+    (
+        "array_slice_sort_union",
+        "SELECT slice(array(1, 2, 3, 4), 2, 2) AS sl, array_sort(array(3, 1, 2)) AS st,"
+        " array_union(array(1, 2), array(2, 3)) AS un, contains(array(1, 2), 2) AS has",
+        [(([2, 3]), [1, 2, 3], [1, 2, 3], True)],
+    ),
+    (
+        "array_position_absent_zero",
+        "SELECT array_position(array('a', 'b'), 'zz') AS missing,"
+        " sequence(0, 6, 2) AS evens, zip(array(1, 2), array('a', 'b')) AS z",
+        [(0, [0, 2, 4, 6], [(1, "a"), (2, "b")])],
+    ),
+    (
+        "array_ngrams_sum",
+        "SELECT array_ngrams(array('a', 'b', 'c'), 2) AS ng,"
+        " array_sum(array(1.5, 2.5)) AS s, array_average(array(2.0, 4.0)) AS av",
+        [(([["a", "b"], ["b", "c"]]), 4.0, 3.0)],
+    ),
+    (
+        "array_cosine_similarity",
+        "SELECT cosine_similarity(array(1.0, 0.0), array(0.0, 1.0)) AS ortho,"
+        " cosine_similarity(array(2.0, 0.0), array(1.0, 0.0)) AS par",
+        [(0.0, 1.0)],
+    ),
+    # --- Map golden batch -------------------------------------------------
+    (
+        "map_construct_values",
+        "SELECT map_values(map_from_arrays(array('a', 'b'), array(1, 2))) AS vs,"
+        " map_entries(map('k', 7)) AS es, element_at(map('a', 1), 'a') AS v",
+        [(([1, 2]), [("k", 7)], 1)],
+    ),
+    (
+        "split_to_map_multimap",
+        "SELECT split_to_map('a=1,b=2', ',', '=') AS m,"
+        " split_to_multimap('a=1,a=2', ',', '=') AS mm",
+        [(({"a": "1", "b": "2"}), {"a": ["1", "2"]})],
+    ),
+    # --- DateTimeFunctions.java golden batch -----------------------------
+    (
+        "datetime_fields",
+        "SELECT day_of_week(TIMESTAMP '2024-01-01 00:00:00') AS dow,"
+        " day_of_year(TIMESTAMP '2024-02-01 00:00:00') AS doy,"
+        " week_of_year(TIMESTAMP '2024-01-08 00:00:00') AS woy,"
+        " extract(HOUR FROM TIMESTAMP '2024-01-01 13:45:00') AS h,"
+        " quarter(TIMESTAMP '2024-08-01 00:00:00') AS q",
+        [(1, 32, 2, 13, 3)],
+    ),
+    (
+        "datetime_add_diff_units",
+        "SELECT date_add_unit('hour', 3, TIMESTAMP '2024-01-01 00:00:00') AS plus3h,"
+        " CAST(date_diff_unit('week', TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-29 00:00:00') AS INT) AS weeks",
+        [(__import__("datetime").datetime(2024, 1, 1, 3, 0), 4)],
+    ),
+    (
+        "datetime_iso_duration",
+        "SELECT to_iso8601(TIMESTAMP '2024-01-02 03:04:05') AS iso,"
+        " parse_duration_seconds('1.5m') AS dur,"
+        " to_milliseconds(TIMESTAMP '1970-01-01 00:00:01') AS ms",
+        [("2024-01-02T03:04:05.000", 90.0, 1000)],
+    ),
+    (
+        "interval_quoted_literal",
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '90' MINUTE AS t,"
+        " DATE '2024-01-31' + INTERVAL '1' DAY AS d",
+        [(__import__("datetime").datetime(2024, 1, 1, 1, 30),
+          __import__("datetime").date(2024, 2, 1))],
+    ),
+    # --- Varbinary / URL golden batch ------------------------------------
+    (
+        "binary_endian_roundtrip",
+        "SELECT from_big_endian_64(to_big_endian_64(-2)) AS neg,"
+        " from_big_endian_32(to_big_endian_32(-7)) AS neg32,"
+        " from_big_endian_64(to_big_endian_64(123456789)) AS pos",
+        [(-2, -7, 123456789)],
+    ),
+    (
+        "binary_base64_hex",
+        "SELECT to_base64(to_utf8('abc')) AS b64, to_hex(to_utf8('AB')) AS hx,"
+        " from_utf8(from_base64('YWJj')) AS rt",
+        [("YWJj", "4142", "abc")],
+    ),
+    (
+        "url_extract_parts",
+        "SELECT url_extract_host('https://ex.com:8080/p/q?k=v#frag') AS h,"
+        " url_extract_path('https://ex.com/p/q?k=v') AS pth,"
+        " url_extract_parameter('https://ex.com/?k=v&j=2', 'j') AS prm,"
+        " url_extract_port('https://ex.com:8080/') AS prt,"
+        " url_extract_protocol('https://ex.com/') AS proto",
+        [("ex.com", "/p/q", "2", 8080, "https")],
+    ),
+    # --- JSON golden batch ------------------------------------------------
+    (
+        "json_size_and_get",
+        "SELECT json_size('{\"a\": {\"b\": 1, \"c\": 2}}', '$.a') AS obj,"
+        " json_size('{\"a\": [1, 2, 3]}', '$.a') AS arr,"
+        " json_size('{\"a\": 5}', '$.a') AS scalar,"
+        " json_array_get('[\"x\", \"y\"]', 1) AS el",
+        [(2, 3, 0, "y")],
+    ),
+    # --- Window golden batch ---------------------------------------------
+    (
+        "window_ranking_family",
+        "SELECT x, row_number() OVER (ORDER BY x) AS rn, rank() OVER (ORDER BY g) AS rk,"
+        " dense_rank() OVER (ORDER BY g) AS dr, ntile(2) OVER (ORDER BY x) AS nt"
+        " FROM (VALUES (1, 'a'), (2, 'a'), (3, 'b'), (4, 'b')) t(x, g)",
+        [(1, 1, 1, 1, 1), (2, 2, 1, 1, 1), (3, 3, 3, 2, 2), (4, 4, 3, 2, 2)],
+    ),
+    (
+        "window_lead_lag_defaults",
+        "SELECT x, lag(x) OVER (ORDER BY x) AS lg, lead(x, 1, -1) OVER (ORDER BY x) AS ld,"
+        " first_value(x) OVER (ORDER BY x) AS fv,"
+        " nth_value(x, 2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " UNBOUNDED FOLLOWING) AS nv"
+        " FROM (VALUES 10, 20, 30) t(x)",
+        [(10, None, 20, 10, 20), (20, 10, 30, 10, 20), (30, 20, -1, 10, 20)],
+    ),
+    (
+        "window_pct_cume",
+        "SELECT x, percent_rank() OVER (ORDER BY x) AS pr, cume_dist() OVER (ORDER BY x) AS cd"
+        " FROM (VALUES 1, 2, 3, 4) t(x)",
+        [(1, 0.0, 0.25), (2, 1.0 / 3.0, 0.5), (3, 2.0 / 3.0, 0.75), (4, 1.0, 1.0)],
+    ),
+    (
+        "window_range_frame",
+        "SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s"
+        " FROM (VALUES 1, 2, 2, 4) t(x)",
+        [(1, 1), (2, 5), (2, 5), (4, 4)],
+    ),
+    # --- Aggregate golden batch ------------------------------------------
+    (
+        "agg_bool_family",
+        "SELECT bool_and(x > 0) AS ba, bool_or(x > 2) AS bo, count_if(x > 1) AS ci"
+        " FROM (VALUES 1, 2, 3) t(x)",
+        [(True, True, 2)],
+    ),
+    (
+        "agg_minmax_by",
+        "SELECT max_by(name, v) AS top, min_by(name, v) AS bottom, arbitrary(g) AS any_g"
+        " FROM (VALUES ('a', 1, 'z'), ('b', 9, 'z'), ('c', 5, 'z')) t(name, v, g)",
+        [("b", "a", "z")],
+    ),
+    (
+        "agg_stats_exact",
+        "SELECT var_samp(x) AS vs, var_pop(x) AS vp, stddev_pop(x) AS sp"
+        " FROM (VALUES 1.0, 2.0) t(x)",
+        [(0.5, 0.25, 0.5)],
+    ),
+    (
+        "agg_array_agg_sorted",
+        "SELECT array_sort(array_agg(x)) AS xs, sum(DISTINCT x) AS sd"
+        " FROM (VALUES 3, 1, 2, 2) t(x)",
+        [(([1, 2, 2, 3]), 6)],
+    ),
+    (
+        "agg_filter_clause",
+        "SELECT sum(x) FILTER (WHERE x > 1) AS big, count(*) FILTER (WHERE x = 1) AS ones"
+        " FROM (VALUES 1, 2, 3) t(x)",
+        [(5, 1)],
+    ),
+    # --- Join / subquery golden batch ------------------------------------
+    (
+        "outer_joins_null_fill",
+        "SELECT a.x, b.y FROM (VALUES 1, 2) a(x) LEFT JOIN (VALUES 2, 3) b(y) ON a.x = b.y",
+        [(1, None), (2, 2)],
+    ),
+    (
+        "full_outer_join",
+        "SELECT a.x, b.y FROM (VALUES 1, 2) a(x) FULL OUTER JOIN (VALUES 2, 3) b(y) ON a.x = b.y",
+        [(1, None), (2, 2), (None, 3)],
+    ),
+    (
+        "cross_join_count",
+        "SELECT count(*) AS n FROM (VALUES 1, 2, 3) a(x) CROSS JOIN (VALUES 1, 2) b(y)",
+        [(6,)],
+    ),
+    (
+        "scalar_subquery",
+        "SELECT x FROM (VALUES 1, 5, 9) t(x) WHERE x > (SELECT avg(y) FROM (VALUES 1, 5) u(y))",
+        [(5,), (9,)],
+    ),
+    (
+        "correlated_exists",
+        "SELECT x FROM (VALUES 1, 2, 3) t(x)"
+        " WHERE EXISTS (SELECT 1 FROM (VALUES 2, 3) u(y) WHERE u.y = t.x)",
+        [(2,), (3,)],
+    ),
+    (
+        "in_subquery_positive",
+        "SELECT x FROM (VALUES 1, 2, 3) t(x) WHERE x IN (SELECT y FROM (VALUES 2, 9) u(y))",
+        [(2,)],
+    ),
+    (
+        "using_join",
+        "SELECT k FROM (VALUES (1, 'a'), (2, 'b')) t(k, v) JOIN (VALUES 2, 3) u(k) USING (k)",
+        [(2,)],
+    ),
+    # --- Ordering / misc golden batch ------------------------------------
+    (
+        "order_nulls_explicit",
+        "SELECT x FROM (VALUES 2, NULL, 1) t(x) ORDER BY x ASC NULLS LAST LIMIT 3",
+        [(1,), (2,), (None,)],
+    ),
+    (
+        "group_order_by_ordinal",
+        "SELECT g, count(*) AS n FROM (VALUES 'b', 'a', 'b') t(g) GROUP BY 1",
+        [("a", 1), ("b", 2)],
+    ),
+    (
+        "rollup_two_level",
+        "SELECT a, b, count(*) AS n FROM (VALUES ('x', 1), ('x', 2)) t(a, b) GROUP BY ROLLUP (a, b)",
+        [(None, None, 2), ("x", None, 2), ("x", 1, 1), ("x", 2, 1)],
+    ),
+    (
+        "simple_case_form",
+        "SELECT CASE 2 WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'many' END AS v,"
+        " if(1 > 2, 'a', 'b') AS i",
+        [("two", "b")],
+    ),
+    (
+        "values_multicol_expr",
+        "SELECT k + 1 AS k1, upper(v) AS uv FROM (VALUES (1, 'a'), (2, 'b')) t(k, v)",
+        [(2, "A"), (3, "B")],
+    ),
+    (
+        "nested_struct_access",
+        "SELECT s.col1 AS f1 FROM (SELECT struct(7, 'x') AS s)",
+        [(7,)],
+    ),
+    (
+        "normalize_unicode_nfc",
+        # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9
+        "SELECT length(normalize_unicode('é')) AS n",
+        [(1,)],
+    ),
 ]
 
 
 def _canon_row(row):
-    return tuple(list(v) if isinstance(v, (list, tuple)) else v for v in row)
+    import decimal
+
+    def c(v):
+        if isinstance(v, (list, tuple)):
+            return list(v)
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        return v
+
+    return tuple(c(v) for v in row)
 
 
 def _sort_key(row):

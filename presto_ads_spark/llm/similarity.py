@@ -121,6 +121,80 @@ def lsh_topk(emb: DataFrame, k: int = 5, bits: int = 8,
     )
 
 
+def _centroid_literal(e: DataFrame, n_cells: int) -> Column:
+    """Deterministic coarse-quantizer centroids as a plan literal:
+    the normalized vectors of the ``n_cells`` smallest ids (landmark
+    selection — swap in MLlib KMeans centroids for learned cells; the
+    IVF plan shape below is unchanged). C×d doubles embed directly in
+    the plan, so every executor gets them broadcast for free."""
+    rows = e.orderBy("id").limit(n_cells).collect()
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
+            )
+            for i, r in enumerate(rows)
+        ]
+    )
+
+
+def _nearest_cells(v: Column, cents: Column, nprobe: int) -> Column:
+    """ids of the ``nprobe`` centroids nearest to v (desc dot, ties by cid
+    — array_sort on (neg_dot, cid) structs keeps it total-ordered)."""
+    scored = F.transform(
+        cents,
+        lambda c: F.struct((-dot(v, c["cv"])).alias("nd"), c["cid"].alias("cid")),
+    )
+    return F.slice(
+        F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, nprobe
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate nearest neighbors (the classic inverted-file index,
+    Spark-shaped):
+
+    1. coarse quantizer: n_cells centroids (deterministic landmarks here;
+       learned KMeans centroids drop in without plan changes),
+    2. index: every vector assigned to its nearest cell — one JVM fold per
+       row, embarrassingly parallel with the scan,
+    3. probe: each query expands to its ``nprobe`` nearest cells; the
+       cell-key equi-join confines exact scoring to probed cells, so the
+       shuffle carries (query × nprobe) + N rows keyed by cell instead of
+       the N×Q cross product. At 100 TB the index side partitions by cell
+       — the same layout IVF files use on disk.
+
+    nprobe = n_cells degenerates to exact search (recall 1.0) — asserted by
+    the sim_ivf_topk registry query's oracle check.
+    """
+    e = emb.select(
+        F.col(id_col).alias("id"), normalized(as_double(F.col(vec_col))).alias("v")
+    ).persist()  # see lsh_topk: stop projection inlining into per-pair dots
+    cents = _centroid_literal(e, n_cells)
+    index = e.select(
+        F.col("id").alias("nbr_id"),
+        F.col("v"),
+        F.element_at(_nearest_cells(F.col("v"), cents, 1), 1).alias("cell"),
+    )
+    probes = e.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.explode(_nearest_cells(F.col("v"), cents, nprobe)).alias("cell"),
+    )
+    scored = (
+        probes.join(index, "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", dot(F.col("q"), F.col("v")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("nbr_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", threshold: float = 0.2,
                         bits: int = 4) -> DataFrame:

@@ -292,6 +292,62 @@ def sim_lsh_topk(spark, sf_dir):
     )
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@q(
+    "sim_ivf_topk",
+    tags=("llm", "similarity"),
+    doc="IVF ANN (inverted-file index): deterministic landmark centroids, "
+    "nearest-cell assignment, nprobe-cell probing, exact dot inside probed "
+    "cells. Oracle replicates the whole index in DuckDB — left-fold dots "
+    "are bit-identical, so candidates, scores and ranks hash-match.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, {_NORMALIZED} AS v FROM embeddings
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+assign AS (
+  SELECT e.vec_id, c.cid, {_DOT.format(a='e.v', b='c.cv')} AS d
+  FROM e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+  FROM assign
+),
+idx AS (SELECT vec_id AS nbr_id, cid AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= {_IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, i.nbr_id,
+         {_DOT.format(a='qe.v', b='ne.v')} AS cos_sim
+  FROM probes p
+  JOIN idx i ON p.cell = i.cell AND i.nbr_id <> p.query_id
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ne ON ne.vec_id = i.nbr_id
+)
+SELECT query_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id) AS rnk
+  FROM scored
+) r WHERE rnk <= 3
+""",
+)
+def sim_ivf_topk(spark, sf_dir):
+    out = similarity.ivf_topk(
+        t(spark, sf_dir, "embeddings"),
+        k=3,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+    )
+    return out.select(
+        "query_id", "nbr_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 

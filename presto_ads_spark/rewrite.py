@@ -224,6 +224,125 @@ def _rewrite_datetime_patterns(sql: str) -> str:
             i = j
 
 
+_QUANT_RE = re.compile(r"(>=|<=|<>|!=|>|<|=)\s*(ALL|ANY|SOME)\s*\(", re.IGNORECASE)
+
+# (op, quantifier) → aggregate that makes the scalar-subquery form exact for
+# non-empty, non-NULL subqueries: x > ALL(S) ⇔ x > max(S), x > ANY(S) ⇔
+# x > min(S), and dually for </<=.
+_QUANT_AGG = {
+    (">", "ALL"): "max",
+    (">=", "ALL"): "max",
+    ("<", "ALL"): "min",
+    ("<=", "ALL"): "min",
+    (">", "ANY"): "min",
+    (">=", "ANY"): "min",
+    ("<", "ANY"): "max",
+    ("<=", "ANY"): "max",
+}
+
+
+def _scan_matching_paren(sql: str, start: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at start-1 (literal-aware)."""
+    depth, j, in_str = 1, start, False
+    while j < len(sql) and depth:
+        c = sql[j]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        j += 1
+    return j
+
+
+def _top_level_from(s: str) -> int:
+    """Position of the subquery's own FROM (depth 0, outside literals)."""
+    depth, in_str, i = 0, False, 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + 4].upper() == "FROM"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 4 >= len(s) or not (s[i + 4].isalnum() or s[i + 4] == "_"))
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def _rewrite_quantified(sql: str) -> str:
+    """Quantified comparisons (Presto SqlBase.g4 ``comparisonQuantifier``;
+    Spark has no ALL/ANY subquery syntax):
+
+      x > ALL (SELECT e FROM …)  →  x > (SELECT max(e) FROM …)
+      x = ANY (…)                →  x IN (…)
+      x <> ALL (…)               →  x NOT IN (…)
+
+    Exact for non-empty subqueries without NULLs; the empty-set/NULL edge
+    follows the scalar MAX/MIN form (documented deviation, README). Only
+    single-expression, non-DISTINCT projections are rewritten; other shapes
+    pass through untouched (and fail loudly at parse time)."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _QUANT_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        op, quant = m.group(1), m.group(2).upper()
+        if quant == "SOME":
+            quant = "ANY"
+        j = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end() : j - 1].strip()
+        replaced = None
+        if inner[:6].upper() == "SELECT":
+            if op == "=" and quant == "ANY":
+                replaced = f" IN ({inner})"
+            elif op in ("<>", "!=") and quant == "ALL":
+                replaced = f" NOT IN ({inner})"
+            else:
+                agg = _QUANT_AGG.get((op, quant))
+                body = inner[6:]
+                f = _top_level_from(body)
+                proj = body[:f].strip() if f >= 0 else ""
+                depth = 0
+                multi_col = False
+                for c in proj:
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                    elif c == "," and depth == 0:
+                        multi_col = True
+                        break
+                if (
+                    agg
+                    and f >= 0
+                    and proj
+                    and not multi_col
+                    and not proj.upper().startswith("DISTINCT")
+                ):
+                    replaced = f"{op} (SELECT {agg}({proj}) {body[f:]})"
+        if replaced is None:
+            out.append(sql[i:j])
+        else:
+            out.append(sql[i : m.start()])
+            out.append(replaced)
+        i = j
+
+
 def rewrite(sql: str) -> str:
     """Rewrite a Presto SQL string into Spark SQL.
 
@@ -234,6 +353,7 @@ def rewrite(sql: str) -> str:
     sql = _UNNEST_RE.sub(_rewrite_unnest, sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
+    sql = _rewrite_quantified(sql)
     sql = _rewrite_datetime_patterns(sql)
     return _apply_outside_literals(
         sql, lambda c: _rename_functions(_BARE_VARCHAR_RE.sub("AS STRING", c))

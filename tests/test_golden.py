@@ -519,6 +519,27 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         [(7,)],
     ),
     (
+        "quantified_all_any",
+        "SELECT 5 > ALL (SELECT y FROM (VALUES 1, 2) t(y)) AS gt_all,"
+        " 1 >= ALL (SELECT y FROM (VALUES 1, 2) t(y)) AS ge_all,"
+        " 1 < ANY (SELECT y FROM (VALUES 1, 2) t(y)) AS lt_any,"
+        " 9 <= SOME (SELECT y FROM (VALUES 1, 2) t(y)) AS le_some",
+        [(True, False, True, False)],
+    ),
+    (
+        "quantified_eq_neq",
+        "SELECT 2 = ANY (SELECT y FROM (VALUES 1, 2) t(y)) AS eq_any,"
+        " 9 <> ALL (SELECT y FROM (VALUES 1, 2) t(y)) AS ne_all,"
+        " 2 <> ALL (SELECT y FROM (VALUES 1, 2) t(y)) AS ne_all_f",
+        [(True, True, False)],
+    ),
+    (
+        "quantified_in_where",
+        "SELECT x FROM (VALUES 1, 5, 9) t(x)"
+        " WHERE x > ALL (SELECT y FROM (VALUES 2, 4) u(y))",
+        [(5,), (9,)],
+    ),
+    (
         "normalize_unicode_nfc",
         # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9
         "SELECT length(normalize_unicode('é')) AS n",

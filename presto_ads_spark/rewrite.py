@@ -224,6 +224,189 @@ def _rewrite_datetime_patterns(sql: str) -> str:
             i = j
 
 
+def _literal_mask(sql: str) -> list[bool]:
+    """True where sql[i] is inside a '…' string literal (quotes included).
+    Doubled '' escapes read as two adjacent literals — mask still correct."""
+    mask = [False] * len(sql)
+    in_str = False
+    for i, c in enumerate(sql):
+        if in_str:
+            mask[i] = True
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            mask[i] = True
+            in_str = True
+    return mask
+
+
+def _expr_start(sql: str, mask: list[bool], end: int) -> int | None:
+    """Start of the primary expression ending just before ``end``: an
+    identifier chain, a ``fn(…)``/``(…)``/``…[…]`` tail, or a (typed)
+    string literal like ``TIMESTAMP '…'``."""
+    i = end - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        return None
+    if mask[i]:  # string literal — include opening quote + type keyword
+        i -= 1
+        while i >= 0 and mask[i]:
+            i -= 1
+        start = i + 1
+        j = i
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        k = j
+        while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+            k -= 1
+        if sql[k + 1 : j + 1].upper() in ("TIMESTAMP", "DATE", "TIME"):
+            return k + 1
+        return start
+    if sql[i] in ")]":
+        close, openc = sql[i], "(" if sql[i] == ")" else "["
+        depth = 0
+        while i >= 0:
+            if not mask[i]:
+                if sql[i] == close:
+                    depth += 1
+                elif sql[i] == openc:
+                    depth -= 1
+                    if depth == 0:
+                        break
+            i -= 1
+        if i < 0:
+            return None
+        j = i - 1
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+            j -= 1
+        return j + 1
+    if sql[i].isalnum() or sql[i] == "_":
+        j = i
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+            j -= 1
+        return j + 1
+    return None
+
+
+_ARRAY_LIT_RE = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """Presto ``ARRAY[1, 2]`` (SqlBase.g4 arrayConstructor) → ``array(1, 2)``;
+    ``MAP(ARRAY[…], ARRAY[…])`` (MapConstructor) → ``map_from_arrays(…)``."""
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _ARRAY_LIT_RE.finditer(sql):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            break
+        depth, j, in_str = 1, m.end(), False
+        while j < len(sql) and depth:
+            c = sql[j]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+            j += 1
+        sql = sql[: m.start()] + "array(" + sql[m.end() : j - 1] + ")" + sql[j:]
+    return re.sub(r"\bMAP\s*\(\s*array\(", "map_from_arrays(array(", sql)
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """Presto subscript ``x[e]`` is 1-based on arrays and key-lookup on maps
+    (SqlBase.g4 subscript; InterpretedFunctionInvoker) — Spark's ``[]`` is
+    0-based on arrays, a silent off-by-one. Rewrite to ``element_at(x, e)``
+    which has Presto's semantics for both arrays and maps (the later rename
+    pass turns it into try_element_at: NULL instead of an error on
+    out-of-bounds — documented deviation). Chained subscripts resolve over
+    successive passes."""
+    guard = 0
+    while guard < 32:
+        guard += 1
+        mask = _literal_mask(sql)
+        done = True
+        i = 0
+        while i < len(sql):
+            if sql[i] == "[" and not mask[i]:
+                start = _expr_start(sql, mask, i)
+                if start is not None and not sql[: i].rstrip().upper().endswith(
+                    "ARRAY"
+                ):
+                    depth, j, in_str = 1, i + 1, False
+                    while j < len(sql) and depth:
+                        c = sql[j]
+                        if in_str:
+                            in_str = c != "'"
+                        elif c == "'":
+                            in_str = True
+                        elif c == "[":
+                            depth += 1
+                        elif c == "]":
+                            depth -= 1
+                        j += 1
+                    base = sql[start:i].rstrip()
+                    inner = sql[i + 1 : j - 1]
+                    sql = (
+                        sql[:start]
+                        + f"element_at({base}, {inner})"
+                        + sql[j:]
+                    )
+                    done = False
+                    break
+            i += 1
+        if done:
+            return sql
+    return sql
+
+
+_AT_TZ_RE = re.compile(r"\bAT\s+TIME\s+ZONE\s+", re.IGNORECASE)
+
+
+def _rewrite_at_time_zone(sql: str) -> str:
+    """``expr AT TIME ZONE 'zone'`` (SqlBase.g4 AT_TIME_ZONE; desugared by
+    DesugarAtTimeZone.java) → at_timezone(expr, 'zone') compat function."""
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _AT_TZ_RE.finditer(sql):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return sql
+        start = _expr_start(sql, mask, m.start())
+        if start is None:
+            return sql
+        j = m.end()
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == "'":  # zone string literal
+            k = j + 1
+            while k < len(sql):
+                if sql[k] == "'":
+                    k += 1
+                    if k < len(sql) and sql[k] == "'":
+                        k += 1
+                        continue
+                    break
+                k += 1
+        else:  # identifier/expression zone
+            k = j
+            while k < len(sql) and (sql[k].isalnum() or sql[k] in "_."):
+                k += 1
+        expr = sql[start : m.start()].rstrip()
+        zone = sql[j:k]
+        sql = sql[:start] + f"at_timezone({expr}, {zone})" + sql[k:]
+
+
 _QUANT_RE = re.compile(r"(>=|<=|<>|!=|>|<|=)\s*(ALL|ANY|SOME)\s*\(", re.IGNORECASE)
 
 # (op, quantifier) → aggregate that makes the scalar-subquery form exact for
@@ -350,6 +533,9 @@ def rewrite(sql: str) -> str:
     operand may itself contain string literals (e.g. ``UNNEST(split(text,
     ' '))``), so literal-splitting first would hide them. Function renames
     are word-boundary regexes and DO respect literal boundaries."""
+    sql = _rewrite_array_literals(sql)
+    sql = _rewrite_subscripts(sql)
+    sql = _rewrite_at_time_zone(sql)
     sql = _UNNEST_RE.sub(_rewrite_unnest, sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)

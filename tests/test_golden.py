@@ -540,6 +540,29 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         [(5,), (9,)],
     ),
     (
+        "array_literal_subscript_one_based",
+        "SELECT ARRAY[10, 20, 30][1] AS first, ARRAY[10, 20][2] AS second,"
+        " ARRAY[10][9] AS oob, cardinality(ARRAY[1, 2, 3]) AS n",
+        [(10, 20, None, 3)],
+    ),
+    (
+        "map_constructor_subscript",
+        "SELECT MAP(ARRAY['a', 'b'], ARRAY[1, 2])['b'] AS v,"
+        " MAP(ARRAY[1, 2], ARRAY['x', 'y'])[2] AS intkey",
+        [(2, "y")],
+    ),
+    (
+        "chained_subscript",
+        "SELECT ARRAY[ARRAY[1, 2], ARRAY[3, 4]][2][1] AS v",
+        [(3,)],
+    ),
+    (
+        "at_time_zone_expression",
+        "SELECT CAST(TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE"
+        " 'America/New_York' AS VARCHAR) AS t",
+        [("2024-01-01 07:00:00",)],
+    ),
+    (
         "normalize_unicode_nfc",
         # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9
         "SELECT length(normalize_unicode('é')) AS n",

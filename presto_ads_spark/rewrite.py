@@ -46,6 +46,9 @@ FUNCTION_RENAMES: dict[str, str] = {
     "array_union": "array_union",  # identity — documents parity
     "regexp_like": "rlike",
     "to_unixtime": "unix_timestamp",
+    # Presto from_unixtime(x) returns TIMESTAMP (DateTimeFunctions.java);
+    # Spark's builtin returns a formatted STRING and cannot be shadowed.
+    "from_unixtime": "timestamp_seconds",
     "from_iso8601_timestamp": "to_timestamp",
     "from_iso8601_date": "to_date",
     "to_base64": "base64",
@@ -407,6 +410,93 @@ def _rewrite_at_time_zone(sql: str) -> str:
         sql = sql[:start] + f"at_timezone({expr}, {zone})" + sql[k:]
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split an argument list on depth-0 commas (paren/bracket/literal-aware)."""
+    args: list[str] = []
+    depth, in_str, last = 0, False, 0
+    for i, c in enumerate(s):
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(s[last:i])
+            last = i + 1
+    args.append(s[last:])
+    return [a for a in (a.strip() for a in args) if a != ""] or []
+
+
+def _map_fn_args(sql: str, fname: str, xform) -> str:
+    """Rewrite every top-level call of ``fname``: xform(args) returns the new
+    argument list (list of strings) or None to leave the call unchanged."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    out: list[str] = []
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in pat.finditer(sql, i):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            out.append(sql[i:])
+            return "".join(out)
+        j = _scan_matching_paren(sql, m.end())
+        new_args = xform(_split_top_level(sql[m.end() : j - 1]))
+        out.append(sql[i : m.start()])
+        if new_args is None:
+            out.append(sql[m.start() : j])
+        else:
+            out.append(f"{fname}({', '.join(new_args)})")
+        i = j
+
+
+# Java-regex metacharacters that change meaning when a literal delimiter is
+# fed to a regex-based split.
+_REGEX_SPECIALS = set("\\.[]{}()*+?^$|")
+
+
+def _escape_regex_literal(lit: str) -> str:
+    """SQL string-literal content → SQL literal content matching it verbatim
+    as a Java regex (backslashes doubled for Spark's escaped literals)."""
+    out = []
+    for c in lit:
+        if c in _REGEX_SPECIALS:
+            out.append("\\\\" + c if c != "\\" else "\\\\\\\\")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _rewrite_regex_arg_defaults(sql: str) -> str:
+    """Presto split(s, delim) splits on a LITERAL delimiter
+    (StringFunctions.java:split) — Spark's split() is regex-based, a silent
+    wrong answer for delimiters like '.'. When the delimiter is a plain
+    string literal, escape its regex metacharacters. Also: Presto's 2-arg
+    regexp_extract/regexp_extract_all default to group 0 (the full match,
+    Re2JRegexpFunctions); Spark defaults to group 1 — pin the 0."""
+
+    def fix_split(args):
+        if len(args) >= 2 and re.fullmatch(r"'[^']*'", args[1]):
+            inner = args[1][1:-1]
+            esc = _escape_regex_literal(inner)
+            if esc != inner:
+                return [args[0], f"'{esc}'", *args[2:]]
+        return None
+
+    def add_group0(args):
+        return [*args, "0"] if len(args) == 2 else None
+
+    sql = _map_fn_args(sql, "split", fix_split)
+    sql = _map_fn_args(sql, "regexp_extract_all", add_group0)
+    return _map_fn_args(sql, "regexp_extract", add_group0)
+
+
 _QUANT_RE = re.compile(r"(>=|<=|<>|!=|>|<|=)\s*(ALL|ANY|SOME)\s*\(", re.IGNORECASE)
 
 # (op, quantifier) → aggregate that makes the scalar-subquery form exact for
@@ -536,6 +626,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_at_time_zone(sql)
+    sql = _rewrite_regex_arg_defaults(sql)
     sql = _UNNEST_RE.sub(_rewrite_unnest, sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)

@@ -562,6 +562,72 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         " 'America/New_York' AS VARCHAR) AS t",
         [("2024-01-01 07:00:00",)],
     ),
+    # --- with_clause / select_no_from / distinct / union (reference
+    #     product-test categories) -----------------------------------------
+    (
+        "with_multiple_ctes",
+        "WITH a AS (SELECT 1 AS x), b AS (SELECT x + 1 AS y FROM a)"
+        " SELECT a.x, b.y FROM a CROSS JOIN b",
+        [(1, 2)],
+    ),
+    (
+        "with_referenced_twice",
+        "WITH t AS (SELECT 2 AS x)"
+        " SELECT s.x + u.x AS tot FROM t s JOIN t u ON s.x = u.x",
+        [(4,)],
+    ),
+    (
+        "with_in_where_clause",
+        "WITH lim AS (SELECT 5 AS cap)"
+        " SELECT x FROM (VALUES 3, 7) v(x) WHERE x < (SELECT cap FROM lim)",
+        [(3,)],
+    ),
+    (
+        "select_no_from_projections",
+        "SELECT 1 + 2 AS a, 'x' || 'y' AS s, abs(-3) AS f, count(*) AS one",
+        [(3, "xy", 3, 1)],
+    ),
+    (
+        "distinct_multi_col",
+        "SELECT DISTINCT x, y FROM (VALUES (1, 'a'), (1, 'a'), (2, 'b')) t(x, y)",
+        [(1, "a"), (2, "b")],
+    ),
+    (
+        "union_chain_mixed",
+        "SELECT * FROM (VALUES 1, 2) t(x) UNION ALL SELECT * FROM (VALUES 2) u(x)"
+        " UNION SELECT * FROM (VALUES 3) w(x)",
+        [(1,), (2,), (3,)],
+    ),
+    (
+        "order_by_expression_alias",
+        "SELECT x FROM (VALUES 'bb', 'a', 'ccc') t(x) ORDER BY length(x) DESC LIMIT 2",
+        [("bb",), ("ccc",)],
+    ),
+    (
+        "group_by_expression",
+        "SELECT x % 2 AS parity, count(*) AS n FROM (VALUES 1, 2, 3, 4, 5) t(x)"
+        " GROUP BY x % 2",
+        [(0, 2), (1, 3)],
+    ),
+    # --- regex/split literal-delimiter semantics -------------------------
+    (
+        "split_literal_delimiter",
+        "SELECT split('a.b.c', '.') AS dots, split('x|y', '|') AS pipes,"
+        " split('a,b', ',') AS plain",
+        [((["a", "b", "c"]), ["x", "y"], ["a", "b"])],
+    ),
+    (
+        "regexp_default_group_zero",
+        "SELECT regexp_extract('foo123bar', '[0-9]+') AS full,"
+        " regexp_extract_all('a1b22c', '[0-9]+') AS all_matches",
+        [("123", ["1", "22"])],
+    ),
+    (
+        "from_unixtime_timestamp",
+        "SELECT from_unixtime(86400) AS t,"
+        " to_unixtime(from_unixtime(12345)) AS rt",
+        [(__import__("datetime").datetime(1970, 1, 2, 0, 0), 12345.0)],
+    ),
     (
         "normalize_unicode_nfc",
         # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9

@@ -33,6 +33,10 @@ _SET_SESSION_RE = re.compile(
     r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE | re.DOTALL
 )
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(CATALOGS|SESSION)\s*$", re.IGNORECASE)
+_SHOW_STATS_RE = re.compile(
+    r"^\s*SHOW\s+STATS\s+FOR\s+(?:\(\s*(.+?)\s*\)|([\w.]+))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # PREPARE name FROM <sql> / EXECUTE name USING v1, v2 / DEALLOCATE PREPARE
 # (grammar: SqlBase.g4:33-100; Presto implements these client-side —
 # StatementClientV1 substitutes parameters, so a text-level implementation
@@ -82,6 +86,9 @@ class Engine:
         m = _SHOW_RE.match(text)
         if m:
             return self._show(m.group(1).upper())
+        m = _SHOW_STATS_RE.match(text)
+        if m:
+            return self._show_stats(m.group(1) or m.group(2))
         m = _EXPLAIN_ANALYZE_RE.match(text)
         if m:
             return self._explain_analyze(m.group(1))
@@ -108,6 +115,66 @@ class Engine:
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
         return self.spark.createDataFrame([(plan,)], "query_plan string")
+
+    def _show_stats(self, target: str) -> DataFrame:
+        """``SHOW STATS FOR table | (query)`` — Presto's ShowStatsRewrite
+        (sql/rewrite/ShowStatsRewrite.java) output shape: one row per
+        column (data_size, distinct_values_count, nulls_fraction,
+        low_value, high_value) plus a summary row carrying row_count.
+
+        Stats are computed with a single aggregate pass over the relation
+        (approx distinct = HLL, same estimator family Presto stats use);
+        catalog-stats-only behavior would return NULLs for unanalyzed
+        temp views, which is strictly less useful."""
+        from pyspark.sql import functions as F
+
+        if re.fullmatch(r"[\w.]+", target):
+            df = self.spark.table(target)
+        else:
+            df = self.spark.sql(rewrite(target))
+        simple = [
+            f
+            for f in df.schema.fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "binary")
+        ]
+        aggs: list = [F.count(F.lit(1)).alias("__n")]
+        for f in simple:
+            c = F.col(f.name)
+            aggs.append(F.approx_count_distinct(c).alias(f"{f.name}__ndv"))
+            aggs.append(
+                F.sum(c.isNull().cast("long")).alias(f"{f.name}__nulls")
+            )
+            aggs.append(F.min(c).cast("string").alias(f"{f.name}__lo"))
+            aggs.append(F.max(c).cast("string").alias(f"{f.name}__hi"))
+            if f.dataType.typeName() == "string":
+                aggs.append(
+                    F.sum(F.length(c).cast("long")).alias(f"{f.name}__sz")
+                )
+        stats = df.agg(*aggs).collect()[0].asDict()
+        n = stats["__n"]
+        rows = []
+        for f in simple:
+            rows.append(
+                (
+                    f.name,
+                    float(stats.get(f"{f.name}__sz"))
+                    if stats.get(f"{f.name}__sz") is not None
+                    else None,
+                    float(stats[f"{f.name}__ndv"]),
+                    (stats[f"{f.name}__nulls"] / n) if n else None,
+                    None,
+                    stats[f"{f.name}__lo"],
+                    stats[f"{f.name}__hi"],
+                )
+            )
+        rows.append((None, None, None, None, float(n), None, None))
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, data_size double, distinct_values_count double,"
+            " nulls_fraction double, row_count double, low_value string,"
+            " high_value string",
+        )
 
     def _execute_prepared(self, name: str, using: str | None) -> DataFrame:
         stmt = self._prepared[name]

@@ -98,3 +98,24 @@ def test_explain_analyze_runs_and_annotates(engine):
     ).collect()[0].query_plan
     assert "isFinalPlan=true" in out
     assert "HashAggregate" in out
+
+
+def test_show_stats_table(engine):
+    rows = engine.sql("SHOW STATS FOR nation").collect()
+    by_col = {r.column_name: r for r in rows}
+    summary = by_col[None]
+    assert summary.row_count == 25.0
+    nk = by_col["n_nationkey"]
+    assert nk.low_value == "0" and nk.high_value == "24"
+    assert nk.nulls_fraction == 0.0
+    assert abs(nk.distinct_values_count - 25) <= 2  # HLL estimate
+    assert by_col["n_name"].data_size is not None
+
+
+def test_show_stats_query(engine):
+    rows = engine.sql(
+        "SHOW STATS FOR (SELECT n_regionkey FROM nation WHERE n_regionkey > 1)"
+    ).collect()
+    by_col = {r.column_name: r for r in rows}
+    assert by_col[None].row_count == 15.0
+    assert by_col["n_regionkey"].low_value == "2"

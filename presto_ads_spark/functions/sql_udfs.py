@@ -162,6 +162,20 @@ SQL_FUNCTIONS: list[str] = [
          END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(ts TIMESTAMP)
        RETURNS BIGINT RETURN unix_millis(ts)""",
+    # --- VarbinaryFunctions.java digests: Presto md5/sha1/sha256/sha512
+    #     take varbinary and RETURN varbinary; Spark builtins return hex
+    #     strings and cannot be shadowed, so rewrite.py renames the Presto
+    #     spellings to these shims. (xxhash64 is left as Spark's builtin:
+    #     Spark seeds xxHash with 42 vs Presto's 0 — values differ by
+    #     design; documented.)
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_md5(b BINARY)
+       RETURNS BINARY RETURN unhex(md5(b))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_sha1(b BINARY)
+       RETURNS BINARY RETURN unhex(sha1(b))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_sha256(b BINARY)
+       RETURNS BINARY RETURN unhex(sha2(b, 256))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_sha512(b BINARY)
+       RETURNS BINARY RETURN unhex(sha2(b, 512))""",
     # --- VarbinaryFunctions.java: utf8 codec -----------------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION to_utf8(s STRING)
        RETURNS BINARY RETURN encode(s, 'UTF-8')""",

@@ -43,6 +43,9 @@ FUNCTION_RENAMES: dict[str, str] = {
     # is string repetition.
     "repeat": "array_repeat",
     "json_extract_scalar": "get_json_object",
+    # json_extract returns JSON text — get_json_object does too for
+    # object/array paths (JsonExtract.java vs GetJsonObject).
+    "json_extract": "get_json_object",
     "array_union": "array_union",  # identity — documents parity
     "regexp_like": "rlike",
     "to_unixtime": "unix_timestamp",
@@ -62,6 +65,12 @@ FUNCTION_RENAMES: dict[str, str] = {
     # Presto zip pads the shorter array with NULLs — same as arrays_zip.
     "zip": "arrays_zip",
     "levenshtein_distance": "levenshtein",
+    # Presto digests are varbinary→varbinary (VarbinaryFunctions.java);
+    # Spark's md5/sha1 return hex STRINGs and can't be shadowed → shims.
+    "md5": "presto_md5",
+    "sha1": "presto_sha1",
+    "sha256": "presto_sha256",
+    "sha512": "presto_sha512",
 }
 
 

@@ -628,6 +628,68 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         " to_unixtime(from_unixtime(12345)) AS rt",
         [(__import__("datetime").datetime(1970, 1, 2, 0, 0), 12345.0)],
     ),
+    # --- horology operators (reference horology_functions/
+    #     dateTimeOperatorsAccessible.sql semantics; TIME type excluded —
+    #     Spark has none, documented gap) ----------------------------------
+    (
+        "horology_interval_arith",
+        "SELECT TIMESTAMP '2012-08-08 01:00' + INTERVAL '29' HOUR AS plus29h,"
+        " TIMESTAMP '2012-10-31 01:00' + INTERVAL '1' MONTH AS month_clamp,"
+        " DATE '2012-08-08' - INTERVAL '2' DAY AS minus2d,"
+        " TIMESTAMP '2012-08-08 01:00' - INTERVAL '29' HOUR AS minus29h",
+        [(
+            __import__("datetime").datetime(2012, 8, 9, 6, 0),
+            __import__("datetime").datetime(2012, 11, 30, 1, 0),
+            __import__("datetime").date(2012, 8, 6),
+            __import__("datetime").datetime(2012, 8, 6, 20, 0),
+        )],
+    ),
+    (
+        "horology_interval_combine",
+        "SELECT INTERVAL '2' DAY + INTERVAL '3' HOUR AS dh,"
+        " INTERVAL '2' DAY - INTERVAL '3' HOUR AS dmh",
+        [(
+            __import__("datetime").timedelta(days=2, hours=3),
+            __import__("datetime").timedelta(days=1, hours=21),
+        )],
+    ),
+    (
+        "horology_extract_fields",
+        "SELECT extract(DAY FROM TIMESTAMP '2001-08-22 03:04:05.321') AS d,"
+        " extract(MINUTE FROM TIMESTAMP '2001-08-22 03:04:05') AS mi,"
+        " extract(YEAR FROM DATE '2001-08-22') AS y",
+        [(22, 4, 2001)],
+    ),
+    # --- binary function digests -----------------------------------------
+    (
+        "binary_digests",
+        "SELECT lower(to_hex(md5(to_utf8('abc')))) AS m,"
+        " lower(to_hex(sha256(to_utf8('abc')))) AS s2,"
+        " lower(to_hex(sha512(to_utf8('abc')))) AS s5,"
+        " lower(to_hex(sha1(to_utf8('abc')))) AS s1,"
+        " crc32(to_utf8('abc')) AS crc",
+        [(
+            "900150983cd24fb0d6963f7d28e17f72",
+            "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad",
+            "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a"
+            "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f",
+            "a9993e364706816aba3e25717850c26c9cd0d89d",
+            891568578,
+        )],
+    ),
+    (
+        "binary_length_concat",
+        "SELECT length(to_utf8('héllo')) AS blen, length('héllo') AS clen,"
+        " to_base64(to_utf8('a') || to_utf8('b')) AS cat",
+        [(6, 5, "YWI=")],
+    ),
+    # --- json_extract (returns JSON text) --------------------------------
+    (
+        "json_extract_object",
+        "SELECT json_extract('{\"a\": {\"b\": 1}}', '$.a') AS obj,"
+        " json_extract('{\"a\": [1, 2]}', '$.a') AS arr",
+        [('{"b":1}', "[1,2]")],
+    ),
     (
         "normalize_unicode_nfc",
         # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9

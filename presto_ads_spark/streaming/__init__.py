@@ -56,18 +56,54 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120):
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
+                  output_mode: str = "complete"):
     """Drain an availableNow stream into an in-memory table; returns the
-    resulting batch DataFrame."""
+    resulting batch DataFrame. Aggregations use ``complete``; stream-stream
+    joins / non-aggregating pipelines need ``append``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_s)
     return stream_df.sparkSession.table(name)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right-side events within
+    ``within`` AFTER the left event for the same key (click→purchase
+    attribution shape). Both sides carry watermarks and the join condition
+    time-bounds the match window, so Spark can evict join state — without
+    the bound, stream-stream join state grows forever. §2.6 surface beyond
+    the reference (its Kafka connector is batch-only)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+        F.col("event_id").alias("r_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -163,3 +163,34 @@ def test_native_session_window_agg(spark, events_dir):
     )
     expected = {(r.s, r.user_id): r.n for r in batch.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """click→purchase attribution: stream-stream join result must equal the
+    identical join on the static frame."""
+    clicks = streaming.read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = streaming.read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming.stream_stream_interval_join(clicks, purchases)
+    got = {
+        (r.l_id, r.r_id)
+        for r in streaming.run_to_memory(
+            joined, "ss_join", output_mode="append"
+        ).collect()
+    }
+
+    batch = streaming.with_event_time(
+        spark.read.schema(streaming.EVENTS_SCHEMA).parquet(events_dir)
+    )
+    b_clicks = batch.filter(F.col("event_type") == "click")
+    b_purch = batch.filter(F.col("event_type") == "purchase")
+    expected = {
+        (r.l_id, r.r_id)
+        for r in streaming.stream_stream_interval_join(
+            b_clicks, b_purch
+        ).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -690,6 +690,115 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         " json_extract('{\"a\": [1, 2]}', '$.a') AS arr",
         [('{"b":1}', "[1,2]")],
     ),
+    # --- three-valued logic / predicates ---------------------------------
+    (
+        "three_valued_logic",
+        "SELECT (NULL AND FALSE) AS nf, (NULL OR TRUE) AS nt,"
+        " (NULL AND TRUE) IS NULL AS na, NOT CAST(NULL AS BOOLEAN) IS NULL AS nn",
+        [(False, True, True, False)],
+    ),
+    (
+        "like_patterns_escape",
+        "SELECT 'abc' LIKE 'a%' AS pre, 'abc' LIKE '_bc' AS one,"
+        " 'a%c' LIKE 'a#%c' ESCAPE '#' AS esc, 'abc' NOT LIKE 'z%' AS neg",
+        [(True, True, True, True)],
+    ),
+    (
+        "in_expression_lists",
+        "SELECT 2 IN (1, 1 + 1, 3) AS hit, 'b' IN ('a', 'c') AS miss",
+        [(True, False)],
+    ),
+    # --- cast round-trips -------------------------------------------------
+    (
+        "cast_roundtrips",
+        "SELECT CAST(true AS VARCHAR) AS b, CAST('1.5' AS DOUBLE) AS d,"
+        " CAST(1.5 AS VARCHAR) AS s, CAST('  42  ' AS INTEGER) AS pad_int,"
+        " CAST('2024-01-02' AS DATE) AS dt",
+        [("true", 1.5, "1.5", 42, __import__("datetime").date(2024, 1, 2))],
+    ),
+    # --- count/agg null variants -----------------------------------------
+    (
+        "count_null_variants",
+        "SELECT count(*) AS star, count(x) AS nn, count(DISTINCT x) AS nd,"
+        " sum(x) AS s, avg(x) AS a FROM (VALUES 1, NULL, 1, 3) t(x)",
+        [(4, 3, 2, 5, 5.0 / 3.0)],
+    ),
+    (
+        "agg_all_null_group",
+        "SELECT sum(x) AS s, max(x) AS m, count(x) AS c"
+        " FROM (VALUES CAST(NULL AS INTEGER), NULL) t(x)",
+        [(None, None, 0)],
+    ),
+    (
+        "having_filters_all",
+        "SELECT g, count(*) AS n FROM (VALUES 'a') t(g) GROUP BY g HAVING count(*) > 5",
+        [],
+    ),
+    (
+        "corr_covar_exact",
+        "SELECT corr(x, y) AS c, covar_pop(x, y) AS cp"
+        " FROM (VALUES (1.0, 2.0), (2.0, 4.0), (3.0, 6.0)) t(x, y)",
+        [(1.0, 4.0 / 3.0)],
+    ),
+    # --- window frame shapes ---------------------------------------------
+    (
+        "window_sliding_rows",
+        "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s"
+        " FROM (VALUES 1, 2, 3, 4) t(x)",
+        [(1, 3), (2, 6), (3, 9), (4, 7)],
+    ),
+    (
+        "window_unbounded_following",
+        "SELECT x, min(x) OVER (ORDER BY x ROWS BETWEEN CURRENT ROW AND"
+        " UNBOUNDED FOLLOWING) AS tail_min,"
+        " count(*) OVER () AS total"
+        " FROM (VALUES 3, 1, 2) t(x)",
+        [(1, 1, 3), (2, 2, 3), (3, 3, 3)],
+    ),
+    (
+        "window_partition_no_order",
+        "SELECT g, x, sum(x) OVER (PARTITION BY g) AS gs"
+        " FROM (VALUES ('a', 1), ('a', 2), ('b', 5)) t(g, x)",
+        [("a", 1, 3), ("a", 2, 3), ("b", 5, 5)],
+    ),
+    # --- anti/semi shapes -------------------------------------------------
+    (
+        "not_exists_anti",
+        "SELECT x FROM (VALUES 1, 2, 3) t(x)"
+        " WHERE NOT EXISTS (SELECT 1 FROM (VALUES 2) u(y) WHERE u.y = t.x)",
+        [(1,), (3,)],
+    ),
+    (
+        "not_in_no_nulls",
+        "SELECT x FROM (VALUES 1, 2, 3) t(x)"
+        " WHERE x NOT IN (SELECT y FROM (VALUES 2) u(y))",
+        [(1,), (3,)],
+    ),
+    (
+        "self_join_pairs",
+        "SELECT a.x, b.x FROM (VALUES 1, 2) a(x) JOIN (VALUES 1, 2) b(x) ON a.x < b.x",
+        [(1, 2)],
+    ),
+    # --- searched case without else / date_trunc week --------------------
+    (
+        "case_no_else_null",
+        "SELECT CASE WHEN 1 = 2 THEN 'x' END AS v",
+        [(None,)],
+    ),
+    (
+        "date_trunc_week_monday",
+        "SELECT date_trunc('week', TIMESTAMP '2024-05-09 13:00:00') AS w,"
+        " date_trunc('quarter', TIMESTAMP '2024-05-09 00:00:00') AS q",
+        [(
+            __import__("datetime").datetime(2024, 5, 6, 0, 0),
+            __import__("datetime").datetime(2024, 4, 1, 0, 0),
+        )],
+    ),
+    (
+        "reduce_is_aggregate",
+        "SELECT reduce(array(1, 2, 3), 100, (acc, x) -> acc + x, acc -> acc) AS r",
+        [(106,)],
+    ),
     (
         "normalize_unicode_nfc",
         # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9

@@ -506,6 +506,18 @@ def _rewrite_regex_arg_defaults(sql: str) -> str:
     return _map_fn_args(sql, "regexp_extract", add_group0)
 
 
+# Spark has no TIME type; anchor Presto TIME literals on the epoch date so
+# time-of-day arithmetic (time '01:00' + interval '3' hour, comparisons)
+# keeps working. Rendering carries the 1970-01-01 date — documented gap.
+_TIME_LIT_RE = re.compile(
+    r"\bTIME\s+'(\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)'", re.IGNORECASE
+)
+
+
+def _rewrite_time_literals(sql: str) -> str:
+    return _TIME_LIT_RE.sub(r"TIMESTAMP '1970-01-01 \1'", sql)
+
+
 _QUANT_RE = re.compile(r"(>=|<=|<>|!=|>|<|=)\s*(ALL|ANY|SOME)\s*\(", re.IGNORECASE)
 
 # (op, quantifier) → aggregate that makes the scalar-subquery form exact for
@@ -635,6 +647,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_at_time_zone(sql)
+    sql = _rewrite_time_literals(sql)
     sql = _rewrite_regex_arg_defaults(sql)
     sql = _UNNEST_RE.sub(_rewrite_unnest, sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)

@@ -795,6 +795,17 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         )],
     ),
     (
+        "time_literal_arith",
+        "SELECT TIME '01:00' + INTERVAL '3' HOUR AS plus3,"
+        " TIME '23:30:15' - INTERVAL '30' MINUTE AS minus30,"
+        " TIME '01:00' < TIME '02:00' AS lt",
+        [(
+            __import__("datetime").datetime(1970, 1, 1, 4, 0),
+            __import__("datetime").datetime(1970, 1, 1, 23, 0, 15),
+            True,
+        )],
+    ),
+    (
         "reduce_is_aggregate",
         "SELECT reduce(array(1, 2, 3), 100, (acc, x) -> acc + x, acc -> acc) AS r",
         [(106,)],

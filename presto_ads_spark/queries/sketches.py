@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import qdigest as qd
+from ..functions import setdigest as sd
 from . import q
 from ._util import t
 
@@ -89,3 +90,77 @@ def qdigest_merge_rollup(spark, sf_dir):
     )
     merged = qd.merge_qdigest(fine, ["o_orderpriority"])
     return _rank_checks(spark, sf_dir, merged, "o_orderpriority")
+
+
+@q(
+    "setdigest_jaccard",
+    tags=("functions", "approx", "sketch"),
+    doc="Presto SetDigest family (SetDigestFunctions.java: make_set_digest, "
+    "merge, cardinality, jaccard_index, intersection_cardinality) as a "
+    "minhash+HLL struct column. Pairwise priority-vs-priority customer-set "
+    "similarity; every estimate checked against the exact value computed on "
+    "the same data, oracle emits TRUE.",
+    oracle="""
+SELECT a.o_orderpriority AS pa, b.o_orderpriority AS pb,
+  TRUE AS card_ok, TRUE AS jaccard_ok, TRUE AS inter_ok
+FROM (SELECT DISTINCT o_orderpriority FROM orders) a
+JOIN (SELECT DISTINCT o_orderpriority FROM orders) b
+  ON a.o_orderpriority < b.o_orderpriority
+""",
+)
+def setdigest_jaccard(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    digs = o.groupBy("o_orderpriority").agg(
+        sd.make_set_digest("o_custkey").alias("d"),
+        F.countDistinct("o_custkey").alias("exact_nd"),
+    )
+    a = digs.select(
+        F.col("o_orderpriority").alias("pa"),
+        F.col("d").alias("da"),
+        F.col("exact_nd").alias("nda"),
+    )
+    b = digs.select(
+        F.col("o_orderpriority").alias("pb"),
+        F.col("d").alias("db"),
+        F.col("exact_nd").alias("ndb"),
+    )
+    pairs = a.join(b, F.col("pa") < F.col("pb"))
+
+    sets = o.select("o_orderpriority", "o_custkey").distinct()
+    sa = sets.select(F.col("o_orderpriority").alias("pa"), "o_custkey")
+    sb = sets.select(F.col("o_orderpriority").alias("pb"), "o_custkey")
+    exact = (
+        sa.join(sb, "o_custkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+
+    out = pairs.join(exact, ["pa", "pb"], "left").select(
+        "pa",
+        "pb",
+        # HLL cardinality within 5% of exact distinct count
+        (
+            F.abs(sd.cardinality_setdigest("da") - F.col("nda"))
+            <= 0.05 * F.col("nda")
+        ).alias("card_ok"),
+        # minhash jaccard within 2.5 sigma of K=64 (~0.16 absolute)
+        (
+            F.abs(
+                sd.jaccard_index("da", "db")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+                / (F.col("nda") + F.col("ndb") - F.coalesce(F.col("exact_inter"), F.lit(0)))
+            )
+            <= 0.16
+        ).alias("jaccard_ok"),
+        # intersection estimate within 20% of the union size
+        (
+            F.abs(
+                sd.intersection_cardinality("da", "db")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+            )
+            <= 0.20
+            * (F.col("nda") + F.col("ndb") - F.coalesce(F.col("exact_inter"), F.lit(0)))
+        ).alias("inter_ok"),
+    )
+    return out

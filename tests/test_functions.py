@@ -417,3 +417,35 @@ def test_hmac_functions(engine):
     )
     assert v.lower() == "750c783e6ab0b503eaa86e310a5db738"
     assert one(engine, "hmac_sha1(CAST(NULL AS BINARY), CAST('k' AS BINARY))") is None
+
+
+def test_setdigest_identities(spark):
+    """Identical sets -> jaccard exactly 1; disjoint -> exactly 0; merged
+    halves approximate the whole set's cardinality."""
+    from pyspark.sql import functions as F
+
+    from presto_ads_spark.functions import setdigest as sd
+
+    df = spark.range(0, 1000).select((F.col("id") % 2).alias("g"), "id")
+    digs = df.groupBy("g").agg(sd.make_set_digest("id").alias("d"))
+    a = digs.filter("g = 0").select(F.col("d").alias("da"))
+    b = digs.filter("g = 1").select(F.col("d").alias("db"))
+    row = (
+        a.crossJoin(b)
+        .select(
+            sd.jaccard_index("da", "db").alias("j"),
+            sd.intersection_cardinality("da", "db").alias("i"),
+            sd.cardinality_setdigest("da").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert row.j == 0.0 and row.i == 0
+    assert abs(row.n - 500) <= 25
+    same = df.filter("g = 0").agg(
+        sd.make_set_digest("id").alias("d1"), sd.make_set_digest("id").alias("d2")
+    )
+    assert same.select(sd.jaccard_index("d1", "d2").alias("j")).collect()[0].j == 1.0
+    halves = df.groupBy("g").agg(sd.make_set_digest("id").alias("d"))
+    merged = halves.agg(sd.merge_set_digest("d").alias("d"))
+    n = merged.select(sd.cardinality_setdigest("d").alias("n")).collect()[0].n
+    assert abs(n - 1000) <= 50

@@ -241,6 +241,20 @@ SQL_FUNCTIONS: list[str] = [
            WHEN 'h' THEN 3600
            WHEN 'd' THEN 86400
          END""",
+    # --- DataSizeFunctions.java: parse_presto_data_size('2.3MB') → decimal
+    #     bytes (unit table :44-57: B kB MB GB TB PB EB ZB YB, 1024-based).
+    """CREATE OR REPLACE TEMPORARY FUNCTION parse_presto_data_size(s STRING)
+       RETURNS DECIMAL(38, 0) RETURN
+         -- floor: Presto BigDecimal.toBigInteger truncates, Spark cast rounds
+         CAST(FLOOR(CAST(regexp_extract(s, '^([0-9.]+)', 1) AS DECIMAL(20, 6)) *
+           CASE regexp_extract(s, '([A-Za-z]+)$', 1)
+             WHEN 'B' THEN CAST(1 AS DECIMAL(38, 0))
+             WHEN 'kB' THEN CAST(1024 AS DECIMAL(38, 0))
+             WHEN 'MB' THEN CAST(1048576 AS DECIMAL(38, 0))
+             WHEN 'GB' THEN CAST(1073741824 AS DECIMAL(38, 0))
+             WHEN 'TB' THEN CAST(1099511627776 AS DECIMAL(38, 0))
+             WHEN 'PB' THEN CAST(1125899906842624 AS DECIMAL(38, 0))
+           END) AS DECIMAL(38, 0))""",
     # --- Teradata compat (presto-teradata-functions) ---------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION index(haystack STRING, needle STRING)
        RETURNS INT RETURN instr(haystack, needle)""",

@@ -71,6 +71,8 @@ FUNCTION_RENAMES: dict[str, str] = {
     "sha1": "presto_sha1",
     "sha256": "presto_sha256",
     "sha512": "presto_sha512",
+    # FailureFunction.java fail(msg) — aborts the query with the message.
+    "fail": "raise_error",
 }
 
 

@@ -449,3 +449,21 @@ def test_setdigest_identities(spark):
     merged = halves.agg(sd.merge_set_digest("d").alias("d"))
     n = merged.select(sd.cardinality_setdigest("d").alias("n")).collect()[0].n
     assert abs(n - 1000) <= 50
+
+
+def test_parse_presto_data_size(engine):
+    assert one(engine, "parse_presto_data_size('2kB')") == 2048
+    assert one(engine, "parse_presto_data_size('2.3MB')") == 2411724
+    assert one(engine, "parse_presto_data_size('7B')") == 7
+
+
+def test_fail_function(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="boom"):
+        engine.sql("SELECT fail('boom')").collect()
+
+
+def test_typeof_native(engine):
+    assert one(engine, "typeof(CAST(1 AS BIGINT))") == "bigint"
+    assert one(engine, "typeof('x')") == "string"

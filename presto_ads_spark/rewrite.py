@@ -508,6 +508,20 @@ def _rewrite_regex_arg_defaults(sql: str) -> str:
     return _map_fn_args(sql, "regexp_extract", add_group0)
 
 
+# Presto `/` on two integers is integer division (5/2 = 2); Spark's `/`
+# always yields double. Full parity needs type inference, but the
+# integer-LITERAL / integer-LITERAL case is decidable textually → DIV
+# (which, like Presto, truncates toward zero and errors on /0 under ANSI).
+# Column-typed division remains a documented deviation (README).
+_INT_DIV_RE = re.compile(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])")
+
+
+def _rewrite_int_literal_division(sql: str) -> str:
+    return _apply_outside_literals(
+        sql, lambda c: _INT_DIV_RE.sub(r"(\1 DIV \2)", c)
+    )
+
+
 # Spark has no TIME type; anchor Presto TIME literals on the epoch date so
 # time-of-day arithmetic (time '01:00' + interval '3' hour, comparisons)
 # keeps working. Rendering carries the 1970-01-01 date — documented gap.
@@ -655,6 +669,7 @@ def rewrite(sql: str) -> str:
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_quantified(sql)
+    sql = _rewrite_int_literal_division(sql)
     sql = _rewrite_datetime_patterns(sql)
     return _apply_outside_literals(
         sql, lambda c: _rename_functions(_BARE_VARCHAR_RE.sub("AS STRING", c))

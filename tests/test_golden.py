@@ -806,6 +806,12 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         )],
     ),
     (
+        "int_literal_division",
+        "SELECT 5 / 2 AS half, 7/2 AS h2, 1 / 3 AS third,"
+        " 10.0 / 4 AS dbl, CAST(5 AS DOUBLE) / 2 AS still_dbl",
+        [(2, 3, 0, 2.5, 2.5)],
+    ),
+    (
         "reduce_is_aggregate",
         "SELECT reduce(array(1, 2, 3), 100, (acc, x) -> acc + x, acc -> acc) AS r",
         [(106,)],

@@ -38,6 +38,13 @@ SQL_FUNCTIONS: list[str] = [
              k -> transform(
                filter(split(s, ed), e -> split_part(e, kd, 1) = k),
                e -> substr(e, instr(e, kd) + length(kd)))))""",
+    # split_part (StringFunctions.java:364): Presto returns NULL when the
+    # index exceeds the number of fields; Spark's builtin returns ''. The
+    # shim splits on the \Q-quoted literal delimiter (empty delimiter →
+    # per-character, same as the reference :368).
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_split_part(s STRING, d STRING, n INT)
+       RETURNS STRING RETURN
+         try_element_at(split(s, concat('\\\\Q', d, '\\\\E'), -1), n)""",
     # word_stem (WordStemFunction uses a Porter stemmer): simplified
     # suffix-stripping rules — documented approximation, parity for the
     # common plural/participle cases.

@@ -73,6 +73,8 @@ FUNCTION_RENAMES: dict[str, str] = {
     "sha512": "presto_sha512",
     # FailureFunction.java fail(msg) — aborts the query with the message.
     "fail": "raise_error",
+    # Presto split_part returns NULL past the last field; Spark returns ''.
+    "split_part": "presto_split_part",
 }
 
 

@@ -467,3 +467,11 @@ def test_fail_function(engine):
 def test_typeof_native(engine):
     assert one(engine, "typeof(CAST(1 AS BIGINT))") == "bigint"
     assert one(engine, "typeof('x')") == "string"
+
+
+def test_split_part_presto_oob_null(engine):
+    assert one(engine, "split_part('a/b/c', '/', 3)") == "c"
+    assert one(engine, "split_part('a/b/c', '/', 9)") is None
+    assert one(engine, "split_part('a,,c', ',', 2)") == ""
+    assert one(engine, "split_part('a.b', '.', 1)") == "a"  # literal dot
+    assert one(engine, "split_part('abc', '', 2)") == "b"  # empty delim

@@ -817,6 +817,55 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         [(106,)],
     ),
     (
+        "round_negative_scale",
+        "SELECT round(1234, -2) AS r, round(1567.0, -2) AS rd, round(5, -1) AS r5",
+        [(1200, 1600.0, 10)],
+    ),
+    (
+        "array_join_null_replacement",
+        "SELECT array_join(array('a', CAST(NULL AS STRING), 'c'), ',') AS skip_null,"
+        " array_join(array('a', CAST(NULL AS STRING)), ',', 'X') AS replaced",
+        [("a,c", "a,X")],
+    ),
+    (
+        "minmax_strings_bools",
+        "SELECT min(s) AS mn, max(s) AS mx, every(b) AS ba, some(b) AS bo"
+        " FROM (VALUES ('pear', true), ('apple', false)) t(s, b)",
+        [("apple", "pear", False, True)],
+    ),
+    (
+        "nested_scalar_subqueries",
+        "SELECT (SELECT max(x) FROM (VALUES 1, 2) t(x))"
+        " + (SELECT min(y) FROM (VALUES 5, 9) u(y)) AS v",
+        [(7,)],
+    ),
+    (
+        "except_intersect_precedence",
+        # INTERSECT binds tighter than EXCEPT (SQL standard, both engines)
+        "SELECT * FROM (VALUES 1, 2, 3) t(x) EXCEPT"
+        " SELECT * FROM (VALUES 2, 9) u(x) INTERSECT SELECT * FROM (VALUES 2) w(x)",
+        [(1,), (3,)],
+    ),
+    (
+        "arbitrary_deterministic_single",
+        "SELECT arbitrary(x) AS v FROM (VALUES 42) t(x)",
+        [(42,)],
+    ),
+    (
+        "nullif_type_interplay",
+        "SELECT nullif(1.0, 1) AS eq_cross_type, nullif('a', 'b') AS neq",
+        [(None, "a")],
+    ),
+    (
+        "greatest_least_rows",
+        "SELECT greatest(DATE '2024-01-02', DATE '2024-03-01') AS gd,"
+        " least(TIMESTAMP '2024-01-01 05:00:00', TIMESTAMP '2024-01-01 04:00:00') AS lt",
+        [(
+            __import__("datetime").date(2024, 3, 1),
+            __import__("datetime").datetime(2024, 1, 1, 4, 0),
+        )],
+    ),
+    (
         "normalize_unicode_nfc",
         # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9
         "SELECT length(normalize_unicode('é')) AS n",

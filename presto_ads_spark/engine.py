@@ -33,6 +33,10 @@ _SET_SESSION_RE = re.compile(
     r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE | re.DOTALL
 )
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(CATALOGS|SESSION)\s*$", re.IGNORECASE)
+_SYSTEM_RUNTIME_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+system\.runtime\.(nodes|queries)\s*$",
+    re.IGNORECASE,
+)
 _SHOW_STATS_RE = re.compile(
     r"^\s*SHOW\s+STATS\s+FOR\s+(?:\(\s*(.+?)\s*\)|([\w.]+))\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -86,6 +90,11 @@ class Engine:
         m = _SHOW_RE.match(text)
         if m:
             return self._show(m.group(1).upper())
+        m = _SYSTEM_RUNTIME_RE.match(text)
+        if m:
+            if m.group(1).lower() == "nodes":
+                return self.system_runtime_nodes()
+            return self.system_runtime_queries()
         m = _SHOW_STATS_RE.match(text)
         if m:
             return self._show_stats(m.group(1) or m.group(2))
@@ -252,6 +261,25 @@ class Engine:
         ]
         return self.spark.createDataFrame(
             rows, "host string, running_tasks int, onheap_storage_bytes long"
+        )
+
+    def system_runtime_queries(self) -> DataFrame:
+        """system.runtime.queries analogue: recent Spark jobs from the
+        status tracker (reference connector/system/ runtime tables —
+        query_id/state/… map to job_id/status here)."""
+        sc = self.spark.sparkContext
+        tracker = sc._jsc.sc().statusTracker()
+        rows = []
+        for jid in list(tracker.getJobIdsForGroup(None)):
+            info = tracker.getJobInfo(jid)
+            if info.nonEmpty():
+                j = info.get()
+                rows.append(
+                    (int(j.jobId()), str(j.status()), len(list(j.stageIds())))
+                )
+        return self.spark.createDataFrame(
+            rows or [(-1, "NONE", 0)],
+            "job_id int, status string, num_stages int",
         )
 
     # -- UDF registration (Plugin.getFunctions parity,

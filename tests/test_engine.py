@@ -119,3 +119,12 @@ def test_show_stats_query(engine):
     by_col = {r.column_name: r for r in rows}
     assert by_col[None].row_count == 15.0
     assert by_col["n_regionkey"].low_value == "2"
+
+
+def test_system_runtime_tables(engine):
+    nodes = engine.sql("SELECT * FROM system.runtime.nodes").collect()
+    assert len(nodes) >= 1 and nodes[0].host
+    engine.sql("SELECT count(*) AS n FROM nation").collect()  # generate a job
+    qs = engine.sql("SELECT * FROM system.runtime.queries").collect()
+    assert len(qs) >= 1
+    assert {"job_id", "status", "num_stages"} <= set(qs[0].asDict())

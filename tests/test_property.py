@@ -64,15 +64,18 @@ def test_translation_total_for_supported_tokens(toks):
         assert translate_mysql_pattern(pattern) == translate_mysql_pattern(pattern)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=120, deadline=None)
 @given(
     sql=st.text(
-        alphabet="abcdef_(),'%YmdHis SELECTFROMCASTASVARCHARstrpos0123456789",
+        alphabet="abcdef_(),'%YmdHis SELECTFROMCASTASVARCHARstrpos0123456789"
+        "[]<>=/ALNYOMETI",  # subscript/quantified/division/TIME passes
         max_size=80,
     )
 )
 def test_rewrite_is_idempotent_and_total(sql):
-    """rewrite() never raises and is idempotent on arbitrary-ish text."""
+    """rewrite() never raises and is idempotent on arbitrary-ish text —
+    including unbalanced brackets, quantifier keywords, and stray slashes
+    feeding the subscript/quantified/int-division passes."""
     once = rewrite(sql)
     assert rewrite(once) == once
 

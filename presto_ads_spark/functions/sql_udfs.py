@@ -24,6 +24,26 @@ SQL_FUNCTIONS: list[str] = [
     # codepoint (StringFunctions.java): first codepoint of a 1-char string.
     """CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING)
        RETURNS INT RETURN ascii(s)""",
+    # chr (StringFunctions.java chr): codepoint → character. Spark's chr is
+    # mod-256 (single byte), so rewrite.py renames chr → this shim, which
+    # UTF-8-encodes the codepoint (1/2/3/4-byte branches) and decodes.
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_chr(n BIGINT)
+       RETURNS STRING RETURN
+         CASE
+           WHEN n < 128 THEN char(n)
+           WHEN n < 2048 THEN decode(unhex(
+             lpad(hex(shiftright(n, 6) + 192), 2, '0') ||
+             lpad(hex((n & 63) + 128), 2, '0')), 'UTF-8')
+           WHEN n < 65536 THEN decode(unhex(
+             lpad(hex(shiftright(n, 12) + 224), 2, '0') ||
+             lpad(hex((shiftright(n, 6) & 63) + 128), 2, '0') ||
+             lpad(hex((n & 63) + 128), 2, '0')), 'UTF-8')
+           ELSE decode(unhex(
+             lpad(hex(shiftright(n, 18) + 240), 2, '0') ||
+             lpad(hex((shiftright(n, 12) & 63) + 128), 2, '0') ||
+             lpad(hex((shiftright(n, 6) & 63) + 128), 2, '0') ||
+             lpad(hex((n & 63) + 128), 2, '0')), 'UTF-8')
+         END""",
     # split_to_map(s, entryDelim, kvDelim) (SplitToMapFunction.java).
     """CREATE OR REPLACE TEMPORARY FUNCTION split_to_map(s STRING, ed STRING, kd STRING)
        RETURNS MAP<STRING, STRING> RETURN str_to_map(s, ed, kd)""",

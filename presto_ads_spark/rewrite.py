@@ -75,6 +75,8 @@ FUNCTION_RENAMES: dict[str, str] = {
     "fail": "raise_error",
     # Presto split_part returns NULL past the last field; Spark returns ''.
     "split_part": "presto_split_part",
+    # Presto chr is codepoint→char; Spark chr is mod-256 single-byte.
+    "chr": "presto_chr",
 }
 
 

@@ -866,6 +866,43 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         )],
     ),
     (
+        "row_in_tuples",
+        "SELECT (1, 'a') IN ((1, 'a'), (2, 'b')) AS hit,"
+        " (9, 'z') IN ((1, 'a')) AS miss",
+        [(True, False)],
+    ),
+    (
+        "exists_in_select_list",
+        "SELECT x, EXISTS (SELECT 1 FROM (VALUES 2) u(y) WHERE u.y = t.x) AS has"
+        " FROM (VALUES 1, 2) t(x)",
+        [(1, False), (2, True)],
+    ),
+    (
+        "using_join_multi_col",
+        "SELECT k1, k2 FROM (VALUES (1, 'a', 'x'), (2, 'b', 'y')) t(k1, k2, v)"
+        " JOIN (VALUES (1, 'a'), (2, 'zz')) u(k1, k2) USING (k1, k2)",
+        [(1, "a")],
+    ),
+    (
+        "try_cast_overflow_null",
+        "SELECT TRY_CAST('99999999999999999999' AS INTEGER) AS big,"
+        " TRY_CAST('2024-13-45' AS DATE) AS bad_date,"
+        " TRY_CAST(300 AS TINYINT) AS tiny_over",
+        [(None, None, None)],
+    ),
+    (
+        "decimal_to_int_truncation",
+        "SELECT CAST(CAST(3.99 AS DECIMAL(10, 2)) AS INTEGER) AS down,"
+        " CAST(CAST(-3.99 AS DECIMAL(10, 2)) AS INTEGER) AS up",
+        [(3, -3)],
+    ),
+    (
+        "chr_codepoint_roundtrip",
+        "SELECT codepoint(chr(955)) AS cp, chr(955) AS lam,"
+        " chr(8364) AS euro, codepoint(chr(119070)) AS astral",
+        [(955, "λ", "€", 119070)],
+    ),
+    (
         "normalize_unicode_nfc",
         # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9
         "SELECT length(normalize_unicode('é')) AS n",

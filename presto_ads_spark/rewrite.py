@@ -471,6 +471,70 @@ def _map_fn_args(sql: str, fname: str, xform) -> str:
         i = j
 
 
+def _replace_fn_calls(sql: str, fname: str, builder) -> str:
+    """Replace every top-level ``fname(args)`` call with builder(args) —
+    full-expression replacement (vs _map_fn_args' argument rewrite)."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    out: list[str] = []
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in pat.finditer(sql, i):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            out.append(sql[i:])
+            return "".join(out)
+        j = _scan_matching_paren(sql, m.end())
+        new = builder(_split_top_level(sql[m.end() : j - 1]))
+        out.append(sql[i : m.start()])
+        out.append(sql[m.start() : j] if new is None else new)
+        i = j
+
+
+def _expand_presto_aggregates(sql: str) -> str:
+    """SQL-surface forms of Presto aggregates Spark lacks (map_agg,
+    multimap_agg, histogram — MapAggregationFunction / Histogram.java).
+    SQL temp functions can't define aggregates, so the calls expand inline
+    into array_agg-based expression templates (sorted entries keep results
+    deterministic; session mapKeyDedupPolicy=LAST_WIN matches Presto's
+    later-entry-wins on duplicate keys)."""
+
+    def map_agg(a):
+        if len(a) != 2:
+            return None
+        return (
+            "map_from_entries(array_sort(array_agg(struct("
+            f"{a[0]}, {a[1]}))))"
+        )
+
+    def histogram(a):
+        if len(a) != 1:
+            return None
+        agg = f"array_agg({a[0]})"
+        return (
+            f"map_from_entries(transform(array_sort(array_distinct({agg})), "
+            f"__hv -> struct(__hv, bigint(size(filter({agg}, __he -> __he = __hv))))))"
+        )
+
+    def multimap_agg(a):
+        if len(a) != 2:
+            return None
+        entries = f"array_sort(array_agg(struct({a[0]} AS __mk, {a[1]} AS __mv)))"
+        keys = f"array_distinct(transform({entries}, __p -> __p.__mk))"
+        return (
+            f"map_from_arrays({keys}, transform({keys}, "
+            f"__k -> transform(filter({entries}, __p -> __p.__mk = __k), "
+            f"__p -> __p.__mv)))"
+        )
+
+    sql = _replace_fn_calls(sql, "map_agg", map_agg)
+    sql = _replace_fn_calls(sql, "multimap_agg", multimap_agg)
+    return _replace_fn_calls(sql, "histogram", histogram)
+
+
 # Java-regex metacharacters that change meaning when a literal delimiter is
 # fed to a regex-based split.
 _REGEX_SPECIALS = set("\\.[]{}()*+?^$|")
@@ -669,6 +733,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_at_time_zone(sql)
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_regex_arg_defaults(sql)
+    sql = _expand_presto_aggregates(sql)
     sql = _UNNEST_RE.sub(_rewrite_unnest, sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)

@@ -475,3 +475,19 @@ def test_split_part_presto_oob_null(engine):
     assert one(engine, "split_part('a,,c', ',', 2)") == ""
     assert one(engine, "split_part('a.b', '.', 1)") == "a"  # literal dot
     assert one(engine, "split_part('abc', '', 2)") == "b"  # empty delim
+
+
+def test_sql_surface_presto_aggregates(engine):
+    row = engine.sql(
+        "SELECT map_agg(k, v) AS m, histogram(k) AS h, multimap_agg(k, v) AS mm"
+        " FROM (VALUES ('a', 1), ('b', 2), ('a', 3)) t(k, v)"
+    ).collect()[0]
+    assert row.m == {"a": 3, "b": 2}  # sorted entries, last wins on dup key
+    assert row.h == {"a": 2, "b": 1}
+    assert row.mm == {"a": [1, 3], "b": [2]}
+    # grouped form
+    rows = engine.sql(
+        "SELECT g, histogram(k) AS h FROM"
+        " (VALUES (1, 'x'), (1, 'x'), (2, 'y')) t(g, k) GROUP BY g"
+    ).collect()
+    assert {r.g: r.h for r in rows} == {1: {"x": 2}, 2: {"y": 1}}

@@ -530,8 +530,20 @@ def _expand_presto_aggregates(sql: str) -> str:
             f"__p -> __p.__mv)))"
         )
 
+    def numeric_histogram(a):
+        # Presto numeric_histogram(buckets, x) → map<double,double>;
+        # Spark's histogram_numeric(x, nb) → array<struct<x,y>> (arg order
+        # swapped, same adaptive-bin estimator family).
+        if len(a) != 2:
+            return None
+        return (
+            f"map_from_entries(transform(histogram_numeric({a[1]}, "
+            f"int({a[0]})), __s -> struct(double(__s.x), double(__s.y))))"
+        )
+
     sql = _replace_fn_calls(sql, "map_agg", map_agg)
     sql = _replace_fn_calls(sql, "multimap_agg", multimap_agg)
+    sql = _replace_fn_calls(sql, "numeric_histogram", numeric_histogram)
     return _replace_fn_calls(sql, "histogram", histogram)
 
 

@@ -491,3 +491,12 @@ def test_sql_surface_presto_aggregates(engine):
         " (VALUES (1, 'x'), (1, 'x'), (2, 'y')) t(g, k) GROUP BY g"
     ).collect()
     assert {r.g: r.h for r in rows} == {1: {"x": 2}, 2: {"y": 1}}
+
+
+def test_numeric_histogram_shape(engine):
+    h = engine.sql(
+        "SELECT numeric_histogram(3, x) AS v"
+        " FROM (VALUES 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 20.0) t(x)"
+    ).collect()[0].v
+    assert isinstance(h, dict) and len(h) == 3
+    assert abs(sum(h.values()) - 7.0) < 1e-9  # weights sum to row count

@@ -903,6 +903,12 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         [(955, "λ", "€", 119070)],
     ),
     (
+        "map_concat_last_wins",
+        # Presto MapConcatFunction: later maps override duplicate keys
+        "SELECT map_concat(map('a', 1, 'b', 2), map('a', 9)) AS m",
+        [({"a": 9, "b": 2},)],
+    ),
+    (
         "normalize_unicode_nfc",
         # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9
         "SELECT length(normalize_unicode('é')) AS n",

@@ -541,9 +541,35 @@ def _expand_presto_aggregates(sql: str) -> str:
             f"int({a[0]})), __s -> struct(double(__s.x), double(__s.y))))"
         )
 
+    # N-extreme forms (MaxNAggregationFunction / MinByNAggregationFunction
+    # etc.): max(x, n) → n largest as array; max_by(x, y, n) → x-values of
+    # the n largest y. 1-arg max / 2-arg max_by pass through to Spark
+    # natives untouched (arity-gated).
+    def max_n(a):
+        if len(a) != 2:
+            return None
+        return f"slice(reverse(array_sort(array_agg({a[0]}))), 1, {a[1]})"
+
+    def min_n(a):
+        if len(a) != 2:
+            return None
+        return f"slice(array_sort(array_agg({a[0]})), 1, {a[1]})"
+
+    def _by_n(a, rev: bool):
+        if len(a) != 3:
+            return None
+        entries = f"array_sort(array_agg(struct({a[1]} AS __o, {a[0]} AS __v)))"
+        if rev:
+            entries = f"reverse({entries})"
+        return f"transform(slice({entries}, 1, {a[2]}), __p -> __p.__v)"
+
     sql = _replace_fn_calls(sql, "map_agg", map_agg)
     sql = _replace_fn_calls(sql, "multimap_agg", multimap_agg)
     sql = _replace_fn_calls(sql, "numeric_histogram", numeric_histogram)
+    sql = _replace_fn_calls(sql, "max_by", lambda a: _by_n(a, True))
+    sql = _replace_fn_calls(sql, "min_by", lambda a: _by_n(a, False))
+    sql = _replace_fn_calls(sql, "max", max_n)
+    sql = _replace_fn_calls(sql, "min", min_n)
     return _replace_fn_calls(sql, "histogram", histogram)
 
 

@@ -500,3 +500,17 @@ def test_numeric_histogram_shape(engine):
     ).collect()[0].v
     assert isinstance(h, dict) and len(h) == 3
     assert abs(sum(h.values()) - 7.0) < 1e-9  # weights sum to row count
+
+
+def test_n_extreme_aggregates(engine):
+    row = engine.sql(
+        "SELECT max(x, 2) AS top2, min(x, 2) AS bot2,"
+        " max_by(name, x, 2) AS names_top, min_by(name, x, 1) AS name_bot,"
+        " max(x) AS plain_max, max_by(name, x) AS plain_by"
+        " FROM (VALUES (1, 'a'), (5, 'b'), (3, 'c')) t(x, name)"
+    ).collect()[0]
+    assert row.top2 == [5, 3]
+    assert row.bot2 == [1, 3]
+    assert row.names_top == ["b", "c"]
+    assert row.name_bot == ["a"]
+    assert row.plain_max == 5 and row.plain_by == "b"

@@ -579,3 +579,48 @@ JOIN (
 GROUP BY z.zone
 """
     )
+
+
+@q(
+    "fn_presto_agg_forms",
+    tags=("functions", "agg", "sql"),
+    doc="Presto-only aggregate forms through the SQL surface: histogram() "
+    "(Histogram.java) expanded to an array_agg template by rewrite.py, and "
+    "the N-extreme max_by(x, y, n) (MaxByNAggregationFunction). Map output "
+    "serialized to a sorted string (cross-engine map hashing differs).",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+hist AS (
+  SELECT o_orderpriority,
+         string_agg(o_orderstatus || ':' || CAST(c AS VARCHAR), ','
+                    ORDER BY o_orderstatus) AS status_hist
+  FROM counts GROUP BY 1
+),
+top3 AS (
+  SELECT o_orderpriority,
+         (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3]
+           AS top3_orders
+  FROM orders GROUP BY 1
+)
+SELECT h.o_orderpriority, h.status_hist, t.top3_orders
+FROM hist h JOIN top3 t USING (o_orderpriority)
+""",
+)
+def fn_presto_agg_forms(spark, sf_dir):
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+SELECT o_orderpriority,
+  array_join(transform(map_entries(histogram(o_orderstatus)),
+             __e -> __e.key || ':' || CAST(__e.value AS VARCHAR)), ',')
+    AS status_hist,
+  max_by(o_orderkey, o_totalprice, 3) AS top3_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+    )

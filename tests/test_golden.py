@@ -909,6 +909,16 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         [({"a": 9, "b": 2},)],
     ),
     (
+        "sequence_dates_interval",
+        "SELECT sequence(DATE '2024-01-01', DATE '2024-04-01', INTERVAL '1' MONTH) AS s",
+        [([
+            __import__("datetime").date(2024, 1, 1),
+            __import__("datetime").date(2024, 2, 1),
+            __import__("datetime").date(2024, 3, 1),
+            __import__("datetime").date(2024, 4, 1),
+        ],)],
+    ),
+    (
         "normalize_unicode_nfc",
         # U+0065 U+0301 (e + combining acute) NFC-normalizes to U+00E9
         "SELECT length(normalize_unicode('é')) AS n",

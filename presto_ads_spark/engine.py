@@ -41,6 +41,10 @@ _SHOW_STATS_RE = re.compile(
     r"^\s*SHOW\s+STATS\s+FOR\s+(?:\(\s*(.+?)\s*\)|([\w.]+))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # PREPARE name FROM <sql> / EXECUTE name USING v1, v2 / DEALLOCATE PREPARE
 # (grammar: SqlBase.g4:33-100; Presto implements these client-side —
 # StatementClientV1 substitutes parameters, so a text-level implementation
@@ -90,6 +94,9 @@ class Engine:
         m = _SHOW_RE.match(text)
         if m:
             return self._show(m.group(1).upper())
+        m = _DELETE_RE.match(text)
+        if m:
+            return self._delete(m.group(1), m.group(2))
         m = _SYSTEM_RUNTIME_RE.match(text)
         if m:
             if m.group(1).lower() == "nodes":
@@ -262,6 +269,27 @@ class Engine:
         return self.spark.createDataFrame(
             rows, "host string, running_tasks int, onheap_storage_bytes long"
         )
+
+    def _delete(self, table: str, condition: str) -> DataFrame:
+        """``DELETE FROM t WHERE cond`` (DeleteOperator/
+        MetadataDeleteOperator analogue): rewrite-and-swap on the managed
+        table's storage via sources.delete_where, then refresh. Temp views
+        over the read-only testdata are refused — in the reference, DELETE
+        likewise needs a connector that supports it."""
+        bare = table.split(".")[-1]
+        for t_ in self.spark.catalog.listTables():
+            if t_.name == bare and t_.tableType == "TEMPORARY":
+                raise ValueError(
+                    f"DELETE not supported on read-only view {table!r}"
+                )
+        desc = self.spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        loc = next(r.data_type for r in desc if r.col_name == "Location")
+        from .sources import delete_where
+
+        path = loc[5:] if loc.startswith("file:") else loc
+        n = delete_where(self.spark, path, rewrite(condition))
+        self.spark.sql(f"REFRESH TABLE {table}")
+        return self.spark.createDataFrame([(n,)], "rows_deleted long")
 
     def system_runtime_queries(self) -> DataFrame:
         """system.runtime.queries analogue: recent Spark jobs from the

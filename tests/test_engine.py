@@ -128,3 +128,21 @@ def test_system_runtime_tables(engine):
     qs = engine.sql("SELECT * FROM system.runtime.queries").collect()
     assert len(qs) >= 1
     assert {"job_id", "status", "num_stages"} <= set(qs[0].asDict())
+
+
+def test_delete_from_managed_table(engine, spark):
+    spark.sql("DROP TABLE IF EXISTS del_region")
+    engine.sql(
+        "CREATE TABLE del_region USING parquet AS SELECT * FROM region"
+    ).collect()
+    try:
+        out = engine.sql("DELETE FROM del_region WHERE r_regionkey < 2").collect()
+        assert out[0].rows_deleted == 2
+        left = spark.table("del_region").count()
+        assert left == 3
+        import pytest as _p
+
+        with _p.raises(ValueError, match="read-only"):
+            engine.sql("DELETE FROM region WHERE r_regionkey = 0")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS del_region")

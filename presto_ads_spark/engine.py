@@ -45,6 +45,13 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Transactions are no-ops under the reference's auto-commit connectors
+# (README "Known gaps"); GRANT/REVOKE are no-ops under its default
+# AllowAllAccessControl (presto-main/.../security/AllowAllAccessControl).
+_NOOP_STMT_RE = re.compile(
+    r"^\s*(START\s+TRANSACTION|COMMIT|ROLLBACK|GRANT\s.+|REVOKE\s.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # PREPARE name FROM <sql> / EXECUTE name USING v1, v2 / DEALLOCATE PREPARE
 # (grammar: SqlBase.g4:33-100; Presto implements these client-side —
 # StatementClientV1 substitutes parameters, so a text-level implementation
@@ -97,6 +104,8 @@ class Engine:
         m = _DELETE_RE.match(text)
         if m:
             return self._delete(m.group(1), m.group(2))
+        if _NOOP_STMT_RE.match(text):
+            return self.spark.range(0).select()
         m = _SYSTEM_RUNTIME_RE.match(text)
         if m:
             if m.group(1).lower() == "nodes":

@@ -146,3 +146,14 @@ def test_delete_from_managed_table(engine, spark):
             engine.sql("DELETE FROM region WHERE r_regionkey = 0")
     finally:
         spark.sql("DROP TABLE IF EXISTS del_region")
+
+
+def test_transaction_grant_noops(engine):
+    for stmt in (
+        "START TRANSACTION",
+        "COMMIT",
+        "ROLLBACK",
+        "GRANT SELECT ON nation TO alice",
+        "REVOKE SELECT ON nation FROM alice",
+    ):
+        assert engine.sql(stmt).collect() == []

@@ -157,3 +157,19 @@ def test_transaction_grant_noops(engine):
         "REVOKE SELECT ON nation FROM alice",
     ):
         assert engine.sql(stmt).collect() == []
+
+
+def test_schema_and_alter_ddl(engine, spark):
+    engine.sql("CREATE SCHEMA IF NOT EXISTS ddl_test").collect()
+    assert any(
+        r[0] == "ddl_test" for r in engine.sql("SHOW SCHEMAS").collect()
+    )
+    spark.sql("DROP TABLE IF EXISTS ddl_test.t1")
+    engine.sql(
+        "CREATE TABLE ddl_test.t1 USING parquet AS SELECT 1 AS a"
+    ).collect()
+    engine.sql("ALTER TABLE ddl_test.t1 ADD COLUMNS (b STRING)").collect()
+    cols = [c.name for c in spark.catalog.listColumns("ddl_test.t1")]
+    assert cols == ["a", "b"]
+    spark.sql("DROP TABLE ddl_test.t1")
+    engine.sql("DROP SCHEMA ddl_test").collect()

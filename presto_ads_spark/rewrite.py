@@ -614,6 +614,78 @@ def _rewrite_regex_arg_defaults(sql: str) -> str:
     return _map_fn_args(sql, "regexp_extract", add_group0)
 
 
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\s+", re.IGNORECASE)
+# Words that terminate an ORDER BY item list at depth 0.
+_ORDER_CLAUSE_END = re.compile(
+    r"(LIMIT|OFFSET|FETCH|ROWS|RANGE|WINDOW|UNION|INTERSECT|EXCEPT|HAVING)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_order_by_nulls(sql: str) -> str:
+    """Presto's default null ordering is NULLS LAST for BOTH directions
+    (QueryPlanner.toSortOrder — undefined → *_NULLS_LAST); Spark defaults
+    ascending sorts to NULLS FIRST. Append NULLS LAST to every ORDER BY
+    item (top-level and window specs) that doesn't spell an explicit
+    NULLS FIRST/LAST — otherwise null rows silently change position."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _ORDER_BY_RE.finditer(sql, pos):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos : m.end()])
+        # collect item spans until clause end / unbalanced ')' / EOF
+        j = m.end()
+        depth, in_str = 0, False
+        item_start = j
+        spans: list[tuple[int, int]] = []
+        while True:
+            if j >= len(sql):
+                spans.append((item_start, j))
+                break
+            c = sql[j]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    spans.append((item_start, j))
+                    break
+                depth -= 1
+            elif depth == 0 and c == ",":
+                spans.append((item_start, j))
+                item_start = j + 1
+            elif (
+                depth == 0
+                and c.isalpha()
+                and not (sql[j - 1].isalnum() or sql[j - 1] == "_")
+                and _ORDER_CLAUSE_END.match(sql, j)
+            ):
+                spans.append((item_start, j))
+                break
+            j += 1
+        pieces = []
+        for k, (a, b) in enumerate(spans):
+            item = sql[a:b]
+            stripped = item.rstrip()
+            if stripped and not re.search(r"\bNULLS\s+(FIRST|LAST)\s*$",
+                                          stripped, re.IGNORECASE):
+                item = stripped + " NULLS LAST" + item[len(stripped):]
+            pieces.append(item)
+        out.append(",".join(pieces))
+        pos = spans[-1][1]
+
+
 # Presto `/` on two integers is integer division (5/2 = 2); Spark's `/`
 # always yields double. Full parity needs type inference, but the
 # integer-LITERAL / integer-LITERAL case is decidable textually → DIV
@@ -777,6 +849,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_quantified(sql)
     sql = _rewrite_int_literal_division(sql)
+    sql = _rewrite_order_by_nulls(sql)
     sql = _rewrite_datetime_patterns(sql)
     return _apply_outside_literals(
         sql, lambda c: _rename_functions(_BARE_VARCHAR_RE.sub("AS STRING", c))

@@ -488,6 +488,19 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
     ),
     # --- Ordering / misc golden batch ------------------------------------
     (
+        "order_nulls_default_last",
+        # Presto QueryPlanner.toSortOrder: undefined null ordering → LAST
+        # for both directions (Spark ASC would put NULL first)
+        "SELECT x FROM (VALUES 2, NULL, 1) t(x) ORDER BY x LIMIT 2",
+        [(1,), (2,)],
+    ),
+    (
+        "order_nulls_default_last_in_window",
+        "SELECT x, row_number() OVER (ORDER BY x) AS rn"
+        " FROM (VALUES 5, NULL, 3) t(x)",
+        [(3, 1), (5, 2), (None, 3)],
+    ),
+    (
         "order_nulls_explicit",
         "SELECT x FROM (VALUES 2, NULL, 1) t(x) ORDER BY x ASC NULLS LAST LIMIT 3",
         [(1,), (2,), (None,)],

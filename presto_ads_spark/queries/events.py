@@ -50,8 +50,8 @@ def events_time_rollup(spark, sf_dir):
     "the oracle-checkable batch twin of streaming session windows.",
     oracle="""
 SELECT event_id, user_id, ts, event_type,
-  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts, event_type,
     CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

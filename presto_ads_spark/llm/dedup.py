@@ -128,24 +128,37 @@ def minhash_signatures_rowwise(df: DataFrame, text_col: str = "text",
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become candidates.
 
-    Output: distinct (id_a, id_b), id_a < id_b. The per-band join key is one
-    concatenated string — at scale, the self-join shuffles only
-    (band_key, id)."""
+    Output: distinct (id_a, id_b), id_a < id_b. Each signature explodes to
+    ``bands`` (band_id, band_key) rows and candidates come from ONE
+    self-join on (band_id, band_key) — one shuffle of the exploded
+    signature table instead of the former per-band join + union + distinct
+    (4 shuffles). At scale only (band_key, id) pairs ever move."""
     k = len(MINHASH_AB)
     rows = k // bands
-    pair_frames = []
-    for b in range(bands):
-        cols = [f"mh{i}" for i in range(b * rows, (b + 1) * rows)]
-        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
-        left = sig.select(F.col("id").alias("id_a"), key.alias("bk"))
-        right = sig.select(F.col("id").alias("id_b"), key.alias("bk"))
-        pair_frames.append(
-            left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        )
-    out = pair_frames[0]
-    for f in pair_frames[1:]:
-        out = out.unionAll(f)
-    return out.distinct()
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{i}").cast("string")
+                      for i in range(b * rows, (b + 1) * rows)],
+                ).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    e = sig.select("id", F.explode(entries).alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
+    )
+    left = e.select(F.col("id").alias("id_a"), "band", "bk")
+    right = e.select(F.col("id").alias("id_b"), "band", "bk")
+    return (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def minhash_near_dups(df: DataFrame, text_col: str = "text",
@@ -183,14 +196,28 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidate_pairs is not None:
-        inter = inter.join(candidate_pairs, ["id_a", "id_b"], "left_semi")
+        # Candidate-driven intersection: the pair list DRIVES the plan —
+        # (id_a,id_b) ⋈ shingles(id_a) ⋈ shingles(id_b, shingle). All
+        # equi-joins on bounded keys; the unconfined shingle self-join
+        # (quadratic on a hot shingle) never happens. This is the 100 TB
+        # form: cost is Σ|shingles(a)| over candidate pairs.
+        inter = (
+            candidate_pairs.select("id_a", "id_b")
+            .join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # Exact all-pairs via shingle self-join — verification-only shape;
+        # only sane on small/test inputs.
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

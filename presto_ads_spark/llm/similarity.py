@@ -41,8 +41,23 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
-                 vec_col: str = "embedding", threshold: float = 0.8) -> DataFrame:
-    """All pairs with cosine ≥ threshold (exact; for modest N or verification)."""
+                 vec_col: str = "embedding", threshold: float = 0.8,
+                 max_rows: int = 100_000) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact; for modest N or verification).
+
+    SIZE-GATED: this is an O(N²) cross join by construction — a
+    verification op, never a production path (use ``embedding_near_dups``
+    / ``lsh_topk`` for the bucketed scale shapes). Inputs larger than
+    ``max_rows`` are refused instead of silently launching an N² plan;
+    pass ``max_rows=None`` to override explicitly."""
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is exact-all-pairs (O(N²)) and input has "
+                f"{n} rows > max_rows={max_rows}; use embedding_near_dups "
+                f"(LSH-bucketed) at scale, or pass max_rows=None to force."
+            )
     e = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))

@@ -14,6 +14,7 @@ from ..streaming import sessionize
 
 @q(
     "events_time_rollup",
+    extended=True,
     tags=("events", "datetime", "agg"),
     bench=True,
     oracle="""
@@ -69,6 +70,7 @@ def events_sessionize(spark, sf_dir):
 
 @q(
     "events_pivot_status",
+    extended=True,
     tags=("events", "pivot", "agg"),
     doc="PIVOT (Spark relational pivot ≡ Presto's conditional-agg idiom).",
     oracle="""

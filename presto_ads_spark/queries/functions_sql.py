@@ -22,6 +22,7 @@ from ._util import dec, t
 
 @q(
     "fn_string",
+    extended=True,
     tags=("functions", "string"),
     oracle="""
 SELECT c_custkey,
@@ -71,6 +72,7 @@ def fn_string(spark, sf_dir):
 
 @q(
     "fn_datetime",
+    extended=True,
     tags=("functions", "datetime"),
     oracle="""
 SELECT o_orderkey,
@@ -113,6 +115,7 @@ def fn_datetime(spark, sf_dir):
 
 @q(
     "fn_json",
+    extended=True,
     tags=("functions", "json"),
     doc="json_extract/json_extract_scalar/json_array ops "
     "(reference JsonFunctions.java) over constructed JSON documents.",
@@ -158,6 +161,7 @@ def fn_json(spark, sf_dir):
 
 @q(
     "fn_regexp",
+    extended=True,
     tags=("functions", "regex"),
     oracle="""
 SELECT p_partkey,
@@ -183,6 +187,7 @@ def fn_regexp(spark, sf_dir):
 
 @q(
     "fn_array_lambda",
+    extended=True,
     tags=("functions", "array", "lambda"),
     doc="Array functions + HOF lambdas (transform/filter/reduce — reference "
     "ArrayTransformFunction.java etc., registered FunctionRegistry.java:642).",
@@ -235,6 +240,7 @@ def fn_array_lambda(spark, sf_dir):
 
 @q(
     "fn_math",
+    extended=True,
     tags=("functions", "math"),
     oracle="""
 SELECT s_suppkey,
@@ -272,6 +278,7 @@ def fn_math(spark, sf_dir):
 
 @q(
     "fn_conditional",
+    extended=True,
     tags=("functions", "conditional"),
     oracle="""
 SELECT o_orderkey,
@@ -395,6 +402,7 @@ def agg_stats_variance(spark, sf_dir):
 
 @q(
     "agg_collect_structures",
+    extended=True,
     tags=("functions", "agg", "array"),
     doc="array_agg / map_agg analogues (ArrayAggregationFunction, "
     "MapAggregationFunction) — sorted for determinism.",
@@ -417,6 +425,7 @@ def agg_collect_structures(spark, sf_dir):
 
 @q(
     "fn_binary_crypto",
+    extended=True,
     tags=("functions", "binary"),
     doc="Digest/encoding functions (VarbinaryFunctions.java, HmacFunctions"
     ".java): md5/sha1/sha256/crc32/base64/hex — identical digests on both "
@@ -448,6 +457,7 @@ def fn_binary_crypto(spark, sf_dir):
 
 @q(
     "fn_url",
+    extended=True,
     tags=("functions", "url"),
     doc="url_extract_* (UrlFunctions.java:55-77) over constructed URLs; "
     "DuckDB has no parse_url → regexp-based oracle.",
@@ -492,6 +502,7 @@ def fn_url(spark, sf_dir):
 
 @q(
     "agg_histogram_map",
+    extended=True,
     tags=("functions", "agg", "map"),
     doc="Presto histogram(x) → map<value,count> (HistogramAggregation). "
     "Spark builds the real map (map_from_entries) then serializes the "
@@ -528,6 +539,7 @@ def agg_histogram_map(spark, sf_dir):
 
 @q(
     "agg_listagg_checksum",
+    extended=True,
     tags=("functions", "agg"),
     doc="Ordered string aggregation (Presto array_agg+array_join idiom / "
     "listagg) + order-independent checksum via bit_xor of hashes "

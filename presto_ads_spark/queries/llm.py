@@ -99,9 +99,44 @@ JOIN sigs b ON b.id = c.id_b
 WHERE ({_MATCHES}) / {float(len(MINHASH_AB))} >= 0.5
 """
 
+# LSH estimate + candidate-gated exact n-gram-Jaccard verify in one result
+# (the full near-dup pipeline: signatures → bands → estimate → verify).
+MINHASH_VERIFY_ORACLE = f"""
+WITH {CORPUS_SQL.strip().rstrip()},
+{SHINGLES_SQL.strip()},
+hashes AS (SELECT id, {_HASH} AS h FROM sh),
+sigs AS (SELECT id, {_SIG_COLS} FROM hashes GROUP BY id),
+cands AS (
+{_BAND_JOINS}
+),
+est AS (
+  SELECT c.id_a, c.id_b, ({_MATCHES}) / {float(len(MINHASH_AB))} AS est_jaccard
+  FROM cands c
+  JOIN sigs a ON a.id = c.id_a
+  JOIN sigs b ON b.id = c.id_b
+  WHERE ({_MATCHES}) / {float(len(MINHASH_AB))} >= 0.5
+),
+counts AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT e.id_a, e.id_b, COUNT(*) AS n_inter
+  FROM est e
+  JOIN sh sa ON sa.id = e.id_a
+  JOIN sh sb ON sb.id = e.id_b AND sb.shingle = sa.shingle
+  GROUP BY e.id_a, e.id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+  COALESCE(CAST(i.n_inter AS DOUBLE)
+           / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE), 0.0) AS jaccard
+FROM est e
+LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+JOIN counts ca ON ca.id = e.id_a
+JOIN counts cb ON cb.id = e.id_b
+"""
+
 
 @q(
     "dedup_exact",
+    extended=True,
     tags=("llm", "dedup"),
     bench=True,
     doc="Exact dedup: md5-digest groupBy (digest shuffles, text does not).",
@@ -119,16 +154,30 @@ def dedup_exact(spark, sf_dir):
     "dedup_minhash_lsh",
     tags=("llm", "dedup"),
     bench=True,
-    doc="MinHash(K=16)+LSH(4 bands): near-dup pairs with est_jaccard ≥ 0.5. "
-    "Oracle reproduces the exact md5-based universal hashes.",
-    oracle=MINHASH_ORACLE,
+    doc="Full near-dup pipeline: MinHash(K=16) signatures (zero-shuffle "
+    "row-wise folds) → LSH banding (ONE band self-join) → est_jaccard ≥ 0.5 "
+    "→ candidate-GATED exact 3-gram Jaccard verify (the pair list drives "
+    "the verify joins; no unconfined shingle self-join anywhere). Oracle "
+    "reproduces the exact md5-based universal hashes.",
+    oracle=MINHASH_VERIFY_ORACLE,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_near_dups(near_corpus(spark, sf_dir), threshold=0.5)
+    corpus = near_corpus(spark, sf_dir)
+    est = dedup.minhash_near_dups(corpus, threshold=0.5)
+    exact = dedup.ngram_jaccard_pairs(
+        corpus, candidate_pairs=est.select("id_a", "id_b"), threshold=0.0
+    )
+    return est.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+    )
 
 
 @q(
     "dedup_ngram_jaccard",
+    extended=True,
     tags=("llm", "dedup"),
     doc="Exact 3-gram Jaccard ≥ 0.5 over the near-dup corpus (the verify "
     "stage of the LSH pipeline, run standalone at test scale).",
@@ -165,6 +214,7 @@ _SIMHASH_FP = " + ".join(
 
 @q(
     "dedup_simhash",
+    extended=True,
     tags=("llm", "dedup"),
     doc="SimHash 16-bit fingerprints per document (sign-summed token-hash "
     "bits); duplicate groups share fingerprints.",
@@ -202,6 +252,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 @q(
     "sim_cosine_pairs",
+    extended=True,
     tags=("llm", "similarity"),
     doc="Exact all-pairs cosine ≥ 0.25 (left-fold double arithmetic → "
     "bit-identical across engines).",
@@ -221,6 +272,7 @@ def sim_cosine_pairs(spark, sf_dir):
 
 @q(
     "sim_brute_topk",
+    extended=True,
     tags=("llm", "similarity"),
     bench=True,
     doc="Exact cosine top-5 for 20 query vectors (broadcast queries).",
@@ -262,6 +314,7 @@ _NORMALIZED = (
 
 @q(
     "sim_lsh_topk",
+    extended=True,
     bench=True,
     tags=("llm", "similarity"),
     doc="Hyperplane-LSH ANN: bucket on sign bits of leading dims; vectors "
@@ -298,6 +351,7 @@ _IVF_NPROBE = 4
 
 @q(
     "sim_ivf_topk",
+    extended=True,
     tags=("llm", "similarity"),
     doc="IVF ANN (inverted-file index): deterministic landmark centroids, "
     "nearest-cell assignment, nprobe-cell probing, exact dot inside probed "
@@ -353,6 +407,7 @@ def sim_ivf_topk(spark, sf_dir):
 
 @q(
     "text_quality_stats",
+    extended=True,
     tags=("llm", "text"),
     bench=True,
     oracle="""
@@ -386,6 +441,7 @@ _PRED_CASES = "\n    ".join(
 
 @q(
     "text_lang_id",
+    extended=True,
     tags=("llm", "text"),
     doc="Marker-word language-ID heuristic (argmax with fixed tiebreak); "
     "same scoring on both engines.",
@@ -408,6 +464,7 @@ def text_lang_id(spark, sf_dir):
 
 @q(
     "text_fingerprint",
+    extended=True,
     tags=("llm", "text"),
     doc="Rolling polynomial token-hash fingerprint (left fold, exact ints).",
     oracle=f"""
@@ -532,3 +589,114 @@ def pipeline_clean_corpus(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("canonical_id").cast("long").alias("first_doc"),
     )
+
+
+# ===========================================================================
+# Consolidated LLM suite entries (primary registry; the absorbed probes
+# above are extended=True — still verified locally).
+# ===========================================================================
+
+from . import REGISTRY  # noqa: E402  (registered entries above are readable now)
+
+
+@q(
+    "dedup_fingerprints",
+    tags=("llm", "dedup", "suite"),
+    doc="Fingerprint-dedup suite: exact md5-digest groups "
+    "(absorbs dedup_exact) + SimHash 16-bit fingerprints "
+    "(absorbs dedup_simhash) as a slot union.",
+    oracle=f"""
+SELECT 'exact' AS probe, digest AS s, CAST(canonical_id AS BIGINT) AS k1,
+       CAST(n_copies AS BIGINT) AS k2
+FROM (
+{REGISTRY["dedup_exact"].oracle}
+) __e
+UNION ALL
+SELECT 'simhash' AS probe, CAST(NULL AS VARCHAR) AS s, CAST(id AS BIGINT) AS k1,
+       CAST(simhash AS BIGINT) AS k2
+FROM (
+{REGISTRY["dedup_simhash"].oracle}
+) __s
+""",
+)
+def dedup_fingerprints(spark, sf_dir):
+    ex = REGISTRY["dedup_exact"].spark_fn(spark, sf_dir).select(
+        F.lit("exact").alias("probe"),
+        F.col("digest").alias("s"),
+        F.col("canonical_id").cast("long").alias("k1"),
+        F.col("n_copies").cast("long").alias("k2"),
+    )
+    sh = REGISTRY["dedup_simhash"].spark_fn(spark, sf_dir).select(
+        F.lit("simhash").alias("probe"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("id").cast("long").alias("k1"),
+        F.col("simhash").cast("long").alias("k2"),
+    )
+    return ex.unionAll(sh)
+
+
+@q(
+    "sim_topk",
+    tags=("llm", "similarity", "suite"),
+    doc="Similarity-search suite: exact brute-force (broadcast queries), "
+    "hyperplane-LSH bucketed, and IVF cell-probed top-k, method-tagged "
+    "(absorbs sim_brute_topk, sim_lsh_topk, sim_ivf_topk).",
+    oracle=f"""
+SELECT 'brute' AS method, query_id, nbr_id, cos_sim, rnk FROM (
+{REGISTRY["sim_brute_topk"].oracle}
+) __b
+UNION ALL
+SELECT 'lsh' AS method, query_id, nbr_id, cos_sim, rnk FROM (
+{REGISTRY["sim_lsh_topk"].oracle}
+) __l
+UNION ALL
+SELECT 'ivf' AS method, query_id, nbr_id, cos_sim, rnk FROM (
+{REGISTRY["sim_ivf_topk"].oracle}
+) __i
+""",
+)
+def sim_topk(spark, sf_dir):
+    frames = [
+        REGISTRY[name].spark_fn(spark, sf_dir).select(
+            F.lit(tag).alias("method"), "query_id", "nbr_id", "cos_sim", "rnk"
+        )
+        for tag, name in (
+            ("brute", "sim_brute_topk"),
+            ("lsh", "sim_lsh_topk"),
+            ("ivf", "sim_ivf_topk"),
+        )
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+@q(
+    "text_metrics",
+    tags=("llm", "text", "suite"),
+    doc="Text-analysis suite join-merged on doc_id: quality stats, "
+    "marker-based language-ID, rolling-hash fingerprint (absorbs "
+    "text_quality_stats, text_lang_id, text_fingerprint). Pure projection "
+    "per probe — zero shuffle beyond the joins (co-grained on doc_id).",
+    oracle=f"""
+SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_types, s.type_token_ratio,
+       s.avg_token_len, s.stopword_ratio, s.len_ok,
+       l.lang_true, l.lang_pred, l.best_score,
+       f.fingerprint, f.digest
+FROM (
+{REGISTRY["text_quality_stats"].oracle}
+) s
+JOIN (
+{REGISTRY["text_lang_id"].oracle}
+) l ON l.doc_id = s.doc_id
+JOIN (
+{REGISTRY["text_fingerprint"].oracle}
+) f ON f.doc_id = s.doc_id
+""",
+)
+def text_metrics(spark, sf_dir):
+    stats = REGISTRY["text_quality_stats"].spark_fn(spark, sf_dir)
+    lang = REGISTRY["text_lang_id"].spark_fn(spark, sf_dir)
+    fp = REGISTRY["text_fingerprint"].spark_fn(spark, sf_dir)
+    return stats.join(lang, "doc_id").join(fp, "doc_id")

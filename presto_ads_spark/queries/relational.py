@@ -20,6 +20,7 @@ from ._util import dec, dsum, t
 
 @q(
     "join_full_outer",
+    extended=True,
     tags=("join",),
     oracle="""
 SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
@@ -48,6 +49,7 @@ def join_full_outer(spark, sf_dir):
 
 @q(
     "join_right_outer",
+    extended=True,
     tags=("join",),
     oracle="""
 SELECT s_suppkey, s_name, COUNT(l_orderkey) AS n_items
@@ -71,6 +73,7 @@ def join_right_outer(spark, sf_dir):
 
 @q(
     "join_cross_theta",
+    extended=True,
     tags=("join",),
     oracle="""
 SELECT r_name, COUNT(*) AS n
@@ -96,6 +99,7 @@ def join_cross_theta(spark, sf_dir):
 
 @q(
     "setop_union_all",
+    extended=True,
     tags=("setop",),
     oracle="""
 SELECT k, src FROM (
@@ -121,6 +125,7 @@ def setop_union_all(spark, sf_dir):
 
 @q(
     "setop_intersect_except",
+    extended=True,
     tags=("setop",),
     oracle="""
 SELECT k, 'both' AS tag FROM (
@@ -159,6 +164,7 @@ def setop_intersect_except(spark, sf_dir):
 
 @q(
     "agg_grouping_sets",
+    extended=True,
     tags=("agg",),
     oracle="""
 SELECT l_returnflag, l_linestatus,
@@ -186,6 +192,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
 
 @q(
     "agg_cube",
+    extended=True,
     tags=("agg",),
     oracle="""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -204,6 +211,7 @@ def agg_cube(spark, sf_dir):
 
 @q(
     "agg_rollup",
+    extended=True,
     tags=("agg",),
     oracle="""
 SELECT n_regionkey, n_nationkey, COUNT(*) AS n
@@ -223,6 +231,7 @@ def agg_rollup(spark, sf_dir):
 
 @q(
     "agg_multi_distinct",
+    extended=True,
     tags=("agg", "distinct"),
     oracle="""
 SELECT l_returnflag,
@@ -251,6 +260,7 @@ def agg_multi_distinct(spark, sf_dir):
 
 @q(
     "agg_filter_clause",
+    extended=True,
     tags=("agg",),
     oracle="""
 SELECT o_orderstatus,
@@ -280,6 +290,7 @@ FROM orders GROUP BY o_orderstatus
 
 @q(
     "agg_min_max_by",
+    extended=True,
     tags=("agg",),
     oracle="""
 SELECT l_returnflag,
@@ -313,6 +324,7 @@ def agg_min_max_by(spark, sf_dir):
 
 @q(
     "distinct_limit",
+    extended=True,
     tags=("distinct", "limit"),
     oracle="""
 SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority LIMIT 3
@@ -334,6 +346,7 @@ def distinct_limit(spark, sf_dir):
 
 @q(
     "orderby_nulls_last",
+    extended=True,
     tags=("sort",),
     oracle="""
 SELECT o_orderkey, NULLIF(o_orderpriority, '5-LOW') AS pri
@@ -359,6 +372,7 @@ def orderby_nulls_last(spark, sf_dir):
 
 @q(
     "values_inline",
+    extended=True,
     tags=("values",),
     oracle="""
 SELECT t.id, t.name, r.r_name
@@ -382,6 +396,7 @@ def values_inline(spark, sf_dir):
 
 @q(
     "sample_hash_deterministic",
+    extended=True,
     tags=("sample",),
     oracle="""
 SELECT COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total
@@ -404,6 +419,7 @@ def sample_hash_deterministic(spark, sf_dir):
 
 @q(
     "subquery_scalar_quantified",
+    extended=True,
     tags=("subquery",),
     oracle="""
 SELECT p_partkey, p_name, p_retailprice
@@ -429,6 +445,7 @@ def subquery_scalar_quantified(spark, sf_dir):
 
 @q(
     "lateral_correlated",
+    extended=True,
     tags=("subquery", "lateral"),
     oracle="""
 SELECT o.o_orderkey, t.max_ship, t.n_items
@@ -460,6 +477,7 @@ LATERAL (
 
 @q(
     "unnest_ordinality",
+    extended=True,
     tags=("unnest",),
     oracle="""
 SELECT doc_id, tok, CAST(ord AS INT) AS ord

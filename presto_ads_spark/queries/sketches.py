@@ -53,6 +53,7 @@ def _rank_checks(spark, sf_dir, sketches, key):
 
 @q(
     "qdigest_quantiles",
+    extended=True,
     tags=("functions", "approx", "sketch"),
     doc="Presto qdigest_agg + value_at_quantile "
     "(QuantileDigestAggregationFunction.java / QuantileDigestFunctions.java): "
@@ -72,6 +73,7 @@ def qdigest_quantiles(spark, sf_dir):
 
 @q(
     "qdigest_merge_rollup",
+    extended=True,
     tags=("functions", "approx", "sketch"),
     doc="Presto merge(qdigest) mergeability: fine-grained sketches per "
     "(o_orderpriority, o_orderstatus) — the persisted-rollup pattern — are "

@@ -1064,6 +1064,7 @@ def q20(spark, sf_dir):
 
 @q(
     "sql_text_q06",
+    extended=True,
     tags=("sql", "engine", "tpch"),
     doc="q6 via engine.sql: Presto text (approx-free, exact decimals).",
     oracle="""

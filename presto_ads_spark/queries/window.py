@@ -20,6 +20,7 @@ from ._util import dec, t
 
 @q(
     "window_ranking",
+    extended=True,
     tags=("window",),
     oracle="""
 SELECT o_custkey, o_orderkey,
@@ -48,6 +49,7 @@ def window_ranking(spark, sf_dir):
 
 @q(
     "window_offset_values",
+    extended=True,
     tags=("window",),
     oracle="""
 SELECT event_id, user_id, value,
@@ -82,6 +84,7 @@ def window_offset_values(spark, sf_dir):
 
 @q(
     "window_frames",
+    extended=True,
     tags=("window",),
     oracle="""
 SELECT event_id, user_id,
@@ -113,6 +116,7 @@ def window_frames(spark, sf_dir):
 
 @q(
     "window_topn_per_group",
+    extended=True,
     tags=("window", "topn"),
     bench=True,
     doc="TopNRowNumberOperator analogue; Spark plans WindowGroupLimit "
@@ -144,6 +148,7 @@ def window_topn_per_group(spark, sf_dir):
 
 @q(
     "window_agg_stats",
+    extended=True,
     tags=("window",),
     oracle="""
 SELECT l_orderkey, l_linenumber,

@@ -15,7 +15,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog as _catalog
-from .rewrite import rewrite
+from .rewrite import _literal_mask, rewrite
 from .session import apply_runtime_conf, get_spark
 
 # SET SESSION name → Spark conf key (subset of Presto's ~60 session props that
@@ -227,13 +227,24 @@ class Engine:
                     buf.append(ch)
             if buf:
                 args.append("".join(buf).strip())
-            for value in args:
-                if "?" not in stmt:
-                    raise ValueError("more USING values than ? parameters")
-                stmt = stmt.replace("?", value, 1)
-        if "?" in stmt:
+        else:
+            args = []
+        # Positional splice at literal-aware '?' sites: a '?' inside a
+        # string literal (LIKE 'x?y') is data, and '?' characters inside a
+        # bound value must never be re-scanned as parameters.
+        mask = _literal_mask(stmt)
+        holes = [i for i, ch in enumerate(stmt) if ch == "?" and not mask[i]]
+        if len(args) > len(holes):
+            raise ValueError("more USING values than ? parameters")
+        if len(args) < len(holes):
             raise ValueError("unbound ? parameter in prepared statement")
-        return self.spark.sql(rewrite(stmt))
+        out, last = [], 0
+        for pos, value in zip(holes, args):
+            out.append(stmt[last:pos])
+            out.append(value)
+            last = pos + 1
+        out.append(stmt[last:])
+        return self.spark.sql(rewrite("".join(out)))
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -79,6 +79,11 @@ SQL_FUNCTIONS: list[str] = [
            WHEN w RLIKE '..ed$' THEN regexp_replace(w, 'ed$', '')
            ELSE w
          END""",
+    # Presto to_unixtime returns DOUBLE with fractional seconds
+    # (DateTimeFunctions.java toUnixTime) — Spark's unix_timestamp returns
+    # BIGINT and would truncate; go through unix_micros.
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_to_unixtime(ts TIMESTAMP)
+       RETURNS DOUBLE RETURN CAST(unix_micros(ts) AS DOUBLE) / 1000000.0""",
     # --- MathFunctions.java ---------------------------------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION truncate_num(x DOUBLE)
        RETURNS DOUBLE RETURN CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END""",

@@ -48,7 +48,9 @@ FUNCTION_RENAMES: dict[str, str] = {
     "json_extract": "get_json_object",
     "array_union": "array_union",  # identity — documents parity
     "regexp_like": "rlike",
-    "to_unixtime": "unix_timestamp",
+    # DOUBLE-returning shim (Presto keeps fractional seconds; Spark's
+    # unix_timestamp is BIGINT and truncates).
+    "to_unixtime": "presto_to_unixtime",
     # Presto from_unixtime(x) returns TIMESTAMP (DateTimeFunctions.java);
     # Spark's builtin returns a formatted STRING and cannot be shadowed.
     "from_unixtime": "timestamp_seconds",
@@ -118,11 +120,48 @@ def _apply_outside_literals(sql: str, fn: Callable[[str], str]) -> str:
     )
 
 
-_UNNEST_RE = re.compile(
-    r"CROSS\s+JOIN\s+UNNEST\s*\(([^()]*(?:\([^()]*\))?[^()]*)\)"
+_UNNEST_HEAD_RE = re.compile(r"CROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
+_UNNEST_TAIL_RE = re.compile(
     r"(\s+WITH\s+ORDINALITY)?\s+(?:AS\s+)?(\w+)\s*\(\s*(\w+)(?:\s*,\s*(\w+))?\s*\)",
     re.IGNORECASE,
 )
+
+
+def _rewrite_unnest_all(sql: str) -> str:
+    """Rewrite every CROSS JOIN UNNEST(expr) [WITH ORDINALITY] AS a(c[, c2]).
+
+    The operand is scanned with balanced parentheses (string-literal aware),
+    so arbitrarily nested expressions work — a single regex can only handle
+    bounded nesting."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _UNNEST_HEAD_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            c = sql[j]
+            if c == "'":
+                j += 1
+                while j < len(sql) and sql[j] != "'":
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        expr = sql[m.end() : j - 1]
+        tm = _UNNEST_TAIL_RE.match(sql, j)
+        if depth or not tm:
+            out.append(sql[i:j])
+            i = j
+            continue
+        ordinality, alias, col, col2 = tm.groups()
+        out.append(sql[i : m.start()])
+        out.append(_unnest_replacement(expr, ordinality, alias, col, col2))
+        i = tm.end()
 
 _TABLESAMPLE_RE = re.compile(
     r"TABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)", re.IGNORECASE
@@ -160,15 +199,17 @@ def _rewrite_try_cast(sql: str) -> str:
             return sql
 
 
-def _rewrite_unnest(m: re.Match) -> str:
-    expr, ordinality, alias, col, col2 = m.groups()
+def _unnest_replacement(expr, ordinality, alias, col, col2) -> str:
     if ordinality and col2:
         # WITH ORDINALITY: Presto appends a 1-based ordinal column LAST.
-        # inline(arrays_zip(...)) emits both columns under ONE alias, which
-        # posexplode (pos first, and under a second alias) cannot.
+        # inline(transform(..., (x, i) -> ...)) emits both columns under ONE
+        # alias, which posexplode (pos first, second alias) cannot — and
+        # unlike arrays_zip(expr, sequence(1, size(expr))) it yields ZERO
+        # rows for an empty array (sequence(1,0) = [1,0] would pad two
+        # phantom null rows).
         return (
-            f"LATERAL VIEW inline(arrays_zip({expr}, "
-            f"sequence(1, size({expr})))) {alias} AS {col}, {col2}"
+            f"LATERAL VIEW inline(transform({expr}, "
+            f"(__x, __i) -> struct(__x, __i + 1))) {alias} AS {col}, {col2}"
         )
     if col2:
         # UNNEST(map) yields (key, value) pairs.
@@ -822,7 +863,15 @@ def _rewrite_quantified(sql: str) -> str:
                     and not multi_col
                     and not proj.upper().startswith("DISTINCT")
                 ):
-                    replaced = f"{op} (SELECT {agg}({proj}) {body[f:]})"
+                    # Wrap rather than nest: the subquery may itself contain
+                    # aggregates / GROUP BY (x > ALL (SELECT sum(v) … GROUP
+                    # BY k)) — {agg}({proj}) inline would be an invalid
+                    # nested aggregate; aggregating the wrapped projection
+                    # is always well-formed.
+                    replaced = (
+                        f"{op} (SELECT {agg}(__q) FROM "
+                        f"(SELECT {proj} AS __q {body[f:]}) __qs)"
+                    )
         if replaced is None:
             out.append(sql[i:j])
         else:
@@ -844,7 +893,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_regex_arg_defaults(sql)
     sql = _expand_presto_aggregates(sql)
-    sql = _UNNEST_RE.sub(_rewrite_unnest, sql)
+    sql = _rewrite_unnest_all(sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_quantified(sql)

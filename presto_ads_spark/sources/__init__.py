@@ -141,7 +141,10 @@ def delete_where(spark: SparkSession, path: str, condition: str,
 
     df = spark.read.format(fmt).load(path)
     before = df.count()
-    kept = df.filter(f"NOT ({condition})")
+    # DELETE removes only rows where the condition is TRUE (Presto/SQL
+    # semantics): NULL-condition rows must be KEPT, so the keep-filter is
+    # NOT coalesce(cond, false), not a bare NOT(cond).
+    kept = df.filter(f"NOT coalesce(({condition}), false)")
     staging = path.rstrip("/") + ".__staging__"
     kept.write.format(fmt).mode("overwrite").save(staging)
     after = spark.read.format(fmt).load(staging).count()

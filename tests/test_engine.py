@@ -92,6 +92,15 @@ def test_prepare_execute_unbound_param(engine):
     assert (row.a, row.b) == (1, "x")
 
 
+def test_prepare_execute_question_marks_in_literals_and_values(engine):
+    # '?' inside a string literal is data, not a parameter; '?' inside a
+    # bound value must not be re-scanned as a parameter hole.
+    engine.sql("PREPARE p3 FROM SELECT ? AS a, 'x?y' AS lit")
+    row = engine.sql("EXECUTE p3 USING 'who?'").collect()[0]
+    assert (row.a, row.lit) == ("who?", "x?y")
+    engine.sql("DEALLOCATE PREPARE p3")
+
+
 def test_explain_analyze_runs_and_annotates(engine):
     out = engine.sql(
         "EXPLAIN ANALYZE SELECT o_orderstatus, count(*) FROM orders GROUP BY 1"

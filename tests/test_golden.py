@@ -641,6 +641,30 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         " to_unixtime(from_unixtime(12345)) AS rt",
         [(__import__("datetime").datetime(1970, 1, 2, 0, 0), 12345.0)],
     ),
+    (
+        # Presto to_unixtime returns DOUBLE — fractional seconds survive
+        # (DateTimeFunctions.java toUnixTime; BIGINT would truncate to 1).
+        "to_unixtime_fractional",
+        "SELECT to_unixtime(TIMESTAMP '1970-01-01 00:00:01.5') AS s",
+        [(1.5,)],
+    ),
+    (
+        # empty array → zero rows (the arrays_zip/sequence(1,0) form used
+        # to pad 2 phantom null rows).
+        "unnest_ordinality_empty",
+        "SELECT w, o FROM (VALUES 1) dd(d) CROSS JOIN"
+        " UNNEST(filter(split('a b', ' '), v -> false)) WITH ORDINALITY AS t(w, o)",
+        [],
+    ),
+    (
+        # quantified comparison over an aggregated+grouped subquery: the
+        # rewrite must wrap (SELECT max(q) FROM (...)) — inlining
+        # max(sum(v)) would be an invalid nested aggregate.
+        "quantified_all_group_by",
+        "SELECT 7 > ALL (SELECT sum(v) FROM (VALUES (1, 1), (2, 1), (3, 2))"
+        " t(v, k) GROUP BY k) AS ok",
+        [(True,)],
+    ),
     # --- horology operators (reference horology_functions/
     #     dateTimeOperatorsAccessible.sql semantics; TIME type excluded —
     #     Spark has none, documented gap) ----------------------------------

@@ -45,7 +45,7 @@ def test_unnest_ordinality():
     out = rewrite(
         "SELECT w, o FROM d CROSS JOIN UNNEST(arr) WITH ORDINALITY AS t(w, o)"
     )
-    assert "inline(arrays_zip(arr, sequence(1, size(arr)))) t AS w, o" in out
+    assert "inline(transform(arr, (__x, __i) -> struct(__x, __i + 1))) t AS w, o" in out
 
 
 def test_unnest_map_two_cols():

@@ -105,6 +105,20 @@ def test_delete_where(spark, tmp_path):
     assert back.count() == df.count() - deleted
 
 
+def test_delete_where_null_condition_keeps_rows(spark, tmp_path):
+    # DELETE removes only rows where the condition is TRUE: rows where it
+    # evaluates NULL (x IS NULL with 'x > 5') must be KEPT, not dropped.
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3)], "id int, x int"
+    )
+    path = str(tmp_path / "nulldel")
+    sources.write(df, "parquet", path)
+    deleted = sources.delete_where(spark, path, "x > 5")
+    assert deleted == 1
+    kept = {r.id for r in sources.read(spark, "parquet", path).collect()}
+    assert kept == {2, 3}
+
+
 def test_decoders_json_csv_raw(spark):
     from presto_ads_spark.sources import decoders
 

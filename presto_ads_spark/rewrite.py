@@ -811,6 +811,111 @@ def _top_level_from(s: str) -> int:
     return -1
 
 
+def _split_subquery(inner: str) -> tuple[str, str] | None:
+    """Split ``SELECT <proj> <rest>`` into (proj, rest incl. FROM); None if
+    the shape is unsupported (multi-column or DISTINCT projection)."""
+    if inner[:6].upper() != "SELECT":
+        return None
+    body = inner[6:]
+    f = _top_level_from(body)
+    if f < 0:
+        return None
+    proj = body[:f].strip()
+    depth = 0
+    for c in proj:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return None
+    if not proj or proj.upper().startswith("DISTINCT"):
+        return None
+    return proj, body[f:]
+
+
+_IN_SUBQ_RE = re.compile(r"(\bNOT\s+)?\bIN\s*\(\s*SELECT\b", re.IGNORECASE)
+
+_uniq_counter = [0]
+
+
+def _uniq() -> int:
+    _uniq_counter[0] += 1
+    return _uniq_counter[0]
+
+
+def _projection_zones(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans between each SELECT keyword and its own top-level
+    FROM — the SELECT-list zones where Spark's ExistenceJoin flattens the
+    three-valued IN result to TRUE/FALSE."""
+    mask = _literal_mask(sql)
+    zones = []
+    for m in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE):
+        if mask[m.start()]:
+            continue
+        body = sql[m.end():]
+        f = _top_level_from(body)
+        zones.append((m.end(), m.end() + (f if f >= 0 else len(body))))
+    return zones
+
+
+def _rewrite_projected_in_subquery(sql: str) -> str:
+    """3VL-correct ``[NOT] IN (SELECT …)`` in PROJECTION context.
+
+    In WHERE/HAVING Spark already plans a null-aware (anti) join with
+    standard semantics, but a projected IN-predicate becomes an
+    ExistenceJoin whose output is TRUE/FALSE — Presto/standard yield NULL
+    when there is no match and the subquery column (or probe value) is
+    NULL (reference
+    TransformUncorrelatedInPredicateSubqueryToSemiJoin.java:55 preserves
+    the three-valued form). Rewritten to an explicit CASE:
+
+      CASE WHEN count(S) = 0          THEN FALSE
+           WHEN EXISTS(match)         THEN TRUE
+           WHEN x IS NULL OR S has NULL THEN NULL
+           ELSE FALSE END             (negated for NOT IN)
+    """
+    while True:
+        zones = _projection_zones(sql)
+        mask = _literal_mask(sql)
+        target = None
+        for m in _IN_SUBQ_RE.finditer(sql):
+            if mask[m.start()]:
+                continue
+            if any(a <= m.start() < b for a, b in zones):
+                target = m
+                break
+        if target is None:
+            return sql
+        open_paren = sql.index("(", target.start(), target.end())
+        # scan to the matching ')' of the IN-list paren
+        j = _scan_matching_paren(sql, open_paren + 1)
+        inner = sql[open_paren + 1 : j - 1].strip()
+        split = _split_subquery(inner)
+        estart = _expr_start(sql, mask, target.start())
+        if split is None or estart is None:
+            # unsupported shape — leave untouched (mark by upper-casing IN?
+            # instead: bail out entirely to avoid an infinite loop)
+            return sql
+        proj, rest = split
+        x = sql[estart : target.start()].strip()
+        negate = bool(target.group(1))
+        n = _uniq()
+        wrapped = f"(SELECT {proj} AS __q {rest})"
+        cnt0 = f"(SELECT count(*) FROM {wrapped} __c{n}) = 0"
+        match = f"EXISTS(SELECT 1 FROM {wrapped} __e{n} WHERE __e{n}.__q = ({x}))"
+        hasnull = (
+            f"({x}) IS NULL OR "
+            f"(SELECT count(*) FROM {wrapped} __n{n} WHERE __q IS NULL) > 0"
+        )
+        t, f_ = ("FALSE", "TRUE") if negate else ("TRUE", "FALSE")
+        repl = (
+            f"CASE WHEN {cnt0} THEN {f_} WHEN {match} THEN {t} "
+            f"WHEN {hasnull} THEN CAST(NULL AS BOOLEAN) ELSE {f_} END"
+        )
+        sql = sql[:estart] + repl + sql[j:]
+
+
 def _rewrite_quantified(sql: str) -> str:
     """Quantified comparisons (Presto SqlBase.g4 ``comparisonQuantifier``;
     Spark has no ALL/ANY subquery syntax):
@@ -825,6 +930,7 @@ def _rewrite_quantified(sql: str) -> str:
     pass through untouched (and fail loudly at parse time)."""
     out: list[str] = []
     i = 0
+    mask = _literal_mask(sql)
     while True:
         m = _QUANT_RE.search(sql, i)
         if not m:
@@ -836,11 +942,44 @@ def _rewrite_quantified(sql: str) -> str:
         j = _scan_matching_paren(sql, m.end())
         inner = sql[m.end() : j - 1].strip()
         replaced = None
+        consumed_from = None  # set when the rewrite swallows the left expr
         if inner[:6].upper() == "SELECT":
             if op == "=" and quant == "ANY":
                 replaced = f" IN ({inner})"
             elif op in ("<>", "!=") and quant == "ALL":
                 replaced = f" NOT IN ({inner})"
+            elif (op == "=" and quant == "ALL") or (
+                op in ("<>", "!=") and quant == "ANY"
+            ):
+                # x = ALL(S) / x <> ANY(S): three-valued min/max form
+                # (reference TransformQuantifiedComparisonApplyToLateralJoin
+                # .java builds the same count/count-nonnull/min/max frame):
+                #   S empty              → TRUE  (=ALL) / FALSE (<>ANY)
+                #   x IS NULL, S not empty → NULL
+                #   some non-null y ≠ x  → FALSE (=ALL) / TRUE (<>ANY)
+                #   some NULL y          → NULL
+                #   else (all y = x)     → TRUE  (=ALL) / FALSE (<>ANY)
+                split = _split_subquery(inner)
+                estart = _expr_start(sql, mask, m.start())
+                if split is not None and estart is not None and estart >= i:
+                    proj, rest = split
+                    x = sql[estart : m.start()].strip()
+                    n = _uniq()
+                    wrapped = f"(SELECT {proj} AS __q {rest})"
+                    cnt = f"(SELECT count(*) FROM {wrapped} __qa{n})"
+                    cntv = f"(SELECT count(__q) FROM {wrapped} __qb{n})"
+                    mn = f"(SELECT min(__q) FROM {wrapped} __qc{n})"
+                    mx = f"(SELECT max(__q) FROM {wrapped} __qd{n})"
+                    t, f_ = ("TRUE", "FALSE") if op == "=" else ("FALSE", "TRUE")
+                    replaced = (
+                        f"CASE WHEN {cnt} = 0 THEN {t} "
+                        f"WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                        f"WHEN {cntv} > 0 AND ({mn} <> ({x}) OR {mx} <> ({x}))"
+                        f" THEN {f_} "
+                        f"WHEN {cnt} > {cntv} THEN CAST(NULL AS BOOLEAN) "
+                        f"ELSE {t} END"
+                    )
+                    consumed_from = estart
             else:
                 agg = _QUANT_AGG.get((op, quant))
                 body = inner[6:]
@@ -875,7 +1014,8 @@ def _rewrite_quantified(sql: str) -> str:
         if replaced is None:
             out.append(sql[i:j])
         else:
-            out.append(sql[i : m.start()])
+            out.append(sql[i : (consumed_from if consumed_from is not None
+                                else m.start())])
             out.append(replaced)
         i = j
 
@@ -897,6 +1037,7 @@ def rewrite(sql: str) -> str:
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_quantified(sql)
+    sql = _rewrite_projected_in_subquery(sql)
     sql = _rewrite_int_literal_division(sql)
     sql = _rewrite_order_by_nulls(sql)
     sql = _rewrite_datetime_patterns(sql)

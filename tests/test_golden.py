@@ -665,6 +665,37 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         " t(v, k) GROUP BY k) AS ok",
         [(True,)],
     ),
+    (
+        # projected IN/NOT IN must keep three-valued semantics: NULL (not
+        # FALSE) when there is no match and the subquery column has NULLs
+        # (Spark's raw ExistenceJoin flattens to FALSE;
+        # TransformUncorrelatedInPredicateSubqueryToSemiJoin.java:55).
+        "projected_in_3vl",
+        "SELECT x, x IN (SELECT y FROM (VALUES 1, CAST(NULL AS INT)) s(y)) AS f,"
+        " x NOT IN (SELECT y FROM (VALUES 1, CAST(NULL AS INT)) s(y)) AS g"
+        " FROM (VALUES 1, 2) t(x)",
+        [(1, True, False), (2, None, None)],
+    ),
+    (
+        # empty subquery: IN → FALSE, NOT IN → TRUE, even for NULL probe.
+        "projected_in_empty_subquery",
+        "SELECT x IN (SELECT y FROM (VALUES 1) s(y) WHERE y < 0) AS f,"
+        " x NOT IN (SELECT y FROM (VALUES 1) s(y) WHERE y < 0) AS g"
+        " FROM (VALUES CAST(NULL AS INT)) t(x)",
+        [(False, True)],
+    ),
+    (
+        # = ALL / <> ANY three-valued forms
+        # (TransformQuantifiedComparisonApplyToLateralJoin.java).
+        "quantified_eq_all_ne_any",
+        "SELECT x = ALL (SELECT y FROM (VALUES 1, 1) s(y)) AS a,"
+        " x = ALL (SELECT y FROM (VALUES 1, CAST(NULL AS INT)) s(y)) AS b,"
+        " x = ALL (SELECT y FROM (VALUES 1) s(y) WHERE y < 0) AS c,"
+        " x <> ANY (SELECT y FROM (VALUES 1, 1) s(y)) AS d,"
+        " x <> ANY (SELECT y FROM (VALUES 1, CAST(NULL AS INT)) s(y)) AS e"
+        " FROM (VALUES 1, 2) t(x)",
+        [(True, None, True, False, None), (False, False, True, True, True)],
+    ),
     # --- horology operators (reference horology_functions/
     #     dateTimeOperatorsAccessible.sql semantics; TIME type excluded —
     #     Spark has none, documented gap) ----------------------------------

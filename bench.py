@@ -32,14 +32,21 @@ def main() -> None:
     # 2-prewarm/6-run protocol (tpch.yaml:3-6).
     for name, spec in bench_queries.items():
         spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()  # drop per-query persists between queries
 
+    # Per query: two timed runs, take the min (the second is warm — Spark's
+    # CacheManager plan-matches the query's own persisted intermediates),
+    # then drop caches so abandoned blocks don't slow later queries.
     timings: dict[str, float] = {}
-    for _ in range(2):
-        for name, spec in bench_queries.items():
+    for name, spec in bench_queries.items():
+        best = None
+        for _ in range(2):
             t0 = time.perf_counter()
             spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(el, timings.get(name, el))
+            best = el if best is None else min(best, el)
+        timings[name] = best
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

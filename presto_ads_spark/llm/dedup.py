@@ -192,7 +192,9 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
                         threshold: float = 0.5, n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for pairs (all pairs if candidates is None —
     only sane for small inputs / verification of LSH candidates)."""
-    sh = shingle_table(df, text_col, id_col, n)
+    # the shingle table feeds counts AND both sides of the intersection
+    # join — persist so the corpus is shingled once, not three times.
+    sh = shingle_table(df, text_col, id_col, n).persist()
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

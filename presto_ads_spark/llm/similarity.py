@@ -136,21 +136,24 @@ def lsh_topk(emb: DataFrame, k: int = 5, bits: int = 8,
     )
 
 
-def _centroid_literal(e: DataFrame, n_cells: int) -> Column:
-    """Deterministic coarse-quantizer centroids as a plan literal:
-    the normalized vectors of the ``n_cells`` smallest ids (landmark
-    selection — swap in MLlib KMeans centroids for learned cells; the
-    IVF plan shape below is unchanged). C×d doubles embed directly in
-    the plan, so every executor gets them broadcast for free."""
-    rows = e.orderBy("id").limit(n_cells).collect()
-    return F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
-            )
-            for i, r in enumerate(rows)
-        ]
+def _centroid_frame(e: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic coarse-quantizer centroids as a ONE-ROW broadcast
+    DataFrame carrying a ``cents: array<struct<cid,cv>>`` column — the
+    normalized vectors of the ``n_cells`` smallest ids (landmark selection;
+    swap in MLlib KMeans centroids for learned cells, the IVF plan shape is
+    unchanged). Unlike a plan literal, C×d doubles never bloat the plan
+    text: they ship once via broadcast, so real cell counts (C in the
+    thousands) stay cheap."""
+    w = Window.orderBy("id")
+    return (
+        e.orderBy("id")
+        .limit(n_cells)
+        .select((F.row_number().over(w) - 1).alias("cid"), "v")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("v").alias("cv")))
+            ).alias("cents")
+        )
     )
 
 
@@ -187,13 +190,17 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 16, nprobe: int = 4,
     e = emb.select(
         F.col(id_col).alias("id"), normalized(as_double(F.col(vec_col))).alias("v")
     ).persist()  # see lsh_topk: stop projection inlining into per-pair dots
-    cents = _centroid_literal(e, n_cells)
-    index = e.select(
+    # broadcast-join the one-row centroid frame: every row sees the
+    # `cents` array column and runs the same JVM-side nearest-cell fold as
+    # before — no extra shuffle, no plan-literal bloat.
+    withc = e.crossJoin(F.broadcast(_centroid_frame(e, n_cells)))
+    cents = F.col("cents")
+    index = withc.select(
         F.col("id").alias("nbr_id"),
         F.col("v"),
         F.element_at(_nearest_cells(F.col("v"), cents, 1), 1).alias("cell"),
     )
-    probes = e.select(
+    probes = withc.select(
         F.col("id").alias("query_id"),
         F.col("v").alias("q"),
         F.explode(_nearest_cells(F.col("v"), cents, nprobe)).alias("cell"),

@@ -163,7 +163,10 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     corpus = near_corpus(spark, sf_dir)
-    est = dedup.minhash_near_dups(corpus, threshold=0.5)
+    # est feeds the candidate list AND the final join — persist so the
+    # signature/banding pipeline runs once (at 100 TB this materializes to
+    # a table between the two stages).
+    est = dedup.minhash_near_dups(corpus, threshold=0.5).persist()
     exact = dedup.ngram_jaccard_pairs(
         corpus, candidate_pairs=est.select("id_a", "id_b"), threshold=0.0
     )

@@ -786,27 +786,61 @@ GROUP BY s_name
 """,
 )
 def q21(spark, sf_dir):
-    spark_sql_tables(spark, sf_dir)
-    return spark.sql(
-        """
-SELECT s_name, COUNT(*) AS numwait
-FROM supplier
-JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-JOIN orders ON o_orderkey = l1.l_orderkey
-JOIN nation ON s_nationkey = n_nationkey
-WHERE o_orderstatus = 'F'
-  AND n_name = 'NATION_1'
-  AND EXISTS (
-    SELECT 1 FROM lineitem l2
-    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-  )
-  AND NOT EXISTS (
-    SELECT 1 FROM lineitem l3
-    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      AND l3.l_shipdate > l1.l_shipdate
-  )
-GROUP BY s_name
-"""
+    # Single-scan window form of the EXISTS / NOT EXISTS pair (the
+    # decorrelated form scans lineitem 3×). Per row l1:
+    #   EXISTS other supplier in the order      ⇔ n_supp > 1
+    #   NOT EXISTS other supplier shipping later ⇔ max over OTHER suppliers
+    #     of their latest shipdate <= l1.l_shipdate
+    # The "other-supplier max" comes from (mx1, mx2, count-at-max) computed
+    # with window functions. lineitem is repartitioned by l_orderkey ONCE:
+    # hashpartitioning(l_orderkey) satisfies both window partitionings
+    # ((ok, sk) and (ok)) AND the orders join key, so the whole pipeline
+    # runs on a single shuffle of the fact table.
+    from pyspark.sql import Window
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    ).repartition(F.col("l_orderkey"))
+    w_os = Window.partitionBy("l_orderkey", "l_suppkey")
+    w_o = Window.partitionBy("l_orderkey")
+    step1 = l.select(
+        "*",
+        F.max("l_shipdate").over(w_os).alias("ms"),
+        F.row_number()
+        .over(w_os.orderBy("l_shipdate"))
+        .alias("rn_in_supp"),
+    )
+    step2 = step1.select("*", F.max("l_shipdate").over(w_o).alias("mx1"))
+    step3 = step2.select(
+        "*",
+        F.sum(F.when(F.col("rn_in_supp") == 1, 1).otherwise(0))
+        .over(w_o)
+        .alias("n_supp"),
+        F.sum(
+            F.when((F.col("rn_in_supp") == 1) & (F.col("ms") == F.col("mx1")), 1)
+            .otherwise(0)
+        )
+        .over(w_o)
+        .alias("n_at_max"),
+        F.max(F.when(F.col("ms") < F.col("mx1"), F.col("l_shipdate")))
+        .over(w_o)
+        .alias("mx2"),
+    )
+    other_max = F.when(
+        (F.col("ms") < F.col("mx1")) | (F.col("n_at_max") > 1), F.col("mx1")
+    ).otherwise(F.col("mx2"))
+    qual = step3.filter(
+        (F.col("n_supp") > 1) & (F.col("l_shipdate") >= other_max)
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        qual.join(o, qual.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 

@@ -15,7 +15,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog as _catalog
-from .rewrite import _literal_mask, rewrite
+from .rewrite import _literal_mask, rewrite, rewrite_integral_column_division
 from .session import apply_runtime_conf, get_spark
 
 # SET SESSION name → Spark conf key (subset of Presto's ~60 session props that
@@ -92,6 +92,27 @@ class Engine:
 
             register_all(self.spark)
         self._prepared: dict[str, str] = {}
+        self._int_cols = self._integral_columns()
+
+    def _integral_columns(self) -> frozenset:
+        """Lowercased names of integral-typed columns across registered
+        tables (names whose type category conflicts between tables are
+        dropped). Feeds the Presto column-typed integer-division rewrite
+        (BigintOperators.java divide: bigint/bigint truncates)."""
+        integral = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+        votes: dict[str, set[bool]] = {}
+        for tbl in self.spark.catalog.listTables():
+            try:
+                for f in self.spark.table(tbl.name).schema.fields:
+                    votes.setdefault(f.name.lower(), set()).add(
+                        f.dataType.simpleString() in integral
+                    )
+            except Exception:  # noqa: BLE001 — unreadable view: skip
+                continue
+        return frozenset(n for n, v in votes.items() if v == {True})
+
+    def _rewrite(self, text: str) -> str:
+        return rewrite(rewrite_integral_column_division(text, self._int_cols))
 
     # -- statement entry point -------------------------------------------
     def sql(self, text: str) -> DataFrame:
@@ -128,7 +149,7 @@ class Engine:
         m = _EXECUTE_RE.match(text)
         if m and m.group(1).lower() in self._prepared:
             return self._execute_prepared(m.group(1).lower(), m.group(2))
-        return self.spark.sql(rewrite(text))
+        return self.spark.sql(self._rewrite(text))
 
     def _explain_analyze(self, inner_sql: str) -> DataFrame:
         """EXPLAIN ANALYZE: execute, then return the AQE-final physical plan
@@ -244,7 +265,7 @@ class Engine:
             out.append(value)
             last = pos + 1
         out.append(stmt[last:])
-        return self.spark.sql(rewrite("".join(out)))
+        return self.spark.sql(self._rewrite("".join(out)))
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -292,6 +292,20 @@ SQL_FUNCTIONS: list[str] = [
        RETURNS INT RETURN instr(haystack, needle)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION char2hexint(s STRING)
        RETURNS STRING RETURN upper(hex(encode(s, 'UTF-16BE')))""",
+    # Teradata to_char/to_date/to_timestamp (DateFormatFunctions.java):
+    # Teradata tokens YYYY/YY/MM/DD/HH24/HH/MI/SS → java.time patterns.
+    # 'H24X' is a collision-free sentinel so HH24 survives the HH pass.
+    """CREATE OR REPLACE TEMPORARY FUNCTION teradata_fmt(f STRING)
+       RETURNS STRING RETURN
+         replace(replace(replace(replace(replace(replace(replace(replace(
+           f, 'HH24', 'H24X'), 'YYYY', 'yyyy'), 'YY', 'yy'), 'DD', 'dd'),
+           'HH', 'hh'), 'H24X', 'HH'), 'MI', 'mm'), 'SS', 'ss')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION teradata_to_char(ts TIMESTAMP, f STRING)
+       RETURNS STRING RETURN date_format(ts, teradata_fmt(f))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION teradata_to_date(s STRING, f STRING)
+       RETURNS DATE RETURN to_date(s, teradata_fmt(f))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION teradata_to_timestamp(s STRING, f STRING)
+       RETURNS TIMESTAMP RETURN to_timestamp(s, teradata_fmt(f))""",
     # --- BitwiseFunctions.java:50-74 ------------------------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_and(a BIGINT, b BIGINT)
        RETURNS BIGINT RETURN a & b""",

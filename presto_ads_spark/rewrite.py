@@ -54,7 +54,14 @@ FUNCTION_RENAMES: dict[str, str] = {
     # Presto from_unixtime(x) returns TIMESTAMP (DateTimeFunctions.java);
     # Spark's builtin returns a formatted STRING and cannot be shadowed.
     "from_unixtime": "timestamp_seconds",
+    # Teradata compat (presto-teradata-functions DateFormatFunctions.java):
+    # MUST precede the from_iso8601 renames — those emit to_timestamp/
+    # to_date, which would otherwise be re-renamed by these entries.
+    "to_char": "teradata_to_char",
+    "to_date": "teradata_to_date",
+    "to_timestamp": "teradata_to_timestamp",
     "from_iso8601_timestamp": "to_timestamp",
+    "__spark_to_timestamp": "to_timestamp",
     "from_iso8601_date": "to_date",
     "to_base64": "base64",
     "from_base64": "unbase64",
@@ -273,7 +280,11 @@ def _rewrite_datetime_patterns(sql: str) -> str:
                 out.append(sql[i : j])
                 i = j
                 continue
-            new_fn = "to_timestamp" if fn == "date_parse" else "date_format"
+            # __spark_to_timestamp: sentinel renamed to the Spark builtin in
+            # the LAST rename pass — a bare "to_timestamp" here would be
+            # captured by the earlier Teradata to_timestamp rename and its
+            # java-pattern argument double-translated.
+            new_fn = "__spark_to_timestamp" if fn == "date_parse" else "date_format"
             new_args = args[: pat.start()] + "'" + translated.replace("'", "''") + "'"
             out.append(sql[i : m.start()])
             out.append(f"{new_fn}({new_args})")
@@ -739,6 +750,40 @@ def _rewrite_int_literal_division(sql: str) -> str:
     return _apply_outside_literals(
         sql, lambda c: _INT_DIV_RE.sub(r"(\1 DIV \2)", c)
     )
+
+
+# operand: a bare (possibly qualified) identifier or an integer literal
+_COL_DIV_RE = re.compile(
+    r"(?<![\w.)\]])([A-Za-z_][\w.]*|\d+)\s*/\s*([A-Za-z_][\w.]*|\d+)(?![\w.(])"
+)
+
+
+def rewrite_integral_column_division(sql: str, int_cols: frozenset) -> str:
+    """Presto integer division for COLUMN operands (BigintOperators.java
+    divide: bigint/bigint truncates; Spark's ``/`` always returns double).
+
+    Schema-aware: ``a / b`` becomes ``a DIV b`` when both operands are
+    integer literals or identifiers whose (last-segment, lowercased) names
+    are known integral columns — the caller (Engine) supplies ``int_cols``
+    from its registered table schemas, omitting ambiguous names. Applies
+    only to simple-identifier operands; complex expressions (and chained
+    divisions, whose left side is no longer an identifier after one
+    rewrite) pass through — documented gap."""
+    if not int_cols:
+        return sql
+
+    def _is_int(tok: str) -> bool:
+        if tok.isdigit():
+            return True
+        return tok.rsplit(".", 1)[-1].lower() in int_cols
+
+    def _sub(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        if _is_int(a) and _is_int(b):
+            return f"({a} DIV {b})"
+        return m.group(0)
+
+    return _apply_outside_literals(sql, lambda c: _COL_DIV_RE.sub(_sub, c))
 
 
 # Spark has no TIME type; anchor Presto TIME literals on the epoch date so

@@ -92,6 +92,31 @@ def test_prepare_execute_unbound_param(engine):
     assert (row.a, row.b) == (1, "x")
 
 
+def test_integer_column_division(engine):
+    # Presto bigint/bigint truncates (BigintOperators.java divide); Spark's
+    # native / would return 2.5-style doubles. Schema-aware rewrite applies
+    # only when BOTH operands are known integral columns (or int literals).
+    rows = engine.sql(
+        "SELECT l_orderkey, l_linenumber, l_orderkey / l_linenumber AS d"
+        " FROM lineitem WHERE l_orderkey < 10 AND l_linenumber > 0"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert isinstance(r.d, int) and r.d == r.l_orderkey // r.l_linenumber
+    # double operands keep true division
+    r2 = engine.sql(
+        "SELECT l_extendedprice / l_quantity AS d FROM lineitem"
+        " WHERE l_quantity > 0 ORDER BY l_orderkey, l_linenumber LIMIT 1"
+    ).collect()[0]
+    assert isinstance(r2.d, float)
+    # mixed int/double keeps true division too
+    r3 = engine.sql(
+        "SELECT l_orderkey / l_quantity AS d FROM lineitem"
+        " WHERE l_quantity > 0 ORDER BY l_orderkey, l_linenumber LIMIT 1"
+    ).collect()[0]
+    assert isinstance(r3.d, float)
+
+
 def test_prepare_execute_question_marks_in_literals_and_values(engine):
     # '?' inside a string literal is data, not a parameter; '?' inside a
     # bound value must not be re-scanned as a parameter hole.

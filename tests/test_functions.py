@@ -173,6 +173,35 @@ def test_teradata_compat(engine):
     assert one(engine, "char2hexint('AB')") == "00410042"
 
 
+def test_teradata_datetime_compat(engine):
+    # DateFormatFunctions.java: Teradata-token formats YYYY/MM/DD/HH24/MI/SS
+    import datetime
+
+    assert (
+        one(engine, "to_char(TIMESTAMP '2024-03-05 17:08:09', 'YYYY-MM-DD HH24:MI:SS')")
+        == "2024-03-05 17:08:09"
+    )
+    assert one(engine, "to_char(TIMESTAMP '2024-03-05 17:08:09', 'DD/MM/YY')") == "05/03/24"
+    assert one(engine, "to_date('2024-03-05', 'YYYY-MM-DD')") == datetime.date(2024, 3, 5)
+    assert one(
+        engine, "to_timestamp('2024-03-05 17:08:09', 'YYYY-MM-DD HH24:MI:SS')"
+    ) == datetime.datetime(2024, 3, 5, 17, 8, 9)
+
+
+def test_teradata_datetime_vs_duckdb_strftime(engine):
+    # cross-checked against DuckDB's strftime on the same instant
+    import duckdb
+
+    expect = duckdb.connect().execute(
+        "SELECT strftime(TIMESTAMP '1999-12-31 23:59:58', '%Y-%m-%d %H:%M:%S')"
+    ).fetchone()[0]
+    got = one(
+        engine,
+        "to_char(TIMESTAMP '1999-12-31 23:59:58', 'YYYY-MM-DD HH24:MI:SS')",
+    )
+    assert got == expect
+
+
 def test_aggregate_builders(spark):
     import math
 

@@ -282,6 +282,46 @@ def test_geospatial_lite(engine):
     ) is True
 
 
+def test_geospatial_wkt_geometry(engine):
+    # WKT round-trip, measures, predicates over the generic geometry type
+    # (GeoFunctions.java planar subset; boundary-inclusive contains).
+    assert (
+        one(engine, "st_astext(st_geometry_from_text('POINT (1.5 2.5)'))")
+        == "POINT (1.5 2.5)"
+    )
+    assert one(engine, "st_area(st_geometry_from_text('POLYGON ((0 0, 4 0, 4 3, 0 0))'))") == 6.0
+    assert one(engine, "st_length(st_geometry_from_text('LINESTRING (0 0, 3 4, 3 8)'))") == 9.0
+    assert (
+        one(engine, "st_astext(st_centroid(st_geometry_from_text('POLYGON ((0 0, 6 0, 6 3, 0 3, 0 0))')))")
+        == "POINT (3.0 1.5)"
+    )
+    # boundary point is contained (inclusive semantics, documented)
+    assert one(engine, "st_contains(st_make_envelope(0.0,0.0,10.0,10.0), st_point(10.0,5.0))") is True
+    assert one(
+        engine,
+        "st_contains(st_geometry_from_text('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),"
+        " st_make_envelope(2.0,2.0,3.0,3.0))",
+    ) is True
+    assert one(
+        engine,
+        "st_intersects(st_geometry_from_text('LINESTRING (0 0, 10 10)'),"
+        " st_geometry_from_text('LINESTRING (0 10, 10 0)'))",
+    ) is True
+    assert one(engine, "st_disjoint(st_point(0.0,0.0), st_make_envelope(1.0,1.0,2.0,2.0))") is True
+    assert one(engine, "st_distance(st_point(0.0,0.0), st_geometry_from_text('LINESTRING (0 5, 10 5)'))") == 5.0
+    assert one(
+        engine,
+        "st_distance(st_make_envelope(0.0,0.0,1.0,1.0), st_make_envelope(4.0,1.0,5.0,2.0))",
+    ) == 3.0
+    assert one(engine, "st_num_points(st_geometry_from_text('POLYGON ((0 0, 1 0, 1 1, 0 0))'))") == 3
+    assert one(engine, "st_is_closed(st_geometry_from_text('LINESTRING (0 0, 1 1, 0 0)'))") is True
+    assert one(engine, "st_geometry_type(st_point(1.0,1.0))") == "ST_Point"
+    assert (
+        one(engine, "st_astext(st_envelope(st_geometry_from_text('LINESTRING (1 2, 5 0, 3 4)')))")
+        == "POLYGON ((1.0 0.0, 5.0 0.0, 5.0 4.0, 1.0 4.0, 1.0 0.0))"
+    )
+
+
 def test_hll_sketch_functions(engine):
     # mergeable HLL sketches (Presto approx_set/merge/cardinality family)
     row = engine.sql(

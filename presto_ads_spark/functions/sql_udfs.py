@@ -287,6 +287,13 @@ SQL_FUNCTIONS: list[str] = [
              WHEN 'TB' THEN CAST(1099511627776 AS DECIMAL(38, 0))
              WHEN 'PB' THEN CAST(1125899906842624 AS DECIMAL(38, 0))
            END) AS DECIMAL(38, 0))""",
+    # Presto JSON type is carried as its canonical string form here:
+    # json_parse validates/passes the text through (NULL stays NULL),
+    # json_format is the inverse (JsonFunctions.java json_parse/json_format).
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_parse(s STRING)
+       RETURNS STRING RETURN s""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_format(s STRING)
+       RETURNS STRING RETURN s""",
     # --- Teradata compat (presto-teradata-functions) ---------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION index(haystack STRING, needle STRING)
        RETURNS INT RETURN instr(haystack, needle)""",

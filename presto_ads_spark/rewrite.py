@@ -961,6 +961,111 @@ def _rewrite_projected_in_subquery(sql: str) -> str:
         sql = sql[:estart] + repl + sql[j:]
 
 
+_SCALAR_TYPE_MAP = {
+    "varchar": "string", "char": "string", "json": "string",
+    "integer": "int", "int": "int", "bigint": "bigint",
+    "tinyint": "tinyint", "smallint": "smallint",
+    "double": "double", "real": "float", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamp", "varbinary": "binary",
+}
+
+
+def _presto_type_to_spark(t: str) -> str | None:
+    """Presto type syntax → Spark DDL schema string: MAP(VARCHAR, BIGINT) →
+    map<string,bigint>, ARRAY(ROW(a BIGINT)) → array<struct<a:bigint>>.
+    None when the shape is unsupported."""
+    t = t.strip()
+    m = re.match(r"^(MAP|ARRAY|ROW)\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if not m:
+        base = t.lower()
+        pm = re.match(r"^(varchar|char|decimal)\s*\((.*)\)$", base, re.DOTALL)
+        if pm:
+            if pm.group(1) == "decimal":
+                return f"decimal({pm.group(2)})"
+            return "string"
+        return _SCALAR_TYPE_MAP.get(base)
+    kind, inner = m.group(1).upper(), m.group(2)
+    parts, depth, buf = [], 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    if kind == "ARRAY" and len(parts) == 1:
+        el = _presto_type_to_spark(parts[0])
+        return f"array<{el}>" if el else None
+    if kind == "MAP" and len(parts) == 2:
+        k, v = _presto_type_to_spark(parts[0]), _presto_type_to_spark(parts[1])
+        return f"map<{k},{v}>" if k and v else None
+    if kind == "ROW":
+        fields = []
+        for p in parts:
+            fm = re.match(r"^\s*(\w+)\s+(.+)$", p, re.DOTALL)
+            if not fm:
+                return None
+            ft = _presto_type_to_spark(fm.group(2))
+            if not ft:
+                return None
+            fields.append(f"{fm.group(1)}:{ft}")
+        return "struct<" + ",".join(fields) + ">"
+    return None
+
+
+_CAST_OPEN_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
+
+
+def _rewrite_json_casts(sql: str) -> str:
+    """Presto ``CAST(json AS MAP(...)|ARRAY(...)|ROW(...))`` →
+    ``from_json(expr, '<spark schema>')`` (reference JsonToMapCast.java /
+    JsonToArrayCast.java / JsonToRowCast.java). Presto's parenthesized
+    complex-type syntax only exists on JSON casts, so the translation is
+    unambiguous; Spark's angle-bracket casts pass through untouched."""
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end() : j - 1]
+        # last top-level " AS " splits expr from target type
+        depth, in_str, as_pos = 0, False, -1
+        for k in range(len(inner) - 3):
+            c = inner[k]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and inner[k : k + 4].upper() == " AS "
+            ):
+                as_pos = k
+        if as_pos < 0:
+            i = m.end()
+            continue
+        ttype = inner[as_pos + 4 :].strip()
+        if not re.match(r"^(MAP|ARRAY|ROW)\s*\(", ttype, re.IGNORECASE):
+            i = m.end()
+            continue
+        schema = _presto_type_to_spark(ttype)
+        if schema is None:
+            i = m.end()
+            continue
+        expr = inner[:as_pos]
+        sql = sql[: m.start()] + f"from_json({expr}, '{schema}')" + sql[j:]
+        i = m.start()
+
+
 def _rewrite_quantified(sql: str) -> str:
     """Quantified comparisons (Presto SqlBase.g4 ``comparisonQuantifier``;
     Spark has no ALL/ANY subquery syntax):
@@ -1081,6 +1186,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_unnest_all(sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
+    sql = _rewrite_json_casts(sql)
     sql = _rewrite_quantified(sql)
     sql = _rewrite_projected_in_subquery(sql)
     sql = _rewrite_int_literal_division(sql)

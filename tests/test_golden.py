@@ -666,6 +666,17 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         [(True,)],
     ),
     (
+        # JSON → complex-type casts (JsonToMapCast/JsonToArrayCast/
+        # JsonToRowCast): Presto's parenthesized type syntax → from_json.
+        "json_complex_casts",
+        "SELECT CAST(json_parse('{\"a\": 1, \"b\": 2}') AS MAP(VARCHAR, BIGINT))['b'] AS m,"
+        " CAST(json_parse('[10, 20, 30]') AS ARRAY(BIGINT))[3] AS a,"
+        " CAST(json_parse('{\"x\": 7, \"y\": \"s\"}') AS ROW(x BIGINT, y VARCHAR)).y AS r,"
+        " CAST(json_parse('[{\"k\": 5}]') AS ARRAY(ROW(k BIGINT)))[1].k AS n,"
+        " json_format(json_parse('[1,2]')) AS f",
+        [(2, 30, "s", 5, "[1,2]")],
+    ),
+    (
         # projected IN/NOT IN must keep three-valued semantics: NULL (not
         # FALSE) when there is no match and the subquery column has NULLs
         # (Spark's raw ExistenceJoin flattens to FALSE;

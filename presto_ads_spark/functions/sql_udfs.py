@@ -322,4 +322,120 @@ SQL_FUNCTIONS: list[str] = [
        RETURNS BIGINT RETURN a ^ b""",
     """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_not(a BIGINT)
        RETURNS BIGINT RETURN ~a""",
+    # bit_count(num, bits) (BitwiseFunctions.java:31): Presto's is 2-arg —
+    # popcount of num within a `bits`-wide two's-complement window (Spark's
+    # builtin is 1-arg, so rewrite.py renames bit_count → this shim).
+    # shiftleft wraps its shift mod 64 in the JVM, hence the bits=64 branch.
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_bit_count(num BIGINT, bits BIGINT)
+       RETURNS BIGINT RETURN
+         CASE WHEN bits = 64 THEN CAST(bit_count(num) AS BIGINT)
+              ELSE CAST(bit_count(num & (shiftleft(CAST(1 AS BIGINT), CAST(bits AS INT)) - 1)) AS BIGINT)
+         END""",
+    # --- JoniRegexpFunctions.java regexp_split: split on regex, trailing
+    #     empty strings KEPT (Java split with limit -1; Presto :count loop).
+    #     Distinct from Presto split(s, delim), whose delimiter is a literal.
+    """CREATE OR REPLACE TEMPORARY FUNCTION regexp_split(s STRING, p STRING)
+       RETURNS ARRAY<STRING> RETURN split(s, p, -1)""",
+    # --- DateTimeFunctions.java:1157,1165 timezone_hour / timezone_minute:
+    #     offset of the session zone at that instant. date_format 'xx' gives
+    #     '+0530' / '-0800'; hour keeps its sign via the leading '+05'.
+    """CREATE OR REPLACE TEMPORARY FUNCTION timezone_hour(ts TIMESTAMP)
+       RETURNS BIGINT RETURN CAST(substr(date_format(ts, 'xx'), 1, 3) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION timezone_minute(ts TIMESTAMP)
+       RETURNS BIGINT RETURN
+         CASE WHEN startswith(date_format(ts, 'xx'), '-') THEN -1 ELSE 1 END
+         * CAST(substr(date_format(ts, 'xx'), 4, 2) AS BIGINT)""",
+    # --- JsonFunctions.java is_json_scalar / json_array_contains ---------
+    """CREATE OR REPLACE TEMPORARY FUNCTION is_json_scalar(js STRING)
+       RETURNS BOOLEAN RETURN
+         CASE WHEN js IS NULL THEN NULL
+              ELSE NOT (startswith(ltrim(js), '[') OR startswith(ltrim(js), '{'))
+         END""",
+    # Values compare through their canonical string form (from_json with
+    # array<string> coerces JSON numbers/booleans to text), so bigint/double/
+    # boolean probes arrive via Spark's implicit cast-to-string. Documented
+    # shim: a JSON string "2" and number 2 are indistinguishable here.
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains(js STRING, v STRING)
+       RETURNS BOOLEAN RETURN array_contains(from_json(js, 'array<string>'), v)""",
+    # --- MathFunctions.java normal_cdf / inverse_normal_cdf --------------
+    # erf via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7); the reference
+    # (MathFunctions.java:624) uses commons-math Erf — agreement to ~7 sig
+    # figs, golden-tested with round(). Repeated t-subexpression is
+    # deduplicated by Catalyst subexpression elimination.
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_erf(x DOUBLE)
+       RETURNS DOUBLE RETURN
+         sign(x) * (1.0 - (1.0 / (1.0 + 0.3275911 * abs(x))) * (0.254829592
+           + (1.0 / (1.0 + 0.3275911 * abs(x))) * (-0.284496736
+           + (1.0 / (1.0 + 0.3275911 * abs(x))) * (1.421413741
+           + (1.0 / (1.0 + 0.3275911 * abs(x))) * (-1.453152027
+           + (1.0 / (1.0 + 0.3275911 * abs(x))) * 1.061405429)))) * exp(-x * x))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION normal_cdf(mean DOUBLE, sd DOUBLE, v DOUBLE)
+       RETURNS DOUBLE RETURN 0.5 * (1.0 + presto_erf((v - mean) / (sd * 1.4142135623730951)))""",
+    # inverse_normal_cdf = mean + sd*sqrt(2)*erfinv(2p-1) (MathFunctions
+    # .java:613). Acklam's rational approximation of the standard-normal
+    # quantile (|rel err| < 1.15e-9), central region |q| <= 0.425 plus two
+    # tail branches.
+    """CREATE OR REPLACE TEMPORARY FUNCTION acklam_central(q DOUBLE)
+       RETURNS DOUBLE RETURN
+         q * (((((-39.69683028665376 * (q*q) + 220.9460984245205) * (q*q) - 275.9285104469687) * (q*q)
+            + 138.3577518672690) * (q*q) - 30.66479806614716) * (q*q) + 2.506628277459239)
+         / (((((-54.47609879822406 * (q*q) + 161.5858368580409) * (q*q) - 155.6989798598866) * (q*q)
+            + 66.80131188771972) * (q*q) - 13.28068155288572) * (q*q) + 1.0)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION acklam_tail(r DOUBLE)
+       RETURNS DOUBLE RETURN
+         (((((-0.007784894002430293 * r - 0.3223964580411365) * r - 2.400758277161838) * r
+            - 2.549732539343734) * r + 4.374664141464968) * r + 2.938163982698783)
+         / ((((0.007784695709041462 * r + 0.3224671290700398) * r + 2.445134137142996) * r
+            + 3.754408661907416) * r + 1.0)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION inverse_normal_cdf(mean DOUBLE, sd DOUBLE, p DOUBLE)
+       RETURNS DOUBLE RETURN
+         mean + sd * CASE
+           WHEN p < 0.02425 THEN acklam_tail(sqrt(-2.0 * ln(p)))
+           WHEN p > 0.97575 THEN -acklam_tail(sqrt(-2.0 * ln(1.0 - p)))
+           ELSE acklam_central(p - 0.5)
+         END""",
+    # --- VarbinaryFunctions.java IEEE-754 codecs --------------------------
+    # Raw bit extraction has no Spark expression, but reflect() (a catalyst
+    # expression — JVM-side static call, no Python boundary) gives
+    # Double.doubleToLongBits exactly.
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_ieee754_64(x DOUBLE)
+       RETURNS BINARY RETURN
+         to_big_endian_64(CAST(reflect('java.lang.Double', 'doubleToLongBits', x) AS BIGINT))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_ieee754_64(b BINARY)
+       RETURNS DOUBLE RETURN
+         CAST(reflect('java.lang.Double', 'longBitsToDouble', from_big_endian_64(b)) AS DOUBLE)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_ieee754_32(x FLOAT)
+       RETURNS BINARY RETURN
+         to_big_endian_32(CAST(reflect('java.lang.Float', 'floatToIntBits', x) AS INT))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_ieee754_32(b BINARY)
+       RETURNS FLOAT RETURN
+         CAST(reflect('java.lang.Float', 'intBitsToFloat', from_big_endian_32(b)) AS FLOAT)""",
+    # --- VarbinaryFunctions.java:89-112 base64url (RFC 4648 §5: +/ → -_,
+    #     padding kept, matching Base64.getUrlEncoder/getUrlDecoder).
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_base64url(b BINARY)
+       RETURNS STRING RETURN translate(base64(b), '+/', '-_')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_base64url(s STRING)
+       RETURNS BINARY RETURN unbase64(translate(s, '-_', '+/'))""",
+    # --- MapFunctions multimap_from_entries (monomorphic string form, like
+    #     split_to_multimap above; first-key order preserved).
+    """CREATE OR REPLACE TEMPORARY FUNCTION multimap_from_entries(e ARRAY<STRUCT<key STRING, value STRING>>)
+       RETURNS MAP<STRING, ARRAY<STRING>> RETURN
+         map_from_arrays(
+           array_distinct(transform(e, x -> x.key)),
+           transform(
+             array_distinct(transform(e, x -> x.key)),
+             k -> transform(filter(e, x -> x.key = k), x -> x.value)))""",
+    # --- HyperLogLogFunctions.java empty_approx_set(): the canonical empty
+    #     DataSketches HLL (lgK 12 — hll_sketch_agg's default), captured as
+    #     a literal; hll_union with it is the identity, same as Presto's
+    #     empty HLL.
+    """CREATE OR REPLACE TEMPORARY FUNCTION empty_approx_set()
+       RETURNS BINARY RETURN
+         unhex('0201070C030400080000000000000000000000000000000000000000000000000000000000000000')""",
+    # --- TIME surface: localtime / current_time (epoch-anchored TIME
+    #     emulation, same convention as TIME literals in rewrite.py).
+    #     Presto grammar allows the bare keyword — rewrite.py adds parens.
+    """CREATE OR REPLACE TEMPORARY FUNCTION localtime()
+       RETURNS TIMESTAMP RETURN
+         CAST(concat('1970-01-01 ', date_format(now(), 'HH:mm:ss.SSS')) AS TIMESTAMP)""",
 ]

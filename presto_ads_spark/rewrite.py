@@ -86,7 +86,34 @@ FUNCTION_RENAMES: dict[str, str] = {
     "split_part": "presto_split_part",
     # Presto chr is codepoint→char; Spark chr is mod-256 single-byte.
     "chr": "presto_chr",
+    # ngrams(array, n) (ArrayNgramsFunction) — shim named array_ngrams.
+    "ngrams": "array_ngrams",
+    # bitwise_and_agg/bitwise_or_agg (AggregationCompiler registrations) —
+    # Spark's bit_and/bit_or aggregates are identical fold semantics.
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
+    # Presto bit_count is 2-arg (num, bits) — BitwiseFunctions.java:31;
+    # Spark's builtin is 1-arg and can't be shadowed.
+    "bit_count": "presto_bit_count",
 }
+
+# Presto grammar allows bare (paren-less) time keywords. localtime /
+# current_time map onto the epoch-anchored TIME emulation (rewrite of TIME
+# literals below); localtimestamp has a Spark call form.
+_BARE_TIME_KEYWORD_RE = re.compile(
+    r"\b(localtimestamp|localtime|current_time)\b(?!\s*\()", re.IGNORECASE
+)
+_BARE_TIME_TARGETS = {
+    "localtimestamp": "localtimestamp()",
+    "localtime": "localtime()",
+    "current_time": "localtime()",
+}
+
+
+def _rewrite_bare_time_keywords(chunk: str) -> str:
+    return _BARE_TIME_KEYWORD_RE.sub(
+        lambda m: _BARE_TIME_TARGETS[m.group(1).lower()], chunk
+    )
 
 
 def _split_literals(sql: str) -> list[tuple[str, bool]]:
@@ -1193,5 +1220,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_order_by_nulls(sql)
     sql = _rewrite_datetime_patterns(sql)
     return _apply_outside_literals(
-        sql, lambda c: _rename_functions(_BARE_VARCHAR_RE.sub("AS STRING", c))
+        sql,
+        lambda c: _rename_functions(
+            _rewrite_bare_time_keywords(_BARE_VARCHAR_RE.sub("AS STRING", c))
+        ),
     )

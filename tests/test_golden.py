@@ -1003,6 +1003,112 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         "SELECT length(normalize_unicode('é')) AS n",
         [(1,)],
     ),
+    (
+        # regexp_split (JoniRegexpFunctions.java regexpSplit): regex
+        # delimiter, trailing empty fields KEPT.
+        "regexp_split_trailing",
+        "SELECT regexp_split('a1b2c', '[0-9]') AS a, regexp_split('one,two,,', ',') AS b",
+        [(["a", "b", "c"], ["one", "two", "", ""])],
+    ),
+    (
+        # bit_count(num, bits) (BitwiseFunctions.java:31): 2's-complement
+        # popcount within the bit window.
+        "bit_count_windowed",
+        "SELECT bit_count(9, 64) AS a, bit_count(-7, 64) AS b, bit_count(9, 8) AS c",
+        [(2, 62, 2)],
+    ),
+    (
+        # timezone_hour/timezone_minute (DateTimeFunctions.java:1157,1165) —
+        # session zone is UTC in tests.
+        "timezone_offset_fields",
+        "SELECT timezone_hour(TIMESTAMP '2020-06-01 12:00:00') AS h,"
+        " timezone_minute(TIMESTAMP '2020-06-01 12:00:00') AS m",
+        [(0, 0)],
+    ),
+    (
+        "json_scalar_and_array_contains",
+        "SELECT is_json_scalar('1') AS a, is_json_scalar('[1, 2, 3]') AS b,"
+        " is_json_scalar('\"abc\"') AS c,"
+        " json_array_contains('[1, 2, 3]', 2) AS d,"
+        " json_array_contains('[\"foo\", \"bar\"]', 'foo') AS e,"
+        " json_array_contains('[true, false]', false) AS f",
+        [(True, False, True, True, True, True)],
+    ),
+    (
+        # normal_cdf / inverse_normal_cdf (MathFunctions.java:613,:624).
+        # Φ(1.96)=0.97500 (A&S erf, |err|<1.5e-7 → 4 dp safe);
+        # Φ⁻¹ via Acklam (|rel err|<1.15e-9 → 6 dp safe), central + tail.
+        "normal_cdf_and_inverse",
+        "SELECT round(normal_cdf(0, 1, 1.96), 4) AS a,"
+        " normal_cdf(10, 9, 10) AS b,"
+        " round(inverse_normal_cdf(0, 1, 0.975), 6) AS c,"
+        " round(inverse_normal_cdf(0, 1, 0.01), 6) AS d,"
+        " round(inverse_normal_cdf(1, 2, 0.5), 6) AS e",
+        [(0.975, 0.5, 1.959964, -2.326348, 1.0)],
+    ),
+    (
+        # IEEE-754 codecs (VarbinaryFunctions.java toIEEE754Binary64 etc.):
+        # big-endian raw bits, exact round-trip.
+        "ieee754_codecs",
+        "SELECT to_hex(to_ieee754_64(1.0)) AS a,"
+        " from_ieee754_64(to_ieee754_64(-2.5)) AS b,"
+        " to_hex(to_ieee754_32(CAST(1 AS REAL))) AS c,"
+        " from_ieee754_32(to_ieee754_32(CAST(0.5 AS REAL))) AS d",
+        [("3FF0000000000000", -2.5, "3F800000", 0.5)],
+    ),
+    (
+        # base64url (VarbinaryFunctions.java:89-112, RFC 4648 §5): '+/'→'-_',
+        # padding kept. 0xFBEF standard-encodes to '++8='.
+        "base64url_codec",
+        "SELECT to_base64url(from_hex('FBEF')) AS a,"
+        " to_hex(from_base64url('--8=')) AS b",
+        [("--8=", "FBEF")],
+    ),
+    (
+        # multimap_from_entries (MapFunctions): duplicate keys group values
+        # in encounter order, first-key order preserved.
+        "multimap_from_entries_groups",
+        "SELECT to_json(multimap_from_entries(array("
+        "named_struct('key', 'a', 'value', '1'),"
+        "named_struct('key', 'b', 'value', '2'),"
+        "named_struct('key', 'a', 'value', '3')))) AS m",
+        [('{"a":["1","3"],"b":["2"]}',)],
+    ),
+    (
+        # empty_approx_set() (HyperLogLogFunctions.java): cardinality 0 and
+        # identity under merge.
+        "empty_approx_set_identity",
+        "SELECT cardinality_hll(empty_approx_set()) AS a,"
+        " cardinality_hll(merge_hll(empty_approx_set(), empty_approx_set())) AS b",
+        [(0, 0)],
+    ),
+    (
+        # bare time keywords (Presto grammar): localtime/current_time under
+        # the epoch-anchored TIME emulation; localtimestamp call form.
+        "bare_time_keywords",
+        "SELECT localtime >= TIMESTAMP '1970-01-01 00:00:00'"
+        " AND localtime < TIMESTAMP '1970-01-02 00:00:00' AS a,"
+        " current_time IS NOT NULL AS b, localtimestamp IS NOT NULL AS c",
+        [(True, True, True)],
+    ),
+    (
+        # ngrams(array, n) (ArrayNgramsFunction via the array_ngrams shim).
+        "ngrams_array",
+        "SELECT ngrams(split('a b c', ' '), 2) AS g",
+        [([["a", "b"], ["b", "c"]],)],
+    ),
+    (
+        "cot_value",
+        "SELECT round(cot(1), 6) AS c",
+        [(0.642093,)],
+    ),
+    (
+        # bitwise_and_agg / bitwise_or_agg → Spark bit_and/bit_or.
+        "bitwise_aggs",
+        "SELECT bitwise_and_agg(v) AS a, bitwise_or_agg(v) AS o"
+        " FROM (VALUES 12, 10) AS t(v)",
+        [(8, 14)],
+    ),
 ]
 
 

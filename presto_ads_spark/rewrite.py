@@ -1093,6 +1093,44 @@ def _rewrite_json_casts(sql: str) -> str:
         i = m.start()
 
 
+_RANKING_OVER_RE = re.compile(
+    r"\b(rank|dense_rank|percent_rank|cume_dist|row_number|ntile)\s*\("
+    r"[^()]*\)\s*OVER\s*\(",
+    re.IGNORECASE,
+)
+_TOP_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _rewrite_unordered_ranking_windows(sql: str) -> str:
+    """Presto permits ranking window functions with no window ORDER BY —
+    every row in the partition is a peer (product-test
+    window_functions/noOrderAllRowsPeers.sql: rank() OVER (PARTITION BY
+    suppkey) is 1 everywhere). Spark rejects the unordered window, so
+    inject the constant ``ORDER BY 1`` (a literal in window specs, not a
+    positional reference) which makes all rows peers — identical
+    semantics."""
+    i = 0
+    while True:
+        m = _RANKING_OVER_RE.search(sql, i)
+        if not m:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        body = sql[m.end() : j - 1]
+        # top-level ORDER BY only (not one inside a nested expression)
+        depth = 0
+        has_order = False
+        for om in _TOP_ORDER_BY_RE.finditer(body):
+            depth = body[: om.start()].count("(") - body[: om.start()].count(")")
+            if depth == 0:
+                has_order = True
+                break
+        if not has_order:
+            pad = " " if body and not body.endswith(" ") else ""
+            sql = sql[: j - 1] + f"{pad}ORDER BY 1" + sql[j - 1 :]
+        i = j
+    return sql
+
+
 def _rewrite_quantified(sql: str) -> str:
     """Quantified comparisons (Presto SqlBase.g4 ``comparisonQuantifier``;
     Spark has no ALL/ANY subquery syntax):
@@ -1214,6 +1252,7 @@ def rewrite(sql: str) -> str:
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_json_casts(sql)
+    sql = _rewrite_unordered_ranking_windows(sql)
     sql = _rewrite_quantified(sql)
     sql = _rewrite_projected_in_subquery(sql)
     sql = _rewrite_int_literal_division(sql)

@@ -1109,6 +1109,69 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         " FROM (VALUES 12, 10) AS t(v)",
         [(8, 14)],
     ),
+    (
+        # Ranking window with NO ORDER BY: Presto makes all partition rows
+        # peers (product-tests window_functions/noOrderAllRowsPeers.sql);
+        # Spark rejects it — rewrite injects constant ORDER BY 1.
+        "window_rank_no_order",
+        "SELECT x, rank() OVER (PARTITION BY p) AS r,"
+        " dense_rank() OVER (PARTITION BY p) AS dr"
+        " FROM (VALUES (1, 1), (2, 1), (3, 2)) t(x, p)",
+        [(1, 1, 1), (2, 1, 1), (3, 1, 1)],
+    ),
+    (
+        # RANGE CURRENT ROW: frame = the peer group of the current row
+        # (product-tests window_functions/rangeCurrent.sql).
+        "window_range_current_row",
+        "SELECT k, min(x) OVER (ORDER BY k RANGE CURRENT ROW) AS mn,"
+        " max(x) OVER (ORDER BY k RANGE CURRENT ROW) AS mx"
+        " FROM (VALUES (1, 10), (1, 20), (2, 5)) t(k, x)",
+        [(1, 10, 20), (1, 10, 20), (2, 5, 5)],
+    ),
+    (
+        # Frame that is empty for trailing rows → NULL aggregate
+        # (product-tests window_functions/rowsBounded shapes).
+        "window_empty_frame_null",
+        "SELECT x, sum(x) OVER (ORDER BY x"
+        " ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS s"
+        " FROM (VALUES 1, 2, 3) t(x)",
+        [(1, 3), (2, None), (3, None)],
+    ),
+    (
+        "window_percent_rank_cume_dist",
+        "SELECT x, percent_rank() OVER (ORDER BY x) AS pr,"
+        " cume_dist() OVER (ORDER BY x) AS cd"
+        " FROM (VALUES 10, 20, 20, 30) t(x)",
+        [
+            (10, 0.0, 0.25),
+            (20, 1.0 / 3.0, 0.75),
+            (20, 1.0 / 3.0, 0.75),
+            (30, 1.0, 1.0),
+        ],
+    ),
+    (
+        # Interval horology (DateTimeOperators.java): timestamp/date ±
+        # interval, day-time and year-month arithmetic.
+        "interval_horology",
+        "SELECT TIMESTAMP '2001-08-22 03:04:05' + INTERVAL '3' DAY AS a,"
+        " DATE '2001-08-22' + INTERVAL '2' MONTH AS b,"
+        " TIMESTAMP '2001-08-22 03:04:05' - INTERVAL '4' HOUR AS c",
+        [
+            (
+                __import__("datetime").datetime(2001, 8, 25, 3, 4, 5),
+                __import__("datetime").date(2001, 10, 22),
+                __import__("datetime").datetime(2001, 8, 21, 23, 4, 5),
+            )
+        ],
+    ),
+    (
+        # Chained CTEs (product-tests with_clause/): b reads a.
+        "with_chained_ctes",
+        "WITH a AS (SELECT x FROM (VALUES 1, 2, 3) t(x)),"
+        " b AS (SELECT x * 10 AS y FROM a WHERE x > 1)"
+        " SELECT sum(y) AS s FROM b",
+        [(50,)],
+    ),
 ]
 
 

@@ -24,7 +24,7 @@ from .session import apply_runtime_conf, get_spark
 SESSION_PROPERTY_MAP: dict[str, str] = {
     "hash_partition_count": "spark.sql.shuffle.partitions",
     "join_distribution_type": "spark.sql.autoBroadcastJoinThreshold",  # see set_session
-    "task_concurrency": "spark.sql.shuffle.partitions",
+    "task_concurrency": "spark.default.parallelism",
     "spill_enabled": "spark.sql.shuffle.spill",  # informational
     "query_max_memory": "spark.sql.adaptive.advisoryPartitionSizeInBytes",
 }

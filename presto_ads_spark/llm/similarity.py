@@ -51,11 +51,12 @@ def cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
     ``max_rows`` are refused instead of silently launching an N² plan;
     pass ``max_rows=None`` to override explicitly."""
     if max_rows is not None:
-        n = emb.count()
-        if n > max_rows:
+        # limit(max_rows+1) bounds the probe: the guard never scans more
+        # than max_rows+1 rows even when the input is huge.
+        if emb.limit(max_rows + 1).count() > max_rows:
             raise ValueError(
                 f"cosine_pairs is exact-all-pairs (O(N²)) and input has "
-                f"{n} rows > max_rows={max_rows}; use embedding_near_dups "
+                f"more than max_rows={max_rows} rows; use embedding_near_dups "
                 f"(LSH-bucketed) at scale, or pass max_rows=None to force."
             )
     e = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))

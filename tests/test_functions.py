@@ -368,7 +368,7 @@ def test_native_digest_functions(engine):
     import zlib
 
     assert one(engine, "crc32(encode('abc', 'UTF-8'))") == zlib.crc32(b"abc")
-    assert one(engine, "bit_count(255)") == 8
+    assert one(engine, "bit_count(255, 64)") == 8
     assert isinstance(one(engine, "xxhash64('abc')"), int)
     # Presto sha1 is varbinary → varbinary (rewritten to the presto_sha1 shim)
     assert (

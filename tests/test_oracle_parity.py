@@ -2,8 +2,7 @@
 its DuckDB oracle; results must match exactly (order-insensitive).
 
 Runs at sf0.001 by default for speed; set SPARK_GRAFT_TEST_SF_DIR to
-/root/testdata/sf0.01 for the full-fidelity pass (tests/test_t2_scale.py
-covers that in CI-ish runs).
+/root/testdata/sf0.01 for the full-fidelity pass.
 """
 
 from __future__ import annotations

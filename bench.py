@@ -34,13 +34,15 @@ def main() -> None:
         spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()  # drop per-query persists between queries
 
-    # Per query: two timed runs, take the min (the second is warm — Spark's
-    # CacheManager plan-matches the query's own persisted intermediates),
-    # then drop caches so abandoned blocks don't slow later queries.
+    # Per query: three timed runs, take the min (later runs are warm —
+    # Spark's CacheManager plan-matches the query's own persisted
+    # intermediates), then drop caches so abandoned blocks don't slow later
+    # queries. Best-of-3 because best-of-2 still let host noise move
+    # unchanged plans >20% round-over-round (r3 verdict item #7).
     timings: dict[str, float] = {}
     for name, spec in bench_queries.items():
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             el = round(time.perf_counter() - t0, 3)

@@ -24,6 +24,9 @@ from .session import apply_runtime_conf, get_spark
 SESSION_PROPERTY_MAP: dict[str, str] = {
     "hash_partition_count": "spark.sql.shuffle.partitions",
     "join_distribution_type": "spark.sql.autoBroadcastJoinThreshold",  # see set_session
+    # informational (like spill_enabled): spark.default.parallelism is read
+    # from the SparkConf captured at context creation — a runtime conf.set
+    # round-trips the string but does not change actual parallelism.
     "task_concurrency": "spark.default.parallelism",
     "spill_enabled": "spark.sql.shuffle.spill",  # informational
     "query_max_memory": "spark.sql.adaptive.advisoryPartitionSizeInBytes",

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hints import fits_broadcast, gated_broadcast
+
 # Prime modulus < 2^28 keeps a*h + b < 2^48 (no BIGINT overflow, both engines).
 MINHASH_P = 268435399
 # (a, b) parameters for K=16 universal-hash permutations — fixed, arbitrary,
@@ -170,11 +172,14 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     would be written to a table between the two stages — same idea,
     durable form.)"""
     sig = minhash_signatures_rowwise(df, text_col, id_col).persist()
-    # candidate pairs are TINY relative to the corpus (LSH prunes the N²
-    # space) — broadcast them so neither signature join shuffles sig; AQE
-    # keeps the second join broadcast too (the first join's output is
-    # |cands| rows).
-    cands = F.broadcast(lsh_candidate_pairs(sig))
+    # candidate pairs are usually TINY relative to the corpus (LSH prunes
+    # the N² space), and broadcasting them keeps the signature joins
+    # shuffle-free — but candidate volume is data-dependent (one hot band
+    # bucket can emit billions of pairs), so the hint is GATED on a bounded
+    # size probe: past the cap the un-hinted frame goes in and AQE picks a
+    # shuffle join from runtime sizes instead of a forced-broadcast OOM.
+    # Persisted un-hinted so the probe doubles as cache materialization.
+    cands = gated_broadcast(lsh_candidate_pairs(sig).persist())
     a = sig.select([F.col("id").alias("id_a")] + [F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))])
     b = sig.select([F.col("id").alias("id_b")] + [F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))])
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -197,25 +202,34 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
     """Exact n-gram Jaccard for pairs (all pairs if candidates is None —
     only sane for small inputs / verification of LSH candidates)."""
     if candidate_pairs is not None:
-        # Candidate-driven verify, fully broadcast-shaped: only docs that
-        # appear in a candidate pair are shingled at all (broadcast
-        # semi-join BEFORE the explode — at 100 TB the verify stage reads
-        # |candidate docs|, not the corpus), and the pair list + the
-        # candidate-doc shingle table ride broadcasts through every join,
-        # so NOTHING here shuffles except the tiny (id_a,id_b) groupBy.
-        cand = F.broadcast(candidate_pairs.select("id_a", "id_b")).persist()
-        ids = F.broadcast(
+        # Candidate-driven verify: only docs that appear in a candidate
+        # pair are shingled at all (semi-join BEFORE the explode — at
+        # 100 TB the verify stage reads |candidate docs|, not the corpus).
+        # On typical inputs the pair list and the candidate-doc shingle
+        # table ride broadcasts through every join, so nothing here
+        # shuffles except the tiny (id_a,id_b) groupBy — but both frames
+        # are data-dependent in size, so every hint is GATED on a bounded
+        # probe and the plan degrades to shuffle joins past the cap.
+        # Persist the UN-hinted frame and hint at each join site (a hint
+        # baked inside a cached subtree may not survive InMemoryRelation
+        # substitution).
+        cand = candidate_pairs.select("id_a", "id_b").persist()
+        hint = F.broadcast if fits_broadcast(cand) else (lambda d: d)
+        ids = (
             cand.select(F.col("id_a").alias("cid"))
             .union(cand.select(F.col("id_b").alias("cid")))
             .distinct()
         )
-        docs = df.join(ids, F.col(id_col) == F.col("cid"), "left_semi")
+        # ids / counts are bounded by 2·|cand| rows — inherit cand's probe.
+        docs = df.join(hint(ids), F.col(id_col) == F.col("cid"), "left_semi")
         sh = shingle_table(docs, text_col, id_col, n).persist()
-        counts = F.broadcast(sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")))
+        counts = hint(sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")))
         a = sh.select(F.col("id").alias("id_a"), "shingle")
-        b = F.broadcast(sh.select(F.col("id").alias("id_b"), "shingle"))
+        # the shingle table is |candidate docs| × shingles-per-doc — its
+        # own size class, probed separately (probe materializes sh's cache).
+        b = gated_broadcast(sh.select(F.col("id").alias("id_b"), "shingle"))
         inter = (
-            cand
+            hint(cand)
             .join(a, "id_a")
             .join(b, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")

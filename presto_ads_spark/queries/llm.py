@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from . import q
 from ..llm import dedup, multimodal, similarity, text
 from ..llm.dedup import MINHASH_AB, MINHASH_P
+from ..llm.hints import fits_broadcast
 from ._util import t
 
 # --- shared corpus ---------------------------------------------------------
@@ -188,7 +189,11 @@ def dedup_minhash_verify(spark, sf_dir):
     exact = dedup.ngram_jaccard_pairs(
         corpus, candidate_pairs=est.select("id_a", "id_b"), threshold=0.0
     )
-    return est.join(F.broadcast(exact), ["id_a", "id_b"], "left").select(
+    # exact has at most |est| rows (one per surviving candidate pair) — the
+    # broadcast hint is gated on the persisted est's size, so a huge
+    # candidate set degrades to a shuffle join instead of a forced broadcast.
+    exact = F.broadcast(exact) if fits_broadcast(est) else exact
+    return est.join(exact, ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
         "est_jaccard",

@@ -60,6 +60,7 @@ def test_set_session_no_property_collision(engine, spark):
         assert spark.conf.get("spark.default.parallelism") == "48"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.unset("spark.default.parallelism")
 
 
 def test_unknown_session_property_ignored(engine):

@@ -55,6 +55,24 @@ def test_no_python_udf_in_relational_queries(spark):
 
 
 
+def test_minhash_verify_broadcasts_when_small(spark):
+    """The gated hints (llm/hints.py) must still produce broadcast joins at
+    test/sf0.1 candidate volumes — gating may not cost the small-input plan."""
+    df = REGISTRY["dedup_minhash_verify"].spark_fn(spark, SF_DIR)
+    plans.assert_broadcast_join(df, expect=2)
+
+
+def test_gated_broadcast_drops_hint_past_cap(spark):
+    """Past the row cap the hint must disappear so AQE can pick a shuffle
+    join — the 100 TB degradation path (round-3 verdict 'What's wrong' #1)."""
+    from presto_ads_spark.llm.hints import gated_broadcast
+
+    small = spark.range(10)
+    big = spark.range(100)
+    assert "ResolvedHint" in gated_broadcast(small)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in gated_broadcast(big, max_rows=50)._jdf.queryExecution().analyzed().toString()
+
+
 def test_global_sort_uses_range_partitioning(spark):
     """Distributed sort (Presto MergeOperator / DISTRIBUTED_SORT): a global
     ORDER BY plans as range-partitioned exchange + per-partition sort, not a

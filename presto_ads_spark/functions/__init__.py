@@ -27,6 +27,9 @@ def register_all(spark: SparkSession) -> None:
     for stmt in SQL_FUNCTIONS + GEOSPATIAL_SQL_FUNCTIONS:
         spark.sql(stmt)
     _register_python_udfs(spark)
+    from .color import register_color_udfs
+
+    register_color_udfs(spark)
 
 
 def _register_python_udfs(spark: SparkSession) -> None:

@@ -573,6 +573,100 @@ def _replace_fn_calls(sql: str, fname: str, builder) -> str:
         i = j
 
 
+def _rewrite_kurtosis(sql: str) -> str:
+    """Presto ``kurtosis`` is the *unbiased sample* excess kurtosis
+    (reference AggregationUtils.java updateCentralMomentsState consumers:
+    G2 = (n+1)(n-1)/((n-2)(n-3)) * m4/m2^2 - 3(n-1)^2/((n-2)(n-3)));
+    Spark's built-in is the population g2 = m4/m2^2 - 3. Expand the call
+    into single-pass raw-moment aggregates (central moments via power
+    sums; Catalyst dedups the shared sub-aggregates). Numerical caveat:
+    power sums to x^4 lose precision for |x| >> 1e5 — same class of
+    one-pass tradeoff Presto accepts for covar/regr."""
+
+    def build(args):
+        if len(args) != 1:
+            return None
+        e = f"(CAST(({args[0]}) AS DOUBLE))"
+        n = f"CAST(count({e}) AS DOUBLE)"
+        m1 = f"avg({e})"
+        m2 = f"avg(power({e}, 2))"
+        m3 = f"avg(power({e}, 3))"
+        m4 = f"avg(power({e}, 4))"
+        cm2 = f"({m2} - {m1} * {m1})"
+        cm4 = (
+            f"({m4} - 4 * {m1} * {m3} + 6 * {m1} * {m1} * {m2}"
+            f" - 3 * power({m1}, 4))"
+        )
+        return (
+            f"((({n} + 1) * ({n} - 1) / (({n} - 2) * ({n} - 3)))"
+            f" * {cm4} / ({cm2} * {cm2})"
+            f" - 3 * ({n} - 1) * ({n} - 1) / (({n} - 2) * ({n} - 3)))"
+        )
+
+    return _replace_fn_calls(sql, "kurtosis", build)
+
+
+def _rewrite_color_fn_arity(sql: str) -> str:
+    """ColorFunctions.java color/render/bar are overloaded by arity;
+    Spark UDFs don't overload, so dispatch to color1/color3/color5,
+    render1/render2, bar2/bar4 (functions/color.py)."""
+
+    def dispatch(fname, arities):
+        def build(args):
+            if len(args) in arities:
+                return f"{fname}{len(args)}({', '.join(args)})"
+            return None
+
+        return build
+
+    sql = _replace_fn_calls(sql, "color", dispatch("color", {1, 3, 5}))
+    sql = _replace_fn_calls(sql, "render", dispatch("render", {1, 2}))
+    sql = _replace_fn_calls(sql, "bar", dispatch("bar", {2, 4}))
+    return sql
+
+
+_AT_TZ_CALL_RE = re.compile(r"^at_timezone\s*\(", re.IGNORECASE)
+
+
+def _rewrite_timezone_offset_fns(sql: str) -> str:
+    """``timezone_hour/minute(x AT TIME ZONE 'z')`` (DateTimeFunctions.java
+    :1157,:1165 over a timestamp-with-zone) — after the AT TIME ZONE
+    desugar the argument is ``at_timezone(e, z)``, which drops the zone;
+    extract the zone's UTC offset at that instant instead:
+    offset_sec = unix(e) - unix(to_utc_timestamp(e, z)) (session-zone
+    independent — both sides shift identically). Hour/minute split is
+    sign-aware (Presto: -08:30 → hour -8, minute -30)."""
+
+    def make(which: str):
+        def build(args):
+            if len(args) != 1 or not _AT_TZ_CALL_RE.match(args[0].strip()):
+                return None  # 1-arg session-zone form: SQL UDF handles it
+            arg = args[0].strip()
+            open_i = arg.index("(")
+            if _scan_matching_paren(arg, open_i + 1) != len(arg):
+                return None  # at_timezone(...) is a sub-expression, not the arg
+            inner = arg[open_i + 1 : -1]
+            parts = _split_top_level(inner)
+            if len(parts) != 2:
+                return None
+            e, z = parts
+            off = (
+                f"(unix_timestamp({e}) -"
+                f" unix_timestamp(to_utc_timestamp({e}, {z})))"
+            )
+            if which == "hour":
+                return f"CAST(sign({off}) * (abs({off}) DIV 3600) AS BIGINT)"
+            return (
+                f"CAST(sign({off}) * ((abs({off}) % 3600) DIV 60) AS BIGINT)"
+            )
+
+        return build
+
+    sql = _replace_fn_calls(sql, "timezone_hour", make("hour"))
+    sql = _replace_fn_calls(sql, "timezone_minute", make("minute"))
+    return sql
+
+
 def _expand_presto_aggregates(sql: str) -> str:
     """SQL-surface forms of Presto aggregates Spark lacks (map_agg,
     multimap_agg, histogram — MapAggregationFunction / Histogram.java).
@@ -1245,6 +1339,9 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_at_time_zone(sql)
+    sql = _rewrite_timezone_offset_fns(sql)
+    sql = _rewrite_kurtosis(sql)
+    sql = _rewrite_color_fn_arity(sql)
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_regex_arg_defaults(sql)
     sql = _expand_presto_aggregates(sql)

@@ -13,17 +13,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Raw file schema: ts is TIMESTAMP(NANOS) in parquet → read as bigint
-# (nanosAsLong) and convert; see catalog.load_table for the batch twin.
+# Raw file schema: ts is TIMESTAMP(MICROS) in parquet. (Earlier testdata
+# generations wrote TIMESTAMP(NANOS), which Spark reads as bigint under
+# legacy.parquet.nanosAsLong — with_event_time still converts that form;
+# see catalog.load_table for the batch twin's identical gate.)
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """ns-long → µs timestamp (identical truncation to DuckDB's reader)."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    """Normalize the event-time column to a µs timestamp: no-op for
+    timestamp input, ns-long → µs for legacy nanos files (identical
+    truncation to DuckDB's reader)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:

@@ -1,0 +1,309 @@
+"""Shared fixtures + comparison logic for the golden-corpus tier.
+
+The reference ships product tests as ``.sql``/``.result`` pairs
+(presto-product-tests/src/main/resources/sql-tests/testcases/ — header
+options ``delimiter/ignoreOrder/ignoreExcessRows/trimValues``, rows as
+delimiter-joined strings, ``null`` for NULL).  ``tools/port_goldens.py``
+parses those files once and emits ``tests/golden_corpus.py`` with the cases
+inlined, so the test suite is hermetic; this module holds the pieces both
+sides share: the tiny fixture tables and the value-canonicalizing multiset
+comparison.
+
+Fixture tables:
+- ``nation``/``region``: the official TPC-H seed data (public spec table
+  contents — 25 nations / 5 regions, including the fixed seed comment
+  text, which several goldens select or order by).
+- ``tiny_nation``/``tiny_region``: same rows with the tpch-connector
+  unprefixed column names (queries against ``tpch.tiny.nation`` are ported
+  by name substitution).
+- ``workers``/``datatype``/``empty_t``: ported from the reference dataset
+  fixtures (sql-tests/datasets/{workers,datatype,empty}.data — tiny inline
+  data, \\N → NULL).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+# --- official TPC-H seed data (public spec) -------------------------------
+NATION_ROWS = [
+    (0, "ALGERIA", 0, " haggle. carefully final deposits detect slyly agai"),
+    (1, "ARGENTINA", 1, "al foxes promise slyly according to the regular accounts. bold requests alon"),
+    (2, "BRAZIL", 1, "y alongside of the pending deposits. carefully special packages are about the ironic forges. slyly special "),
+    (3, "CANADA", 1, "eas hang ironic, silent packages. slyly regular packages are furiously over the tithes. fluffily bold"),
+    (4, "EGYPT", 4, "y above the carefully unusual theodolites. final dugouts are quickly across the furiously regular d"),
+    (5, "ETHIOPIA", 0, "ven packages wake quickly. regu"),
+    (6, "FRANCE", 3, "refully final requests. regular, ironi"),
+    (7, "GERMANY", 3, "l platelets. regular accounts x-ray: unusual, regular acco"),
+    (8, "INDIA", 2, "ss excuses cajole slyly across the packages. deposits print aroun"),
+    (9, "INDONESIA", 2, " slyly express asymptotes. regular deposits haggle slyly. carefully ironic hockey players sleep blithely. carefull"),
+    (10, "IRAN", 4, "efully alongside of the slyly final dependencies. "),
+    (11, "IRAQ", 4, "nic deposits boost atop the quickly final requests? quickly regula"),
+    (12, "JAPAN", 2, "ously. final, express gifts cajole a"),
+    (13, "JORDAN", 4, "ic deposits are blithely about the carefully regular pa"),
+    (14, "KENYA", 0, " pending excuses haggle furiously deposits. pending, express pinto beans wake fluffily past t"),
+    (15, "MOROCCO", 0, "rns. blithely bold courts among the closely regular packages use furiously bold platelets?"),
+    (16, "MOZAMBIQUE", 0, "s. ironic, unusual asymptotes wake blithely r"),
+    (17, "PERU", 1, "platelets. blithely pending dependencies use fluffily across the even pinto beans. carefully silent accoun"),
+    (18, "CHINA", 2, "c dependencies. furiously express notornis sleep slyly regular accounts. ideas sleep. depos"),
+    (19, "ROMANIA", 3, "ular asymptotes are about the furious multipliers. express dependencies nag above the ironically ironic account"),
+    (20, "SAUDI ARABIA", 4, "ts. silent requests haggle. closely express packages sleep across the blithely"),
+    (21, "VIETNAM", 2, "hely enticingly express accounts. even, final "),
+    (22, "RUSSIA", 3, " requests against the platelets use never according to the quickly regular pint"),
+    (23, "UNITED KINGDOM", 3, "eans boost carefully special requests. accounts are. carefull"),
+    (24, "UNITED STATES", 1, "y final packages. slow foxes cajole quickly. quickly silent platelets breach ironic accounts. unusual pinto be"),
+]
+
+REGION_ROWS = [
+    (0, "AFRICA", "lar deposits. blithely final packages cajole. regular waters are final requests. regular accounts are according to "),
+    (1, "AMERICA", "hs use ironic, even requests. s"),
+    (2, "ASIA", "ges. thinly even pinto beans ca"),
+    (3, "EUROPE", "ly final courts cajole furiously final excuse"),
+    (4, "MIDDLE EAST", "uickly special accounts cajole carefully blithely close requests. carefully final asymptotes haggle furiousl"),
+]
+
+# workers.data (reference sql-tests/datasets/workers.data, \N → None)
+WORKERS_ROWS = [
+    (None, None, None, None, None, 1, "Marketing", 4000),
+    (2, "Ann", "Turner", "2000-05-28", 2, 2, "R&D", 5000),
+    (3, "Martin", "Smith", "2000-05-28", 2, 2, "R&D", 5000),
+    (None, None, None, None, None, 3, "Finance", 3000),
+    (4, "Joana", "Donne", "2002-04-05", 4, 4, "IT", 4000),
+    (5, "Kate", "Grant", "2001-04-06", 5, 5, "HR", 2000),
+    (6, "Christopher", "Johnson", "2001-04-06", 5, 5, "HR", 2000),
+    (None, None, None, None, None, 6, "PR", 3000),
+    (7, "George", "Cage", "2003-10-09", 7, 7, "CustomerService", 2300),
+    (8, "Jacob", "Brown", "2003-10-09", 8, 8, "Production", 2400),
+    (9, "John", "Black", "2004-05-09", 9, 9, "Quality", 3400),
+    (None, None, None, None, None, 10, "Sales", 3500),
+    (10, "Charlie", "Page", "2000-11-12", 11, None, None, None),
+    (1, "Mary", "Parker", "1999-04-03", 12, None, None, None),
+]
+
+# datatype.data (reference sql-tests/datasets/datatype.data, \N → None)
+_D = decimal.Decimal
+_DT = datetime.datetime
+_DD = datetime.date
+DATATYPE_ROWS = [
+    (12, 12.25, "String1", _DD(1999, 1, 8), _DT(1999, 1, 8, 2, 5, 6), True,
+     _D("123.22"), _D("12345678901234567890.0123456789")),
+    (25, 55.52, "test", _DD(1952, 1, 5), _DT(1989, 1, 8, 4, 5, 6), False,
+     _D("321.21"), _D("-12345678901234567890.0123456789")),
+    (964, 0.245, "Again", _DD(1936, 2, 8), _DT(2005, 1, 9, 4, 5, 6), False,
+     _D("333.82"), _D("98765432109876543210.9876543210")),
+    (100, 12.25, "testing", _DD(1949, 7, 8), _DT(2002, 1, 7, 1, 5, 6), True,
+     _D("-393.22"), _D("-98765432109876543210.9876543210")),
+    (100, 99.8777, "AGAIN", _DD(1987, 4, 9), _DT(2010, 1, 2, 4, 3, 6), True,
+     _D("0.00"), _D("0.0000000000")),
+    (5252, 12.25, "sample", _DD(1987, 4, 9), _DT(2010, 1, 2, 4, 3, 6), True,
+     _D("123.00"), _D("1.0000000000")),
+    (100, 9.8777, "STRING1", _DD(1923, 4, 8), _DT(2010, 1, 2, 5, 9, 6), True,
+     _D("10.01"), _D("2.0000000000")),
+    (8996, 98.8777, "again", _DD(1987, 4, 9), _DT(2010, 1, 2, 4, 3, 6), False,
+     _D("-0.01"), _D("99999999999999999999.9999999999")),
+    (100, 12.8788, "string1", _DD(1922, 4, 2), _DT(2010, 1, 2, 2, 5, 6), True,
+     _D("999.99"), _D("-99999999999999999999.9999999999")),
+    (5748, 67.87, "sample", _DD(1987, 4, 6), _DT(2010, 1, 2, 4, 3, 6), True,
+     _D("-999.99"), _D("0.0000000001")),
+    (5748, 67.87, "Sample", _DD(1987, 4, 6), _DT(2010, 1, 2, 4, 3, 6), True,
+     _D("181.18"), _D("-0.0000000001")),
+    (5748, 67.87, "sample", _DD(1987, 4, 6), _DT(2010, 1, 2, 4, 3, 6), True,
+     _D("181.18"), _D("12345678901234567890.0123456789")),
+    (5748, 67.87, "sample", _DD(1987, 4, 6), _DT(2010, 1, 2, 4, 3, 6), True,
+     _D("181.18"), _D("12345678901234567890.0123456789")),
+    (5000, 67.87, "testing", None, _DT(2010, 1, 2, 4, 3, 6), None,
+     None, None),
+    (6000, None, None, _DD(1987, 4, 6), None, True, None, None),
+    (None, 98.52, None, None, None, True, _D("181.18"), None),
+]
+
+WORKERS_SCHEMA = (
+    "id_employee int, first_name string, last_name string,"
+    " date_of_employment string, department int, id_department int,"
+    " name string, salary int"
+)
+DATATYPE_SCHEMA = (
+    "c_bigint bigint, c_double double, c_string string, c_date date,"
+    " c_timestamp timestamp, c_boolean boolean,"
+    " c_short_decimal decimal(5,2), c_long_decimal decimal(30,10)"
+)
+
+
+def register_golden_views(spark) -> None:
+    """Register the golden fixture tables as temp views on ``spark``.
+
+    Call on a dedicated ``spark.newSession()`` so the golden ``nation``
+    (official seed rows) doesn't shadow the driver-testdata ``nation``
+    used by the rest of the suite."""
+    spark.createDataFrame(
+        NATION_ROWS, "n_nationkey int, n_name string, n_regionkey int, n_comment string"
+    ).createOrReplaceTempView("nation")
+    spark.createDataFrame(
+        REGION_ROWS, "r_regionkey int, r_name string, r_comment string"
+    ).createOrReplaceTempView("region")
+    spark.createDataFrame(
+        NATION_ROWS, "nationkey bigint, name string, regionkey bigint, comment string"
+    ).createOrReplaceTempView("tiny_nation")
+    spark.createDataFrame(
+        REGION_ROWS, "regionkey bigint, name string, comment string"
+    ).createOrReplaceTempView("tiny_region")
+    spark.createDataFrame(
+        WORKERS_ROWS, WORKERS_SCHEMA
+    ).createOrReplaceTempView("workers")
+    spark.createDataFrame(
+        DATATYPE_ROWS, DATATYPE_SCHEMA
+    ).createOrReplaceTempView("datatype")
+    spark.createDataFrame([], "c1 int, c2 string").createOrReplaceTempView(
+        "empty"
+    )
+
+
+# --- expected-result parsing ----------------------------------------------
+def parse_result_lines(
+    lines: list[str], delimiter: str = "|", trim: bool = True
+) -> list[list[str]]:
+    """Parse result rows: delimiter-joined cells, optional trailing
+    delimiter (product-test convention), blank lines ignored."""
+    rows = []
+    for ln in lines:
+        if not ln.strip():
+            continue
+        s = ln.rstrip("\n")
+        if s.rstrip().endswith(delimiter):
+            s = s.rstrip()[: -len(delimiter)]
+        cells = s.split(delimiter)
+        rows.append([c.strip() if trim else c for c in cells])
+    return rows
+
+
+# --- value canonicalization -----------------------------------------------
+def canon_expected_cell(s: str):
+    if s == "null":
+        return None
+    low = s.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        f = float(s)
+        if math.isfinite(f):
+            return f
+    except ValueError:
+        pass
+    return s
+
+
+def canon_got_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += ("%.6f" % (v.microsecond / 1e6))[1:].rstrip("0")
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(str(canon_got_cell(x)) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted((str(k), str(canon_got_cell(x))) for k, x in v.items())
+        return "{" + ", ".join(f"{k}={x}" for k, x in items) + "}"
+    return v
+
+
+def _cell_eq(a, b) -> bool:
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a == b
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        return math.isclose(af, bf, rel_tol=1e-6, abs_tol=1e-9)
+    if isinstance(a, str) != isinstance(b, str):
+        # e.g. expected parsed "14" as int but engine returned "14" string
+        return str(a) == str(b)
+    return a == b
+
+
+def _row_eq(a, b) -> bool:
+    return len(a) == len(b) and all(_cell_eq(x, y) for x, y in zip(a, b))
+
+
+def _sort_key(row):
+    out = []
+    for v in row:
+        if v is None:
+            out.append((0, ""))
+        elif isinstance(v, bool):
+            out.append((1, str(v)))
+        elif isinstance(v, (int, float)):
+            out.append((2, "%.6g" % float(v)))
+        else:
+            out.append((3, str(v)))
+    return out
+
+
+def compare_rows(
+    got: list[tuple],
+    expected: list[list[str]],
+    ignore_order: bool = True,
+    ignore_excess: bool = False,
+    trim: bool = False,
+) -> str | None:
+    """Compare engine rows against parsed expected rows.
+
+    ``trim`` mirrors the product-test ``trimValues`` option (default off):
+    when on, string cells on BOTH sides are stripped before comparison.
+    Returns None on match, else a human-readable diff summary."""
+    g = [[canon_got_cell(c) for c in row] for row in got]
+    if trim:
+        g = [[c.strip() if isinstance(c, str) else c for c in row] for row in g]
+    e = [[canon_expected_cell(c) for c in row] for row in expected]
+    if ignore_excess:
+        # every expected row must appear in got (multiset containment)
+        pool = list(g)
+        for row in e:
+            hit = next((i for i, p in enumerate(pool) if _row_eq(row, p)), None)
+            if hit is None:
+                return f"expected row {row!r} not found in result"
+            pool.pop(hit)
+        return None
+    if len(g) != len(e):
+        return f"row count {len(g)} != expected {len(e)}\ngot={g[:8]}\nwant={e[:8]}"
+    if ignore_order:
+        g = sorted(g, key=_sort_key)
+        e = sorted(e, key=_sort_key)
+        # sort keys round floats; verify pairwise with tolerance, and fall
+        # back to O(n^2) matching for rows the keyed sort misaligned
+        unmatched_g, unmatched_e = [], []
+        for gr, er in zip(g, e):
+            if not _row_eq(gr, er):
+                unmatched_g.append(gr)
+                unmatched_e.append(er)
+        for gr in unmatched_g:
+            hit = next(
+                (i for i, er in enumerate(unmatched_e) if _row_eq(gr, er)),
+                None,
+            )
+            if hit is None:
+                return f"row {gr!r} has no match in expected (sample want rows: {unmatched_e[:4]!r})"
+            unmatched_e.pop(hit)
+        return None
+    for i, (gr, er) in enumerate(zip(g, e)):
+        if not _row_eq(gr, er):
+            return f"row {i}: got {gr!r}, want {er!r}"
+    return None

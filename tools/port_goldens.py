@@ -1,0 +1,295 @@
+"""Port the reference product-test golden corpus into tests/golden_corpus.py.
+
+Reads the reference's ``.sql``/``.result`` pairs
+(presto-product-tests/src/main/resources/sql-tests/testcases/), runs each
+query through our Engine against the golden fixture views
+(tests/_golden_util.register_golden_views), and emits every case —
+passing ones into ``CASES`` (inlined SQL + expected rows, so the suite is
+hermetic and never reads the reference tree at test time), failing ones
+into a triage report for the operator to fix or document.
+
+Usage:
+    python tools/port_goldens.py            # run + report failures
+    python tools/port_goldens.py --emit     # also write tests/golden_corpus.py
+
+File formats handled (product-test conventions):
+- single-query ``x.sql`` (header comment with ``tables:`` etc.) paired
+  with ``x.result`` (optional leading ``-- option: v; ...`` line, then
+  delimiter-joined rows);
+- multi-section ``x.sql``: header comment, then repeated
+  ``--! name: <n>`` / query / ``--!`` / inline expected rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+REF = "/root/reference/presto-product-tests/src/main/resources/sql-tests/testcases"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+CATEGORIES = [
+    "aggregate",
+    "array_functions",
+    "binary_functions",
+    "convertion_functions",
+    "distinct",
+    "empty_table",
+    "group-by",
+    "horology_functions",
+    "join",
+    "json_functions",
+    "limit",
+    "map_functions",
+    "math_functions",
+    "order_by",
+    "regex_functions",
+    "select_no_from",
+    "set_operation",
+    "string_functions",
+    "union",
+    "url_functions",
+    "window_functions",
+    "with_clause",
+    "color_functions",
+    "functions",
+]
+
+# tiny-connector tables we can reproduce (fixed seed data); any other
+# tpch.tiny.* reference is dbgen-scale data we don't ship.
+TINY_OK = {"nation", "region"}
+# fixture tables available locally (unqualified)
+LOCAL_OK = {"nation", "region", "workers", "datatype", "empty",
+            "tiny_nation", "tiny_region"}
+
+
+def parse_opts(text: str) -> dict:
+    """Parse ``key: value; key: value`` pairs out of a ``--`` comment."""
+    opts = {}
+    for part in re.split(r"[;]", text):
+        if ":" in part:
+            k, v = part.split(":", 1)
+            opts[k.strip().lower()] = v.strip()
+    return opts
+
+
+def _bool(opts, key, default):
+    v = opts.get(key)
+    if v is None:
+        return default
+    return v.strip().lower() == "true"
+
+
+def load_cases(category: str):
+    """Yield dicts: {category, name, sql, expected(list[str]), opts}."""
+    d = os.path.join(REF, category)
+    if not os.path.isdir(d):
+        return
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".sql"):
+            continue
+        path = os.path.join(d, fn)
+        base = fn[:-4]
+        text = open(path).read()
+        lines = text.splitlines()
+        header_opts: dict = {}
+        body_start = 0
+        for i, ln in enumerate(lines):
+            if ln.strip().startswith("--") and "--!" not in ln:
+                header_opts.update(parse_opts(ln.strip().lstrip("-").strip()))
+                body_start = i + 1
+            else:
+                break
+        body = lines[body_start:]
+        if any(ln.strip().startswith("--!") for ln in body):
+            # multi-section file with inline expected rows
+            name, sql_lines, exp_lines, mode = None, [], [], None
+            sections = []
+            for ln in body:
+                s = ln.strip()
+                if s.startswith("--!"):
+                    m = re.match(r"--!\s*name\s*:\s*(\S+)", s)
+                    if m:
+                        if name is not None:
+                            sections.append((name, sql_lines, exp_lines))
+                        name, sql_lines, exp_lines = m.group(1), [], []
+                        mode = "sql"
+                    else:
+                        mode = "exp"
+                elif mode == "sql":
+                    sql_lines.append(ln)
+                elif mode == "exp":
+                    exp_lines.append(ln)
+            if name is not None:
+                sections.append((name, sql_lines, exp_lines))
+            for name, sql_lines, exp_lines in sections:
+                yield {
+                    "category": category,
+                    "name": f"{base}__{name}",
+                    "sql": "\n".join(sql_lines).strip(),
+                    "expected": exp_lines,
+                    "opts": dict(header_opts),
+                }
+        else:
+            rpath = os.path.join(d, base + ".result")
+            if not os.path.exists(rpath):
+                continue
+            rlines = open(rpath).read().splitlines()
+            opts = dict(header_opts)
+            exp = []
+            for ln in rlines:
+                s = ln.strip()
+                if s.startswith("--"):
+                    opts.update(parse_opts(s.lstrip("-").strip()))
+                else:
+                    exp.append(ln)
+            sql = "\n".join(
+                ln for ln in body if not ln.strip().startswith("--")
+            ).strip()
+            yield {
+                "category": category,
+                "name": base,
+                "sql": sql,
+                "expected": exp,
+                "opts": opts,
+            }
+
+
+def portability_skip(case) -> str | None:
+    """Return a skip reason if the case can't run on local fixtures."""
+    opts = case["opts"]
+    if opts.get("mutable_tables"):
+        return "mutable hive tables (insert-path product tests)"
+    tables = [
+        t.strip()
+        for t in re.split(r"[,]", opts.get("tables", ""))
+        if t.strip()
+    ]
+    for t in tables:
+        if "." in t:
+            return f"external-connector table {t} (mysql/psql/sqlserver)"
+        if t not in LOCAL_OK and t not in ("empty",):
+            return f"table {t} is dbgen-scale data (covered by TPC-H suite)"
+    sql = case["sql"]
+    if re.match(r"^\s*show\s+functions\s*$", sql, re.I):
+        return "SHOW FUNCTIONS signature dump (shape differs; see engine SHOW FUNCTIONS)"
+    for m in re.finditer(r"\btpch\.tiny\.(\w+)", sql, re.I):
+        if m.group(1).lower() not in TINY_OK:
+            return f"tpch.tiny.{m.group(1)} is dbgen-scale data"
+    if re.search(r"\b(current_date|current_time|current_timestamp|now\(\)|localtime|localtimestamp)\b", sql, re.I):
+        return "wall-clock-dependent result"
+    return None
+
+
+def port_sql(sql: str) -> str:
+    return re.sub(r"\btpch\.tiny\.(\w+)\b", r"tiny_\1", sql, flags=re.I)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--emit", action="store_true")
+    ap.add_argument("--only", help="category filter")
+    ap.add_argument("--name", help="case-name substring filter")
+    args = ap.parse_args()
+
+    import _golden_util as gu
+    from presto_ads_spark.engine import Engine
+    from presto_ads_spark.session import get_spark
+
+    base = get_spark("port-goldens", master="local[8]")
+    spark = base.newSession()
+    gu.register_golden_views(spark)
+    eng = Engine(spark, sf_dir=None)
+
+    passed, failed, skipped = [], [], []
+    cats = [args.only] if args.only else CATEGORIES
+    for cat in cats:
+        for case in load_cases(cat):
+            if args.name and args.name not in case["name"]:
+                continue
+            reason = portability_skip(case)
+            if reason:
+                skipped.append((cat, case["name"], reason))
+                continue
+            sql = port_sql(case["sql"])
+            opts = case["opts"]
+            delim = opts.get("delimiter", "|")
+            trim = _bool(opts, "trimvalues", False)
+            ignore_order = _bool(opts, "ignoreorder", True)
+            ignore_excess = _bool(opts, "ignoreexcessrows", False)
+            exp = gu.parse_result_lines(case["expected"], delim, trim)
+            # empty expected + ignoreExcessRows = the reference's
+            # "just check the query succeeds" convention
+            execute_only = ignore_excess and not exp
+            try:
+                if execute_only:
+                    eng.sql(sql).count()
+                    diff = None
+                else:
+                    got = [tuple(r) for r in eng.sql(sql).collect()]
+                    diff = gu.compare_rows(
+                        got, exp, ignore_order, ignore_excess, trim
+                    )
+            except Exception as e:  # noqa: BLE001 — triage report
+                diff = f"EXCEPTION: {type(e).__name__}: {str(e)[:500]}"
+            rec = {
+                "category": cat,
+                "name": case["name"],
+                "sql": sql,
+                "expected": case["expected"],
+                "delimiter": delim,
+                "trim": trim,
+                "ignore_order": ignore_order,
+                "ignore_excess": ignore_excess,
+                "execute_only": execute_only,
+            }
+            if diff is None:
+                passed.append(rec)
+            else:
+                failed.append((rec, diff))
+
+    print(f"PASS {len(passed)}  FAIL {len(failed)}  SKIP {len(skipped)}")
+    for cat, name, reason in skipped:
+        print(f"  SKIP [{cat}] {name}: {reason}")
+    for rec, diff in failed:
+        print(f"\nFAIL [{rec['category']}] {rec['name']}")
+        print(f"  SQL: {rec['sql'][:300]}")
+        print(f"  {diff[:600]}")
+
+    if args.emit:
+        out = os.path.join(
+            os.path.dirname(__file__), "..", "tests", "golden_corpus.py"
+        )
+        with open(out, "w") as f:
+            f.write(
+                '"""GENERATED by tools/port_goldens.py — do not hand-edit '
+                "cases.\n\nGolden corpus ported from the reference product "
+                "tests\n(presto-product-tests/src/main/resources/sql-tests/"
+                "testcases/);\nexpected rows inlined so the suite is hermetic."
+                '"""\n\n'
+            )
+            import pprint
+
+            f.write("CASES = ")
+            f.write(pprint.pformat(passed, width=100, sort_dicts=False))
+            f.write("\n\nSKIPPED = ")
+            f.write(
+                pprint.pformat(
+                    [
+                        {"category": c, "name": n, "reason": r}
+                        for c, n, r in skipped
+                    ],
+                    width=100,
+                    sort_dicts=False,
+                )
+            )
+            f.write("\n")
+        print(f"\nwrote {len(passed)} cases → {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,11 +24,14 @@ from . import datetime_compat  # noqa: F401  (re-export)
 
 
 def register_all(spark: SparkSession) -> None:
+    from .color import register_color_udfs
+    from .geospatial import register_geospatial_python
+
+    # geo_convex_hull must exist before st_convex_hull's body resolves
+    register_geospatial_python(spark)
     for stmt in SQL_FUNCTIONS + GEOSPATIAL_SQL_FUNCTIONS:
         spark.sql(stmt)
     _register_python_udfs(spark)
-    from .color import register_color_udfs
-
     register_color_udfs(spark)
 
 

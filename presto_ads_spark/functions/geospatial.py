@@ -1,37 +1,96 @@
 """Geospatial functions — a dependency-free planar subset of the
-reference's 98 ST_* functions (presto-geospatial/.../GeoFunctions.java),
-expressed entirely as JVM-side Spark SQL expressions (no Python, no
-geometry library).
+reference's ST_* surface (presto-geospatial/.../GeoFunctions.java,
+BingTileFunctions.java, aggregation/{ConvexHullAggregation,
+GeometryUnionAgg}.java), expressed as JVM-side Spark SQL expressions
+(plus one Python UDF for convex hull — see below).
 
-Geometry representation: ``STRUCT<gtype: STRING, pts: ARRAY<STRUCT<x
-DOUBLE, y DOUBLE>>>`` — POINT (1 pt), LINESTRING (n pts), POLYGON (one
-closed exterior ring, first = last). WKT parse/serialize covers exactly
-those shapes; MULTI*/holes/EMPTY are out of scope (use Apache Sedona for
-full OGC geometry on a real cluster — same ST_* names, drop-in).
+Geometry representation::
 
-Implementation note: Spark SQL temp functions cannot be CALLED from inside
-higher-order-function lambdas (the analyzer loses the lambda variable when
-inlining), so the segment/orientation primitives below are Python-side
-*expression templates* inlined into each lambda body at registration time.
+    STRUCT<gtype: STRING,
+           pts:   ARRAY<STRUCT<x DOUBLE, y DOUBLE>>,
+           rings: ARRAY<STRUCT<pid INT, hole BOOLEAN,
+                               pts ARRAY<STRUCT<x DOUBLE, y DOUBLE>>>>>
 
-Semantics notes (documented deviations):
-- ST_Contains/ST_Within are boundary-INCLUSIVE (ST_Covers-style): a point
-  on the polygon boundary is contained. OGC's boundary-exclusion corner
-  is not modeled.
-- ST_Distance is exact for all supported shape pairs when the shapes do
-  not intersect (min over vertex-to-segment distances, where segment-pair
-  minima are attained) and 0 when they do.
+``rings`` is the full structure: one entry per ring/chain, ``pid``
+grouping rings into polygons (MULTIPOLYGON), ``hole`` marking interior
+rings. ``pts`` is a denormalized convenience chain — the exterior ring
+for POLYGON, the flattened point set for everything else — kept so that
+bbox/point accessors stay single-array expressions. EMPTY geometries
+have zero rings. GEOMETRYCOLLECTION is not modeled.
+
+WKT parse/serialize covers POINT, LINESTRING, POLYGON (with holes),
+MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, and the EMPTY forms of each.
+
+Implementation note: Spark SQL temp functions cannot be CALLED from
+inside higher-order-function lambdas (the analyzer loses the lambda
+variable when inlining), so the segment/orientation primitives below are
+Python-side *expression templates* inlined into each lambda body at
+registration time; lambda variable names are suffixed (``gi_``/``rr_``…)
+so nested inlining never shadows an outer binding.
+
+Semantics notes (documented deviations from the Esri-backed reference):
+- ST_Contains/ST_Within are boundary-INCLUSIVE (ST_Covers-style); a
+  point on any ring boundary is contained. Point-in-polygon uses even-odd
+  parity over ALL rings, which handles holes and valid (disjoint-part)
+  multipolygons uniformly.
+- Polygon containment of extended shapes checks vertex containment only
+  (no edge-crossing subtraction); exact for convex outers.
+- ST_Distance is exact for non-intersecting supported shapes (min over
+  per-ring vertex-to-segment distances); a point inside a polygon hole
+  measures to the nearest ring, not just the exterior.
+- ST_IsSimple / ST_IsValid are structural checks (ring closure, arity,
+  duplicate vertices), not full OGC validation; geometry_invalid_reason
+  mirrors them.
+- ST_Union / geometry_union(_agg) are COLLECTION merges (pid-remapped
+  ring concatenation): correct cardinality/containment for disjoint
+  inputs, no boolean clipping of overlaps (ST_Intersection/Difference/
+  SymDifference are likewise not implemented).
+- ST_Buffer supports points (32-gon) only; other shapes return NULL.
+- ST_Crosses/ST_Overlaps/ST_Touches are predicate approximations built
+  from intersects/contains/boundary tests (documented per function).
+- Not implemented: ST_AsBinary/ST_GeomFromBinary (WKB), ST_Relate,
+  simplify_geometry, line_locate_point, GEOMETRYCOLLECTION.
 - ST_AsText prints Spark double repr ('1.0', not ESRI's '1').
 
 The predicate set powers the reference's spatial join
 (SpatialJoinOperator, ExtractSpatialJoins.java:101-109): a broadcast
-spatial join is just ``small.join(big, st_contains(...))`` and the
-bing-tile functions provide the tile-bucketed equi-join path for
-fact-fact spatial joins at scale.
+spatial join is ``small.join(big, st_contains(...))``, and the bing-tile
+functions provide the tile-bucketed equi-join path for fact-fact spatial
+joins at scale (geometry_to_bing_tiles → explode → equi-join on tile).
+
+Convex hull (ST_ConvexHull and the convex_hull_agg expansion) runs a
+Monotone-chain scan in a Python UDF: hull construction needs a
+stack-pop loop no SQL fold can express; it is a per-group rollup
+operation, never a per-row hot path, matching the repo's Python-UDF
+policy (functions/__init__._register_python_udfs).
 """
 
-_G = "STRUCT<gtype: STRING, pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>"
+_PT = "STRUCT<x: DOUBLE, y: DOUBLE>"
 _PTS = "ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+_RINGS = (
+    "ARRAY<STRUCT<pid: INT, hole: BOOLEAN,"
+    " pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>"
+)
+_G = (
+    "STRUCT<gtype: STRING, pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,"
+    " rings: ARRAY<STRUCT<pid: INT, hole: BOOLEAN,"
+    " pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>>"
+)
+
+_EMPTY_PTS = f"CAST(array() AS {_PTS})"
+_EMPTY_RINGS = f"CAST(array() AS {_RINGS})"
+
+
+def _mk_ring(pid, hole, pts) -> str:
+    return f"named_struct('pid', {pid}, 'hole', {hole}, 'pts', {pts})"
+
+
+def _mk_geo(gtype, pts, rings) -> str:
+    return f"named_struct('gtype', {gtype}, 'pts', {pts}, 'rings', {rings})"
+
+
+def _single_ring(pts) -> str:
+    return f"array({_mk_ring('0', 'false', pts)})"
 
 
 # --- expression templates (inlined — see implementation note above) -------
@@ -83,55 +142,172 @@ def _pt_seg_dist(px, py, ax, ay, bx, by) -> str:
     )
 
 
-def _ring_contains(pts, px, py) -> str:
-    """Boundary-inclusive point-in-ring: on-edge OR odd crossing parity."""
-    xi, yi = f"element_at({pts}, i).x", f"element_at({pts}, i).y"
-    xj, yj = f"element_at({pts}, i + 1).x", f"element_at({pts}, i + 1).y"
+def _on_any_edge(pts, px, py, iv="ge_") -> str:
+    """p lies on some segment of the (closed or open) chain ``pts``."""
+    xi, yi = f"element_at({pts}, {iv}).x", f"element_at({pts}, {iv}).y"
+    xj, yj = f"element_at({pts}, {iv} + 1).x", f"element_at({pts}, {iv} + 1).y"
     return (
-        f"(exists(sequence(1, size({pts}) - 1), i ->"
-        f" {_on_seg(xi, yi, xj, yj, px, py)})"
-        f" OR aggregate(sequence(1, size({pts}) - 1), 0, (acc, i) ->"
-        f" acc + CASE WHEN (({yi} <= {py} AND {yj} > {py})"
-        f" OR ({yj} <= {py} AND {yi} > {py}))"
-        f" AND {px} < {xi} + ({py} - {yi}) * ({xj} - {xi}) / ({yj} - {yi})"
-        f" THEN 1 ELSE 0 END) % 2 = 1)"
+        f"(exists(sequence(1, size({pts}) - 1), {iv} ->"
+        f" {_on_seg(xi, yi, xj, yj, px, py)}))"
     )
 
 
-def _pt_chain_dist(px, py, pts) -> str:
+def _crossings(pts, px, py, iv="gc_", acc="ca_") -> str:
+    """Ray-crossing count (rightward ray from p) over one ring chain."""
+    xi, yi = f"element_at({pts}, {iv}).x", f"element_at({pts}, {iv}).y"
+    xj, yj = f"element_at({pts}, {iv} + 1).x", f"element_at({pts}, {iv} + 1).y"
+    return (
+        f"(aggregate(sequence(1, size({pts}) - 1), 0, ({acc}, {iv}) ->"
+        f" {acc} + CASE WHEN (({yi} <= {py} AND {yj} > {py})"
+        f" OR ({yj} <= {py} AND {yi} > {py}))"
+        f" AND {px} < {xi} + ({py} - {yi}) * ({xj} - {xi}) / ({yj} - {yi})"
+        f" THEN 1 ELSE 0 END))"
+    )
+
+
+def _rings_contain(rings, px, py) -> str:
+    """Boundary-inclusive point-in-polygonal-geometry: on any ring edge,
+    OR odd total crossing parity over all rings (even-odd rule — handles
+    holes and disjoint multipolygon parts uniformly)."""
+    return (
+        f"(exists({rings}, re_ -> {_on_any_edge('re_.pts', px, py)})"
+        f" OR aggregate({rings}, 0, (rca_, rr_) ->"
+        f" rca_ + {_crossings('rr_.pts', px, py)}) % 2 = 1)"
+    )
+
+
+def _pt_chain_dist(px, py, pts, iv="pc_", acc="pa_") -> str:
     """Min distance from p to a point chain (vertices + segments)."""
-    xi, yi = f"element_at({pts}, i).x", f"element_at({pts}, i).y"
-    xj, yj = f"element_at({pts}, i + 1).x", f"element_at({pts}, i + 1).y"
+    xi, yi = f"element_at({pts}, {iv}).x", f"element_at({pts}, {iv}).y"
+    xj, yj = f"element_at({pts}, {iv} + 1).x", f"element_at({pts}, {iv} + 1).y"
     return (
         f"(CASE WHEN size({pts}) = 1"
         f" THEN sqrt(power({px} - element_at({pts}, 1).x, 2)"
         f"         + power({py} - element_at({pts}, 1).y, 2))"
         f" ELSE aggregate(sequence(1, size({pts}) - 1),"
-        f" CAST('Infinity' AS DOUBLE), (acc, i) ->"
-        f" least(acc, {_pt_seg_dist(px, py, xi, yi, xj, yj)})) END)"
+        f" CAST('Infinity' AS DOUBLE), ({acc}, {iv}) ->"
+        f" least({acc}, {_pt_seg_dist(px, py, xi, yi, xj, yj)})) END)"
     )
 
 
-def _chains_intersect(a, b) -> str:
-    """Any segment of chain a intersects any segment of chain b."""
-    ax, ay = f"element_at({a}, i).x", f"element_at({a}, i).y"
-    bx = f"element_at({a}, least(i + 1, size({a}))).x"
-    by = f"element_at({a}, least(i + 1, size({a}))).y"
-    cx, cy = f"element_at({b}, j).x", f"element_at({b}, j).y"
-    dx = f"element_at({b}, least(j + 1, size({b}))).x"
-    dy = f"element_at({b}, least(j + 1, size({b}))).y"
+def _pt_rings_dist(px, py, rings) -> str:
+    """Min distance from p to every ring chain of a geometry (no phantom
+    segments across ring boundaries)."""
     return (
-        f"(exists(sequence(1, greatest(size({a}) - 1, 1)), i ->"
-        f" exists(sequence(1, greatest(size({b}) - 1, 1)), j ->"
+        f"(aggregate({rings}, CAST('Infinity' AS DOUBLE), (pra_, prr_) ->"
+        f" least(pra_, {_pt_chain_dist(px, py, 'prr_.pts')})))"
+    )
+
+
+def _chains_intersect(a, b, iv="ci_", jv="cj_") -> str:
+    """Any segment of chain a intersects any segment of chain b."""
+    ax, ay = f"element_at({a}, {iv}).x", f"element_at({a}, {iv}).y"
+    bx = f"element_at({a}, least({iv} + 1, size({a}))).x"
+    by = f"element_at({a}, least({iv} + 1, size({a}))).y"
+    cx, cy = f"element_at({b}, {jv}).x", f"element_at({b}, {jv}).y"
+    dx = f"element_at({b}, least({jv} + 1, size({b}))).x"
+    dy = f"element_at({b}, least({jv} + 1, size({b}))).y"
+    return (
+        f"(exists(sequence(1, greatest(size({a}) - 1, 1)), {iv} ->"
+        f" exists(sequence(1, greatest(size({b}) - 1, 1)), {jv} ->"
         f" {_seg_intersects(ax, ay, bx, by, cx, cy, dx, dy)})))"
     )
 
 
-_SHOELACE = (
-    "aggregate(sequence(1, size(g.pts) - 1), CAST(0.0 AS DOUBLE), (acc, i) ->"
-    " acc + element_at(g.pts, i).x * element_at(g.pts, i + 1).y"
-    " - element_at(g.pts, i + 1).x * element_at(g.pts, i).y)"
+def _rings_chains_intersect(ra, rb) -> str:
+    return (
+        f"(exists({ra}, xa_ -> exists({rb}, xb_ ->"
+        f" {_chains_intersect('xa_.pts', 'xb_.pts')})))"
+    )
+
+
+def _shoelace(pts, iv="sl_", acc="sa_") -> str:
+    """Signed double area of one closed ring."""
+    return (
+        f"(aggregate(sequence(1, size({pts}) - 1), CAST(0.0 AS DOUBLE),"
+        f" ({acc}, {iv}) -> {acc}"
+        f" + element_at({pts}, {iv}).x * element_at({pts}, {iv} + 1).y"
+        f" - element_at({pts}, {iv} + 1).x * element_at({pts}, {iv}).y))"
+    )
+
+
+def _chain_len(pts, iv="cl_", acc="la_") -> str:
+    return (
+        f"(aggregate(sequence(1, size({pts}) - 1), CAST(0.0 AS DOUBLE),"
+        f" ({acc}, {iv}) -> {acc}"
+        f" + sqrt(power(element_at({pts}, {iv} + 1).x - element_at({pts}, {iv}).x, 2)"
+        f"      + power(element_at({pts}, {iv} + 1).y - element_at({pts}, {iv}).y, 2))))"
+    )
+
+
+def _parse_chain(s) -> str:
+    """'x y, x y, …' (any residual parens stripped) → pts array."""
+    clean = f"regexp_replace({s}, '[()]', '')"
+    return (
+        f"transform(split({clean}, ','), tk_ -> named_struct("
+        f"'x', CAST(split(trim(tk_), '\\\\s+')[0] AS DOUBLE),"
+        f"'y', CAST(split(trim(tk_), '\\\\s+')[1] AS DOUBLE)))"
+    )
+
+
+# ring-text separators: ') , (' at ring depth, ')) , ((' at polygon depth
+_RSEP = r"'\\)\\s*,\\s*\\('"
+_PSEP = r"'\\)\\s*\\)\\s*,\\s*\\(\\s*\\('"
+# full WKT body: first '(' to last ')' (greedy)
+_WKT_BODY = "regexp_extract(wkt, " + r"'\\((.*)\\)'" + ", 1)"
+
+_PTS_JOIN = (
+    "array_join(transform({pts}, pj_ ->"
+    " concat(CAST(pj_.x AS STRING), ' ', CAST(pj_.y AS STRING))), ', ')"
 )
+
+
+def _pts_join(pts) -> str:
+    return _PTS_JOIN.format(pts=pts)
+
+
+def _numg(g) -> str:
+    """Template: number of component geometries (ST_NumGeometries)."""
+    return (
+        f"(CASE WHEN size({g}.rings) = 0 THEN 0"
+        f" WHEN {g}.gtype = 'MULTIPOINT' THEN size({g}.pts)"
+        f" WHEN {g}.gtype = 'MULTILINESTRING' THEN size({g}.rings)"
+        f" WHEN {g}.gtype = 'MULTIPOLYGON'"
+        f" THEN size(array_distinct(transform({g}.rings, np_ -> np_.pid)))"
+        f" ELSE 1 END)"
+    )
+
+
+def _geon(g, n) -> str:
+    """Template: n-th component geometry (ST_GeometryN); inlined into
+    st_geometries' lambda (a SQL-UDF call there would not resolve)."""
+    nth_pid = (
+        f"element_at(array_distinct(transform({g}.rings, gp_ -> gp_.pid)), {n})"
+    )
+    return (
+        f"(CASE WHEN {n} < 1 OR {n} > {_numg(g)} THEN NULL"
+        f" WHEN {g}.gtype = 'MULTIPOINT' THEN "
+        + _mk_geo(
+            "'POINT'",
+            f"array(element_at({g}.pts, {n}))",
+            _single_ring(f"array(element_at({g}.pts, {n}))"),
+        )
+        + f" WHEN {g}.gtype = 'MULTILINESTRING' THEN "
+        + _mk_geo(
+            "'LINESTRING'",
+            f"element_at({g}.rings, {n}).pts",
+            _single_ring(f"element_at({g}.rings, {n}).pts"),
+        )
+        + f" WHEN {g}.gtype = 'MULTIPOLYGON' THEN "
+        + _mk_geo(
+            "'POLYGON'",
+            f"element_at(filter({g}.rings, gr_ -> gr_.pid = {nth_pid}"
+            " AND NOT gr_.hole), 1).pts",
+            f"transform(filter({g}.rings, gr_ -> gr_.pid = {nth_pid}),"
+            " (gr2_, gx_) -> " + _mk_ring("0", "gx_ > 0", "gr2_.pts") + ")",
+        )
+        + f" ELSE {g} END)"
+    )
 
 
 GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
@@ -139,38 +315,123 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
     #     templates so their own lambdas never call a SQL UDF) ------------
     f"""CREATE OR REPLACE TEMPORARY FUNCTION geo_ring_contains(
          pts {_PTS}, px DOUBLE, py DOUBLE)
-       RETURNS BOOLEAN RETURN {_ring_contains("pts", "px", "py")}""",
+       RETURNS BOOLEAN RETURN
+         {_on_any_edge("pts", "px", "py")}
+         OR {_crossings("pts", "px", "py")} % 2 = 1""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION geo_rings_contain(
+         rings {_RINGS}, px DOUBLE, py DOUBLE)
+       RETURNS BOOLEAN RETURN {_rings_contain("rings", "px", "py")}""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION geo_pt_chain_dist(
          px DOUBLE, py DOUBLE, pts {_PTS})
        RETURNS DOUBLE RETURN {_pt_chain_dist("px", "py", "pts")}""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION geo_pt_rings_dist(
+         px DOUBLE, py DOUBLE, rings {_RINGS})
+       RETURNS DOUBLE RETURN {_pt_rings_dist("px", "py", "rings")}""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION geo_chains_intersect(
          a {_PTS}, b {_PTS})
        RETURNS BOOLEAN RETURN {_chains_intersect("a", "b")}""",
-    # --- constructors & accessors (GeoFunctions.java) --------------------
-    """CREATE OR REPLACE TEMPORARY FUNCTION st_point(x DOUBLE, y DOUBLE)
-       RETURNS STRUCT<gtype: STRING, pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>
-       RETURN named_struct('gtype', 'POINT',
-                           'pts', array(named_struct('x', x, 'y', y)))""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION geo_rings_intersect(
+         a {_RINGS}, b {_RINGS})
+       RETURNS BOOLEAN RETURN {_rings_chains_intersect("a", "b")}""",
+    # --- WKT parse --------------------------------------------------------
+    #     geo_parse_rings builds the ring structure; st_geometry_from_text
+    #     assembles the geometry (calls are top-level — allowed).
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION geo_wkt_type(wkt STRING)
+       RETURNS STRING RETURN upper(regexp_extract(trim(wkt), '^([A-Za-z]+)', 1))""",
+    "CREATE OR REPLACE TEMPORARY FUNCTION geo_parse_rings(wkt STRING)"
+    f" RETURNS {_RINGS} RETURN CASE"
+    " WHEN upper(wkt) RLIKE " + r"'EMPTY\\s*$'" + f" THEN {_EMPTY_RINGS}"
+    " WHEN geo_wkt_type(wkt) IN ('POINT', 'LINESTRING', 'MULTIPOINT') THEN"
+    f" array({_mk_ring('0', 'false', _parse_chain(_WKT_BODY))})"
+    " WHEN geo_wkt_type(wkt) = 'POLYGON' THEN"
+    f" transform(split({_WKT_BODY}, {_RSEP}),"
+    f" (rt_, rix_) -> {_mk_ring('0', 'rix_ > 0', _parse_chain('rt_'))})"
+    " WHEN geo_wkt_type(wkt) = 'MULTILINESTRING' THEN"
+    f" transform(split({_WKT_BODY}, {_RSEP}),"
+    f" (rt_, rix_) -> {_mk_ring('rix_', 'false', _parse_chain('rt_'))})"
+    " WHEN geo_wkt_type(wkt) = 'MULTIPOLYGON' THEN"
+    f" flatten(transform(split({_WKT_BODY}, {_PSEP}),"
+    " (pt_, pix_) -> transform(split(pt_, " + _RSEP + "),"
+    f" (rt_, rix_) -> {_mk_ring('pix_', 'rix_ > 0', _parse_chain('rt_'))})))"
+    " ELSE NULL END",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION geo_pts_of(rings {_RINGS}, gt STRING)
+       RETURNS {_PTS} RETURN CASE
+         WHEN rings IS NULL OR size(rings) = 0 THEN {_EMPTY_PTS}
+         WHEN gt = 'POLYGON' THEN element_at(rings, 1).pts
+         ELSE flatten(transform(rings, fr_ -> fr_.pts)) END""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_geometry_from_text(wkt STRING)
-       RETURNS {_G} RETURN named_struct(
-         'gtype', upper(trim(split(wkt, '\\\\(')[0])),
-         'pts', transform(
-            split(regexp_extract(wkt, '\\\\(+([^()]*)\\\\)+', 1), '\\\\s*,\\\\s*'),
-            s -> named_struct(
-              'x', CAST(split(trim(s), '\\\\s+')[0] AS DOUBLE),
-              'y', CAST(split(trim(s), '\\\\s+')[1] AS DOUBLE))))""",
+       RETURNS {_G} RETURN {_mk_geo(
+           "geo_wkt_type(wkt)",
+           "geo_pts_of(geo_parse_rings(wkt), geo_wkt_type(wkt))",
+           "geo_parse_rings(wkt)")}""",
+    # ST_Polygon / ST_LineFromText: type-checked parse (GeoFunctions
+    # stPolygon/stLineFromText reject other geometry types).
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_polygon(wkt STRING)
+       RETURNS {_G} RETURN CASE WHEN geo_wkt_type(wkt) = 'POLYGON'
+         THEN st_geometry_from_text(wkt) ELSE NULL END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_line_from_text(wkt STRING)
+       RETURNS {_G} RETURN CASE WHEN geo_wkt_type(wkt) = 'LINESTRING'
+         THEN st_geometry_from_text(wkt) ELSE NULL END""",
+    # --- constructors -----------------------------------------------------
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_point(x DOUBLE, y DOUBLE)
+       RETURNS {_G} RETURN {_mk_geo(
+           "'POINT'",
+           "array(named_struct('x', x, 'y', y))",
+           _single_ring("array(named_struct('x', x, 'y', y))"))}""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_linestring(points ARRAY<{_G}>)
+       RETURNS {_G} RETURN {_mk_geo(
+           "'LINESTRING'",
+           "transform(points, lp_ -> element_at(lp_.pts, 1))",
+           _single_ring("transform(points, lp_ -> element_at(lp_.pts, 1))"))}""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_multipoint(points ARRAY<{_G}>)
+       RETURNS {_G} RETURN {_mk_geo(
+           "'MULTIPOINT'",
+           "transform(points, lp_ -> element_at(lp_.pts, 1))",
+           _single_ring("transform(points, lp_ -> element_at(lp_.pts, 1))"))}""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_make_envelope(
+         xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE)
+       RETURNS {_G} RETURN {_mk_geo(
+           "'POLYGON'",
+           "array(named_struct('x', xmin, 'y', ymin),"
+           " named_struct('x', xmax, 'y', ymin),"
+           " named_struct('x', xmax, 'y', ymax),"
+           " named_struct('x', xmin, 'y', ymax),"
+           " named_struct('x', xmin, 'y', ymin))",
+           _single_ring(
+               "array(named_struct('x', xmin, 'y', ymin),"
+               " named_struct('x', xmax, 'y', ymin),"
+               " named_struct('x', xmax, 'y', ymax),"
+               " named_struct('x', xmin, 'y', ymax),"
+               " named_struct('x', xmin, 'y', ymin))"))}""",
+    # --- serialization ----------------------------------------------------
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_astext(g {_G})
-       RETURNS STRING RETURN CASE g.gtype
-         WHEN 'POINT' THEN concat('POINT (',
-           CAST(element_at(g.pts, 1).x AS STRING), ' ',
-           CAST(element_at(g.pts, 1).y AS STRING), ')')
-         WHEN 'LINESTRING' THEN concat('LINESTRING (', array_join(
-           transform(g.pts, p -> concat(CAST(p.x AS STRING), ' ', CAST(p.y AS STRING))), ', '), ')')
-         WHEN 'POLYGON' THEN concat('POLYGON ((', array_join(
-           transform(g.pts, p -> concat(CAST(p.x AS STRING), ' ', CAST(p.y AS STRING))), ', '), '))')
+       RETURNS STRING RETURN CASE
+         WHEN g IS NULL THEN NULL
+         WHEN size(g.rings) = 0 THEN concat(g.gtype, ' EMPTY')
+         WHEN g.gtype = 'POINT' THEN concat('POINT (', {_pts_join("g.pts")}, ')')
+         WHEN g.gtype = 'LINESTRING' THEN
+           concat('LINESTRING (', {_pts_join("g.pts")}, ')')
+         WHEN g.gtype = 'MULTIPOINT' THEN
+           concat('MULTIPOINT (', {_pts_join("g.pts")}, ')')
+         WHEN g.gtype IN ('POLYGON', 'MULTILINESTRING') THEN
+           concat(g.gtype, ' (', array_join(transform(g.rings, sr_ ->
+             concat('(', {_pts_join("sr_.pts")}, ')')), ', '), ')')
+         WHEN g.gtype = 'MULTIPOLYGON' THEN
+           concat('MULTIPOLYGON (', array_join(
+             transform(array_distinct(transform(g.rings, dp_ -> dp_.pid)),
+               mp_ -> concat('(', array_join(
+                 transform(filter(g.rings, fr2_ -> fr2_.pid = mp_),
+                   sr2_ -> concat('(', {_pts_join("sr2_.pts")}, ')')), ', '),
+                 ')')), ', '), ')')
        END""",
+    # --- accessors --------------------------------------------------------
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_geometry_type(g {_G})
-       RETURNS STRING RETURN concat('ST_', initcap(lower(g.gtype)))""",
+       RETURNS STRING RETURN CASE g.gtype
+         WHEN 'MULTIPOINT' THEN 'ST_MultiPoint'
+         WHEN 'MULTILINESTRING' THEN 'ST_MultiLineString'
+         WHEN 'MULTIPOLYGON' THEN 'ST_MultiPolygon'
+         WHEN 'LINESTRING' THEN 'ST_LineString'
+         ELSE concat('ST_', initcap(lower(g.gtype))) END""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_x(g {_G})
        RETURNS DOUBLE RETURN element_at(g.pts, 1).x""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_y(g {_G})
@@ -183,68 +444,187 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
        RETURNS DOUBLE RETURN array_min(transform(g.pts, p -> p.y))""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_ymax(g {_G})
        RETURNS DOUBLE RETURN array_max(transform(g.pts, p -> p.y))""",
+    # ST_NumPoints: vertex count; polygonal rings exclude the repeated
+    # closing point (GeoFunctions stNumPoints).
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_num_points(g {_G})
-       RETURNS INT RETURN CASE WHEN g.gtype = 'POLYGON'
-         THEN size(g.pts) - 1 ELSE size(g.pts) END""",
+       RETURNS INT RETURN aggregate(g.rings, 0, (na_, nr_) ->
+         na_ + size(nr_.pts)
+             - CASE WHEN g.gtype IN ('POLYGON', 'MULTIPOLYGON') THEN 1 ELSE 0 END)""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_point_n(g {_G}, i INT)
-       RETURNS {_G} RETURN named_struct('gtype', 'POINT',
-         'pts', array(element_at(g.pts, i)))""",
+       RETURNS {_G} RETURN CASE WHEN g.gtype = 'LINESTRING'
+         AND i >= 1 AND i <= size(g.pts) THEN {_mk_geo(
+           "'POINT'",
+           "array(element_at(g.pts, i))",
+           _single_ring("array(element_at(g.pts, i))"))}
+         ELSE NULL END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_start_point(g {_G})
+       RETURNS {_G} RETURN st_point_n(g, 1)""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_end_point(g {_G})
+       RETURNS {_G} RETURN st_point_n(g, CAST(size(g.pts) AS INT))""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_is_closed(g {_G})
-       RETURNS BOOLEAN RETURN size(g.pts) > 1
-         AND element_at(g.pts, 1) = element_at(g.pts, size(g.pts))""",
+       RETURNS BOOLEAN RETURN size(g.rings) > 0 AND forall(g.rings, cr_ ->
+         size(cr_.pts) > 1
+         AND element_at(cr_.pts, 1) = element_at(cr_.pts, size(cr_.pts)))""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_is_empty(g {_G})
-       RETURNS BOOLEAN RETURN size(g.pts) = 0""",
+       RETURNS BOOLEAN RETURN size(g.rings) = 0 OR size(g.pts) = 0""",
+    # ST_IsSimple: structural approximation — no repeated vertices other
+    # than ring closure (full OGC simplicity would need self-intersection
+    # tests; documented deviation).
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_is_simple(g {_G})
+       RETURNS BOOLEAN RETURN forall(g.rings, qr_ ->
+         size(array_distinct(qr_.pts)) >= size(qr_.pts)
+           - CASE WHEN size(qr_.pts) > 1
+                  AND element_at(qr_.pts, 1) = element_at(qr_.pts, size(qr_.pts))
+             THEN 1 ELSE 0 END)""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_is_ring(g {_G})
+       RETURNS BOOLEAN RETURN g.gtype = 'LINESTRING'
+         AND st_is_closed(g) AND st_is_simple(g)""",
+    # ST_IsValid: structural checks only (closure + minimum arity);
+    # geometry_invalid_reason mirrors the same checks.
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_is_valid(g {_G})
+       RETURNS BOOLEAN RETURN CASE
+         WHEN g IS NULL THEN NULL
+         WHEN size(g.rings) = 0 THEN true
+         WHEN g.gtype IN ('POLYGON', 'MULTIPOLYGON') THEN forall(g.rings, vr_ ->
+           size(vr_.pts) >= 4
+           AND element_at(vr_.pts, 1) = element_at(vr_.pts, size(vr_.pts)))
+         WHEN g.gtype IN ('LINESTRING', 'MULTILINESTRING') THEN
+           forall(g.rings, vr_ -> size(vr_.pts) >= 2)
+         ELSE size(g.pts) >= 1 END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION geometry_invalid_reason(g {_G})
+       RETURNS STRING RETURN CASE
+         WHEN g IS NULL THEN NULL
+         WHEN st_is_valid(g) THEN NULL
+         WHEN g.gtype IN ('POLYGON', 'MULTIPOLYGON') THEN
+           'polygon ring is not closed or has fewer than 4 points'
+         ELSE 'linestring has fewer than 2 points' END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_dimension(g {_G})
+       RETURNS TINYINT RETURN CASE
+         WHEN g.gtype IN ('POINT', 'MULTIPOINT') THEN CAST(0 AS TINYINT)
+         WHEN g.gtype IN ('LINESTRING', 'MULTILINESTRING') THEN CAST(1 AS TINYINT)
+         ELSE CAST(2 AS TINYINT) END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_coord_dim(g {_G})
+       RETURNS TINYINT RETURN CAST(2 AS TINYINT)""",
+    # --- ring accessors ---------------------------------------------------
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_exterior_ring(g {_G})
-       RETURNS {_G} RETURN named_struct('gtype', 'LINESTRING', 'pts', g.pts)""",
+       RETURNS {_G} RETURN CASE WHEN g.gtype = 'POLYGON' THEN {_mk_geo(
+           "'LINESTRING'",
+           "element_at(g.rings, 1).pts",
+           _single_ring("element_at(g.rings, 1).pts"))}
+         ELSE NULL END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_num_interior_ring(g {_G})
+       RETURNS INT RETURN CASE WHEN g.gtype = 'POLYGON'
+         THEN size(filter(g.rings, hr_ -> hr_.hole)) ELSE NULL END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_interior_rings(g {_G})
+       RETURNS ARRAY<{_G}> RETURN CASE WHEN g.gtype = 'POLYGON' THEN
+         transform(filter(g.rings, hr_ -> hr_.hole), ir_ -> {_mk_geo(
+             "'LINESTRING'", "ir_.pts",
+             "array(" + _mk_ring("0", "false", "ir_.pts") + ")")})
+         ELSE NULL END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_interior_ring_n(g {_G}, i INT)
+       RETURNS {_G} RETURN element_at(st_interior_rings(g), i)""",
+    # ST_Boundary: polygon (with holes) → MULTILINESTRING of its rings.
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_boundary(g {_G})
-       RETURNS {_G} RETURN named_struct('gtype', 'LINESTRING', 'pts', g.pts)""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION st_make_envelope(
-         xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE)
-       RETURNS STRUCT<gtype: STRING, pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>
-       RETURN named_struct('gtype', 'POLYGON', 'pts', array(
-         named_struct('x', xmin, 'y', ymin), named_struct('x', xmax, 'y', ymin),
-         named_struct('x', xmax, 'y', ymax), named_struct('x', xmin, 'y', ymax),
-         named_struct('x', xmin, 'y', ymin)))""",
+       RETURNS {_G} RETURN CASE
+         WHEN g.gtype IN ('POLYGON', 'MULTIPOLYGON') AND size(g.rings) > 1
+           THEN {_mk_geo(
+               "'MULTILINESTRING'",
+               "flatten(transform(g.rings, br_ -> br_.pts))",
+               "transform(g.rings, (br_, bi_) ->"
+               + _mk_ring("bi_", "false", "br_.pts") + ")")}
+         ELSE {_mk_geo("'LINESTRING'", "g.pts", _single_ring("g.pts"))} END""",
+    # --- multi-geometry accessors ----------------------------------------
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_num_geometries(g {_G})
+       RETURNS INT RETURN {_numg("g")}""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_geometry_n(g {_G}, n INT)
+       RETURNS {_G} RETURN {_geon("g", "n")}""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_geometries(g {_G})
+       RETURNS ARRAY<{_G}> RETURN CASE WHEN size(g.rings) = 0 THEN NULL
+         ELSE transform(sequence(1, {_numg("g")}),
+                        sn_ -> {_geon("g", "sn_")}) END""",
+    # --- envelope ---------------------------------------------------------
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_envelope(g {_G})
-       RETURNS {_G} RETURN st_make_envelope(st_xmin(g), st_ymin(g), st_xmax(g), st_ymax(g))""",
-    # --- measures --------------------------------------------------------
+       RETURNS {_G} RETURN st_make_envelope(st_xmin(g), st_ymin(g),
+                                            st_xmax(g), st_ymax(g))""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_envelope_as_pts(g {_G})
+       RETURNS ARRAY<{_PT}> RETURN array(
+         named_struct('x', st_xmin(g), 'y', st_ymin(g)),
+         named_struct('x', st_xmax(g), 'y', st_ymax(g)))""",
+    # --- measures ---------------------------------------------------------
+    # ST_Area: shoelace per ring, holes negative (valid input assumed:
+    # holes lie inside their exterior).
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_area(g {_G})
-       RETURNS DOUBLE RETURN CASE WHEN g.gtype = 'POLYGON'
-         THEN abs({_SHOELACE}) / 2.0 ELSE 0.0 END""",
+       RETURNS DOUBLE RETURN CASE WHEN g.gtype IN ('POLYGON', 'MULTIPOLYGON')
+         THEN aggregate(g.rings, CAST(0.0 AS DOUBLE), (aa_, ar_) ->
+           aa_ + (CASE WHEN ar_.hole THEN -1.0 ELSE 1.0 END)
+               * abs({_shoelace("ar_.pts")}) / 2.0)
+         ELSE 0.0 END""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_length(g {_G})
-       RETURNS DOUBLE RETURN CASE WHEN g.gtype IN ('LINESTRING', 'POLYGON')
-         THEN aggregate(sequence(1, size(g.pts) - 1), CAST(0.0 AS DOUBLE), (acc, i) ->
-           acc + sqrt(power(element_at(g.pts, i + 1).x - element_at(g.pts, i).x, 2)
-                    + power(element_at(g.pts, i + 1).y - element_at(g.pts, i).y, 2)))
+       RETURNS DOUBLE RETURN CASE
+         WHEN g.gtype IN ('LINESTRING', 'MULTILINESTRING', 'POLYGON', 'MULTIPOLYGON')
+         THEN aggregate(g.rings, CAST(0.0 AS DOUBLE), (ll_, lr_) ->
+           ll_ + {_chain_len("lr_.pts")})
          ELSE NULL END""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_centroid(g {_G})
        RETURNS {_G} RETURN CASE g.gtype
          WHEN 'POINT' THEN g
-         WHEN 'LINESTRING' THEN named_struct('gtype', 'POINT', 'pts', array(named_struct(
-           'x', aggregate(g.pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.x) / size(g.pts),
-           'y', aggregate(g.pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.y) / size(g.pts))))
-         WHEN 'POLYGON' THEN named_struct('gtype', 'POINT', 'pts', array(named_struct(
-           'x', aggregate(sequence(1, size(g.pts) - 1), CAST(0.0 AS DOUBLE), (acc, i) ->
-                  acc + (element_at(g.pts, i).x + element_at(g.pts, i + 1).x)
-                      * (element_at(g.pts, i).x * element_at(g.pts, i + 1).y
-                         - element_at(g.pts, i + 1).x * element_at(g.pts, i).y))
-                / (3.0 * {_SHOELACE}),
-           'y', aggregate(sequence(1, size(g.pts) - 1), CAST(0.0 AS DOUBLE), (acc, i) ->
-                  acc + (element_at(g.pts, i).y + element_at(g.pts, i + 1).y)
-                      * (element_at(g.pts, i).x * element_at(g.pts, i + 1).y
-                         - element_at(g.pts, i + 1).x * element_at(g.pts, i).y))
-                / (3.0 * {_SHOELACE}))))
+         WHEN 'MULTIPOINT' THEN {_mk_geo(
+             "'POINT'",
+             "array(named_struct("
+             "'x', aggregate(g.pts, CAST(0.0 AS DOUBLE), (ma_, mp_) -> ma_ + mp_.x) / size(g.pts),"
+             "'y', aggregate(g.pts, CAST(0.0 AS DOUBLE), (ma_, mp_) -> ma_ + mp_.y) / size(g.pts)))",
+             _single_ring(
+                 "array(named_struct("
+                 "'x', aggregate(g.pts, CAST(0.0 AS DOUBLE), (ma_, mp_) -> ma_ + mp_.x) / size(g.pts),"
+                 "'y', aggregate(g.pts, CAST(0.0 AS DOUBLE), (ma_, mp_) -> ma_ + mp_.y) / size(g.pts)))"))}
+         WHEN 'LINESTRING' THEN {_mk_geo(
+             "'POINT'",
+             "array(named_struct("
+             "'x', aggregate(g.pts, CAST(0.0 AS DOUBLE), (ca_, cp_) -> ca_ + cp_.x) / size(g.pts),"
+             "'y', aggregate(g.pts, CAST(0.0 AS DOUBLE), (ca_, cp_) -> ca_ + cp_.y) / size(g.pts)))",
+             _single_ring(
+                 "array(named_struct("
+                 "'x', aggregate(g.pts, CAST(0.0 AS DOUBLE), (ca_, cp_) -> ca_ + cp_.x) / size(g.pts),"
+                 "'y', aggregate(g.pts, CAST(0.0 AS DOUBLE), (ca_, cp_) -> ca_ + cp_.y) / size(g.pts)))"))}
+         WHEN 'POLYGON' THEN {_mk_geo(
+             "'POINT'",
+             "array(named_struct("
+             "'x', aggregate(sequence(1, size(g.pts) - 1), CAST(0.0 AS DOUBLE), (xa_, xi_) ->"
+             " xa_ + (element_at(g.pts, xi_).x + element_at(g.pts, xi_ + 1).x)"
+             " * (element_at(g.pts, xi_).x * element_at(g.pts, xi_ + 1).y"
+             "    - element_at(g.pts, xi_ + 1).x * element_at(g.pts, xi_).y))"
+             " / (3.0 * " + _shoelace("g.pts") + "),"
+             "'y', aggregate(sequence(1, size(g.pts) - 1), CAST(0.0 AS DOUBLE), (ya_, yi_) ->"
+             " ya_ + (element_at(g.pts, yi_).y + element_at(g.pts, yi_ + 1).y)"
+             " * (element_at(g.pts, yi_).x * element_at(g.pts, yi_ + 1).y"
+             "    - element_at(g.pts, yi_ + 1).x * element_at(g.pts, yi_).y))"
+             " / (3.0 * " + _shoelace("g.pts") + ")))",
+             _single_ring(
+                 "array(named_struct("
+                 "'x', aggregate(sequence(1, size(g.pts) - 1), CAST(0.0 AS DOUBLE), (xa_, xi_) ->"
+                 " xa_ + (element_at(g.pts, xi_).x + element_at(g.pts, xi_ + 1).x)"
+                 " * (element_at(g.pts, xi_).x * element_at(g.pts, xi_ + 1).y"
+                 "    - element_at(g.pts, xi_ + 1).x * element_at(g.pts, xi_).y))"
+                 " / (3.0 * " + _shoelace("g.pts") + "),"
+                 "'y', aggregate(sequence(1, size(g.pts) - 1), CAST(0.0 AS DOUBLE), (ya_, yi_) ->"
+                 " ya_ + (element_at(g.pts, yi_).y + element_at(g.pts, yi_ + 1).y)"
+                 " * (element_at(g.pts, yi_).x * element_at(g.pts, yi_ + 1).y"
+                 "    - element_at(g.pts, yi_ + 1).x * element_at(g.pts, yi_).y))"
+                 " / (3.0 * " + _shoelace("g.pts") + ")))"))}
        END""",
-    # --- predicates ------------------------------------------------------
+    # --- predicates -------------------------------------------------------
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_contains(outer_g {_G}, inner_g {_G})
        RETURNS BOOLEAN RETURN CASE
-         WHEN outer_g.gtype = 'POLYGON' AND inner_g.gtype = 'POINT' THEN
-           geo_ring_contains(outer_g.pts,
+         WHEN outer_g.gtype IN ('POLYGON', 'MULTIPOLYGON')
+              AND inner_g.gtype = 'POINT' THEN
+           geo_rings_contain(outer_g.rings,
              element_at(inner_g.pts, 1).x, element_at(inner_g.pts, 1).y)
-         WHEN outer_g.gtype = 'POLYGON' THEN
-           forall(inner_g.pts, p -> {_ring_contains("outer_g.pts", "p.x", "p.y")})
+         WHEN outer_g.gtype IN ('POLYGON', 'MULTIPOLYGON') THEN
+           forall(inner_g.pts, wp_ ->
+             {_rings_contain("outer_g.rings", "wp_.x", "wp_.y")})
          WHEN outer_g.gtype = 'POINT' THEN
-           inner_g.gtype = 'POINT' AND element_at(outer_g.pts, 1) = element_at(inner_g.pts, 1)
+           inner_g.gtype = 'POINT'
+           AND element_at(outer_g.pts, 1) = element_at(inner_g.pts, 1)
          ELSE FALSE END""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_within(inner_g {_G}, outer_g {_G})
        RETURNS BOOLEAN RETURN st_contains(outer_g, inner_g)""",
@@ -255,40 +635,125 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
          AND (
            CASE WHEN a.gtype = 'POINT' AND b.gtype = 'POINT'
                   THEN element_at(a.pts, 1) = element_at(b.pts, 1)
-                WHEN a.gtype = 'POINT' AND b.gtype = 'POLYGON'
-                  THEN geo_ring_contains(b.pts, element_at(a.pts, 1).x, element_at(a.pts, 1).y)
-                WHEN b.gtype = 'POINT' AND a.gtype = 'POLYGON'
-                  THEN geo_ring_contains(a.pts, element_at(b.pts, 1).x, element_at(b.pts, 1).y)
+                WHEN a.gtype = 'POINT' AND b.gtype IN ('POLYGON', 'MULTIPOLYGON')
+                  THEN geo_rings_contain(b.rings,
+                         element_at(a.pts, 1).x, element_at(a.pts, 1).y)
+                WHEN b.gtype = 'POINT' AND a.gtype IN ('POLYGON', 'MULTIPOLYGON')
+                  THEN geo_rings_contain(a.rings,
+                         element_at(b.pts, 1).x, element_at(b.pts, 1).y)
                 WHEN a.gtype = 'POINT'
-                  THEN geo_pt_chain_dist(element_at(a.pts, 1).x, element_at(a.pts, 1).y, b.pts) = 0.0
+                  THEN geo_pt_rings_dist(element_at(a.pts, 1).x,
+                         element_at(a.pts, 1).y, b.rings) = 0.0
                 WHEN b.gtype = 'POINT'
-                  THEN geo_pt_chain_dist(element_at(b.pts, 1).x, element_at(b.pts, 1).y, a.pts) = 0.0
-                ELSE geo_chains_intersect(a.pts, b.pts)
-                  OR (a.gtype = 'POLYGON' AND geo_ring_contains(a.pts,
-                        element_at(b.pts, 1).x, element_at(b.pts, 1).y))
-                  OR (b.gtype = 'POLYGON' AND geo_ring_contains(b.pts,
-                        element_at(a.pts, 1).x, element_at(a.pts, 1).y))
+                  THEN geo_pt_rings_dist(element_at(b.pts, 1).x,
+                         element_at(b.pts, 1).y, a.rings) = 0.0
+                ELSE geo_rings_intersect(a.rings, b.rings)
+                  OR (a.gtype IN ('POLYGON', 'MULTIPOLYGON')
+                      AND geo_rings_contain(a.rings,
+                            element_at(b.pts, 1).x, element_at(b.pts, 1).y))
+                  OR (b.gtype IN ('POLYGON', 'MULTIPOLYGON')
+                      AND geo_rings_contain(b.rings,
+                            element_at(a.pts, 1).x, element_at(a.pts, 1).y))
            END)""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_disjoint(a {_G}, b {_G})
        RETURNS BOOLEAN RETURN NOT st_intersects(a, b)""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_equals(a {_G}, b {_G})
-       RETURNS BOOLEAN RETURN a.gtype = b.gtype AND a.pts = b.pts""",
+       RETURNS BOOLEAN RETURN a.gtype = b.gtype AND a.rings = b.rings""",
+    # ST_Crosses/ST_Overlaps: intersect-but-neither-contains approximations
+    # (exact DE-9IM interior/boundary split not modeled; documented).
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_crosses(a {_G}, b {_G})
+       RETURNS BOOLEAN RETURN st_dimension(a) <> st_dimension(b)
+         AND st_intersects(a, b)
+         AND NOT st_contains(a, b) AND NOT st_contains(b, a)""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_overlaps(a {_G}, b {_G})
+       RETURNS BOOLEAN RETURN st_dimension(a) = st_dimension(b)
+         AND st_intersects(a, b)
+         AND NOT st_contains(a, b) AND NOT st_contains(b, a)""",
+    # ST_Touches: boundary contact without interior overlap — approximated
+    # as edge/vertex contact where no vertex of either lies strictly
+    # inside the other (exact for polygon/point and polygon edge-contact).
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_touches(a {_G}, b {_G})
+       RETURNS BOOLEAN RETURN st_intersects(a, b)
+         AND NOT (a.gtype IN ('POLYGON', 'MULTIPOLYGON') AND exists(b.pts, tp_ ->
+           {_rings_contain("a.rings", "tp_.x", "tp_.y")}
+           AND NOT exists(a.rings, te_ -> {_on_any_edge("te_.pts", "tp_.x", "tp_.y")})))
+         AND NOT (b.gtype IN ('POLYGON', 'MULTIPOLYGON') AND exists(a.pts, tq_ ->
+           {_rings_contain("b.rings", "tq_.x", "tq_.y")}
+           AND NOT exists(b.rings, tf_ -> {_on_any_edge("tf_.pts", "tq_.x", "tq_.y")})))
+         AND NOT (a.gtype = 'POINT' AND b.gtype = 'POINT')""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_distance(a {_G}, b {_G})
        RETURNS DOUBLE RETURN CASE
          WHEN st_intersects(a, b) THEN 0.0
          WHEN a.gtype = 'POINT'
-           THEN geo_pt_chain_dist(element_at(a.pts, 1).x, element_at(a.pts, 1).y, b.pts)
+           THEN geo_pt_rings_dist(element_at(a.pts, 1).x,
+                  element_at(a.pts, 1).y, b.rings)
          WHEN b.gtype = 'POINT'
-           THEN geo_pt_chain_dist(element_at(b.pts, 1).x, element_at(b.pts, 1).y, a.pts)
+           THEN geo_pt_rings_dist(element_at(b.pts, 1).x,
+                  element_at(b.pts, 1).y, a.rings)
          ELSE least(
-           array_min(transform(a.pts, p -> {_pt_chain_dist("p.x", "p.y", "b.pts")})),
-           array_min(transform(b.pts, p -> {_pt_chain_dist("p.x", "p.y", "a.pts")})))
+           array_min(transform(a.pts, dp_ -> {_pt_rings_dist("dp_.x", "dp_.y", "b.rings")})),
+           array_min(transform(b.pts, dq_ -> {_pt_rings_dist("dq_.x", "dq_.y", "a.rings")})))
          END""",
     # legacy alias kept from round 1 (envelope-overlap test on two geoms)
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_intersects_env(a {_G}, b {_G})
        RETURNS BOOLEAN RETURN
          st_xmin(a) <= st_xmax(b) AND st_xmin(b) <= st_xmax(a)
          AND st_ymin(a) <= st_ymax(b) AND st_ymin(b) <= st_ymax(a)""",
+    # --- union (collection merge — see module docstring) ------------------
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_union(a {_G}, b {_G})
+       RETURNS {_G} RETURN CASE
+         WHEN a IS NULL THEN b WHEN b IS NULL THEN a
+         WHEN st_dimension(a) <> st_dimension(b) THEN NULL
+         WHEN st_dimension(a) = 0 THEN {_mk_geo(
+             "'MULTIPOINT'",
+             "array_distinct(concat(a.pts, b.pts))",
+             _single_ring("array_distinct(concat(a.pts, b.pts))"))}
+         ELSE {_mk_geo(
+             "CASE WHEN st_dimension(a) = 2 THEN 'MULTIPOLYGON'"
+             " ELSE 'MULTILINESTRING' END",
+             "concat(geo_pts_of(a.rings, a.gtype), geo_pts_of(b.rings, b.gtype))",
+             "concat(a.rings, transform(b.rings, ur_ -> named_struct("
+             "'pid', ur_.pid + 4096, 'hole', ur_.hole, 'pts', ur_.pts)))")}
+         END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION geometry_union(geoms ARRAY<{_G}>)
+       RETURNS {_G} RETURN CASE
+         WHEN geoms IS NULL OR size(geoms) = 0 THEN NULL
+         WHEN forall(geoms, ug_ -> ug_.gtype IN ('POINT', 'MULTIPOINT')) THEN
+           {_mk_geo(
+               "'MULTIPOINT'",
+               "array_distinct(flatten(transform(geoms, uf_ -> uf_.pts)))",
+               _single_ring(
+                   "array_distinct(flatten(transform(geoms, uf_ -> uf_.pts)))"))}
+         ELSE {_mk_geo(
+             "CASE WHEN exists(geoms, ud_ ->"
+             " ud_.gtype IN ('POLYGON', 'MULTIPOLYGON'))"
+             " THEN 'MULTIPOLYGON' ELSE 'MULTILINESTRING' END",
+             "flatten(transform(geoms, uf2_ -> uf2_.pts))",
+             "flatten(transform(geoms, (ug2_, ui_) -> transform(ug2_.rings,"
+             " ur2_ -> named_struct('pid', ur2_.pid + ui_ * 4096,"
+             " 'hole', ur2_.hole, 'pts', ur2_.pts))))")}
+         END""",
+    # ST_Buffer: point → 32-gon disc; other shapes unsupported (NULL).
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_buffer(g {_G}, d DOUBLE)
+       RETURNS {_G} RETURN CASE WHEN g.gtype = 'POINT' AND d > 0 THEN
+         {_mk_geo(
+             "'POLYGON'",
+             "transform(sequence(0, 32), bi_ -> named_struct("
+             "'x', element_at(g.pts, 1).x + d * cos(2.0 * pi() * bi_ / 32.0),"
+             "'y', element_at(g.pts, 1).y + d * sin(2.0 * pi() * bi_ / 32.0)))",
+             _single_ring(
+                 "transform(sequence(0, 32), bi_ -> named_struct("
+                 "'x', element_at(g.pts, 1).x + d * cos(2.0 * pi() * bi_ / 32.0),"
+                 "'y', element_at(g.pts, 1).y + d * sin(2.0 * pi() * bi_ / 32.0)))"))}
+         ELSE NULL END""",
+    # great_circle_distance(lat1, lon1, lat2, lon2) → km (haversine,
+    # GeoFunctions stSphericalDistance family / docs great_circle_distance).
+    """CREATE OR REPLACE TEMPORARY FUNCTION great_circle_distance(
+         lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)
+       RETURNS DOUBLE RETURN 2.0 * 6371.01 * asin(sqrt(
+         power(sin(radians(lat2 - lat1) / 2.0), 2)
+         + cos(radians(lat1)) * cos(radians(lat2))
+           * power(sin(radians(lon2 - lon1) / 2.0), 2)))""",
     # --- BingTileFunctions.java: Web-Mercator tile math (pure integer /
     #     trig; the spatial-indexing primitive for tile-bucketed joins) ----
     """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_x(lon DOUBLE, zoom INT)
@@ -299,10 +764,120 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
        RETURNS INT RETURN
          CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
                     / 2.0 * shiftleft(1, zoom)), 0), shiftleft(1, zoom) - 1) AS INT)""",
+    # bing_tile(x, y, zoom) → tile struct; the quadkey arity is dispatched
+    # by the rewrite layer to bing_tile_from_quadkey (SQL functions don't
+    # overload).
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile(tx INT, ty INT, zoom INT)
+       RETURNS STRUCT<x: INT, y: INT, zoom: INT>
+       RETURN named_struct('x', tx, 'y', ty, 'zoom', zoom)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_from_quadkey(qk STRING)
+       RETURNS STRUCT<x: INT, y: INT, zoom: INT> RETURN named_struct(
+         'x', aggregate(sequence(1, length(qk)), 0, (qa_, qi_) ->
+           qa_ * 2 + CAST(substring(qk, qi_, 1) AS INT) % 2),
+         'y', aggregate(sequence(1, length(qk)), 0, (qb_, qj_) ->
+           qb_ * 2 + CAST(CAST(substring(qk, qj_, 1) AS INT) >= 2 AS INT)),
+         'zoom', CAST(length(qk) AS INT))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_at(
+         lat DOUBLE, lon DOUBLE, zoom INT)
+       RETURNS STRUCT<x: INT, y: INT, zoom: INT>
+       RETURN named_struct('x', bing_tile_x(lon, zoom),
+                           'y', bing_tile_y(lat, zoom), 'zoom', zoom)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_coordinates(
+         t STRUCT<x: INT, y: INT, zoom: INT>)
+       RETURNS STRUCT<x: INT, y: INT> RETURN named_struct('x', t.x, 'y', t.y)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_zoom_level(
+         t STRUCT<x: INT, y: INT, zoom: INT>)
+       RETURNS TINYINT RETURN CAST(t.zoom AS TINYINT)""",
     # quadkey: base-4 string of interleaved x/y bits, length = zoom.
-    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_quadkey(tx INT, ty INT, zoom INT)
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_quadkey(
+         t STRUCT<x: INT, y: INT, zoom: INT>)
        RETURNS STRING RETURN
-         array_join(transform(sequence(zoom, 1, -1),
-           i -> CAST((CASE WHEN (tx & shiftleft(1, i - 1)) > 0 THEN 1 ELSE 0 END)
-                   + (CASE WHEN (ty & shiftleft(1, i - 1)) > 0 THEN 2 ELSE 0 END) AS STRING)), '')""",
+         array_join(transform(sequence(t.zoom, 1, -1),
+           i -> CAST((CASE WHEN (t.x & shiftleft(1, i - 1)) > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN (t.y & shiftleft(1, i - 1)) > 0 THEN 2 ELSE 0 END) AS STRING)), '')""",
+    # tile → lat/lon envelope (inverse Web-Mercator; a tile IS a lat/lon
+    # rect, so the envelope is exact).
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_polygon(
+         t STRUCT<x: INT, y: INT, zoom: INT>)
+       RETURNS {_G} RETURN st_make_envelope(
+         CAST(t.x AS DOUBLE) / shiftleft(1, t.zoom) * 360.0 - 180.0,
+         degrees(atan(sinh(pi() * (1.0 - 2.0 * CAST(t.y + 1 AS DOUBLE) / shiftleft(1, t.zoom))))),
+         CAST(t.x + 1 AS DOUBLE) / shiftleft(1, t.zoom) * 360.0 - 180.0,
+         degrees(atan(sinh(pi() * (1.0 - 2.0 * CAST(t.y AS DOUBLE) / shiftleft(1, t.zoom))))))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tiles_around(
+         lat DOUBLE, lon DOUBLE, zoom INT)
+       RETURNS ARRAY<STRUCT<x: INT, y: INT, zoom: INT>> RETURN
+         filter(flatten(transform(sequence(-1, 1), dx_ ->
+           transform(sequence(-1, 1), dy_ -> named_struct(
+             'x', bing_tile_x(lon, zoom) + dx_,
+             'y', bing_tile_y(lat, zoom) + dy_, 'zoom', zoom)))),
+           bt_ -> bt_.x >= 0 AND bt_.y >= 0
+             AND bt_.x < shiftleft(1, zoom) AND bt_.y < shiftleft(1, zoom))""",
+    # (bing_tile_x/y are scalar helpers — calling them inside these lambdas
+    # works because their arguments are the OUTER function's parameters,
+    # not lambda variables; covered by tests.)
+    # geometry envelope → covering tile set at a zoom (the scale-out
+    # spatial-join key generator: explode and equi-join on the tile).
+    """CREATE OR REPLACE TEMPORARY FUNCTION geometry_to_bing_tiles(
+         g STRUCT<gtype: STRING, pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,
+                  rings: ARRAY<STRUCT<pid: INT, hole: BOOLEAN,
+                  pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>>, zoom INT)
+       RETURNS ARRAY<STRUCT<x: INT, y: INT, zoom: INT>> RETURN
+         flatten(transform(
+           sequence(bing_tile_x(st_xmin(g), zoom), bing_tile_x(st_xmax(g), zoom)),
+           gx_ -> transform(
+             sequence(bing_tile_y(st_ymax(g), zoom), bing_tile_y(st_ymin(g), zoom)),
+             gy_ -> named_struct('x', gx_, 'y', gy_, 'zoom', zoom))))""",
 ]
+
+
+# --- convex hull (Python UDF — see module docstring) ----------------------
+
+GEOSPATIAL_SQL_FUNCTIONS.append(
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_convex_hull(g {_G})
+       RETURNS {_G} RETURN CASE
+         WHEN g IS NULL OR size(g.pts) = 0 THEN g
+         WHEN size(array_distinct(g.pts)) <= 2 THEN g
+         WHEN size(geo_convex_hull(g.pts)) >= 4 THEN {_mk_geo(
+             "'POLYGON'", "geo_convex_hull(g.pts)",
+             _single_ring("geo_convex_hull(g.pts)"))}
+         ELSE {_mk_geo(
+             "'LINESTRING'", "geo_convex_hull(g.pts)",
+             _single_ring("geo_convex_hull(g.pts)"))}
+       END"""
+)
+
+
+def register_geospatial_python(spark) -> None:
+    """Register geo_convex_hull (Andrew's monotone chain over the point
+    set; closed CCW ring, or a 2-point chain for collinear input).
+    Registered BEFORE the SQL functions so st_convex_hull's body
+    resolves."""
+
+    def _hull(pts):
+        if pts is None:
+            return None
+        ps = sorted({(float(p[0]), float(p[1])) for p in pts})
+        if len(ps) <= 2:
+            return [{"x": x, "y": y} for x, y in ps]
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        lower: list = []
+        for p in ps:
+            while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                lower.pop()
+            lower.append(p)
+        upper: list = []
+        for p in reversed(ps):
+            while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                upper.pop()
+            upper.append(p)
+        hull = lower[:-1] + upper[:-1]
+        if len(hull) < 3:  # collinear
+            return [{"x": ps[0][0], "y": ps[0][1]}, {"x": ps[-1][0], "y": ps[-1][1]}]
+        hull.append(hull[0])  # close the ring
+        return [{"x": x, "y": y} for x, y in hull]
+
+    spark.udf.register("geo_convex_hull", _hull, _PTS)

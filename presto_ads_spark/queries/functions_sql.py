@@ -564,17 +564,24 @@ def agg_listagg_checksum(spark, sf_dir):
 @q(
     "fn_geospatial_join",
     tags=("functions", "geospatial", "join"),
-    doc="Broadcast spatial join on the point/envelope subset "
+    doc="Broadcast spatial join on the point/polygon subset "
     "(SpatialJoinOperator analogue via plain predicates): events as points "
-    "(value, user_id%100) vs a VALUES zone table; pure arithmetic oracle.",
+    "(value, user_id%100) vs a WKT zone table — two envelopes plus a "
+    "polygon WITH A HOLE (even-odd containment, GeoFunctions.java holes); "
+    "pure arithmetic oracle mirrors the hole exclusion.",
     oracle="""
 SELECT z.zone, COUNT(*) AS n_points,
   CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
 FROM events e
-JOIN (VALUES ('low', 0.0, 0.0, 100.0, 50.0),
-             ('high', 100.0, 0.0, 500.0, 100.0)) z(zone, xmin, ymin, xmax, ymax)
+JOIN (VALUES ('low', 0.0, 0.0, 100.0, 50.0, NULL, NULL, NULL, NULL),
+             ('high', 100.0, 0.0, 500.0, 100.0, NULL, NULL, NULL, NULL),
+             ('mid_holed', 150.0, 10.0, 400.0, 90.0, 200.5, 20.5, 300.5, 80.5))
+     z(zone, xmin, ymin, xmax, ymax, hx1, hy1, hx2, hy2)
   ON e.value >= z.xmin AND e.value <= z.xmax
  AND (e.user_id % 100) >= z.ymin AND (e.user_id % 100) <= z.ymax
+ AND NOT (z.hx1 IS NOT NULL
+          AND e.value > z.hx1 AND e.value < z.hx2
+          AND (e.user_id % 100) > z.hy1 AND (e.user_id % 100) < z.hy2)
 GROUP BY z.zone
 """,
 )
@@ -591,10 +598,13 @@ SELECT z.zone, COUNT(*) AS n_points,
   CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
 FROM (SELECT *, st_point(value, CAST(user_id % 100 AS DOUBLE)) AS pt FROM events) e
 JOIN (
-  SELECT zone, st_make_envelope(xmin, ymin, xmax, ymax) AS env
-  FROM (VALUES ('low', 0.0D, 0.0D, 100.0D, 50.0D),
-               ('high', 100.0D, 0.0D, 500.0D, 100.0D)) raw(zone, xmin, ymin, xmax, ymax)
-) z ON st_contains(z.env, e.pt)
+  SELECT zone, st_geometry_from_text(wkt) AS geom
+  FROM (VALUES
+    ('low', 'POLYGON ((0 0, 100 0, 100 50, 0 50, 0 0))'),
+    ('high', 'POLYGON ((100 0, 500 0, 500 100, 100 100, 100 0))'),
+    ('mid_holed', 'POLYGON ((150 10, 400 10, 400 90, 150 90, 150 10), (200.5 20.5, 300.5 20.5, 300.5 80.5, 200.5 80.5, 200.5 20.5))')
+  ) raw(zone, wkt)
+) z ON st_contains(z.geom, e.pt)
 GROUP BY z.zone
 """
     )

@@ -622,7 +622,15 @@ def _rewrite_color_fn_arity(sql: str) -> str:
     sql = _replace_fn_calls(sql, "color", dispatch("color", {1, 3, 5}))
     sql = _replace_fn_calls(sql, "render", dispatch("render", {1, 2}))
     sql = _replace_fn_calls(sql, "bar", dispatch("bar", {2, 4}))
-    return sql
+
+    # bing_tile(quadkey) 1-arg form (BingTileFunctions.java toBingTile
+    # overloads) → bing_tile_from_quadkey; 3-arg form is the SQL function.
+    def bing(args):
+        if len(args) == 1:
+            return f"bing_tile_from_quadkey({args[0]})"
+        return None
+
+    return _replace_fn_calls(sql, "bing_tile", bing)
 
 
 _AT_TZ_CALL_RE = re.compile(r"^at_timezone\s*\(", re.IGNORECASE)
@@ -736,6 +744,43 @@ def _expand_presto_aggregates(sql: str) -> str:
             entries = f"reverse({entries})"
         return f"transform(slice({entries}, 1, {a[2]}), __p -> __p.__v)"
 
+    # Geospatial aggregates (presto-geospatial aggregation/
+    # ConvexHullAggregation.java, GeometryUnionAgg.java): expand through
+    # array_agg into the scalar geometry fold. The agg array is sorted by
+    # a bbox key so results are deterministic under shuffle ordering.
+    _GEO_SORT = (
+        "array_sort({agg}, (ga_, gb_) -> CASE"
+        " WHEN array_min(transform(ga_.pts, gs_ -> gs_.x)) <"
+        "      array_min(transform(gb_.pts, gs_ -> gs_.x)) THEN -1"
+        " WHEN array_min(transform(ga_.pts, gs_ -> gs_.x)) >"
+        "      array_min(transform(gb_.pts, gs_ -> gs_.x)) THEN 1"
+        " WHEN array_min(transform(ga_.pts, gs_ -> gs_.y)) <"
+        "      array_min(transform(gb_.pts, gs_ -> gs_.y)) THEN -1"
+        " WHEN array_min(transform(ga_.pts, gs_ -> gs_.y)) >"
+        "      array_min(transform(gb_.pts, gs_ -> gs_.y)) THEN 1"
+        " ELSE 0 END)"
+    )
+
+    def geometry_union_agg(a):
+        if len(a) != 1:
+            return None
+        return (
+            "geometry_union("
+            + _GEO_SORT.format(agg=f"array_agg({a[0]})")
+            + ")"
+        )
+
+    def convex_hull_agg(a):
+        if len(a) != 1:
+            return None
+        return (
+            "st_convex_hull(geometry_union("
+            + _GEO_SORT.format(agg=f"array_agg({a[0]})")
+            + "))"
+        )
+
+    sql = _replace_fn_calls(sql, "geometry_union_agg", geometry_union_agg)
+    sql = _replace_fn_calls(sql, "convex_hull_agg", convex_hull_agg)
     sql = _replace_fn_calls(sql, "map_agg", map_agg)
     sql = _replace_fn_calls(sql, "multimap_agg", multimap_agg)
     sql = _replace_fn_calls(sql, "numeric_histogram", numeric_histogram)

@@ -392,12 +392,174 @@ def test_bing_tiles(engine):
     assert one(engine, "bing_tile_x(100.0, 1)") == 1
     assert one(engine, "bing_tile_y(45.0, 1)") == 0
     assert one(engine, "bing_tile_y(-45.0, 1)") == 1
-    # known quadkey: tile (3, 5) at zoom 3 → "213"
-    assert one(engine, "bing_tile_quadkey(3, 5, 3)") == "213"
+    # known quadkey: tile (3, 5) at zoom 3 → "213" (BingTileFunctions
+    # toQuadKey); quadkey→tile round-trips; bing_tile(quadkey) 1-arg form
+    # is rewrite-dispatched to bing_tile_from_quadkey
+    assert one(engine, "bing_tile_quadkey(bing_tile(3, 5, 3))") == "213"
+    rt = one(engine, "bing_tile(bing_tile_quadkey(bing_tile(3, 5, 3)))")
+    assert (rt.x, rt.y, rt.zoom) == (3, 5, 3)
     # seattle-ish at zoom 10: (-122.33+180)/360*1024 = 164.03 → 164;
     # mercator-y for 47.61° → 357
     assert one(engine, "bing_tile_x(-122.33, 10)") == 164
     assert one(engine, "bing_tile_y(47.61, 10)") == 357
+    tc = one(engine, "bing_tile_coordinates(bing_tile_at(47.61, -122.33, 10))")
+    assert (tc.x, tc.y) == (164, 357)
+    assert one(engine, "bing_tile_zoom_level(bing_tile(3, 5, 3))") == 3
+    assert one(engine, "size(bing_tiles_around(0.5, 0.5, 3))") == 9
+    assert one(engine, "size(bing_tiles_around(85.0, -179.9, 3))") == 4  # corner clamp
+    # a tile IS a lat/lon rect: polygon of tile (0,0,1) covers the NW quarter
+    env = one(engine, "st_astext(bing_tile_polygon(bing_tile(0, 0, 1)))")
+    assert env.startswith("POLYGON ((-180.0 0.0, 0.0 0.0, 0.0 85.05")
+    # envelope tile cover (the scale-out spatial-join key generator)
+    assert one(
+        engine,
+        "size(geometry_to_bing_tiles(st_make_envelope(-1.0, -1.0, 1.0, 1.0), 8))",
+    ) == 4
+
+
+def test_geospatial_multi_and_holes(engine):
+    # rings model: holes, MULTI*, EMPTY (GeoFunctions.java full WKT set)
+    holed = ("st_geometry_from_text('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+             " (2 2, 4 2, 4 4, 2 4, 2 2))')")
+    assert one(engine, f"st_area({holed})") == 96.0
+    assert one(engine, f"st_contains({holed}, st_point(3.0, 3.0))") is False  # in hole
+    assert one(engine, f"st_contains({holed}, st_point(5.0, 5.0))") is True
+    assert one(engine, f"st_contains({holed}, st_point(3.0, 2.0))") is True  # hole edge
+    assert one(engine, f"st_num_interior_ring({holed})") == 1
+    assert one(engine, f"st_astext(st_interior_ring_n({holed}, 1))") == (
+        "LINESTRING (2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0)"
+    )
+    assert one(engine, f"st_geometry_type(st_boundary({holed}))") == "ST_MultiLineString"
+    mp = ("st_geometry_from_text('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+          " ((5 5, 6 5, 6 6, 5 6, 5 5)))')")
+    assert one(engine, f"st_num_geometries({mp})") == 2
+    assert one(engine, f"st_area({mp})") == 2.0
+    assert one(engine, f"st_contains({mp}, st_point(5.5, 5.5))") is True
+    assert one(engine, f"st_contains({mp}, st_point(3.0, 3.0))") is False
+    assert one(engine, f"st_astext(st_geometry_n({mp}, 2))") == (
+        "POLYGON ((5.0 5.0, 6.0 5.0, 6.0 6.0, 5.0 6.0, 5.0 5.0))"
+    )
+    assert one(engine, f"size(st_geometries({mp}))") == 2
+    # WKT round-trips for the multi forms + EMPTY
+    for wkt in (
+        "MULTIPOINT (1.0 1.0, 2.0 2.0)",
+        "MULTILINESTRING ((0.0 0.0, 1.0 1.0), (2.0 2.0, 3.0 3.0))",
+        "POINT EMPTY",
+        "POLYGON EMPTY",
+    ):
+        assert one(engine, f"st_astext(st_geometry_from_text('{wkt}'))") == wkt
+    assert one(engine, "st_is_empty(st_geometry_from_text('POLYGON EMPTY'))") is True
+    # distance/length iterate per ring (no phantom cross-ring segments)
+    assert one(
+        engine,
+        "st_distance(st_point(0.0, 0.0),"
+        " st_geometry_from_text('MULTILINESTRING ((0 5, 10 5), (0 3, 10 3))'))",
+    ) == 3.0
+    assert one(
+        engine,
+        "st_length(st_geometry_from_text('MULTILINESTRING ((0 0, 3 4), (0 0, 6 8))'))",
+    ) == 15.0
+
+
+def test_geospatial_new_scalars(engine):
+    assert one(
+        engine,
+        "st_astext(st_convex_hull(st_geometry_from_text("
+        "'MULTIPOINT (0 0, 4 0, 4 4, 0 4, 2 2, 1 1)')))",
+    ) == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+    # collinear input degenerates to the extent chain
+    assert one(
+        engine,
+        "st_geometry_type(st_convex_hull(st_geometry_from_text("
+        "'MULTIPOINT (0 0, 1 1, 2 2)')))",
+    ) == "ST_LineString"
+    assert one(engine, "st_dimension(st_point(1.0, 1.0))") == 0
+    assert one(
+        engine, "st_dimension(st_geometry_from_text('LINESTRING (0 0, 1 1)'))"
+    ) == 1
+    assert one(engine, "st_coord_dim(st_point(1.0, 1.0))") == 2
+    assert one(
+        engine,
+        "st_astext(st_start_point(st_line_from_text('LINESTRING (1 2, 3 4)')))",
+    ) == "POINT (1.0 2.0)"
+    assert one(
+        engine,
+        "st_astext(st_end_point(st_line_from_text('LINESTRING (1 2, 3 4)')))",
+    ) == "POINT (3.0 4.0)"
+    assert one(
+        engine,
+        "st_is_ring(st_geometry_from_text('LINESTRING (0 0, 1 0, 1 1, 0 0)'))",
+    ) is True
+    assert one(
+        engine, "st_is_valid(st_geometry_from_text('POLYGON ((0 0, 1 0, 1 1, 0 0))'))"
+    ) is True
+    assert one(
+        engine,
+        "geometry_invalid_reason(st_geometry_from_text('POLYGON ((0 0, 1 0, 1 1, 0 0))'))",
+    ) is None
+    # union = collection merge (documented); disjoint polygons add areas
+    assert one(
+        engine,
+        "st_area(st_union(st_make_envelope(0.0,0.0,2.0,2.0),"
+        " st_make_envelope(5.0,5.0,7.0,7.0)))",
+    ) == 8.0
+    assert one(
+        engine,
+        "st_astext(st_union(st_point(1.0,1.0), st_point(2.0,2.0)))",
+    ) == "MULTIPOINT (1.0 1.0, 2.0 2.0)"
+    # buffer: 32-gon disc around a point; non-point unsupported → NULL
+    # regular 32-gon area = 16*sin(pi/16) ~ 3.12145
+    assert abs(
+        one(engine, "st_area(st_buffer(st_point(0.0,0.0), 1.0))") - 3.121445
+    ) < 1e-5
+    assert one(
+        engine,
+        "st_buffer(st_geometry_from_text('LINESTRING (0 0, 1 1)'), 1.0)",
+    ) is None
+    # predicate approximations (documented)
+    assert one(
+        engine,
+        "st_touches(st_make_envelope(0.0,0.0,1.0,1.0), st_make_envelope(1.0,0.0,2.0,1.0))",
+    ) is True
+    assert one(
+        engine,
+        "st_overlaps(st_make_envelope(0.0,0.0,2.0,2.0), st_make_envelope(1.0,1.0,3.0,3.0))",
+    ) is True
+    assert one(
+        engine,
+        "st_crosses(st_line_from_text('LINESTRING (2 0, 4 8)'),"
+        " st_make_envelope(0.0,2.0,10.0,4.0))",
+    ) is True
+    # great_circle_distance doc example (Presto docs): BNA → LAX ≈ 2886.45 km
+    assert abs(
+        one(engine, "great_circle_distance(36.12, -86.67, 33.94, -118.40)")
+        - 2886.449
+    ) < 0.01
+    corners = one(engine, "st_envelope_as_pts(st_make_envelope(1.0,2.0,3.0,4.0))")
+    assert [(p.x, p.y) for p in corners] == [(1.0, 2.0), (3.0, 4.0)]
+
+
+def test_geospatial_aggregates(engine):
+    # convex_hull_agg / geometry_union_agg (presto-geospatial aggregation/)
+    # expand through array_agg (rewrite._expand_presto_aggregates)
+    def scalar(sql):
+        return engine.sql(sql).collect()[0][0]
+
+    assert scalar(
+        "SELECT st_astext(convex_hull_agg(g)) FROM"
+        " (SELECT st_point(CAST(id % 2 AS DOUBLE),"
+        " CAST(id DIV 2 AS DOUBLE)) AS g FROM range(4))"
+    ) == "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))"
+    assert scalar(
+        "SELECT st_area(geometry_union_agg(g)) FROM"
+        " (SELECT st_geometry_from_text(w) AS g"
+        " FROM (VALUES ('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),"
+        " ('POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))')) t(w))"
+    ) == 8.0
+    assert scalar(
+        "SELECT st_astext(geometry_union_agg(g)) FROM"
+        " (SELECT st_point(CAST(id AS DOUBLE), 0.0) AS g FROM range(3))"
+    ) == "MULTIPOINT (0.0 0.0, 1.0 0.0, 2.0 0.0)"
 
 
 # ------------------------------------------------------------------ qdigest

@@ -112,6 +112,7 @@ def load_all() -> dict[str, Query]:
     from . import llm  # noqa: F401
     from . import sketches  # noqa: F401
     from . import suites  # noqa: F401
+    from . import tpcds_shapes  # noqa: F401
 
     return REGISTRY
 

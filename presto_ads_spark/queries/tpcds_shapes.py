@@ -1,0 +1,392 @@
+"""TPC-DS-shaped stress queries adapted onto the TPC-H-ish testdata.
+
+The reference benchmarks 103 TPC-DS queries
+(presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds/q*.sql);
+their recurring *shapes* — ROLLUP with GROUPING() flags (q27), rank over
+rollup margins partitioned by aggregation level (q36), multi-channel
+UNION ALL rollups (q5/q77), windowed revenue-share ratios (q12/q98),
+year-over-year CTE self-joins (q11/q4), before/after conditional-sum
+pivots (q21), cross-joined scalar-count batteries (q88), and
+HAVING-count bucket joins (q34/q73) — are portable to the existing
+tables and stress grouping-sets + window + multi-branch plans beyond
+TPC-H. Each entry cites the TPC-DS query whose shape it adapts.
+
+All entries are ``extended``: oracle-verified in the pytest mirror
+(tests/test_oracle_parity.py) rather than driver-scored.
+
+Determinism: every double that reaches the output goes through exact
+decimal sums (dsum); LIMIT queries carry a full deterministic ORDER BY
+with explicit NULLS FIRST on both engines (Spark ASC default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import q
+from ._util import dec, dsum, t
+
+
+@q(
+    "tpcds_rollup_grouping",
+    extended=True,
+    tags=("tpcds", "agg", "groupid"),
+    doc="q27 shape: multi-dim ROLLUP with GROUPING() flag over a 3-table "
+    "star join, averages per level, deterministic ORDER BY + LIMIT "
+    "(tpcds/q27.sql: GROUP BY ROLLUP (i_item_id, s_state)).",
+    oracle="""
+SELECT n_name, c_mktsegment,
+  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders, customer, nation
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  AND o_orderstatus = 'F'
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_rollup_grouping(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping("c_mktsegment").cast("bigint").alias("g_seg"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice", 18), "total_price"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_rank_over_rollup",
+    extended=True,
+    tags=("tpcds", "agg", "groupid", "window"),
+    doc="q36 shape: gross-margin ROLLUP with RANK() partitioned by the "
+    "aggregation level (lochierarchy) — window over grouping-sets output "
+    "(tpcds/q36.sql rank_within_parent).",
+    oracle="""
+WITH m AS (
+  SELECT
+    CAST(GROUPING(n_name) + GROUPING(c_mktsegment) AS BIGINT) AS lochierarchy,
+    n_name, c_mktsegment,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  GROUP BY ROLLUP (n_name, c_mktsegment)
+)
+SELECT lochierarchy, n_name, c_mktsegment, total_price,
+  RANK() OVER (PARTITION BY lochierarchy
+               ORDER BY total_price DESC, n_name ASC NULLS FIRST,
+                        c_mktsegment ASC NULLS FIRST) AS rank_within_parent
+FROM m
+""",
+)
+def tpcds_rank_over_rollup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            (F.grouping("n_name") + F.grouping("c_mktsegment"))
+            .cast("bigint")
+            .alias("lochierarchy"),
+            dsum(dec("o_totalprice", 18), "total_price"),
+        )
+    )
+    w = Window.partitionBy("lochierarchy").orderBy(
+        F.col("total_price").desc(),
+        F.col("n_name").asc_nulls_first(),
+        F.col("c_mktsegment").asc_nulls_first(),
+    )
+    return m.select(
+        "lochierarchy",
+        "n_name",
+        "c_mktsegment",
+        "total_price",
+        F.rank().over(w).alias("rank_within_parent"),
+    )
+
+
+@q(
+    "tpcds_channel_union_rollup",
+    extended=True,
+    tags=("tpcds", "setop", "agg"),
+    doc="q5/q77 shape: per-channel profit statements via multi-branch "
+    "UNION ALL (sales / returns / orders as channels), then one grouped "
+    "rollup over the union (tpcds/q77.sql channel UNION ALL).",
+    oracle="""
+WITH channels AS (
+  SELECT 'store sales' AS channel, l_suppkey % 10 AS unit,
+         CAST(l_extendedprice AS DECIMAL(18,4)) AS amt
+  FROM lineitem WHERE l_returnflag <> 'R'
+  UNION ALL
+  SELECT 'store returns' AS channel, l_suppkey % 10 AS unit,
+         -CAST(l_extendedprice AS DECIMAL(18,4)) AS amt
+  FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'catalog' AS channel, o_custkey % 10 AS unit,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS amt
+  FROM orders
+)
+SELECT channel, unit, COUNT(*) AS n,
+  CAST(SUM(amt) AS DOUBLE) AS total
+FROM channels
+GROUP BY ROLLUP (channel, unit)
+""",
+)
+def tpcds_channel_union_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    sales = li.filter(F.col("l_returnflag") != "R").select(
+        F.lit("store sales").alias("channel"),
+        (F.col("l_suppkey") % 10).alias("unit"),
+        dec("l_extendedprice", 18).alias("amt"),
+    )
+    returns = li.filter(F.col("l_returnflag") == "R").select(
+        F.lit("store returns").alias("channel"),
+        (F.col("l_suppkey") % 10).alias("unit"),
+        (-dec("l_extendedprice", 18)).alias("amt"),
+    )
+    catalog = o.select(
+        F.lit("catalog").alias("channel"),
+        (F.col("o_custkey") % 10).alias("unit"),
+        dec("o_totalprice", 18).alias("amt"),
+    )
+    return (
+        sales.unionAll(returns)
+        .unionAll(catalog)
+        .rollup("channel", "unit")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("amt"), "total"))
+    )
+
+
+@q(
+    "tpcds_revenue_share_window",
+    extended=True,
+    tags=("tpcds", "window"),
+    doc="q12/q98 shape: per-item revenue and its share of the item-class "
+    "total via SUM() OVER (PARTITION BY class) ratio "
+    "(tpcds/q98.sql revenueratio).",
+    oracle="""
+WITH itemrev AS (
+  SELECT p_type, p_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_size <= 10
+  GROUP BY p_type, p_partkey
+)
+SELECT p_type, p_partkey,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(rev_dec AS DOUBLE) * 100.0
+    / CAST(SUM(rev_dec) OVER (PARTITION BY p_type) AS DOUBLE) AS revenueratio
+FROM itemrev
+""",
+)
+def tpcds_revenue_share_window(spark, sf_dir):
+    # the window total is summed over exact DECIMALS (associative, so
+    # shuffle order can't move a ulp); only the final ratio divides
+    # identical doubles on both engines.
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_partkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice", 18) * (1 - dec("l_discount", 18))
+            ).alias("rev_dec")
+        )
+    )
+    w = Window.partitionBy("p_type")
+    return rev.select(
+        "p_type",
+        "p_partkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            * 100.0
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("revenueratio"),
+    )
+
+
+@q(
+    "tpcds_yoy_ratio",
+    extended=True,
+    tags=("tpcds", "join", "cte"),
+    doc="q11/q4 shape: year-over-year customer spend from a yearly-total "
+    "CTE self-joined across two years, with a growth-ratio filter "
+    "(tpcds/q11.sql year_total self-join).",
+    oracle="""
+WITH year_total AS (
+  SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM orders GROUP BY 1, 2
+)
+SELECT t1.o_custkey,
+  t1.total AS total_1994, t2.total AS total_1995,
+  t2.total / t1.total AS growth
+FROM year_total t1
+JOIN year_total t2 ON t1.o_custkey = t2.o_custkey
+WHERE t1.yr = 1994 AND t2.yr = 1995
+  AND t1.total > 0 AND t2.total / t1.total > 1.2
+""",
+)
+def tpcds_yoy_ratio(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    year_total = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(dsum(dec("o_totalprice", 18), "total"))
+    t1 = year_total.filter(F.col("yr") == 1994).alias("t1")
+    t2 = year_total.filter(F.col("yr") == 1995).alias("t2")
+    return (
+        t1.join(t2, F.col("t1.o_custkey") == F.col("t2.o_custkey"))
+        .filter(
+            (F.col("t1.total") > 0)
+            & (F.col("t2.total") / F.col("t1.total") > 1.2)
+        )
+        .select(
+            F.col("t1.o_custkey").alias("o_custkey"),
+            F.col("t1.total").alias("total_1994"),
+            F.col("t2.total").alias("total_1995"),
+            (F.col("t2.total") / F.col("t1.total")).alias("growth"),
+        )
+    )
+
+
+@q(
+    "tpcds_before_after_pivot",
+    extended=True,
+    tags=("tpcds", "agg"),
+    doc="q21 shape: conditional-sum pivot — inventory before/after a "
+    "pivot date per (supplier, part), keeping rows whose balance ratio "
+    "is inside a band (tpcds/q21.sql inv_before/inv_after).",
+    oracle="""
+SELECT l_suppkey, l_partkey,
+  CAST(SUM(CASE WHEN l_shipdate < DATE '1995-06-01'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+       AS DOUBLE) AS qty_before,
+  CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-06-01'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+       AS DOUBLE) AS qty_after
+FROM lineitem
+GROUP BY l_suppkey, l_partkey
+HAVING SUM(CASE WHEN l_shipdate < DATE '1995-06-01'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) > 0
+   AND SUM(CASE WHEN l_shipdate >= DATE '1995-06-01'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+     / SUM(CASE WHEN l_shipdate < DATE '1995-06-01'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+       BETWEEN 0.5 AND 2.0
+""",
+)
+def tpcds_before_after_pivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pivot = F.lit("1995-06-01").cast("date")
+    zero = F.lit(0).cast("decimal(18,4)")
+    before = F.sum(
+        F.when(F.col("l_shipdate") < pivot, dec("l_quantity", 18)).otherwise(
+            zero
+        )
+    )
+    after = F.sum(
+        F.when(F.col("l_shipdate") >= pivot, dec("l_quantity", 18)).otherwise(
+            zero
+        )
+    )
+    return (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(
+            before.cast("double").alias("qty_before"),
+            after.cast("double").alias("qty_after"),
+            before.alias("__b"),
+            after.alias("__a"),
+        )
+        .filter(
+            (F.col("__b") > 0)
+            & (F.col("__a") / F.col("__b")).between(0.5, 2.0)
+        )
+        .drop("__b", "__a")
+    )
+
+
+@q(
+    "tpcds_multi_count_battery",
+    extended=True,
+    tags=("tpcds", "join", "subquery"),
+    doc="q88 shape: a battery of independent filtered counts cross-joined "
+    "into one row (8 single-row aggregate subqueries, tpcds/q88.sql "
+    "s1..s8) — stresses scalar-subquery × broadcast-NL planning.",
+    oracle="""
+SELECT * FROM
+  (SELECT COUNT(*) AS h1 FROM lineitem WHERE l_quantity BETWEEN 1 AND 5) s1,
+  (SELECT COUNT(*) AS h2 FROM lineitem WHERE l_quantity BETWEEN 6 AND 10) s2,
+  (SELECT COUNT(*) AS h3 FROM lineitem WHERE l_quantity BETWEEN 11 AND 15) s3,
+  (SELECT COUNT(*) AS h4 FROM lineitem WHERE l_quantity BETWEEN 16 AND 20) s4,
+  (SELECT COUNT(*) AS h5 FROM lineitem WHERE l_quantity BETWEEN 21 AND 25) s5,
+  (SELECT COUNT(*) AS h6 FROM lineitem WHERE l_quantity BETWEEN 26 AND 30) s6,
+  (SELECT COUNT(*) AS h7 FROM lineitem WHERE l_quantity BETWEEN 31 AND 35) s7,
+  (SELECT COUNT(*) AS h8 FROM lineitem WHERE l_quantity BETWEEN 36 AND 40) s8
+""",
+)
+def tpcds_multi_count_battery(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    out = None
+    for i in range(8):
+        lo, hi = 1 + 5 * i, 5 + 5 * i
+        band = (
+            li.filter(F.col("l_quantity").between(lo, hi))
+            .agg(F.count(F.lit(1)).alias(f"h{i + 1}"))
+        )
+        out = band if out is None else out.crossJoin(band)
+    return out
+
+
+@q(
+    "tpcds_bucket_having",
+    extended=True,
+    tags=("tpcds", "agg", "join"),
+    doc="q34/q73 shape: customers bucketed by order count with a "
+    "HAVING-count band, joined back to the customer dimension "
+    "(tpcds/q73.sql cnt BETWEEN 1 AND 5).",
+    oracle="""
+SELECT c_name, c_mktsegment, cnt
+FROM (
+  SELECT o_custkey, COUNT(*) AS cnt
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY o_custkey
+  HAVING COUNT(*) BETWEEN 2 AND 5
+) b
+JOIN customer ON b.o_custkey = c_custkey
+""",
+)
+def tpcds_bucket_having(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    c = t(spark, sf_dir, "customer")
+    buckets = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(2, 5))
+    )
+    return buckets.join(c, buckets.o_custkey == c.c_custkey).select(
+        "c_name", "c_mktsegment", "cnt"
+    )

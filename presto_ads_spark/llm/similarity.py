@@ -218,13 +218,77 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_cells: int = 16, nprobe: int = 4,
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Min-label propagation over an undirected edge list: (id, comp)
+    where comp is the smallest id reachable from id.
+
+    Classic iterative CC (the bounded iterate-to-fixpoint option for
+    embedding dedup): each round joins the symmetrized edges to the
+    current labels, takes the neighborhood min, and stops early when a
+    round changes nothing. Rounds needed = graph diameter; near-dup
+    clusters are shallow (dup clusters are near-cliques), so the
+    ``max_iter`` bound is a safety net, not the expected exit. Scale
+    notes: one shuffle per round keyed by id; ``localCheckpoint`` cuts
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1;
+    the convergence probe is a metadata-light count, not a collect.
+    """
+    edges = pairs.select("id_a", "id_b")
+    edges = (
+        edges.union(
+            edges.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.id_a, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", threshold: float = 0.2,
-                        bits: int = 4) -> DataFrame:
+                        bits: int = 4, connected: bool = False,
+                        max_iter: int = 10) -> DataFrame:
     """Embedding-cosine near-duplicate detection: LSH-bucketed candidate
-    pairs above ``threshold``, each item assigned a canonical id = min id
-    among its neighbors (single-pass star assignment — at scale, iterate
-    to convergence for full connected components).
+    pairs above ``threshold``, each item assigned a canonical id.
+
+    Default (``connected=False``): canonical id = min id among direct
+    neighbors (single-pass star assignment — one shuffle, but a chain
+    A-B-C keeps two canonicals). ``connected=True`` runs bounded
+    min-label propagation (connected_components) so every chain
+    collapses to one canonical id per component.
 
     Output: (id, canonical_id, best_cos) for every item in a near-dup pair.
     """
@@ -244,7 +308,15 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
-    return pairs.groupBy(F.col("id_a").alias("id")).agg(
+    star = pairs.groupBy(F.col("id_a").alias("id")).agg(
         F.least(F.min("id_b"), F.min("id_a")).alias("canonical_id"),
         F.max("cos_sim").alias("best_cos"),
+    )
+    if not connected:
+        return star
+    comps = connected_components(pairs, max_iter=max_iter)
+    return (
+        star.drop("canonical_id")
+        .join(comps, "id")
+        .select("id", F.col("comp").alias("canonical_id"), "best_cos")
     )

@@ -80,3 +80,49 @@ def test_ivf_partial_probe_subset_and_coverage(spark):
     assert per_q == 3
     n_queries = out.select("query_id").distinct().count()
     assert n_queries == emb.count()
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation: a chain 1-2-3 collapses to one component;
+    a separate pair keeps its own."""
+    from presto_ads_spark.llm import similarity
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comps = {
+        r.id: r.comp for r in similarity.connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_embedding_near_dups_connected_chain(spark):
+    """connected=True: chain A-B-C (A~B, B~C, A!~C) gets ONE canonical id —
+    the single-pass star default leaves C pointing at B (r2/r3 verdict
+    item: iterate-to-fixpoint option)."""
+    from presto_ads_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.707, 0.707, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (9, [0.0, 0.0, 1.0, 0.0]),  # isolated: no near-dup pair
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    star = {
+        r.id: r.canonical_id
+        for r in similarity.embedding_near_dups(
+            emb, threshold=0.5, bits=2
+        ).collect()
+    }
+    # star assignment: 3 only sees neighbor 2 → canonical 2 (the known gap)
+    assert star == {1: 1, 2: 1, 3: 2}
+    cc = {
+        r.id: r.canonical_id
+        for r in similarity.embedding_near_dups(
+            emb, threshold=0.5, bits=2, connected=True
+        ).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1}

@@ -36,6 +36,40 @@ _SET_SESSION_RE = re.compile(
     r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE | re.DOTALL
 )
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(CATALOGS|SESSION)\s*$", re.IGNORECASE)
+_SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*$", re.IGNORECASE)
+
+# SHOW FUNCTIONS deviation notes: families whose implementation is a shim
+# or documented approximation get an explicit note column so a user can
+# see the deviation surface without reading source (r3 verdict item #6).
+_FUNCTION_NOTE_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("st_", "geospatial: planar subset of presto-geospatial; see "
+            "functions/geospatial.py header for documented deviations"),
+    ("geo_", "geospatial helper (internal)"),
+    ("bing_", "geospatial: BingTileFunctions planar tile math"),
+    ("regexp_", "regex: Java dialect (Presto default is Joni; RE2J "
+                "mode not implemented)"),
+    ("hmac_", "python UDF (no Spark-expression form; off hot path)"),
+)
+_FUNCTION_NOTES: dict[str, str] = {
+    "split": "regex-escaped literal delimiter (Presto splits on literal)",
+    "normalize_unicode": "python UDF (Presto normalize(); renamed — "
+                         "NORMALIZE is a Spark keyword)",
+    "kurtosis": "rewritten to Presto's unbiased sample formula via raw "
+                "moments (Spark native is population g2)",
+    "json_array_contains": "values compared through canonical string form",
+    "is_json_scalar": "structural check on the leading character",
+    "st_union": "collection merge, no boolean clipping of overlaps",
+    "geometry_union": "collection merge, no boolean clipping of overlaps",
+    "st_crosses": "DE-9IM approximation (intersects minus containment)",
+    "st_overlaps": "DE-9IM approximation (intersects minus containment)",
+    "st_touches": "boundary-contact approximation",
+    "st_is_simple": "structural check (no self-intersection test)",
+    "st_is_valid": "structural check (ring closure + arity)",
+    "st_buffer": "points only (32-gon disc); other shapes return NULL",
+    "st_convex_hull": "python UDF (monotone chain; rollup path)",
+    "parse_duration_seconds": "returns seconds as DOUBLE (Presto returns "
+                              "interval)",
+}
 _SYSTEM_RUNTIME_RE = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+system\.runtime\.(nodes|queries)\s*$",
     re.IGNORECASE,
@@ -125,6 +159,8 @@ class Engine:
         m = _SHOW_RE.match(text)
         if m:
             return self._show(m.group(1).upper())
+        if _SHOW_FUNCTIONS_RE.match(text):
+            return self._show_functions()
         m = _DELETE_RE.match(text)
         if m:
             return self._delete(m.group(1), m.group(2))
@@ -367,6 +403,30 @@ class Engine:
     def register_sql_function(self, create_stmt: str) -> None:
         """Register a SQL-bodied function (JVM-side, codegen-friendly)."""
         self.spark.sql(create_stmt)
+
+    def _show_functions(self) -> DataFrame:
+        """``SHOW FUNCTIONS`` with a deviation-notes column.
+
+        The reference's form (ShowQueriesRewrite → information_schema)
+        lists name/return/args/kind; Spark's session catalog doesn't
+        expose SQL-function signatures, so this lists every callable
+        function name plus an explicit ``note`` for shimmed or
+        approximated families (NULL = faithful implementation)."""
+        names = [r[0] for r in self.spark.sql("SHOW FUNCTIONS").collect()]
+
+        def note_for(name: str) -> str | None:
+            low = name.lower()
+            if low in _FUNCTION_NOTES:
+                return _FUNCTION_NOTES[low]
+            for prefix, note in _FUNCTION_NOTE_PREFIXES:
+                if low.startswith(prefix):
+                    return note
+            return None
+
+        return self.spark.createDataFrame(
+            [(n, note_for(n)) for n in sorted(names)],
+            "function string, note string",
+        )
 
     def _show(self, what: str) -> DataFrame:
         if what == "CATALOGS":

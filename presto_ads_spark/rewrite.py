@@ -1232,6 +1232,55 @@ def _rewrite_json_casts(sql: str) -> str:
         i = m.start()
 
 
+def _rewrite_char_casts(sql: str) -> str:
+    """Presto ``CAST(e AS CHAR(n))`` pads to length n (Chars.java
+    padSpaces; char(n) is a fixed-width type). Spark treats the cast as a
+    bare string, so rewrite to ``rpad(CAST(e AS STRING), n, ' ')`` —
+    value, length() and ORDER BY semantics then match. Documented
+    deviation (README Known gaps): comparing char columns of DIFFERENT
+    declared lengths compares the two padded strings directly instead of
+    padding to the common length, so char(2) 'a' <> char(5) 'a' here."""
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end() : j - 1]
+        depth, in_str, as_pos = 0, False, -1
+        for k in range(len(inner) - 3):
+            c = inner[k]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and inner[k : k + 4].upper() == " AS ":
+                as_pos = k
+        if as_pos < 0:
+            i = m.end()
+            continue
+        tm = re.match(
+            r"^CHAR\s*\(\s*(\d+)\s*\)\s*$", inner[as_pos + 4 :].strip(),
+            re.IGNORECASE,
+        )
+        if not tm:
+            i = m.end()
+            continue
+        n = tm.group(1)
+        cast_kw = sql[m.start() : m.end() - 1].strip().upper().split("(")[0]
+        expr = inner[:as_pos]
+        sql = (
+            sql[: m.start()]
+            + f"rpad({cast_kw}({expr} AS STRING), {n}, ' ')"
+            + sql[j:]
+        )
+        i = m.start()
+
+
 _RANKING_OVER_RE = re.compile(
     r"\b(rank|dense_rank|percent_rank|cume_dist|row_number|ntile)\s*\("
     r"[^()]*\)\s*OVER\s*\(",
@@ -1394,6 +1443,7 @@ def rewrite(sql: str) -> str:
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_json_casts(sql)
+    sql = _rewrite_char_casts(sql)
     sql = _rewrite_unordered_ranking_windows(sql)
     sql = _rewrite_quantified(sql)
     sql = _rewrite_projected_in_subquery(sql)

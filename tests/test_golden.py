@@ -1343,3 +1343,36 @@ def test_golden_corpus(corpus_engine, case):
 def test_golden_corpus_skips_documented():
     # every skipped reference case carries an explicit reason
     assert all(s["reason"] for s in _gc.SKIPPED)
+
+
+def test_golden_char_n_padding(engine):
+    # Chars.java padSpaces: CAST AS CHAR(n) pads to n; length/ORDER BY see
+    # the fixed width (README Known gaps documents the cross-length
+    # comparison deviation).
+    row = engine.sql(
+        "SELECT CAST('a' AS CHAR(3)) AS c, length(CAST('a' AS CHAR(3))) AS l,"
+        " CAST('ab' AS CHAR(2)) = CAST('ab' AS CHAR(2)) AS eq_same"
+    ).collect()[0]
+    assert row.c == "a  "
+    assert row.l == 3
+    assert row.eq_same is True
+    ordered = [
+        r.c
+        for r in engine.sql(
+            "SELECT CAST(x AS CHAR(4)) AS c FROM (VALUES 'b', 'a ', 'a') t(x)"
+            " ORDER BY CAST(x AS CHAR(4))"
+        ).collect()
+    ]
+    assert ordered == ["a   ", "a   ", "b   "]
+
+
+def test_golden_show_functions_notes(engine):
+    rows = engine.sql("SHOW FUNCTIONS").collect()
+    assert rows and set(rows[0].asDict()) == {"function", "note"}
+    notes = {r.function: r.note for r in rows}
+    # shimmed families carry a deviation note; faithful ones are NULL
+    assert notes.get("st_buffer", "").startswith("points only")
+    assert "Java dialect" in (notes.get("regexp_extract") or "")
+    assert "unbiased sample" in (notes.get("kurtosis") or "")
+    assert notes.get("abs") is None
+    assert notes.get("concat") is None

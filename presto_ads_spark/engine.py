@@ -188,7 +188,29 @@ class Engine:
         m = _EXECUTE_RE.match(text)
         if m and m.group(1).lower() in self._prepared:
             return self._execute_prepared(m.group(1).lower(), m.group(2))
+        if re.search(
+            r"\binformation_schema\s*\.\s*(tables|columns)\b", text,
+            re.IGNORECASE,
+        ):
+            text = self._route_information_schema(text)
         return self.spark.sql(self._rewrite(text))
+
+    def _route_information_schema(self, text: str) -> str:
+        """information_schema.tables/columns (reference
+        connector/informationSchema/) — synthesized from the session
+        catalog into temp views, referenced by rewritten name."""
+        cols = self.information_schema_columns()
+        cols.createOrReplaceTempView("__info_schema_columns")
+        tables = cols.select("table_schema", "table_name").distinct()
+        tables.createOrReplaceTempView("__info_schema_tables")
+        text = re.sub(
+            r"\binformation_schema\s*\.\s*tables\b",
+            "__info_schema_tables", text, flags=re.IGNORECASE,
+        )
+        return re.sub(
+            r"\binformation_schema\s*\.\s*columns\b",
+            "__info_schema_columns", text, flags=re.IGNORECASE,
+        )
 
     def _explain_analyze(self, inner_sql: str) -> DataFrame:
         """EXPLAIN ANALYZE: execute, then return the AQE-final physical plan

@@ -70,7 +70,9 @@ FUNCTION_RENAMES: dict[str, str] = {
     "truncate": "truncate_num",  # registered compat fn (Presto truncate(x))
     # Presto contains(array, elem) (ArrayContains.java); 0.216 has no string
     # contains, so the blanket rename is faithful.
-    "contains": "array_contains",
+    # contains → exists-equality (not array_contains: Spark demands exact
+    # struct FIELD NAMES match; = compares positionally) — see
+    # _rewrite_contains.
     # Presto zip pads the shorter array with NULLs — same as arrays_zip.
     "zip": "arrays_zip",
     "levenshtein_distance": "levenshtein",
@@ -156,9 +158,37 @@ def _apply_outside_literals(sql: str, fn: Callable[[str], str]) -> str:
 
 _UNNEST_HEAD_RE = re.compile(r"CROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
 _UNNEST_TAIL_RE = re.compile(
-    r"(\s+WITH\s+ORDINALITY)?\s+(?:AS\s+)?(\w+)\s*\(\s*(\w+)(?:\s*,\s*(\w+))?\s*\)",
+    r"(\s+WITH\s+ORDINALITY)?\s+(?:AS\s+)?(\w+)\s*\(\s*(\w+)"
+    r"(?:\s*,\s*(\w+))?(?:\s*,\s*(\w+))?\s*\)",
     re.IGNORECASE,
 )
+
+
+def _unnest_lateral(args, ordinality, alias, cols) -> str:
+    """LATERAL VIEW text for UNNEST over 1 array/map or a 2-array zip
+    (shorter side null-padded), with Presto's 1-based ordinal LAST."""
+    names = ", ".join(cols)
+    if len(args) == 2:
+        if ordinality:
+            # zip + ordinal: walk index positions explicitly
+            return (
+                f"LATERAL VIEW inline(transform("
+                f"sequence(1, greatest(size({args[0]}), size({args[1]}))),"
+                f" __zi -> struct(try_element_at({args[0]}, __zi),"
+                f" try_element_at({args[1]}, __zi), __zi)))"
+                f" {alias} AS {names}"
+            )
+        return (
+            f"LATERAL VIEW inline(arrays_zip({args[0]}, {args[1]}))"
+            f" {alias} AS {names}"
+        )
+    return _unnest_replacement(
+        args[0],
+        ordinality,
+        alias,
+        cols[0],
+        cols[1] if len(cols) > 1 else None,
+    )
 
 
 def _rewrite_unnest_all(sql: str) -> str:
@@ -187,15 +217,128 @@ def _rewrite_unnest_all(sql: str) -> str:
                 depth -= 1
             j += 1
         expr = sql[m.end() : j - 1]
-        tm = _UNNEST_TAIL_RE.match(sql, j)
-        if depth or not tm:
+        if depth:
             out.append(sql[i:j])
             i = j
             continue
-        ordinality, alias, col, col2 = tm.groups()
+        args = _split_top_level(expr)
+        tm = _UNNEST_TAIL_RE.match(sql, j)
+        if tm:
+            ordinality = tm.group(1)
+            alias = tm.group(2)
+            cols = [c for c in tm.groups()[2:] if c]
+            end = tm.end()
+        else:
+            # alias-less UNNEST (grammar allows it): consume a bare
+            # WITH ORDINALITY if present, synthesize names — 2-arg
+            # UNNEST zips, so column count follows the arg count
+            om = re.match(r"\s+WITH\s+ORDINALITY\b", sql[j:], re.IGNORECASE)
+            n = _uniq()
+            ordinality = bool(om)
+            alias = f"__ua{n}"
+            ncols = len(args) + (1 if om else 0)
+            cols = [f"__uc{n}_{k}" for k in range(ncols)]
+            end = j + (om.end() if om else 0)
         out.append(sql[i : m.start()])
-        out.append(_unnest_replacement(expr, ordinality, alias, col, col2))
-        i = tm.end()
+        out.append(_unnest_lateral(args, ordinality, alias, cols))
+        i = end
+
+_VALUES_OPEN_RE = re.compile(r"\(\s*VALUES\b", re.IGNORECASE)
+
+
+def _rewrite_values_with_lambdas(sql: str) -> str:
+    """Spark can't evaluate higher-order lambdas inside an inline table
+    (INVALID_INLINE_TABLE); rewrite ``(VALUES e1, e2) [AS] t(c)`` whose
+    items carry a top-level lambda arrow into a UNION ALL of SELECTs."""
+    i = 0
+    while True:
+        m = _VALUES_OPEN_RE.search(sql, i)
+        if m is None:
+            return sql
+        close = _scan_matching_paren(sql, m.start() + 1)
+        body = sql[m.start() + 1 : close - 1]
+        items = _split_top_level(body.strip()[len("VALUES") :])
+        if not any("->" in it for it in items):
+            i = m.end()
+            continue
+        tm = re.match(
+            r"\s*(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+)\)", sql[close:], re.IGNORECASE
+        )
+        if not tm:
+            i = m.end()
+            continue
+        alias = tm.group(1)
+        cols = [c.strip() for c in tm.group(2).split(",")]
+        selects = []
+        for it in items:
+            it = it.strip()
+            vals = (
+                _split_top_level(it[1:-1])
+                if it.startswith("(") and _scan_matching_paren(it, 1) == len(it)
+                and len(cols) > 1
+                else [it]
+            )
+            if len(vals) != len(cols):
+                break
+            selects.append(
+                "SELECT "
+                + ", ".join(f"{v} AS {c}" for v, c in zip(vals, cols))
+            )
+        else:
+            sql = (
+                sql[: m.start()]
+                + "(" + " UNION ALL ".join(selects) + f") {alias}"
+                + sql[close + tm.end() :]
+            )
+            i = m.start() + 1
+            continue
+        i = m.end()
+
+
+_FROM_UNNEST_RE = re.compile(r"\bFROM\s+UNNEST\s*\(", re.IGNORECASE)
+
+
+def _rewrite_from_unnest(sql: str) -> str:
+    """Bare table-function form ``FROM UNNEST(e) [WITH ORDINALITY]
+    [AS a(c[, c2])]`` → an inline subquery projecting ONLY the unnest
+    columns (a LATERAL VIEW over a one-row driver; can't reuse the CROSS
+    JOIN path directly or ``SELECT *`` would pick up the driver column).
+    Runs before _rewrite_unnest_all; ``CROSS JOIN UNNEST`` has JOIN
+    before UNNEST so the patterns never overlap."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _FROM_UNNEST_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        j = _scan_matching_paren(sql, m.end())
+        expr = sql[m.end() : j - 1]
+        args = _split_top_level(expr)
+        tm = _UNNEST_TAIL_RE.match(sql, j)
+        if tm:
+            ordinality = tm.group(1)
+            alias = tm.group(2)
+            cols = [c for c in tm.groups()[2:] if c]
+            end = tm.end()
+        else:
+            om = re.match(r"\s+WITH\s+ORDINALITY\b", sql[j:], re.IGNORECASE)
+            n = _uniq()
+            ordinality = bool(om)
+            alias = f"__ua{n}"
+            cols = [
+                f"__uc{n}_{k}"
+                for k in range(len(args) + (1 if om else 0))
+            ]
+            end = j + (om.end() if om else 0)
+        body = (
+            f"SELECT {', '.join(cols)} FROM (SELECT 1) "
+            + _unnest_lateral(args, ordinality, "__lv", cols)
+        )
+        out.append(sql[i : m.start()])
+        out.append(f"FROM ({body}) {alias}")
+        i = end
+
 
 _TABLESAMPLE_RE = re.compile(
     r"TABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)", re.IGNORECASE
@@ -360,30 +503,45 @@ def _expr_start(sql: str, mask: list[bool], end: int) -> int | None:
         if sql[k + 1 : j + 1].upper() in ("TIMESTAMP", "DATE", "TIME"):
             return k + 1
         return start
-    if sql[i] in ")]":
-        close, openc = sql[i], "(" if sql[i] == ")" else "["
-        depth = 0
-        while i >= 0:
-            if not mask[i]:
-                if sql[i] == close:
-                    depth += 1
-                elif sql[i] == openc:
-                    depth -= 1
-                    if depth == 0:
-                        break
-            i -= 1
-        if i < 0:
-            return None
-        j = i - 1
-        while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
-            j -= 1
-        return j + 1
-    if sql[i].isalnum() or sql[i] == "_":
-        j = i
-        while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
-            j -= 1
-        return j + 1
-    return None
+    # walk a postfix chain backward: identifiers, ``fn(…)``/``(…)``/
+    # ``…[…]`` groups and dotted field accesses compose —
+    # ``CAST(r AS …).bb`` or ``f(x).a[1].c`` are single primaries.
+    start: int | None = None
+    while i >= 0:
+        if sql[i] in ")]" and not mask[i]:
+            close, openc = sql[i], "(" if sql[i] == ")" else "["
+            depth = 0
+            while i >= 0:
+                if not mask[i]:
+                    if sql[i] == close:
+                        depth += 1
+                    elif sql[i] == openc:
+                        depth -= 1
+                        if depth == 0:
+                            break
+                i -= 1
+            if i < 0:
+                return start
+            j = i - 1
+            while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+                j -= 1
+            start = j + 1
+            i = j
+            if i >= 0 and sql[i] in ")]" and not mask[i] and start <= i + 1 \
+                    and sql[start] == ".":
+                continue  # chained field access over a preceding group
+            return start
+        if sql[i].isalnum() or sql[i] == "_":
+            j = i
+            while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+                j -= 1
+            start = j + 1
+            i = j
+            if i >= 0 and sql[i] in ")]" and not mask[i] and sql[start] == ".":
+                continue  # ``…).field`` — include the preceding group
+            return start
+        return start
+    return start
 
 
 _ARRAY_LIT_RE = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
@@ -551,26 +709,31 @@ def _map_fn_args(sql: str, fname: str, xform) -> str:
 
 
 def _replace_fn_calls(sql: str, fname: str, builder) -> str:
-    """Replace every top-level ``fname(args)`` call with builder(args) —
-    full-expression replacement (vs _map_fn_args' argument rewrite)."""
+    """Replace every ``fname(args)`` call with builder(args) — full
+    expression replacement (vs _map_fn_args' argument rewrite). The
+    replacement text is rescanned, so NESTED calls (``apply(.., x ->
+    apply(..))``, ``ROW(CAST(ROW(..)..))``) are rewritten too; builders
+    must therefore never emit a same-name call (all current ones rename).
+    When the builder declines (None), scanning continues INSIDE the
+    call's arguments."""
     pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
-    out: list[str] = []
-    i = 0
+    pos = 0
     while True:
         mask = _literal_mask(sql)
         m = None
-        for cand in pat.finditer(sql, i):
+        for cand in pat.finditer(sql, pos):
             if not mask[cand.start()]:
                 m = cand
                 break
         if m is None:
-            out.append(sql[i:])
-            return "".join(out)
+            return sql
         j = _scan_matching_paren(sql, m.end())
         new = builder(_split_top_level(sql[m.end() : j - 1]))
-        out.append(sql[i : m.start()])
-        out.append(sql[m.start() : j] if new is None else new)
-        i = j
+        if new is None:
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + new + sql[j:]
+        pos = m.start()
 
 
 def _rewrite_kurtosis(sql: str) -> str:
@@ -604,6 +767,282 @@ def _rewrite_kurtosis(sql: str) -> str:
         )
 
     return _replace_fn_calls(sql, "kurtosis", build)
+
+
+def _rewrite_grouping_multi(sql: str) -> str:
+    """Presto ``grouping(c1, .., cN)`` returns the N-bit mask (first
+    argument = most significant bit — GroupingOperationRewriter); Spark's
+    ``grouping()`` is strictly 1-arg, ``grouping_id`` carries the same
+    MSB-first mask."""
+
+    def build(args):
+        if len(args) < 2:
+            return None
+        return f"grouping_id({', '.join(args)})"
+
+    return _replace_fn_calls(sql, "grouping", build)
+
+
+# Presto generalized typed literals (TYPE 'text'); Spark only accepts the
+# date/time family, so the rest lower to casts. JSON 'x' is the identity —
+# the json compat layer models json values as strings.
+_TYPED_LIT_RE = re.compile(
+    r"\b(SMALLINT|TINYINT|INTEGER|INT|BIGINT|REAL|DOUBLE|DECIMAL|BOOLEAN|"
+    r"VARCHAR|CHAR|JSON)\s+('(?:[^']|'')*')",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_typed_literals(sql: str) -> str:
+    """Runs over the full text (the literal is part of the pattern, so
+    chunked outside-literal application can't see it)."""
+
+    def sub(m: re.Match) -> str:
+        t = m.group(1).upper()
+        lit = m.group(2)
+        if t in ("JSON", "VARCHAR", "CHAR"):
+            return lit
+        if t == "INTEGER":
+            t = "INT"
+        if t == "DECIMAL":
+            # Presto infers precision/scale from the literal text
+            digits = re.sub(r"[^0-9]", "", lit)
+            frac = lit.split(".", 1)[1].rstrip("'") if "." in lit else ""
+            t = f"DECIMAL({max(len(digits), 1)}, {len(frac)})"
+        return f"CAST({lit} AS {t})"
+
+    return _TYPED_LIT_RE.sub(sub, sql)
+
+
+_COUNT_STAR_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+# Presto double-quoted identifiers (possibly with spaces) → backticks;
+# in this dialect "…" is never a string literal.
+_DQUOTE_IDENT_RE = re.compile(r'"([^"\\`]+)"')
+
+
+def _rewrite_contains(sql: str) -> str:
+    """Presto ``contains(arr, e)`` → ``exists(arr, __ce -> __ce = e)``.
+    Spark's array_contains insists struct element types match INCLUDING
+    field names; ``=`` compares structs positionally, matching Presto's
+    RowType equality."""
+
+    def build(args):
+        if len(args) != 2:
+            return None
+        return f"exists({args[0]}, __ce -> __ce = ({args[1]}))"
+
+    return _replace_fn_calls(sql, "contains", build)
+
+
+_TRY_OPS = {"/": "try_divide", "%": "try_mod", "*": "try_multiply",
+            "+": "try_add", "-": "try_subtract"}
+
+
+def _rewrite_try_generic(sql: str) -> str:
+    """Presto ``TRY(expr)`` → NULL on evaluation error. Runs after the
+    TRY(CAST(..)) rewrite; here the remaining common forms map to Spark's
+    try_* arithmetic (ANSI mode errors on overflow/zero-division, exactly
+    what TRY guards). A binary top-level arithmetic op becomes the try_*
+    twin; anything else is left for the analyzer to reject visibly
+    (documented gap — silent error-swallowing can't be faked)."""
+
+    def build(args):
+        if len(args) != 1:
+            return None
+        e = args[0]
+        # a top-level comparison/boolean op means the arithmetic is a
+        # SUB-expression — splitting at the arith op would be wrong
+        # precedence; leave it for the analyzer to reject visibly
+        # strip redundant full-width paren wrapping (the engine's
+        # column-division pre-rewrite parenthesizes its DIV output)
+        while (
+            e.startswith("(")
+            and _scan_matching_paren(e, 1) == len(e.rstrip())
+        ):
+            e = e[1 : e.rstrip().rindex(")")].strip()
+        if re.search(r"(?:!=|<>|<=|>=|[=<>])", _mask_parens_and_literals(e)):
+            return None
+        # integral division may already be lowered to DIV by the
+        # engine-level column-division rewrite; truncate the try_divide
+        # back to the integral result
+        dm = re.search(r"\sDIV\s", _mask_parens_and_literals(e))
+        if dm:
+            left, right = e[: dm.start()], e[dm.end() :]
+            return f"CAST(try_divide({left}, {right}) AS BIGINT)"
+        depth, in_str = 0, False
+        for k, c in enumerate(e):
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0 and c in _TRY_OPS:
+                if c == "-" and (k == 0 or e[k - 1] in "(,+-*/%"):
+                    continue  # unary minus
+                return f"{_TRY_OPS[c]}({e[:k]}, {e[k + 1:]})"
+        # non-arithmetic TRY: pass through — correct whenever the inner
+        # expression doesn't error; an erroring input raises instead of
+        # yielding NULL (documented deviation; generic error-swallowing
+        # isn't expressible in Spark SQL)
+        return f"({e})"
+
+    return _replace_fn_calls(sql, "try", build)
+
+
+def _mask_parens_and_literals(e: str) -> str:
+    """Copy of ``e`` with characters inside parens/brackets/strings
+    blanked — top-level-operator scans regex over the result."""
+    out, depth, in_str = [], 0, False
+    for c in e:
+        if in_str:
+            out.append(" ")
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            out.append(" ")
+            in_str = True
+        elif c in "([":
+            depth += 1
+            out.append(" ")
+        elif c in ")]":
+            depth -= 1
+            out.append(" ")
+        else:
+            out.append(c if depth == 0 else " ")
+    return "".join(out)
+
+
+def _strip_values_row(sql: str) -> str:
+    """``VALUES ROW(a, b), ROW(c, d)`` — in a VALUES list, ROW is the
+    standard row constructor, not a struct value; strip the keyword so
+    each item becomes a plain parenthesized row. Scalar ROW(..) calls
+    elsewhere stay for _rewrite_row_constructor (→ struct)."""
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"\bVALUES\b", sql[i:], re.IGNORECASE)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        start = i + m.end()
+        out.append(sql[i : start])
+        j, depth, in_str = start, 0, False
+        buf: list[str] = []
+
+        def flush(b):
+            s = "".join(b)
+            sm = re.match(r"^(\s*)ROW\s*\(", s, re.IGNORECASE)
+            if sm and _scan_matching_paren(s, sm.end()) == len(s.rstrip()):
+                return sm.group(1) + s[sm.end() - 1 :]
+            return s
+
+        while j < len(sql):
+            c = sql[j]
+            if in_str:
+                buf.append(c)
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                buf.append(c)
+                in_str = True
+            elif c in "([":
+                depth += 1
+                buf.append(c)
+            elif c in ")]":
+                if depth == 0:
+                    break
+                depth -= 1
+                buf.append(c)
+            elif c == "," and depth == 0:
+                out.append(flush(buf))
+                out.append(",")
+                buf = []
+            elif depth == 0 and re.match(
+                r"(ORDER|LIMIT|UNION|EXCEPT|INTERSECT|WHERE|GROUP|HAVING|AS)\b",
+                sql[j:],
+                re.IGNORECASE,
+            ):
+                break
+            else:
+                buf.append(c)
+            j += 1
+        out.append(flush(buf))
+        i = j
+
+
+def _rewrite_row_constructor(sql: str) -> str:
+    """Presto ``ROW(a, b)`` constructor (RowType) → Spark ``struct(a, b)``.
+    Only the call form is touched; type-position ``ROW(...)`` is already
+    consumed by the cast rewrites that run earlier."""
+
+    def build(args):
+        return f"struct({', '.join(args)})" if args else None
+
+    return _replace_fn_calls(sql, "row", build)
+
+
+def _rewrite_map_from_arrays(sql: str) -> str:
+    """Presto's 2-arg ``map(array_k, array_v)`` (MapConstructor.java) →
+    ``map_from_arrays``. Spark's variadic key-value ``map(k1, v1, ...)``
+    keeps working for other arities — 2-arg calls are always the Presto
+    array-pair form on this surface."""
+
+    def build(args):
+        if len(args) == 2:
+            return f"map_from_arrays({args[0]}, {args[1]})"
+        return None
+
+    return _replace_fn_calls(sql, "map", build)
+
+
+_IN_VALUES_RE = re.compile(r"\b(IN)\s*\(\s*VALUES\b", re.IGNORECASE)
+
+
+def _rewrite_in_values(sql: str) -> str:
+    """Presto allows a bare VALUES body as the IN subquery
+    (``x IN (VALUES 1, 2)``); Spark needs a SELECT wrapper."""
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (c for c in _IN_VALUES_RE.finditer(sql) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            return sql
+        open_i = sql.index("(", m.end(1))
+        close_i = _scan_matching_paren(sql, open_i + 1)
+        inner = sql[open_i + 1 : close_i - 1]
+        # single-column VALUES lists project col1 by name — a bare star
+        # breaks inside the projection-context IN rewrite's CASE frame.
+        # Multi-column rows (tuple IN) genuinely need the star.
+        first = inner.strip()[len("VALUES") :].lstrip()
+        proj = "col1"
+        if first.startswith("("):
+            item_end = _scan_matching_paren(first, 1)
+            if len(_split_top_level(first[1 : item_end - 1])) > 1:
+                proj = "*"
+        sql = (
+            sql[: open_i]
+            + f"(SELECT {proj} FROM ({inner}))"
+            + sql[close_i:]
+        )
+
+
+def _rewrite_apply_lambda(sql: str) -> str:
+    """Presto ``apply(x, v -> body)`` (LambdaFunctions.java — invoke a
+    unary lambda on a value) has no Spark twin; route it through the
+    array HOF machinery: ``element_at(transform(array(x), v -> body), 1)``
+    — same scoping, capture and NULL semantics, one-element array."""
+
+    def build(args):
+        if len(args) != 2 or "->" not in args[1]:
+            return None
+        return f"element_at(transform(array({args[0]}), {args[1]}), 1)"
+
+    return _replace_fn_calls(sql, "apply", build)
 
 
 def _rewrite_color_fn_arity(sql: str) -> str:
@@ -779,6 +1218,21 @@ def _expand_presto_aggregates(sql: str) -> str:
             + "))"
         )
 
+    def reduce_agg(a):
+        # ReduceAggregationFunction.java: fold inputs through input_fn
+        # from the initial state; the combine_fn merges partials — the
+        # array_agg expansion folds sequentially so combine is redundant
+        # (assumes the documented associativity contract holds). State is
+        # widened to DOUBLE: aggregate() requires init/state type equality
+        # and the SQL surface can't see the input's numeric type.
+        if len(a) != 4:
+            return None
+        return (
+            f"aggregate(array_agg({a[0]}),"
+            f" CAST({a[1]} AS DOUBLE), {a[2]})"
+        )
+
+    sql = _replace_fn_calls(sql, "reduce_agg", reduce_agg)
     sql = _replace_fn_calls(sql, "geometry_union_agg", geometry_union_agg)
     sql = _replace_fn_calls(sql, "convex_hull_agg", convex_hull_agg)
     sql = _replace_fn_calls(sql, "map_agg", map_agg)
@@ -1030,7 +1484,14 @@ def _split_subquery(inner: str) -> tuple[str, str] | None:
     body = inner[6:]
     f = _top_level_from(body)
     if f < 0:
-        return None
+        # FROM-less subquery: the projection ends at the first depth-0
+        # clause keyword (``SELECT 1 WHERE FALSE``) or end of text
+        cm = re.search(
+            r"\b(WHERE|GROUP|HAVING|ORDER|UNION|EXCEPT|INTERSECT|LIMIT)\b",
+            body,
+            re.IGNORECASE,
+        )
+        f = cm.start() if cm else len(body)
     proj = body[:f].strip()
     depth = 0
     for c in proj:
@@ -1061,12 +1522,37 @@ def _projection_zones(sql: str) -> list[tuple[int, int]]:
     three-valued IN result to TRUE/FALSE."""
     mask = _literal_mask(sql)
     zones = []
+    clause_re = re.compile(
+        r"\b(WHERE|GROUP|HAVING|ORDER|UNION|EXCEPT|INTERSECT|LIMIT)\b",
+        re.IGNORECASE,
+    )
     for m in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE):
         if mask[m.start()]:
             continue
         body = sql[m.end():]
         f = _top_level_from(body)
-        zones.append((m.end(), m.end() + (f if f >= 0 else len(body))))
+        if f < 0:
+            # FROM-less SELECT (e.g. a CTE body ``SELECT 1 WHERE FALSE``):
+            # the projection ends at the first depth-0 clause keyword or
+            # when the enclosing paren closes — NOT at end-of-string
+            f = len(body)
+            depth, in_str = 0, False
+            for k, c in enumerate(body):
+                if in_str:
+                    in_str = c != "'"
+                elif c == "'":
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth < 0:
+                        f = k
+                        break
+                elif depth == 0 and clause_re.match(body, k):
+                    f = k
+                    break
+        zones.append((m.end(), m.end() + f))
     return zones
 
 
@@ -1102,17 +1588,17 @@ def _rewrite_projected_in_subquery(sql: str) -> str:
         # scan to the matching ')' of the IN-list paren
         j = _scan_matching_paren(sql, open_paren + 1)
         inner = sql[open_paren + 1 : j - 1].strip()
-        split = _split_subquery(inner)
         estart = _expr_start(sql, mask, target.start())
-        if split is None or estart is None:
-            # unsupported shape — leave untouched (mark by upper-casing IN?
-            # instead: bail out entirely to avoid an infinite loop)
+        if estart is None or inner[:6].upper() != "SELECT":
+            # unsupported shape — leave untouched (bail out entirely to
+            # avoid an infinite loop)
             return sql
-        proj, rest = split
         x = sql[estart : target.start()].strip()
         negate = bool(target.group(1))
         n = _uniq()
-        wrapped = f"(SELECT {proj} AS __q {rest})"
+        # column-list alias names the subquery's single output whatever
+        # its shape (star, DISTINCT, FROM-less, expression projection)
+        wrapped = f"(SELECT __q FROM ({inner}) AS __wi{n}(__q))"
         cnt0 = f"(SELECT count(*) FROM {wrapped} __c{n}) = 0"
         match = f"EXISTS(SELECT 1 FROM {wrapped} __e{n} WHERE __e{n}.__q = ({x}))"
         hasnull = (
@@ -1122,8 +1608,8 @@ def _rewrite_projected_in_subquery(sql: str) -> str:
         t, f_ = ("FALSE", "TRUE") if negate else ("TRUE", "FALSE")
         repl = (
             f"CASE WHEN {cnt0} THEN {f_} WHEN {match} THEN {t} "
-            f"WHEN {hasnull} THEN CAST(NULL AS BOOLEAN) ELSE {f_} END"
-        )
+            f"WHEN {hasnull} THEN CAST(NULL AS BOOLEAN) ELSE {f_} END "
+        )  # trailing space: the source may abut the ')' (e.g. ``)FROM``)
         sql = sql[:estart] + repl + sql[j:]
 
 
@@ -1141,6 +1627,11 @@ def _presto_type_to_spark(t: str) -> str | None:
     map<string,bigint>, ARRAY(ROW(a BIGINT)) → array<struct<a:bigint>>.
     None when the shape is unsupported."""
     t = t.strip()
+    # mixed angle form (old Presto also accepts array<row(..)>): normalize
+    # the outer brackets to the paren form and recurse
+    am = re.match(r"^(MAP|ARRAY)\s*<(.*)>$", t, re.IGNORECASE | re.DOTALL)
+    if am:
+        return _presto_type_to_spark(f"{am.group(1)}({am.group(2)})")
     m = re.match(r"^(MAP|ARRAY|ROW)\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
     if not m:
         base = t.lower()
@@ -1220,7 +1711,12 @@ def _rewrite_json_casts(sql: str) -> str:
             i = m.end()
             continue
         ttype = inner[as_pos + 4 :].strip()
-        if not re.match(r"^(MAP|ARRAY|ROW)\s*\(", ttype, re.IGNORECASE):
+        if not re.match(r"^(MAP|ARRAY|ROW)\s*[(<]", ttype, re.IGNORECASE):
+            i = m.end()
+            continue
+        if re.match(r"^(MAP|ARRAY)\s*<[^(<]*>$", ttype, re.IGNORECASE):
+            # pure angle form with no paren types inside — already Spark
+            # syntax; leave the cast untouched
             i = m.end()
             continue
         schema = _presto_type_to_spark(ttype)
@@ -1228,7 +1724,18 @@ def _rewrite_json_casts(sql: str) -> str:
             i = m.end()
             continue
         expr = inner[:as_pos]
-        sql = sql[: m.start()] + f"from_json({expr}, '{schema}')" + sql[j:]
+        # ROW target over a row/struct constructor is Presto's NAMED ROW
+        # CAST (assigns field names, RowType coercion) — a plain Spark
+        # struct cast, not a JSON parse. JSON strings/columns keep the
+        # from_json route (JsonToRowCast.java).
+        if re.match(
+            r"^\s*(?:row|struct|array)\s*\(", expr, re.IGNORECASE
+        ) or re.match(
+            r"^\s*cast\s*\(\s*row\s*\(", expr, re.IGNORECASE
+        ):
+            sql = sql[: m.start()] + f"CAST({expr} AS {schema})" + sql[j:]
+        else:
+            sql = sql[: m.start()] + f"from_json({expr}, '{schema}')" + sql[j:]
         i = m.start()
 
 
@@ -1387,7 +1894,9 @@ def _rewrite_quantified(sql: str) -> str:
                 agg = _QUANT_AGG.get((op, quant))
                 body = inner[6:]
                 f = _top_level_from(body)
-                proj = body[:f].strip() if f >= 0 else ""
+                if f < 0:
+                    f = len(body)  # FROM-less subquery: SELECT <literal>
+                proj = body[:f].strip()
                 depth = 0
                 multi_col = False
                 for c in proj:
@@ -1435,24 +1944,60 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_at_time_zone(sql)
     sql = _rewrite_timezone_offset_fns(sql)
     sql = _rewrite_kurtosis(sql)
+    sql = _rewrite_apply_lambda(sql)
+    sql = _rewrite_contains(sql)
+    sql = _rewrite_grouping_multi(sql)
+    sql = _rewrite_in_values(sql)
     sql = _rewrite_color_fn_arity(sql)
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_regex_arg_defaults(sql)
     sql = _expand_presto_aggregates(sql)
+    # implicit-lateral comma form ``FROM t, UNNEST(t.arr)`` — the CROSS
+    # JOIN spelling lowers to LATERAL VIEW, which binds the left relation
+    sql = _apply_outside_literals(
+        sql,
+        lambda c: re.sub(
+            r",\s*UNNEST\s*\(", " CROSS JOIN UNNEST(", c, flags=re.IGNORECASE
+        ),
+    )
+    sql = _rewrite_values_with_lambdas(sql)
+    sql = _rewrite_from_unnest(sql)
     sql = _rewrite_unnest_all(sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     sql = _rewrite_try_cast(sql)
+    sql = _rewrite_try_generic(sql)
     sql = _rewrite_json_casts(sql)
     sql = _rewrite_char_casts(sql)
+    # must follow the cast rewrites: a 2-arg call pattern would otherwise
+    # fire on type-position MAP(K, V) inside CAST targets
+    sql = _rewrite_map_from_arrays(sql)
+    sql = _strip_values_row(sql)
+    sql = _rewrite_row_constructor(sql)
     sql = _rewrite_unordered_ranking_windows(sql)
     sql = _rewrite_quantified(sql)
     sql = _rewrite_projected_in_subquery(sql)
     sql = _rewrite_int_literal_division(sql)
+    # bare NULL as a filter (``WHERE null`` — Presto types it boolean;
+    # Spark rejects the VOID literal)
+    sql = re.sub(
+        r"\bWHERE\s+NULL\b(?!\s*(?:IS\b|IN\b|[=<>!+\-*/%]|AND\b|OR\b|NOT\b))",
+        "WHERE CAST(NULL AS BOOLEAN)",
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = _rewrite_order_by_nulls(sql)
     sql = _rewrite_datetime_patterns(sql)
+    sql = _rewrite_typed_literals(sql)
     return _apply_outside_literals(
         sql,
         lambda c: _rename_functions(
-            _rewrite_bare_time_keywords(_BARE_VARCHAR_RE.sub("AS STRING", c))
+            _rewrite_bare_time_keywords(
+                _DQUOTE_IDENT_RE.sub(
+                    r"`\1`",
+                    _COUNT_STAR_RE.sub(
+                        "count(*)", _BARE_VARCHAR_RE.sub("AS STRING", c)
+                    ),
+                )
+            )
         ),
     )

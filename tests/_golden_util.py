@@ -307,3 +307,162 @@ def compare_rows(
         if not _row_eq(gr, er):
             return f"row {i}: got {gr!r}, want {er!r}"
     return None
+
+
+# --- H2-oracle corpus support (AbstractTestQueries.java port) -------------
+# The reference's 1000+ assertQuery sites compare Presto against an H2
+# oracle running the same (or an explicitly given) SQL on the same tiny
+# tpch tables with UNPREFIXED column names. The port mirrors that exactly:
+# Engine.sql vs DuckDB over unprefixed-column views of the driver
+# testdata — any data works because both sides see the same tables.
+
+H2_TABLES: dict[str, list[str]] = {
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "region": ["r_regionkey", "r_name"],
+}
+
+
+def _unprefixed(col: str) -> str:
+    return col.split("_", 1)[1]
+
+
+def register_h2_views(spark, sf_dir: str) -> None:
+    """Unprefixed-column temp views over the testdata parquet (call on a
+    dedicated spark.newSession())."""
+    for tbl, cols in H2_TABLES.items():
+        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        df.toDF(*[_unprefixed(c) for c in cols]).createOrReplaceTempView(tbl)
+
+
+def duckdb_h2_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl, cols in H2_TABLES.items():
+        sel = ", ".join(f"{c} AS {_unprefixed(c)}" for c in cols)
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT {sel}"
+            f" FROM '{sf_dir}/{tbl}.parquet'"
+        )
+    return con
+
+
+def compare_pyrows(got: list[tuple], want: list[tuple]) -> str | None:
+    """Order-insensitive comparison of two Python row sets (engine vs
+    oracle) through the same cell canonicalization as the golden tier."""
+    g = [[canon_got_cell(c) for c in row] for row in got]
+    e = [[canon_got_cell(c) for c in row] for row in want]
+    if len(g) != len(e):
+        return f"row count {len(g)} != oracle {len(e)}\ngot={g[:6]}\nwant={e[:6]}"
+    g = sorted(g, key=_sort_key)
+    e = sorted(e, key=_sort_key)
+    unmatched_g, unmatched_e = [], []
+    for gr, er in zip(g, e):
+        if not _row_eq(gr, er):
+            unmatched_g.append(gr)
+            unmatched_e.append(er)
+    for gr in unmatched_g:
+        hit = next((i for i, er in enumerate(unmatched_e) if _row_eq(gr, er)), None)
+        if hit is None:
+            return f"row {gr!r} has no oracle match (sample: {unmatched_e[:4]!r})"
+        unmatched_e.pop(hit)
+    return None
+
+
+def duck_int_division(sql: str) -> str:
+    """Presto integer division (5/2 = 2) for the DuckDB oracle side:
+    apply the repo's literal/column rewrites, then map DIV to DuckDB's
+    // operator."""
+    import re as _re
+
+    from presto_ads_spark.rewrite import (
+        _rewrite_int_literal_division,
+        rewrite_integral_column_division,
+    )
+
+    int_cols = frozenset(
+        _unprefixed(c).lower()
+        for cols in H2_TABLES.values()
+        for c in cols
+        if _unprefixed(c).endswith("key") or _unprefixed(c) in
+        ("linenumber", "size", "regionkey", "nationkey")
+    )
+    out = rewrite_integral_column_division(
+        _rewrite_int_literal_division(sql), int_cols
+    )
+    return _re.sub(r"\bDIV\b", "//", out)
+
+
+def duck_values_parens(sql: str) -> str:
+    """H2/Presto accept ``VALUES 1, 2``; DuckDB requires each row
+    parenthesized (``VALUES (1), (2)``). Wrap bare top-level items of
+    every VALUES list."""
+    import re as _re
+
+    out = []
+    i = 0
+    while True:
+        m = _re.search(r"\bVALUES\b", sql[i:], _re.IGNORECASE)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        start = i + m.end()
+        out.append(sql[i : start])
+        # scan the VALUES item list: ends at depth<0 or clause keyword
+        j, depth, in_str = start, 0, False
+        items, buf = [], []
+        def flush():
+            s = "".join(buf).strip()
+            if s:
+                items.append(s if s.startswith("(") else f"({s})")
+        while j < len(sql):
+            c = sql[j]
+            if in_str:
+                buf.append(c)
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                buf.append(c)
+                in_str = True
+            elif c == "(":
+                depth += 1
+                buf.append(c)
+            elif c == ")":
+                if depth == 0:
+                    break  # closing paren of an enclosing subquery
+                depth -= 1
+                buf.append(c)
+            elif c == "," and depth == 0:
+                flush()
+                buf = []
+            elif depth == 0 and _re.match(
+                r"(ORDER|LIMIT|UNION|EXCEPT|INTERSECT|WHERE|GROUP|HAVING)\b",
+                sql[j:], _re.IGNORECASE,
+            ):
+                break
+            else:
+                buf.append(c)
+            j += 1
+        flush()
+        joined = " " + ", ".join(items) + " "
+        # DuckDB also requires the whole list parenthesized + aliased in
+        # relation position: FROM VALUES (1) → FROM (VALUES (1)) __v
+        before = "".join(out)
+        if _re.search(r"\bFROM\s+VALUES\s*$", before, _re.IGNORECASE):
+            out[-1] = _re.sub(
+                r"VALUES\s*$", "(VALUES", out[-1], flags=_re.IGNORECASE
+            )
+            out.append(joined + ") __v ")
+        else:
+            out.append(joined)
+        i = j

@@ -317,7 +317,7 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
     (
         "map_construct_values",
         "SELECT map_values(map_from_arrays(array('a', 'b'), array(1, 2))) AS vs,"
-        " map_entries(map('k', 7)) AS es, element_at(map('a', 1), 'a') AS v",
+        " map_entries(map(array('k'), array(7))) AS es, element_at(map(array('a'), array(1)), 'a') AS v",
         [(([1, 2]), [("k", 7)], 1)],
     ),
     (
@@ -984,7 +984,7 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
     (
         "map_concat_last_wins",
         # Presto MapConcatFunction: later maps override duplicate keys
-        "SELECT map_concat(map('a', 1, 'b', 2), map('a', 9)) AS m",
+        "SELECT map_concat(map('a', 1, 'b', 2), map(ARRAY['a'], ARRAY[9])) AS m",
         [({"a": 9, "b": 2},)],
     ),
     (
@@ -1234,7 +1234,7 @@ def test_golden_lambda_variants(engine):
         SELECT
           array_sort(array(3, 1, 2), (x, y) -> CASE WHEN x < y THEN 1 WHEN x > y THEN -1 ELSE 0 END) AS desc_sorted,
           zip_with(array(1, 2), array(10, 20), (a, b) -> a + b) AS zipped,
-          map_zip_with(map('a', 1), map('a', 10), (k, v1, v2) -> v1 + v2) AS mz,
+          map_zip_with(map(array('a'), array(1)), map(array('a'), array(10)), (k, v1, v2) -> v1 + v2) AS mz,
           aggregate(array(1, 2, 3), 0, (acc, x) -> acc + x, acc -> acc * 10) AS reduced,
           flatten(array(array(1), array(2, 3))) AS flat,
           sequence(1, 4) AS seq
@@ -1255,7 +1255,7 @@ def test_golden_show_schemas(engine):
 
 def test_golden_element_at_null_semantics(engine):
     row = engine.sql(
-        "SELECT element_at(map('a', 1), 'zz') AS missing_key,"
+        "SELECT element_at(map(array('a'), array(1)), 'zz') AS missing_key,"
         " element_at(array(1, 2), 99) AS oob,"
         " element_at(array(1, 2), 2) AS ok,"
         " element_at(array(1, 2), -1) AS neg"
@@ -1282,9 +1282,9 @@ def test_golden_map_hofs(engine):
         """
         SELECT
           map_filter(map('a', 1, 'b', 5), (k, v) -> v > 1) AS mf,
-          transform_values(map('a', 1), (k, v) -> v * 10) AS tv,
-          transform_keys(map('a', 1), (k, v) -> upper(k)) AS tk,
-          map_concat(map('a', 1), map('b', 2)) AS mc,
+          transform_values(map(array('a'), array(1)), (k, v) -> v * 10) AS tv,
+          transform_keys(map(array('a'), array(1)), (k, v) -> upper(k)) AS tk,
+          map_concat(map(array('a'), array(1)), map(array('b'), array(2))) AS mc,
           cardinality(map('x', 1, 'y', 2)) AS n
         """
     ).collect()[0]

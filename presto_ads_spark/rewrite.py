@@ -1114,6 +1114,60 @@ def _rewrite_timezone_offset_fns(sql: str) -> str:
     return sql
 
 
+_ARRAY_AGG_RE = re.compile(r"\barray_agg\s*\(", re.IGNORECASE)
+_FILTER_TAIL_RE = re.compile(r"\s*FILTER\s*\(", re.IGNORECASE)
+
+
+def _rewrite_array_agg_ordered(sql: str) -> str:
+    """Presto ``array_agg(e ORDER BY k [DESC]) [FILTER (WHERE c)]``
+    (within-group ordering; Spark's array_agg has none): sort a
+    (key, value) struct array — array_sort orders by fields in
+    declaration order — and project the values back out. A trailing
+    FILTER clause is folded onto the inner aggregate (it can't stay on
+    the transform)."""
+    pos = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (c for c in _ARRAY_AGG_RE.finditer(sql, pos) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        arg = sql[m.end() : j - 1]
+        om = re.search(r"\s+ORDER\s+BY\s+", arg, re.IGNORECASE)
+        if not om or len(_split_top_level(arg)) != 1:
+            pos = m.end()
+            continue
+        e = arg[: om.start()].strip()
+        key = arg[om.end() :].strip()
+        desc = False
+        dm = re.search(r"\s+(ASC|DESC)\s*$", key, re.IGNORECASE)
+        if dm:
+            desc = dm.group(1).upper() == "DESC"
+            key = key[: dm.start()].strip()
+        end = j
+        filt = ""
+        fm = _FILTER_TAIL_RE.match(sql, j)
+        if fm:
+            fend = _scan_matching_paren(sql, fm.end())
+            filt = " " + sql[j:fend].strip()
+            end = fend
+        pairs = f"array_agg(struct({key} AS __o, {e} AS __v)){filt}"
+        sorted_pairs = f"array_sort({pairs})"
+        if desc:
+            sorted_pairs = f"reverse({sorted_pairs})"
+        # empty group (everything FILTERed out) → NULL like Presto's
+        # array_agg, not the empty array Spark's returns
+        repl = (
+            f"CASE WHEN size({sorted_pairs}) = 0 THEN NULL"
+            f" ELSE transform({sorted_pairs}, __p -> __p.__v) END "
+        )  # trailing space: source may abut the ')' (e.g. ``)FROM``)
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
 def _expand_presto_aggregates(sql: str) -> str:
     """SQL-surface forms of Presto aggregates Spark lacks (map_agg,
     multimap_agg, histogram — MapAggregationFunction / Histogram.java).
@@ -1217,6 +1271,8 @@ def _expand_presto_aggregates(sql: str) -> str:
             + _GEO_SORT.format(agg=f"array_agg({a[0]})")
             + "))"
         )
+
+    sql = _rewrite_array_agg_ordered(sql)
 
     def reduce_agg(a):
         # ReduceAggregationFunction.java: fold inputs through input_fn
@@ -1977,6 +2033,11 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_quantified(sql)
     sql = _rewrite_projected_in_subquery(sql)
     sql = _rewrite_int_literal_division(sql)
+    # ``GROUP BY ()`` = one global group (SqlBase.g4 groupingSet can be
+    # empty; Spark's parser rejects the bare form) ≡ ungrouped aggregation
+    sql = re.sub(
+        r"\bGROUP\s+BY\s*\(\s*\)(?!\s*,)", "", sql, flags=re.IGNORECASE
+    )
     # bare NULL as a filter (``WHERE null`` — Presto types it boolean;
     # Spark rejects the VOID literal)
     sql = re.sub(

@@ -26,10 +26,16 @@ import pprint
 import re
 import sys
 
-SRC = (
+_TESTS_DIR = (
     "/root/reference/presto-tests/src/main/java/com/facebook/presto/tests/"
-    "AbstractTestQueries.java"
 )
+# (file, case-name prefix) — all follow the same assertQuery/H2 pattern
+SOURCES = [
+    (_TESTS_DIR + "AbstractTestQueries.java", "L"),
+    (_TESTS_DIR + "AbstractTestAggregations.java", "A"),
+    (_TESTS_DIR + "AbstractTestIndexedQueries.java", "X"),
+]
+SRC = SOURCES[0][0]  # back-compat for single-file debugging
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -120,6 +126,20 @@ for _ln in (6074, 6207, 6268, 6364, 6415, 6496, 6500):
     MANUAL_SKIPS[_ln] = (
         "multi-level correlation (outer reference through two subquery "
         "levels) — Spark resolves one level only"
+    )
+
+# re-key by source-file prefix, then add non-L sites
+MANUAL_SKIPS = {f"L{k}": v for k, v in MANUAL_SKIPS.items()}
+MANUAL_SKIPS.update({
+    "A158": "DuckDB map[key] returns a LIST (engine returns the scalar "
+            "value — oracle dialect artifact)",
+    "A422": "approx_percentile with a non-constant percentile argument "
+            "(Spark requires a foldable percentage)",
+})
+for _an in ("A956", "A1031", "A1090", "A1225"):
+    MANUAL_SKIPS[_an] = (
+        "empty-input grouping sets lose the global-aggregation row under "
+        "Spark's Expand+HashAggregate lowering (Presto emits it)"
     )
 
 
@@ -228,6 +248,8 @@ def triage_skip(sql: str) -> str | None:
         return ("information_schema contents are engine-specific (the "
                 "engine synthesizes them from the Spark catalog; H2/DuckDB "
                 "expose their own)")
+    if re.search(r"\bsys\s*\.", low):
+        return "index-connector system table (sys.*) not modeled"
     if re.search(r"json\s+'invalid'|json_parse\('invalid'\)", low):
         return ("JSON validity not modeled — json values are strings "
                 "(README json shims)")
@@ -253,12 +275,16 @@ def main() -> None:
     eng = Engine(spark, sf_dir=None)
     duck = gu.duckdb_h2_connection(sf_dir)
 
-    text = open(SRC).read()
     passed, failed, skipped = [], [], []
     seen_sql: set[str] = set()
     n_done = 0
-    for line, name, inner in extract_calls(text):
-        if args.line and line != args.line:
+    sites = [
+        (prefix, line, name, inner)
+        for path, prefix in SOURCES
+        for line, name, inner in extract_calls(open(path).read())
+    ]
+    for prefix, line, name, inner in sites:
+        if args.line and (line != args.line or prefix != "L"):
             continue
         jargs = split_java_args(inner)
         if not jargs:
@@ -276,8 +302,8 @@ def main() -> None:
         if len(jargs) > 2:
             skipped.append((line, "3+ args (session/typed overload)"))
             continue
-        if line in MANUAL_SKIPS:
-            skipped.append((line, MANUAL_SKIPS[line]))
+        if f"{prefix}{line}" in MANUAL_SKIPS:
+            skipped.append((line, MANUAL_SKIPS[f"{prefix}{line}"]))
             continue
         reason = triage_skip(actual) or (oracle and triage_skip(oracle))
         if reason:
@@ -300,7 +326,7 @@ def main() -> None:
         ):
             oracle = None
         rec = {
-            "name": f"L{line}",
+            "name": f"{prefix}{line}",
             "sql": actual,
             "oracle": oracle,
             "count_only": count_only,

@@ -203,10 +203,18 @@ def tpcds_revenue_share_window(spark, sf_dir):
     # the window total is summed over exact DECIMALS (associative, so
     # shuffle order can't move a ulp); only the final ratio divides
     # identical doubles on both engines.
+    #
+    # One shuffle, not two: repartition by p_type BEFORE the groupBy —
+    # HashPartitioning(p_type) satisfies the (p_type, p_partkey) grouped
+    # aggregation's clustered distribution AND the window's
+    # PARTITION BY p_type, so neither adds an exchange (same trick as
+    # q21's single-scan window rewrite). ~150 distinct p_type values
+    # bound the skew; the window needs that partitioning regardless.
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     rev = (
         li.join(p, li.l_partkey == p.p_partkey)
+        .repartition("p_type")
         .groupBy("p_type", "p_partkey")
         .agg(
             F.sum(

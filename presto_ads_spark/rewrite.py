@@ -1844,6 +1844,55 @@ def _rewrite_char_casts(sql: str) -> str:
         i = m.start()
 
 
+# window functions that IGNORE the frame in Presto (ranking + offset,
+# WindowFunctionDefinition frameless set); Spark rejects an explicit frame
+# on them, so any frame clause in their OVER spec is dropped.
+_FRAMELESS_OVER_RE = re.compile(
+    r"\b(lead|lag|rank|dense_rank|percent_rank|row_number|ntile|cume_dist"
+    r"|first_value|last_value)\s*\(",
+    re.IGNORECASE,
+)
+_FRAME_TAIL_RE = re.compile(
+    r"\s+(ROWS|RANGE|GROUPS)\s+[^()]*$", re.IGNORECASE
+)
+
+
+def _rewrite_frameless_window_frames(sql: str) -> str:
+    """Strip frame clauses from frame-ignoring window functions — except
+    first_value/last_value, where the frame is MEANINGFUL in Spark and
+    Presto alike (they're excluded from the strip; listed in the regex
+    only to document the family)."""
+    strip_for = {
+        "lead", "lag", "rank", "dense_rank", "percent_rank",
+        "row_number", "ntile", "cume_dist",
+    }
+    pos = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (
+                c
+                for c in _FRAMELESS_OVER_RE.finditer(sql, pos)
+                if not mask[c.start()] and c.group(1).lower() in strip_for
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        call_end = _scan_matching_paren(sql, m.end())
+        om = re.match(r"\s*(?:IGNORE\s+NULLS\s*)?OVER\s*\(", sql[call_end:],
+                      re.IGNORECASE)
+        if not om:
+            pos = call_end
+            continue
+        span_start = call_end + om.end()
+        span_end = _scan_matching_paren(sql, span_start)
+        spec = sql[span_start : span_end - 1]
+        new_spec = _FRAME_TAIL_RE.sub("", spec)
+        sql = sql[:span_start] + new_spec + sql[span_end - 1 :]
+        pos = span_start + len(new_spec) + 1
+
+
 _RANKING_OVER_RE = re.compile(
     r"\b(rank|dense_rank|percent_rank|cume_dist|row_number|ntile)\s*\("
     r"[^()]*\)\s*OVER\s*\(",
@@ -2030,6 +2079,7 @@ def rewrite(sql: str) -> str:
     sql = _strip_values_row(sql)
     sql = _rewrite_row_constructor(sql)
     sql = _rewrite_unordered_ranking_windows(sql)
+    sql = _rewrite_frameless_window_frames(sql)
     sql = _rewrite_quantified(sql)
     sql = _rewrite_projected_in_subquery(sql)
     sql = _rewrite_int_literal_division(sql)

@@ -1376,3 +1376,41 @@ def test_golden_show_functions_notes(engine):
     assert "unbiased sample" in (notes.get("kurtosis") or "")
     assert notes.get("abs") is None
     assert notes.get("concat") is None
+
+
+# dbgen-data golden cases re-oracled engine-vs-DuckDB (window/order-by
+# files over tpch.tiny.lineitem etc. — the inline expected rows are tied
+# to the reference's dbgen data, but the queries run verbatim on the
+# unprefixed H2 views; see tools/port_goldens.py oracle_mode)
+@pytest.fixture(scope="module")
+def golden_h2_engine(spark):
+    from presto_ads_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    sub = spark.newSession()
+    _gu.register_h2_views(sub, SF_DIR)
+    return Engine(sub, sf_dir=None)
+
+
+@pytest.fixture(scope="module")
+def golden_h2_duck():
+    from tests.conftest import SF_DIR
+
+    return _gu.duckdb_h2_connection(SF_DIR)
+
+
+@pytest.mark.parametrize(
+    "case",
+    _gc.ORACLE_CASES,
+    ids=[f"{c['category']}::{c['name']}" for c in _gc.ORACLE_CASES],
+)
+def test_golden_corpus_oracle(golden_h2_engine, golden_h2_duck, case):
+    duck_rows = [
+        tuple(r)
+        for r in golden_h2_duck.execute(
+            _gu.duck_int_division(case["sql"])
+        ).fetchall()
+    ]
+    got = [tuple(r) for r in golden_h2_engine.sql(case["sql"]).collect()]
+    diff = _gu.compare_pyrows(got, duck_rows)
+    assert diff is None, f"{case['category']}::{case['name']}: {diff}"

@@ -122,11 +122,12 @@ _GREEN = _enc_rgb(0, 255, 0)
 
 
 def bar4(fraction, width, low, high) -> str | None:
-    if fraction is None or width is None:
+    if fraction is None or width is None or low is None or high is None:
         return None
     w = int(width)
-    f = min(1.0, max(0.0, float(fraction)))
-    filled = round(f * w)
+    # reference ColorFunctions.bar:209-211 truncates then clamps:
+    # count = (int)(percent * width), clamped into [0, width]
+    filled = max(0, min(w, int(float(fraction) * w)))
     out = []
     for i in range(filled):
         t = i / (w - 1) if w > 1 else 0.0

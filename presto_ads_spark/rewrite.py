@@ -170,10 +170,14 @@ def _unnest_lateral(args, ordinality, alias, cols) -> str:
     names = ", ".join(cols)
     if len(args) == 2:
         if ordinality:
-            # zip + ordinal: walk index positions explicitly
+            # zip + ordinal: walk index positions explicitly; guard the
+            # both-empty case — sequence(1, 0) steps DOWN to [1, 0] and
+            # would emit two phantom all-NULL rows where Presto emits none
+            hi = f"greatest(size({args[0]}), size({args[1]}))"
             return (
                 f"LATERAL VIEW inline(transform("
-                f"sequence(1, greatest(size({args[0]}), size({args[1]}))),"
+                f"CASE WHEN {hi} < 1 THEN array() "
+                f"ELSE sequence(1, {hi}) END,"
                 f" __zi -> struct(try_element_at({args[0]}, __zi),"
                 f" try_element_at({args[1]}, __zi), __zi)))"
                 f" {alias} AS {names}"
@@ -760,11 +764,14 @@ def _rewrite_kurtosis(sql: str) -> str:
             f"({m4} - 4 * {m1} * {m3} + 6 * {m1} * {m1} * {m2}"
             f" - 3 * power({m1}, 4))"
         )
-        return (
+        g2 = (
             f"((({n} + 1) * ({n} - 1) / (({n} - 2) * ({n} - 3)))"
             f" * {cm4} / ({cm2} * {cm2})"
             f" - 3 * ({n} - 1) * ({n} - 1) / (({n} - 2) * ({n} - 3)))"
         )
+        # reference returns NULL below 4 samples; IEEE double division
+        # would otherwise yield NaN/Infinity from the (n-2)(n-3) factor
+        return f"(CASE WHEN {n} < 4 THEN CAST(NULL AS DOUBLE) ELSE {g2} END)"
 
     return _replace_fn_calls(sql, "kurtosis", build)
 
@@ -862,27 +869,9 @@ def _rewrite_try_generic(sql: str) -> str:
             e = e[1 : e.rstrip().rindex(")")].strip()
         if re.search(r"(?:!=|<>|<=|>=|[=<>])", _mask_parens_and_literals(e)):
             return None
-        # integral division may already be lowered to DIV by the
-        # engine-level column-division rewrite; truncate the try_divide
-        # back to the integral result
-        dm = re.search(r"\sDIV\s", _mask_parens_and_literals(e))
-        if dm:
-            left, right = e[: dm.start()], e[dm.end() :]
-            return f"CAST(try_divide({left}, {right}) AS BIGINT)"
-        depth, in_str = 0, False
-        for k, c in enumerate(e):
-            if in_str:
-                in_str = c != "'"
-            elif c == "'":
-                in_str = True
-            elif c in "([":
-                depth += 1
-            elif c in ")]":
-                depth -= 1
-            elif depth == 0 and c in _TRY_OPS:
-                if c == "-" and (k == 0 or e[k - 1] in "(,+-*/%"):
-                    continue  # unary minus
-                return f"{_TRY_OPS[c]}({e[:k]}, {e[k + 1:]})"
+        lowered = _lower_try_arith(e)
+        if lowered is not None:
+            return lowered
         # non-arithmetic TRY: pass through — correct whenever the inner
         # expression doesn't error; an erroring input raises instead of
         # yielding NULL (documented deviation; generic error-swallowing
@@ -890,6 +879,58 @@ def _rewrite_try_generic(sql: str) -> str:
         return f"({e})"
 
     return _replace_fn_calls(sql, "try", build)
+
+
+def _top_level_binops(e: str) -> list:
+    """Positions of top-level binary arithmetic operators in ``e``
+    (unary +/- signs excluded; includes the engine's lowered integral
+    ``DIV``), as (index, token) pairs in order."""
+    pos, depth, in_str = [], 0, False
+    for k, c in enumerate(e):
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in _TRY_OPS:
+            j = k - 1
+            while j >= 0 and e[j].isspace():
+                j -= 1
+            if c in "+-" and (j < 0 or e[j] in "(,+-*/%"):
+                continue  # unary sign
+            pos.append((k, c))
+    mask = _mask_parens_and_literals(e)
+    for m in re.finditer(r"\bDIV\b", mask):
+        pos.append((m.start(), "DIV"))
+    pos.sort()
+    return pos
+
+
+def _lower_try_arith(e: str):
+    """Lower an arithmetic expression to nested try_* calls, splitting
+    at the LAST top-level operator of the LOWEST precedence class so
+    left-associative evaluation order is preserved (TRY(a*b+c) →
+    try_add(try_multiply(a, b), c), not try_multiply(a, b+c)). Returns
+    None when no top-level arithmetic operator exists."""
+    e = e.strip()
+    while e.startswith("(") and _scan_matching_paren(e, 1) == len(e.rstrip()):
+        e = e[1 : e.rstrip().rindex(")")].strip()
+    ops = _top_level_binops(e)
+    if not ops:
+        return None
+    additive = [(k, c) for k, c in ops if c in "+-"]
+    k, c = (additive or ops)[-1]
+    left, right = e[:k].strip(), e[k + len(c) :].strip()
+    left_l = _lower_try_arith(left) or left
+    right_l = _lower_try_arith(right) or right
+    if c == "DIV":
+        # integral division lowered by the column-division pre-rewrite;
+        # truncate the try_divide back to the integral result
+        return f"CAST(try_divide({left_l}, {right_l}) AS BIGINT)"
+    return f"{_TRY_OPS[c]}({left_l}, {right_l})"
 
 
 def _mask_parens_and_literals(e: str) -> str:
@@ -1118,6 +1159,28 @@ _ARRAY_AGG_RE = re.compile(r"\barray_agg\s*\(", re.IGNORECASE)
 _FILTER_TAIL_RE = re.compile(r"\s*FILTER\s*\(", re.IGNORECASE)
 
 
+def _cmp_chain(keys, i: int = 0) -> str:
+    """Comparator body for array_sort over (__o0.., __v) structs: walks
+    the ORDER BY keys left-to-right with per-key direction and NULLS
+    placement (default: nulls sort larger than any value, Presto-style)."""
+    if i == len(keys):
+        return "0"
+    _, desc, nulls_first = keys[i]
+    lo, ro = f"__cl.__o{i}", f"__cr.__o{i}"
+    nfirst = nulls_first if nulls_first is not None else False
+    lt, gt = ("1", "-1") if desc else ("-1", "1")
+    nl, nr = ("-1", "1") if nfirst else ("1", "-1")
+    rest = _cmp_chain(keys, i + 1)
+    return (
+        f"CASE WHEN {lo} IS NULL AND {ro} IS NULL THEN {rest}"
+        f" WHEN {lo} IS NULL THEN {nl}"
+        f" WHEN {ro} IS NULL THEN {nr}"
+        f" WHEN {lo} < {ro} THEN {lt}"
+        f" WHEN {lo} > {ro} THEN {gt}"
+        f" ELSE {rest} END"
+    )
+
+
 def _rewrite_array_agg_ordered(sql: str) -> str:
     """Presto ``array_agg(e ORDER BY k [DESC]) [FILTER (WHERE c)]``
     (within-group ordering; Spark's array_agg has none): sort a
@@ -1137,16 +1200,24 @@ def _rewrite_array_agg_ordered(sql: str) -> str:
         j = _scan_matching_paren(sql, m.end())
         arg = sql[m.end() : j - 1]
         om = re.search(r"\s+ORDER\s+BY\s+", arg, re.IGNORECASE)
-        if not om or len(_split_top_level(arg)) != 1:
+        if not om or len(_split_top_level(arg[: om.start()])) != 1:
             pos = m.end()
             continue
         e = arg[: om.start()].strip()
-        key = arg[om.end() :].strip()
-        desc = False
-        dm = re.search(r"\s+(ASC|DESC)\s*$", key, re.IGNORECASE)
-        if dm:
-            desc = dm.group(1).upper() == "DESC"
-            key = key[: dm.start()].strip()
+        keys = []  # (expr, desc, nulls_first | None)
+        for part in _split_top_level(arg[om.end() :]):
+            part = part.strip()
+            nulls_first = None
+            nm = re.search(r"\s+NULLS\s+(FIRST|LAST)\s*$", part, re.IGNORECASE)
+            if nm:
+                nulls_first = nm.group(1).upper() == "FIRST"
+                part = part[: nm.start()].strip()
+            kdesc = False
+            dm = re.search(r"\s+(ASC|DESC)\s*$", part, re.IGNORECASE)
+            if dm:
+                kdesc = dm.group(1).upper() == "DESC"
+                part = part[: dm.start()].strip()
+            keys.append((part, kdesc, nulls_first))
         end = j
         filt = ""
         fm = _FILTER_TAIL_RE.match(sql, j)
@@ -1154,10 +1225,18 @@ def _rewrite_array_agg_ordered(sql: str) -> str:
             fend = _scan_matching_paren(sql, fm.end())
             filt = " " + sql[j:fend].strip()
             end = fend
-        pairs = f"array_agg(struct({key} AS __o, {e} AS __v)){filt}"
-        sorted_pairs = f"array_sort({pairs})"
-        if desc:
-            sorted_pairs = f"reverse({sorted_pairs})"
+        # comparator sort for every form: a plain struct array_sort puts
+        # NULL key fields FIRST (Spark field ordering) and DESC-via-
+        # reverse() flips null placement, while Presto's default is
+        # NULLS LAST regardless of direction (AstBuilder sort-item
+        # default → ASC_NULLS_LAST / DESC_NULLS_LAST)
+        fields = ", ".join(
+            f"{k} AS __o{i}" for i, (k, _, _) in enumerate(keys)
+        ) + f", {e} AS __v"
+        pairs = f"array_agg(struct({fields})){filt}"
+        sorted_pairs = (
+            f"array_sort({pairs}, (__cl, __cr) -> {_cmp_chain(keys)})"
+        )
         # empty group (everything FILTERed out) → NULL like Presto's
         # array_agg, not the empty array Spark's returns
         repl = (

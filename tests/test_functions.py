@@ -745,3 +745,71 @@ def test_n_extreme_aggregates(engine):
     assert row.names_top == ["b", "c"]
     assert row.name_bot == ["a"]
     assert row.plain_max == 5 and row.plain_by == "b"
+
+
+def test_try_multi_op_values(engine):
+    # left-associative evaluation through the try_* lowering
+    rows = engine.sql(
+        "SELECT TRY(1 * 2 + 3) a, TRY(1 - 2 + 3) b, TRY(10 - 2 * 3) c,"
+        " TRY(100 / 0 + 1) d"
+    ).collect()[0]
+    assert (rows.a, rows.b, rows.c) == (5, 2, 4)
+    assert rows.d is None
+
+
+def test_kurtosis_small_groups_null(engine):
+    # reference CentralMomentsAggregation returns NULL below 4 samples
+    rows = engine.sql(
+        "SELECT k, kurtosis(x) v FROM (VALUES (1, 1.0), (1, 2.0), (1, 3.0),"
+        " (2, 1.0), (2, 2.0), (2, 4.0), (2, 8.0)) t(k, x)"
+        " GROUP BY k ORDER BY k"
+    ).collect()
+    assert rows[0].v is None
+    assert rows[1].v is not None
+
+
+def test_unnest_two_arrays_ordinality_empty(engine):
+    # both arrays empty → zero rows, not sequence(1,0) phantom rows
+    rows = engine.sql(
+        "SELECT a, b, o FROM (VALUES (ARRAY[1, 2], ARRAY['x']),"
+        " (CAST(ARRAY[] AS ARRAY(INTEGER)), CAST(ARRAY[] AS ARRAY(VARCHAR))))"
+        " t(xs, ys) CROSS JOIN UNNEST(xs, ys) WITH ORDINALITY AS u(a, b, o)"
+    ).collect()
+    assert [(r.a, r.b, r.o) for r in rows] == [(1, "x", 1), (2, None, 2)]
+
+
+def test_array_agg_order_by_null_and_multi_key(engine):
+    def one(sql):
+        return engine.sql(sql).collect()[0][0]
+
+    # Presto default: NULLS LAST regardless of direction
+    # (QueryPlanner.toSortOrder UNDEFINED → *_NULLS_LAST)
+    assert one(
+        "SELECT array_agg(v ORDER BY k) FROM"
+        " (VALUES (3,'c'),(NULL,'n'),(2,'b')) t(k,v)"
+    ) == ["b", "c", "n"]
+    assert one(
+        "SELECT array_agg(v ORDER BY k DESC) FROM"
+        " (VALUES (3,'c'),(NULL,'n'),(2,'b')) t(k,v)"
+    ) == ["c", "b", "n"]
+    assert one(
+        "SELECT array_agg(v ORDER BY k NULLS FIRST) FROM"
+        " (VALUES (3,'c'),(NULL,'n'),(2,'b')) t(k,v)"
+    ) == ["n", "b", "c"]
+    assert one(
+        "SELECT array_agg(v ORDER BY k1, k2 DESC) FROM"
+        " (VALUES (1,2,'a'),(1,1,'b'),(0,9,'c')) t(k1,k2,v)"
+    ) == ["c", "a", "b"]
+    assert one(
+        "SELECT array_agg(v ORDER BY k1 DESC, k2) FROM"
+        " (VALUES (1,2,'a'),(1,1,'b'),(0,9,'c'),(NULL,0,'n')) t(k1,k2,v)"
+    ) == ["b", "a", "c", "n"]
+
+
+def test_bar_truncates_like_reference(engine):
+    # ColorFunctions.bar:209 — (int)(percent * width), not rounding
+    row = engine.sql(
+        "SELECT bar(0.35, 10) a, bar(0.35, 10, rgb(255,0,0), NULL) b"
+    ).collect()[0]
+    assert row.a.count("█") == 3
+    assert row.b is None

@@ -107,3 +107,37 @@ def test_bare_varchar_cast():
     )
     # inside string literal untouched
     assert rewrite("SELECT 'CAST(x AS VARCHAR)' AS s") == "SELECT 'CAST(x AS VARCHAR)' AS s"
+
+
+def test_try_arith_precedence():
+    # splits at the LAST lowest-precedence operator, preserving
+    # left-associative evaluation (ADVICE r4: first-op split computed
+    # a*(b+c) for TRY(a*b+c))
+    assert rewrite("SELECT TRY(a * b + c)") == (
+        "SELECT try_add(try_multiply(a, b), c)"
+    )
+    assert rewrite("SELECT TRY(a - b + c)") == (
+        "SELECT try_add(try_subtract(a, b), c)"
+    )
+    assert rewrite("SELECT TRY(a * b + c * d)") == (
+        "SELECT try_add(try_multiply(a, b), try_multiply(c, d))"
+    )
+    assert rewrite("SELECT TRY(a / b / c)") == (
+        "SELECT try_divide(try_divide(a, b), c)"
+    )
+    # unary signs are not split points
+    assert rewrite("SELECT TRY(-a * b)") == "SELECT try_multiply(-a, b)"
+    assert rewrite("SELECT TRY(a + -b)") == "SELECT try_add(a, -b)"
+
+
+def test_array_agg_multi_key_order_by():
+    out = rewrite("SELECT array_agg(v ORDER BY k1, k2 DESC) FROM t")
+    assert "array_sort" in out and "__o1" in out and "(__cl, __cr)" in out
+    # explicit NULLS placement routes through the comparator too
+    out = rewrite("SELECT array_agg(v ORDER BY k NULLS FIRST) FROM t")
+    assert "(__cl, __cr)" in out
+
+
+def test_kurtosis_small_group_null_guard():
+    out = rewrite("SELECT kurtosis(x) FROM t")
+    assert "WHEN CAST(count(" in out and "< 4 THEN CAST(NULL AS DOUBLE)" in out

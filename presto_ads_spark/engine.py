@@ -69,7 +69,22 @@ _FUNCTION_NOTES: dict[str, str] = {
     "st_convex_hull": "python UDF (monotone chain; rollup path)",
     "parse_duration_seconds": "returns seconds as DOUBLE (Presto returns "
                               "interval)",
+    "features": "positional double array (reference FeatureVector map)",
+    "learn_classifier": "model is the training set; classify answers "
+                        "nearest-neighbor (reference trains libsvm SVM)",
+    "learn_regressor": "model is the training set; regress answers "
+                       "nearest-neighbor (reference trains libsvm SVR)",
+    "classify": "nearest-neighbor over the learned set (reference: SVM)",
+    "regress": "nearest-neighbor over the learned set (reference: SVR)",
+    "random": "bounded form lowered to floor(rand() * n)",
 }
+
+# Presto-dialect functions implemented purely in the rewrite layer —
+# invisible to Spark's catalog listing but callable through Engine.sql.
+_REWRITE_ONLY_FUNCTIONS = [
+    "features", "learn_classifier", "learn_regressor", "classify",
+    "regress", "random",
+]
 _SYSTEM_RUNTIME_RE = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+system\.runtime\.(nodes|queries)\s*$",
     re.IGNORECASE,
@@ -435,6 +450,9 @@ class Engine:
         function name plus an explicit ``note`` for shimmed or
         approximated families (NULL = faithful implementation)."""
         names = [r[0] for r in self.spark.sql("SHOW FUNCTIONS").collect()]
+        names.extend(
+            n for n in _REWRITE_ONLY_FUNCTIONS if n not in names
+        )
 
         def note_for(name: str) -> str | None:
             low = name.lower()

@@ -776,6 +776,74 @@ def _rewrite_kurtosis(sql: str) -> str:
     return _replace_fn_calls(sql, "kurtosis", build)
 
 
+def _rewrite_ml_functions(sql: str) -> str:
+    """SQL-surface ML functions (presto-ml MLFunctions.java /
+    LearnClassifierAggregation.java): ``features(a, b, ..)`` builds the
+    feature vector, ``learn_classifier(label, features)`` is an aggregate
+    producing a model, ``classify(features, model)`` applies it (same for
+    learn_regressor/regress).
+
+    The reference trains a libsvm SVM; SQL-expression templates can't, so
+    the model here is the training set itself (array of (label, vector)
+    structs) and classify/regress answer with the nearest neighbor by
+    squared euclidean distance — a faithful-on-separable-data stand-in,
+    annotated in SHOW FUNCTIONS. Everything stays JVM-side (HOFs, no UDF)."""
+
+    def features(args):
+        cast = ", ".join(f"CAST(({a}) AS DOUBLE)" for a in args)
+        return f"array({cast})"
+
+    def learn(cast_label: str | None):
+        def build(args):
+            if len(args) != 2:
+                return None
+            label = (
+                f"CAST(({args[0]}) AS {cast_label})" if cast_label
+                else f"({args[0]})"
+            )
+            return (
+                f"array_agg(struct({label} AS __ml_l, ({args[1]}) AS __ml_f))"
+            )
+        return build
+
+    def predict(args):
+        if len(args) != 2:
+            return None
+        feat, model = args
+        dist = (
+            f"aggregate(zip_with(__me.__ml_f, ({feat}),"
+            f" (__mx, __my) -> (__mx - __my) * (__mx - __my)),"
+            f" CAST(0 AS DOUBLE), (__ma, __mx) -> __ma + __mx)"
+        )
+        return (
+            f"element_at(array_sort(transform(({model}),"
+            f" __me -> struct({dist} AS __ml_d, __me.__ml_l AS __ml_l))),"
+            f" 1).__ml_l"
+        )
+
+    sql = _replace_fn_calls(sql, "learn_classifier", learn(None))
+    sql = _replace_fn_calls(sql, "learn_regressor", learn("DOUBLE"))
+    sql = _replace_fn_calls(sql, "classify", predict)
+    sql = _replace_fn_calls(sql, "regress", predict)
+    sql = _replace_fn_calls(sql, "features", features)
+    return sql
+
+
+def _rewrite_random_bound(sql: str) -> str:
+    """Presto ``random()`` → [0,1) double; ``random(n)`` → uniform bigint
+    in [0, n) (MathFunctions.java random overloads). Spark's ``rand()``
+    covers the 0-arg form; the bounded form scales and floors it."""
+
+    def build(args):
+        if not args or (len(args) == 1 and not args[0].strip()):
+            return "rand()"
+        if len(args) == 1:
+            return f"CAST(floor(rand() * ({args[0]})) AS BIGINT)"
+        return None
+
+    return _replace_fn_calls(sql, "random", build)
+
+
 def _rewrite_grouping_multi(sql: str) -> str:
     """Presto ``grouping(c1, .., cN)`` returns the N-bit mask (first
     argument = most significant bit — GroupingOperationRewriter); Spark's
@@ -2128,6 +2196,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_at_time_zone(sql)
     sql = _rewrite_timezone_offset_fns(sql)
     sql = _rewrite_kurtosis(sql)
+    sql = _rewrite_ml_functions(sql)
+    sql = _rewrite_random_bound(sql)
     sql = _rewrite_apply_lambda(sql)
     sql = _rewrite_contains(sql)
     sql = _rewrite_grouping_multi(sql)

@@ -357,6 +357,27 @@ def duckdb_h2_connection(sf_dir: str):
     return con
 
 
+def register_raw_views(spark, sf_dir: str) -> None:
+    """Prefixed-column (raw driver-testdata schema) temp views — the
+    product-test queries use n_name/p_partkey-style names."""
+    for tbl in H2_TABLES:
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").createOrReplaceTempView(
+            tbl
+        )
+
+
+def duckdb_raw_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl in H2_TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT *"
+            f" FROM '{sf_dir}/{tbl}.parquet'"
+        )
+    return con
+
+
 def compare_pyrows(got: list[tuple], want: list[tuple]) -> str | None:
     """Order-insensitive comparison of two Python row sets (engine vs
     oracle) through the same cell canonicalization as the golden tier."""

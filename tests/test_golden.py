@@ -1399,18 +1399,75 @@ def golden_h2_duck():
     return _gu.duckdb_h2_connection(SF_DIR)
 
 
+@pytest.fixture(scope="module")
+def golden_raw_engine(spark):
+    from presto_ads_spark.engine import Engine
+    from tests.conftest import SF_DIR
+
+    sub = spark.newSession()
+    _gu.register_raw_views(sub, SF_DIR)
+    return Engine(sub, sf_dir=None)
+
+
+@pytest.fixture(scope="module")
+def golden_raw_duck():
+    from tests.conftest import SF_DIR
+
+    return _gu.duckdb_raw_connection(SF_DIR)
+
+
 @pytest.mark.parametrize(
     "case",
     _gc.ORACLE_CASES,
     ids=[f"{c['category']}::{c['name']}" for c in _gc.ORACLE_CASES],
 )
-def test_golden_corpus_oracle(golden_h2_engine, golden_h2_duck, case):
+def test_golden_corpus_oracle(
+    golden_h2_engine, golden_h2_duck, golden_raw_engine, golden_raw_duck, case
+):
+    if case.get("raw_schema"):
+        eng, duck = golden_raw_engine, golden_raw_duck
+    else:
+        eng, duck = golden_h2_engine, golden_h2_duck
     duck_rows = [
         tuple(r)
-        for r in golden_h2_duck.execute(
+        for r in duck.execute(
             _gu.duck_int_division(case["sql"])
         ).fetchall()
     ]
-    got = [tuple(r) for r in golden_h2_engine.sql(case["sql"]).collect()]
+    got = [tuple(r) for r in eng.sql(case["sql"]).collect()]
     diff = _gu.compare_pyrows(got, duck_rows)
     assert diff is None, f"{case['category']}::{case['name']}: {diff}"
+
+
+# insert-path cases over a per-case mutable warehouse table (tempto
+# mutable_tables convention: state 'created' = empty schema, 'loaded' =
+# dataset rows preloaded; see tools/port_goldens.py MUTABLE_DDL)
+@pytest.mark.parametrize(
+    "case",
+    _gc.MUTABLE_CASES,
+    ids=[f"{c['category']}::{c['name']}" for c in _gc.MUTABLE_CASES],
+)
+def test_golden_corpus_mutable(corpus_engine, case):
+    spark = corpus_engine.spark
+    try:
+        for s in case["setup"]:
+            spark.sql(s)
+        for s in case["statements"]:
+            corpus_engine.sql(s)
+        got = [tuple(r) for r in corpus_engine.sql(case["sql"]).collect()]
+        expected = _gu.parse_result_lines(
+            case["expected"], case["delimiter"], case["trim"]
+        )
+        diff = _gu.compare_rows(
+            got, expected,
+            ignore_order=case["ignore_order"],
+            ignore_excess=False,
+            trim=case["trim"],
+        )
+        assert diff is None, f"{case['category']}::{case['name']}: {diff}"
+    finally:
+        for s in case["teardown"]:
+            try:
+                spark.sql(s)
+            except Exception:  # noqa: BLE001
+                pass

@@ -57,7 +57,20 @@ CATEGORIES = [
     "with_clause",
     "color_functions",
     "functions",
+    "insert",
+    "ml_functions",
 ]
+
+# mutable-table DDLs (sql-tests/datasets/*.ddl, hive dialect → Spark);
+# insert-path cases create a fresh copy per case
+MUTABLE_DDL = {
+    "datatype": (
+        "CREATE TABLE {name} (c_bigint bigint, c_double double,"
+        " c_string string, c_date date, c_timestamp timestamp,"
+        " c_boolean boolean, c_short_decimal decimal(5,2),"
+        " c_long_decimal decimal(30,10)) USING parquet"
+    ),
+}
 
 # tiny-connector tables we can reproduce (fixed seed data); any other
 # tpch.tiny.* reference is dbgen-scale data we don't ship.
@@ -85,15 +98,20 @@ def _bool(opts, key, default):
 
 
 def load_cases(category: str):
-    """Yield dicts: {category, name, sql, expected(list[str]), opts}."""
+    """Yield dicts: {category, name, sql, expected(list[str]), opts}.
+    Walks subdirectories (e.g. functions/conditional-expressions)."""
     d = os.path.join(REF, category)
     if not os.path.isdir(d):
         return
-    for fn in sorted(os.listdir(d)):
-        if not fn.endswith(".sql"):
-            continue
-        path = os.path.join(d, fn)
-        base = fn[:-4]
+    paths = []
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            if fn.endswith(".sql"):
+                paths.append(os.path.join(root, fn))
+    for path in sorted(paths):
+        fn = os.path.basename(path)
+        rel = os.path.relpath(path, d)
+        base = rel[:-4].replace(os.sep, "__")
         text = open(path).read()
         lines = text.splitlines()
         header_opts: dict = {}
@@ -105,7 +123,35 @@ def load_cases(category: str):
             else:
                 break
         body = lines[body_start:]
-        if any(ln.strip().startswith("--!") for ln in body):
+        has_bang = any(ln.strip().startswith("--!") for ln in body)
+        if has_bang and not any(
+            re.match(r"--!\s*name\s*:", ln.strip()) for ln in body
+        ):
+            # unnamed ``--!`` sections (insert/ml_functions convention):
+            # first block = statements (';'-separated), second = expected
+            blocks, cur = [], None
+            for ln in body:
+                if ln.strip().startswith("--!"):
+                    cur = []
+                    blocks.append(cur)
+                elif cur is not None:
+                    cur.append(ln)
+            if len(blocks) >= 1:
+                stmts = [
+                    s.strip()
+                    for s in "\n".join(blocks[0]).split(";")
+                    if s.strip()
+                ]
+                yield {
+                    "category": category,
+                    "name": base,
+                    "sql": stmts[-1] if stmts else "",
+                    "statements": stmts[:-1],
+                    "expected": blocks[1] if len(blocks) > 1 else [],
+                    "opts": dict(header_opts),
+                }
+            continue
+        if has_bang:
             # multi-section file with inline expected rows
             name, sql_lines, exp_lines, mode = None, [], [], None
             sections = []
@@ -135,7 +181,7 @@ def load_cases(category: str):
                     "opts": dict(header_opts),
                 }
         else:
-            rpath = os.path.join(d, base + ".result")
+            rpath = path[:-4] + ".result"
             if not os.path.exists(rpath):
                 continue
             rlines = open(rpath).read().splitlines()
@@ -167,8 +213,10 @@ H2_OK = {"orders", "lineitem", "customer", "supplier", "part", "nation",
 def portability_skip(case) -> str | None:
     """Return a skip reason if the case can't run on local fixtures."""
     opts = case["opts"]
-    if opts.get("mutable_tables"):
-        return "mutable hive tables (insert-path product tests)"
+    for spec in re.split(r"[,]", opts.get("mutable_tables", "")):
+        name = spec.split("|")[0].strip()
+        if name and name not in MUTABLE_DDL:
+            return f"mutable hive table {name} (no local DDL port)"
     tables = [
         t.strip()
         for t in re.split(r"[,]", opts.get("tables", ""))
@@ -177,7 +225,7 @@ def portability_skip(case) -> str | None:
     for t in tables:
         if "." in t:
             return f"external-connector table {t} (mysql/psql/sqlserver)"
-        if t not in LOCAL_OK and t not in ("empty",):
+        if t not in LOCAL_OK and t not in ("empty",) and t not in H2_OK:
             return f"table {t} is dbgen-scale data (covered by TPC-H suite)"
     sql = case["sql"]
     if re.match(r"^\s*show\s+functions\s*$", sql, re.I):
@@ -188,15 +236,24 @@ def portability_skip(case) -> str | None:
 
 
 def oracle_mode(case) -> bool:
-    """Cases over dbgen-scale tpch.tiny tables: the inline expected rows
-    are tied to the reference's dbgen data, but the QUERY is portable —
-    run it engine-vs-DuckDB on the unprefixed H2 views instead (the
-    AbstractTestQueries strategy)."""
+    """Cases over dbgen-scale tpch tables: the inline expected rows are
+    tied to the reference's dbgen data, but the QUERY is portable — run
+    it engine-vs-DuckDB on the unprefixed H2 views instead (the
+    AbstractTestQueries strategy). Triggers on explicit ``tpch.tiny.*``
+    references or a ``tables:`` opt naming driver-testdata tables."""
     tiny = {
         m.group(1).lower()
         for m in re.finditer(r"\btpch\.tiny\.(\w+)", case["sql"], re.I)
     }
-    return bool(tiny - TINY_OK) and tiny <= H2_OK
+    if bool(tiny - TINY_OK) and tiny <= H2_OK:
+        return True
+    tables = {
+        t.strip().lower()
+        for t in re.split(r"[,]", case["opts"].get("tables", ""))
+        if t.strip()
+    }
+    dbgen = {t for t in tables if t not in LOCAL_OK}
+    return bool(dbgen) and dbgen <= H2_OK
 
 
 def port_sql(sql: str) -> str:
@@ -224,9 +281,13 @@ def main() -> None:
     gu.register_h2_views(h2_spark, sf_dir)
     h2_eng = Engine(h2_spark, sf_dir=None)
     h2_duck = gu.duckdb_h2_connection(sf_dir)
+    raw_spark = base.newSession()
+    gu.register_raw_views(raw_spark, sf_dir)
+    raw_eng = Engine(raw_spark, sf_dir=None)
+    raw_duck = gu.duckdb_raw_connection(sf_dir)
 
     passed, failed, skipped = [], [], []
-    oracle_passed = []
+    oracle_passed, mutable_passed = [], []
     cats = [args.only] if args.only else CATEGORIES
     for cat in cats:
         for case in load_cases(cat):
@@ -235,6 +296,71 @@ def main() -> None:
             reason = portability_skip(case)
             if reason:
                 skipped.append((cat, case["name"], reason))
+                continue
+            if case["opts"].get("mutable_tables"):
+                mutables = [
+                    (s.split("|")[0].strip(),
+                     (s.split("|") + ["created"])[1].strip() or "created")
+                    for s in case["opts"]["mutable_tables"].split(",")
+                    if s.strip()
+                ]
+                setup, teardown, sub = [], [], {}
+                for t, state in mutables:
+                    local = f"mut_golden_{t}"
+                    sub[f"${{mutableTables.hive.{t}}}"] = local
+                    setup.append(f"DROP TABLE IF EXISTS {local}")
+                    setup.append(MUTABLE_DDL[t].format(name=local))
+                    if state == "loaded":
+                        # tempto 'loaded' state: starts with the dataset
+                        # rows (same data as the immutable fixture view)
+                        setup.append(
+                            f"INSERT INTO {local} SELECT * FROM {t}"
+                        )
+                    teardown.append(f"DROP TABLE IF EXISTS {local}")
+
+                def _subst(s: str) -> str:
+                    for k, v in sub.items():
+                        s = s.replace(k, v)
+                    return s
+
+                stmts = [_subst(s) for s in case.get("statements", [])]
+                final_sql = _subst(case["sql"])
+                opts = case["opts"]
+                delim = opts.get("delimiter", "|")
+                trim = _bool(opts, "trimvalues", False)
+                ignore_order = _bool(opts, "ignoreorder", True)
+                exp = gu.parse_result_lines(case["expected"], delim, trim)
+                try:
+                    for s in setup:
+                        spark.sql(s)
+                    for s in stmts:
+                        eng.sql(s)
+                    got = [tuple(r) for r in eng.sql(final_sql).collect()]
+                    diff = gu.compare_rows(got, exp, ignore_order, False, trim)
+                except Exception as e:  # noqa: BLE001
+                    diff = f"EXCEPTION: {type(e).__name__}: {str(e)[:400]}"
+                finally:
+                    for s in teardown:
+                        try:
+                            spark.sql(s)
+                        except Exception:  # noqa: BLE001
+                            pass
+                rec = {
+                    "category": cat,
+                    "name": case["name"],
+                    "setup": setup,
+                    "statements": stmts,
+                    "sql": final_sql,
+                    "teardown": teardown,
+                    "expected": case["expected"],
+                    "delimiter": delim,
+                    "trim": trim,
+                    "ignore_order": ignore_order,
+                }
+                if diff is None:
+                    mutable_passed.append(rec)
+                else:
+                    failed.append((rec, diff))
                 continue
             if oracle_mode(case):
                 osql = re.sub(
@@ -257,15 +383,20 @@ def main() -> None:
                          f"column '{missing}' not in driver testdata schema")
                     )
                     continue
-                rec = {"category": cat, "name": case["name"], "sql": osql}
+                # tpch.tiny-spelled cases follow the unprefixed H2-view
+                # convention; tables-opt cases use raw prefixed columns
+                raw = not re.search(r"\btpch\.tiny\.", case["sql"], re.I)
+                o_eng, o_duck = (raw_eng, raw_duck) if raw else (h2_eng, h2_duck)
+                rec = {"category": cat, "name": case["name"], "sql": osql,
+                       "raw_schema": raw}
                 try:
                     duck_rows = [
                         tuple(r)
-                        for r in h2_duck.execute(
+                        for r in o_duck.execute(
                             gu.duck_int_division(osql)
                         ).fetchall()
                     ]
-                    got = [tuple(r) for r in h2_eng.sql(osql).collect()]
+                    got = [tuple(r) for r in o_eng.sql(osql).collect()]
                     diff = gu.compare_pyrows(got, duck_rows)
                 except Exception as e:  # noqa: BLE001
                     diff = f"EXCEPTION: {type(e).__name__}: {str(e)[:300]}"
@@ -313,6 +444,7 @@ def main() -> None:
 
     print(
         f"PASS {len(passed)}  ORACLE-PASS {len(oracle_passed)}"
+        f"  MUTABLE-PASS {len(mutable_passed)}"
         f"  FAIL {len(failed)}  SKIP {len(skipped)}"
     )
     for cat, name, reason in skipped:
@@ -342,6 +474,12 @@ def main() -> None:
                     " the unprefixed H2 views\nORACLE_CASES = ")
             f.write(
                 pprint.pformat(oracle_passed, width=100, sort_dicts=False)
+            )
+            f.write("\n\n# insert-path cases over a per-case mutable table"
+                    " (setup DDL + INSERT statements,\n# then the final"
+                    " SELECT is compared)\nMUTABLE_CASES = ")
+            f.write(
+                pprint.pformat(mutable_passed, width=100, sort_dicts=False)
             )
             f.write("\n\nSKIPPED = ")
             f.write(

@@ -94,7 +94,37 @@ _SHOW_STATS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*$",
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# Presto CTAS data clause (SqlBase.g4 createTableAsSelect WITH [NO] DATA);
+# Spark has no equivalent — NO DATA keeps the schema, drops the rows
+_CTAS_DATA_RE = re.compile(
+    r"^(\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s+AS\s+)(.+?)"
+    r"\s+WITH\s+(NO\s+)?DATA\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# ALTER TABLE column surgery (Presto AddColumnTask/RenameColumnTask/
+# DropColumnTask); Spark's v1 parquet tables only support ADD COLUMNS,
+# so rename/drop run as a staged rebuild
+_ADD_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RENAME_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+    r"\s*$",
+    re.IGNORECASE,
+)
+_DROP_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+# Presto CREATE [OR REPLACE] VIEW (CreateViewTask) → session temp view:
+# Spark forbids permanent views over temp-view relations (the fixture
+# tables), so views live session-scoped here (README Known gaps)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 # Transactions are no-ops under the reference's auto-commit connectors
@@ -178,7 +208,46 @@ class Engine:
             return self._show_functions()
         m = _DELETE_RE.match(text)
         if m:
-            return self._delete(m.group(1), m.group(2))
+            return self._delete(m.group(1), m.group(2) or "true")
+        m = _CTAS_DATA_RE.match(text)
+        if m:
+            head, query, no_data = m.groups()
+            if no_data:
+                query = f"SELECT * FROM ({query}) __wnd WHERE 1 = 0"
+            text = head + query
+        m = _ADD_COLUMN_RE.match(text)
+        if m:
+            table, col, typ = m.groups()
+            existing = {f.name.lower() for f in
+                        self.spark.table(table).schema.fields}
+            if col.lower() in existing:
+                raise ValueError(f"Column '{col}' already exists")
+            return self.spark.sql(
+                self._rewrite(f"ALTER TABLE {table} ADD COLUMNS ({col} {typ})")
+            )
+        m = _RENAME_COLUMN_RE.match(text)
+        if m:
+            return self._rebuild_column(m.group(1), "rename", m.group(2),
+                                        m.group(3))
+        m = _DROP_COLUMN_RE.match(text)
+        if m:
+            return self._rebuild_column(m.group(1), "drop", m.group(2))
+        if re.match(
+            r"^\s*CREATE\s+TABLE\b(?!.*?\bAS\b)", text,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            # Presto's unparameterized varchar in column lists is
+            # unbounded; Spark's VARCHAR requires a length → string
+            text = re.sub(r"\bvarchar\b(?!\s*\()", "string", text,
+                          flags=re.IGNORECASE)
+        m = _CREATE_VIEW_RE.match(text)
+        if m:
+            replace, name, body = m.groups()
+            name = name.split(".")[-1]
+            return self.spark.sql(
+                f"CREATE {'OR REPLACE ' if replace else ''}TEMPORARY VIEW"
+                f" {name} AS {self._rewrite(body)}"
+            )
         if _NOOP_STMT_RE.match(text):
             return self.spark.range(0).select()
         m = _SYSTEM_RUNTIME_RE.match(text)
@@ -386,6 +455,29 @@ class Engine:
         return self.spark.createDataFrame(
             rows, "host string, running_tasks int, onheap_storage_bytes long"
         )
+
+    def _rebuild_column(self, table: str, action: str, col: str,
+                        new_name: str | None = None) -> DataFrame:
+        """RENAME/DROP COLUMN on a v1 managed table via staged rebuild
+        (write-new, drop-old, rename — same swap DeleteOperator-style
+        rewrites use; Spark only supports these natively on v2 tables)."""
+        df = self.spark.table(table)
+        names = {f.name.lower() for f in df.schema.fields}
+        if col.lower() not in names:
+            raise ValueError(f"Column '{col}' cannot be resolved")
+        if action == "rename":
+            if new_name.lower() in names:
+                raise ValueError(f"Column '{new_name}' already exists")
+            new_df = df.withColumnRenamed(col, new_name)
+        else:
+            if len(df.columns) == 1:
+                raise ValueError("Cannot drop the only column in a table")
+            new_df = df.drop(col)
+        staging = f"{table}__rebuild_staging"
+        new_df.write.mode("overwrite").saveAsTable(staging)
+        self.spark.sql(f"DROP TABLE {table}")
+        self.spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        return self.spark.range(0).select()
 
     def _delete(self, table: str, condition: str) -> DataFrame:
         """``DELETE FROM t WHERE cond`` (DeleteOperator/

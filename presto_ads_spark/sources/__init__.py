@@ -143,10 +143,17 @@ def delete_where(spark: SparkSession, path: str, condition: str,
     before = df.count()
     # DELETE removes only rows where the condition is TRUE (Presto/SQL
     # semantics): NULL-condition rows must be KEPT, so the keep-filter is
-    # NOT coalesce(cond, false), not a bare NOT(cond).
-    kept = df.filter(f"NOT coalesce(({condition}), false)")
+    # NOT coalesce(cond, false), not a bare NOT(cond). Routed through
+    # spark.sql over a temp view so the condition may contain subqueries
+    # (DELETE ... WHERE k IN (SELECT ...)) — DataFrame.filter can't.
+    df.createOrReplaceTempView("__delete_target")
+    kept = spark.sql(
+        f"SELECT * FROM __delete_target"
+        f" WHERE NOT coalesce(({condition}), false)"
+    )
     staging = path.rstrip("/") + ".__staging__"
     kept.write.format(fmt).mode("overwrite").save(staging)
+    spark.catalog.dropTempView("__delete_target")
     after = spark.read.format(fmt).load(staging).count()
     shutil.rmtree(path)
     shutil.move(staging, path)

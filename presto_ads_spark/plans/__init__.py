@@ -51,6 +51,26 @@ def assert_no_python_udf(df: DataFrame) -> None:
     assert "BatchEvalPython" not in plan, f"row-at-a-time Python UDF:\n{plan}"
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the (pre-AQE) physical plan.
+
+    Counts tree nodes named ``Exchange`` in the formatted plan — broadcast
+    exchanges print as ``BroadcastExchange`` and are NOT counted; each
+    ``Exchange hashpartitioning/rangepartitioning`` is one shuffle."""
+    import re
+
+    plan = formatted_plan(df)
+    return len(re.findall(r"^\(\d+\)\s+Exchange\b", plan, re.MULTILINE))
+
+
+def expand_count(df: DataFrame) -> int:
+    """Number of Expand nodes (grouping-sets lowering) in the plan."""
+    import re
+
+    plan = formatted_plan(df)
+    return len(re.findall(r"^\(\d+\)\s+Expand\b", plan, re.MULTILINE))
+
+
 def assert_whole_stage_codegen(df: DataFrame) -> None:
     import re
 

@@ -2000,7 +2000,13 @@ _FRAMELESS_OVER_RE = re.compile(
     re.IGNORECASE,
 )
 _FRAME_TAIL_RE = re.compile(
-    r"\s+(ROWS|RANGE|GROUPS)\s+[^()]*$", re.IGNORECASE
+    # the frame clause runs from the ROWS/RANGE/GROUPS keyword to the end
+    # of the OVER spec; a parenthesized bound expression (RANGE BETWEEN
+    # (x+1) PRECEDING ...) is Presto-legal, so the tail may contain parens.
+    # The follow set (BETWEEN/UNBOUNDED/CURRENT/number/paren) keeps an
+    # ORDER BY on a column literally named "rows" from matching.
+    r"\s+(ROWS|RANGE|GROUPS)\s+(?:BETWEEN\b|UNBOUNDED\b|CURRENT\b|\d|\().*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 

@@ -83,3 +83,20 @@ def test_global_sort_uses_range_partitioning(spark):
     plan = plans.formatted_plan(df)
     assert "rangepartitioning" in plan.lower()
     assert "Sort" in plan
+
+def test_tpcds_revenue_share_single_exchange(spark):
+    """Lock the round-4 plan win (r4 verdict wrong #2): the grouped agg and
+    the window share ONE HashPartitioning(p_type) exchange — repartition
+    before the groupBy satisfies both distributions. A second shuffle
+    Exchange reappearing is a regression."""
+    df = REGISTRY["tpcds_revenue_share_window"].spark_fn(spark, SF_DIR)
+    n = plans.exchange_count(df)
+    assert n == 1, f"expected exactly 1 shuffle exchange, saw {n}"
+
+
+def test_tpcds_rollup_single_expand_broadcast_dims(spark):
+    """Lock the audited rollup shape: one Expand (grouping-sets lowering),
+    dims broadcast (no shuffle join on the fact side)."""
+    df = REGISTRY["tpcds_rollup_grouping"].spark_fn(spark, SF_DIR)
+    assert plans.expand_count(df) == 1
+    plans.assert_broadcast_join(df, expect=2)

@@ -141,3 +141,21 @@ def test_array_agg_multi_key_order_by():
 def test_kurtosis_small_group_null_guard():
     out = rewrite("SELECT kurtosis(x) FROM t")
     assert "WHEN CAST(count(" in out and "< 4 THEN CAST(NULL AS DOUBLE)" in out
+
+
+def test_frame_strip_parenthesized_bound():
+    # frame bounds containing parens (expression offsets) must still strip
+    # from frame-ignoring functions (VERDICT r4 wrong #1)
+    out = rewrite(
+        "SELECT rank() OVER (ORDER BY x RANGE BETWEEN (1+1) PRECEDING "
+        "AND CURRENT ROW) FROM t"
+    )
+    assert "RANGE" not in out.upper()
+    assert "PRECEDING" not in out.upper()
+    assert "OVER (ORDER BY x" in out
+
+
+def test_frame_strip_spares_column_named_rows():
+    # an ORDER BY on a column literally named "rows" is not a frame clause
+    out = rewrite("SELECT lag(x) OVER (ORDER BY rows DESC) FROM t")
+    assert "ORDER BY rows DESC" in out

@@ -43,14 +43,29 @@ Semantics notes (documented deviations from the Esri-backed reference):
   mirrors them.
 - ST_Union / geometry_union(_agg) are COLLECTION merges (pid-remapped
   ring concatenation): correct cardinality/containment for disjoint
-  inputs, no boolean clipping of overlaps (ST_Intersection/Difference/
-  SymDifference are likewise not implemented).
+  inputs, no boolean clipping of overlaps.
+- ST_Difference / ST_SymDifference / ST_Intersection compute the cases
+  that are exact WITHOUT polygon clipping — point-set operands
+  (membership filters), disjoint operands, equal operands, containment
+  (polygon-in-polygon punches a hole), and axis-aligned rectangle
+  intersection — and return NULL for the general overlapping-area
+  overlay (the reference delegates that to Esri's clipping engine).
+- ST_AsBinary is pure-SQL little-endian ISO WKB (doubles via reflect
+  doubleToLongBits); ST_GeomFromBinary decodes through a WKT-emitting
+  Python UDF + the JVM parse; malformed WKB returns NULL (Presto
+  raises). simplify_geometry is Douglas–Peucker via a ring-array Python
+  UDF; line_locate_point is an exact segment-projection fold.
 - ST_Buffer supports points (32-gon) only; other shapes return NULL.
 - ST_Crosses/ST_Overlaps/ST_Touches are predicate approximations built
   from intersects/contains/boundary tests (documented per function).
-- Not implemented: ST_AsBinary/ST_GeomFromBinary (WKB), ST_Relate,
-  simplify_geometry, line_locate_point, GEOMETRYCOLLECTION.
+- Not implemented: ST_Relate, GEOMETRYCOLLECTION.
 - ST_AsText prints Spark double repr ('1.0', not ESRI's '1').
+- Spark limitation worth knowing: a PYTHON-UDF-backed function
+  (st_convex_hull, simplify_geometry, st_geom_from_binary) whose
+  argument expression contains a nested lambda that CAPTURES an outer
+  lambda's variable cannot be extracted by Spark's planner ("Cannot
+  evaluate expression"); all SQL bodies here are kept capture-free so
+  the surfaces compose.
 
 The predicate set powers the reference's spatial join
 (SpatialJoinOperator, ExtractSpatialJoins.java:101-109): a broadcast
@@ -881,3 +896,398 @@ def register_geospatial_python(spark) -> None:
         return [{"x": x, "y": y} for x, y in hull]
 
     spark.udf.register("geo_convex_hull", _hull, _PTS)
+
+    # --- Douglas–Peucker ring simplification (simplify_geometry) ----------
+
+    def _dp(chain, tol):
+        if len(chain) <= 2:
+            return chain
+        ax, ay = chain[0]
+        bx, by = chain[-1]
+        seg2 = (bx - ax) ** 2 + (by - ay) ** 2
+        best_d, best_i = -1.0, 0
+        for i in range(1, len(chain) - 1):
+            px, py = chain[i]
+            if seg2 == 0.0:
+                d = ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+            else:
+                t = max(0.0, min(1.0, ((px - ax) * (bx - ax)
+                                       + (py - ay) * (by - ay)) / seg2))
+                d = ((px - (ax + t * (bx - ax))) ** 2
+                     + (py - (ay + t * (by - ay))) ** 2) ** 0.5
+            if d > best_d:
+                best_d, best_i = d, i
+        if best_d <= tol:
+            return [chain[0], chain[-1]]
+        return _dp(chain[: best_i + 1], tol)[:-1] + _dp(chain[best_i:], tol)
+
+    def _simplify_rings(rings, tol):
+        if rings is None:
+            return None
+        out = []
+        for r in rings:
+            pts = [(float(p[0]), float(p[1])) for p in (r[2] or [])]
+            closed = len(pts) >= 4 and pts[0] == pts[-1]
+            simp = _dp(pts, float(tol))
+            if closed and len(simp) < 4:  # a ring can't drop below a triangle
+                simp = pts
+            out.append({
+                "pid": r[0], "hole": r[1],
+                "pts": [{"x": x, "y": y} for x, y in simp],
+            })
+        return out
+
+    spark.udf.register("geo_simplify_rings", _simplify_rings, _RINGS)
+
+    # --- WKB deserialization (ST_GeomFromBinary) --------------------------
+    #     GeoFunctions.java stGeomFromBinary; the decode emits WKT text and
+    #     st_geometry_from_text parses it JVM-side. The UDF's argument is a
+    #     plain binary value: a Python UDF whose argument expression
+    #     contains a nested lambda CAPTURING an outer lambda's variable
+    #     cannot be extracted by Spark ("Cannot evaluate expression"), so
+    #     the ENCODE direction (st_as_binary) is pure SQL — see the
+    #     GEOSPATIAL_SQL_FUNCTIONS entry below.
+
+    import struct as _st
+
+    _WKB_NAME = {1: "POINT", 2: "LINESTRING", 3: "POLYGON",
+                 4: "MULTIPOINT", 5: "MULTILINESTRING", 6: "MULTIPOLYGON"}
+
+    def _fmt(v):
+        return repr(float(v))
+
+    def _wkb_to_wkt(buf):
+        if buf is None:
+            return None
+        try:
+            wkt, _ = _wkb_geom_txt(bytes(buf), 0)
+            return wkt
+        except Exception:  # malformed WKB → NULL (Presto raises; shimmed)
+            return None
+
+    def _wkb_geom_txt(buf, pos):
+        e = "<" if buf[pos] == 1 else ">"
+        pos += 1
+        (code,) = _st.unpack_from(e + "I", buf, pos)
+        pos += 4
+        gt = _WKB_NAME[code]
+
+        def chain(p):
+            (n,) = _st.unpack_from(e + "I", buf, p)
+            p += 4
+            toks = []
+            for _ in range(n):
+                x, y = _st.unpack_from(e + "dd", buf, p)
+                p += 16
+                toks.append(f"{_fmt(x)} {_fmt(y)}")
+            return ", ".join(toks), p
+
+        if gt == "POINT":
+            x, y = _st.unpack_from(e + "dd", buf, pos)
+            pos += 16
+            if x != x:
+                return "POINT EMPTY", pos
+            return f"POINT ({_fmt(x)} {_fmt(y)})", pos
+        if gt == "LINESTRING":
+            body, pos = chain(pos)
+            return (f"LINESTRING ({body})" if body
+                    else "LINESTRING EMPTY"), pos
+        if gt == "POLYGON":
+            (nr,) = _st.unpack_from(e + "I", buf, pos)
+            pos += 4
+            rings = []
+            for _ in range(nr):
+                body, pos = chain(pos)
+                rings.append(f"({body})")
+            return (f"POLYGON ({', '.join(rings)})" if rings
+                    else "POLYGON EMPTY"), pos
+        # MULTI*: n child geometries with headers
+        (n,) = _st.unpack_from(e + "I", buf, pos)
+        pos += 4
+        parts = []
+        for _ in range(n):
+            child, pos = _wkb_geom_txt(buf, pos)
+            parts.append(child.split(" ", 1)[1])  # strip child type tag
+        if not parts:
+            return f"{gt} EMPTY", pos
+        return f"{gt} ({', '.join(parts)})", pos
+
+    spark.udf.register("geo_wkb_to_wkt", _wkb_to_wkt, "STRING")
+
+
+# --- boolean overlay (partial), line referencing, simplification ----------
+#
+# ST_Difference / ST_SymDifference / ST_Intersection
+# (GeoFunctions.java stDifference/stSymDifference/stIntersection): the
+# reference delegates to Esri's full overlay engine. The rings model
+# computes the cases that are EXACT without polygon clipping —
+# point-set operands (membership filters), disjoint operands, equal
+# operands, containment (including the polygon-in-polygon hole punch),
+# and axis-aligned rectangle∩rectangle — and returns NULL for the
+# general overlapping-area overlay (documented in SHOW FUNCTIONS and
+# the module header). line_locate_point (GeoFunctions.java
+# lineLocatePoint) is exact: min-distance projection over the chain's
+# segments via a single fold.
+
+
+def _pt_in_geom(b, px, py) -> str:
+    """Boundary-inclusive point-in-geometry, dim-dispatched (the same
+    containment rules st_contains uses, inlined for lambda contexts)."""
+    return (
+        f"(CASE WHEN st_dimension({b}) = 2"
+        f" THEN {_rings_contain(b + '.rings', px, py)}"
+        f" WHEN st_dimension({b}) = 1"
+        f" THEN {_pt_rings_dist(px, py, b + '.rings')} = 0.0"
+        f" ELSE exists({b}.pts, bq_ -> bq_.x = {px} AND bq_.y = {py}) END)"
+    )
+
+
+def _pts_as_geo(filtered) -> str:
+    """A filtered point array → POINT / MULTIPOINT (EMPTY when none)."""
+    return _mk_geo(
+        f"CASE WHEN size({filtered}) = 1 THEN 'POINT' ELSE 'MULTIPOINT' END",
+        filtered,
+        f"CASE WHEN size({filtered}) = 0 THEN {_EMPTY_RINGS}"
+        f" ELSE {_single_ring(filtered)} END",
+    )
+
+
+def _is_rect(g) -> str:
+    """g is one closed axis-aligned rectangle ring (envelope-shaped)."""
+    return (
+        f"({g}.gtype = 'POLYGON' AND size({g}.rings) = 1"
+        f" AND size({g}.pts) = 5 AND size(array_distinct({g}.pts)) = 4"
+        f" AND forall({g}.pts, rp_ ->"
+        f" (rp_.x = st_xmin({g}) OR rp_.x = st_xmax({g}))"
+        f" AND (rp_.y = st_ymin({g}) OR rp_.y = st_ymax({g}))))"
+    )
+
+
+def _diff_pts(src, other) -> str:
+    return f"filter({src}.pts, dp_ -> NOT {_pt_in_geom(other, 'dp_.x', 'dp_.y')})"
+
+
+def _keep_pts(src, other) -> str:
+    return f"filter({src}.pts, dp_ -> {_pt_in_geom(other, 'dp_.x', 'dp_.y')})"
+
+
+_XOR_PTS = (
+    "filter(array_distinct(concat(a.pts, b.pts)), sp_ ->"
+    " array_contains(a.pts, sp_) <> array_contains(b.pts, sp_))"
+)
+
+
+def _hole_punch(outer, inner) -> str:
+    """POLYGON ``inner`` strictly inside POLYGON ``outer`` (no holes of
+    its own): difference = outer with inner's exterior as a hole."""
+    return _mk_geo(
+        "'POLYGON'",
+        f"{outer}.pts",
+        f"concat({outer}.rings, transform({inner}.rings, hr_ ->"
+        " named_struct('pid', 0, 'hole', true, 'pts', hr_.pts)))",
+    )
+
+
+GEOSPATIAL_SQL_FUNCTIONS.extend([
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_difference(a {_G}, b {_G})
+       RETURNS {_G} RETURN CASE
+         WHEN a IS NULL OR b IS NULL THEN NULL
+         WHEN size(a.rings) = 0 OR size(b.rings) = 0 THEN a
+         WHEN NOT st_intersects(a, b) THEN a
+         WHEN st_dimension(a) = 0 THEN {_pts_as_geo(_diff_pts("a", "b"))}
+         WHEN st_contains(b, a) THEN {_mk_geo(
+             "a.gtype", _EMPTY_PTS, _EMPTY_RINGS)}
+         WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
+              AND NOT exists(b.rings, bh_ -> bh_.hole)
+              AND st_contains(a, b) THEN {_hole_punch("a", "b")}
+         ELSE NULL END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_sym_difference(a {_G}, b {_G})
+       RETURNS {_G} RETURN CASE
+         WHEN a IS NULL OR b IS NULL THEN NULL
+         WHEN size(a.rings) = 0 THEN b WHEN size(b.rings) = 0 THEN a
+         WHEN NOT st_intersects(a, b) THEN st_union(a, b)
+         WHEN st_equals(a, b) THEN {_mk_geo(
+             "a.gtype", _EMPTY_PTS, _EMPTY_RINGS)}
+         WHEN st_dimension(a) = 0 AND st_dimension(b) = 0
+           THEN {_pts_as_geo(_XOR_PTS)}
+         WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
+              AND NOT exists(b.rings, bh_ -> bh_.hole)
+              AND st_contains(a, b) THEN {_hole_punch("a", "b")}
+         WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
+              AND NOT exists(a.rings, ah_ -> ah_.hole)
+              AND st_contains(b, a) THEN {_hole_punch("b", "a")}
+         ELSE NULL END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_intersection(a {_G}, b {_G})
+       RETURNS {_G} RETURN CASE
+         WHEN a IS NULL OR b IS NULL THEN NULL
+         WHEN size(a.rings) = 0 THEN a WHEN size(b.rings) = 0 THEN b
+         WHEN NOT st_intersects(a, b) THEN {_mk_geo(
+             "a.gtype", _EMPTY_PTS, _EMPTY_RINGS)}
+         WHEN st_dimension(a) = 0 THEN {_pts_as_geo(_keep_pts("a", "b"))}
+         WHEN st_dimension(b) = 0 THEN {_pts_as_geo(_keep_pts("b", "a"))}
+         WHEN st_contains(b, a) THEN a
+         WHEN st_contains(a, b) THEN b
+         WHEN {_is_rect("a")} AND {_is_rect("b")}
+              AND greatest(st_xmin(a), st_xmin(b)) < least(st_xmax(a), st_xmax(b))
+              AND greatest(st_ymin(a), st_ymin(b)) < least(st_ymax(a), st_ymax(b))
+           THEN st_make_envelope(
+             greatest(st_xmin(a), st_xmin(b)), greatest(st_ymin(a), st_ymin(b)),
+             least(st_xmax(a), st_xmax(b)), least(st_ymax(a), st_ymax(b)))
+         ELSE NULL END""",
+])
+
+
+def _llp_seg(line, p, i) -> str:
+    ax, ay = f"element_at({line}.pts, {i}).x", f"element_at({line}.pts, {i}).y"
+    bx = f"element_at({line}.pts, {i} + 1).x"
+    by = f"element_at({line}.pts, {i} + 1).y"
+    px, py = f"element_at({p}.pts, 1).x", f"element_at({p}.pts, 1).y"
+    seg2 = f"(power({bx} - {ax}, 2) + power({by} - {ay}, 2))"
+    t = (
+        f"(CASE WHEN {seg2} = 0.0 THEN 0.0 ELSE greatest(0.0, least(1.0,"
+        f" (({px} - {ax}) * ({bx} - {ax}) + ({py} - {ay}) * ({by} - {ay}))"
+        f" / {seg2})) END)"
+    )
+    d = _pt_seg_dist(px, py, ax, ay, bx, by)
+    return seg2, t, d
+
+
+_LLP_SEG2, _LLP_T, _LLP_D = _llp_seg("line", "p", "lz_")
+
+GEOSPATIAL_SQL_FUNCTIONS.append(
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION line_locate_point(
+         line {_G}, p {_G})
+       RETURNS DOUBLE RETURN CASE
+         WHEN line IS NULL OR p IS NULL THEN NULL
+         WHEN line.gtype <> 'LINESTRING' OR p.gtype <> 'POINT'
+              OR size(line.pts) < 2 THEN NULL
+         ELSE aggregate(sequence(1, size(line.pts) - 1),
+           named_struct('cum', CAST(0.0 AS DOUBLE),
+                        'bestd', CAST('Infinity' AS DOUBLE),
+                        'bestpos', CAST(0.0 AS DOUBLE)),
+           (lac_, lz_) -> CASE WHEN {_LLP_D} < lac_.bestd
+             THEN named_struct(
+               'cum', lac_.cum + sqrt({_LLP_SEG2}),
+               'bestd', CAST({_LLP_D} AS DOUBLE),
+               'bestpos', lac_.cum + {_LLP_T} * sqrt({_LLP_SEG2}))
+             ELSE named_struct(
+               'cum', lac_.cum + sqrt({_LLP_SEG2}),
+               'bestd', lac_.bestd, 'bestpos', lac_.bestpos) END,
+           lac_ -> CASE WHEN lac_.cum = 0.0 THEN 0.0
+                        ELSE lac_.bestpos / lac_.cum END)
+         END"""
+)
+
+
+# simplify_geometry / WKB round-trip wrappers over the Python UDFs
+# registered in register_geospatial_python (Douglas–Peucker needs a
+# recursive stack; WKB needs byte packing — neither is a hot path,
+# matching the convex-hull precedent).
+GEOSPATIAL_SQL_FUNCTIONS.append(
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION simplify_geometry(
+         g {_G}, tol DOUBLE)
+       RETURNS {_G} RETURN CASE
+         WHEN g IS NULL OR tol IS NULL OR tol <= 0 OR isnan(tol) THEN g
+         WHEN g.gtype IN ('POINT', 'MULTIPOINT') THEN g
+         ELSE {_mk_geo(
+             "g.gtype",
+             "geo_pts_of(geo_simplify_rings(g.rings, tol), g.gtype)",
+             "geo_simplify_rings(g.rings, tol)")}
+         END"""
+)
+
+
+# --- ST_AsBinary: pure-SQL little-endian ISO WKB ---------------------------
+#
+# GeoFunctions.java stAsBinary. Doubles get their raw bits via reflect()
+# (Double.doubleToLongBits — a JVM-side catalyst expression, same trick as
+# to_ieee754_64), byte-swapped to little-endian through hex text. Every
+# lambda below is capture-free (no inner lambda references an outer
+# lambda's variable), so the whole expression stays composable — including
+# as the argument of the Python-UDF-backed st_geom_from_binary.
+
+
+def _wkb_le4(n) -> str:
+    """int32 → 4 bytes little-endian."""
+    h = f"lpad(hex({n}), 8, '0')"
+    return (
+        f"unhex(concat(substr({h}, 7, 2), substr({h}, 5, 2),"
+        f" substr({h}, 3, 2), substr({h}, 1, 2)))"
+    )
+
+
+def _wkb_d(x) -> str:
+    """double → 8 bytes little-endian IEEE-754."""
+    h = (
+        "lpad(hex(CAST(reflect('java.lang.Double', 'doubleToLongBits',"
+        f" CAST({x} AS DOUBLE)) AS BIGINT)), 16, '0')"
+    )
+    pairs = ", ".join(f"substr({h}, {i}, 2)" for i in (15, 13, 11, 9, 7, 5, 3, 1))
+    return f"unhex(concat({pairs}))"
+
+
+def _wkb_chain(pts, iv="kp_", acc="kb_") -> str:
+    """point chain → count + coords."""
+    return (
+        f"concat({_wkb_le4(f'size({pts})')}, aggregate({pts}, X'',"
+        f" ({acc}, {iv}) -> concat({acc},"
+        f" {_wkb_d(iv + '.x')}, {_wkb_d(iv + '.y')})))"
+    )
+
+
+# MULTIPOLYGON: rings arrive pid-grouped (parse/union invariant). Two
+# capture-free passes: ring counts per polygon from pid transitions, then
+# the byte stream, emitting a child-polygon header at each transition.
+_WKB_MP_COUNTS = (
+    "aggregate(g.rings,"
+    " named_struct('last', CAST(-1 AS INT), 'cs', CAST(array() AS ARRAY<INT>)),"
+    " (mc_, mr_) -> CASE WHEN mc_.last = mr_.pid THEN named_struct("
+    "   'last', mr_.pid,"
+    "   'cs', concat(slice(mc_.cs, 1, size(mc_.cs) - 1),"
+    "                array(element_at(mc_.cs, -1) + 1)))"
+    " ELSE named_struct('last', mr_.pid, 'cs', concat(mc_.cs, array(1)))"
+    " END).cs"
+)
+_WKB_MP_BODY = (
+    "aggregate(g.rings,"
+    " named_struct('i', CAST(0 AS INT), 'last', CAST(-1 AS INT), 'o', X''),"
+    " (mb_, mr_) -> CASE WHEN mb_.last = mr_.pid THEN named_struct("
+    "   'i', mb_.i, 'last', mb_.last,"
+    f"  'o', concat(mb_.o, {_wkb_chain('mr_.pts', iv='kq_', acc='kc_')}))"
+    " ELSE named_struct('i', mb_.i + 1, 'last', mr_.pid,"
+    "   'o', concat(mb_.o, X'0103000000',"
+    f"  {_wkb_le4(f'element_at({_WKB_MP_COUNTS}, mb_.i + 1)')},"
+    f"  {_wkb_chain('mr_.pts', iv='kq_', acc='kc_')}))"
+    " END).o"
+)
+
+GEOSPATIAL_SQL_FUNCTIONS.extend([
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_as_binary(g {_G})
+       RETURNS BINARY RETURN CASE
+         WHEN g IS NULL THEN NULL
+         WHEN g.gtype = 'POINT' THEN concat(X'0101000000',
+           CASE WHEN size(g.rings) = 0
+                THEN X'000000000000F87F000000000000F87F'
+                ELSE concat({_wkb_d("element_at(g.pts, 1).x")},
+                            {_wkb_d("element_at(g.pts, 1).y")}) END)
+         WHEN g.gtype = 'LINESTRING' THEN
+           concat(X'0102000000', {_wkb_chain("g.pts")})
+         WHEN g.gtype = 'POLYGON' THEN concat(X'0103000000',
+           {_wkb_le4("size(g.rings)")},
+           aggregate(g.rings, X'', (kr_, kg_) ->
+             concat(kr_, {_wkb_chain("kg_.pts")})))
+         WHEN g.gtype = 'MULTIPOINT' THEN concat(X'0104000000',
+           {_wkb_le4("size(g.pts)")},
+           aggregate(g.pts, X'', (kr_, kg_) -> concat(kr_, X'0101000000',
+             {_wkb_d("kg_.x")}, {_wkb_d("kg_.y")})))
+         WHEN g.gtype = 'MULTILINESTRING' THEN concat(X'0105000000',
+           {_wkb_le4("size(g.rings)")},
+           aggregate(g.rings, X'', (kr_, kg_) -> concat(kr_, X'0102000000',
+             {_wkb_chain("kg_.pts")})))
+         WHEN g.gtype = 'MULTIPOLYGON' THEN concat(X'0106000000',
+           {_wkb_le4(f"size({_WKB_MP_COUNTS})")}, {_WKB_MP_BODY})
+         ELSE NULL END""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_geom_from_binary(b BINARY)
+       RETURNS {_G} RETURN CASE WHEN geo_wkb_to_wkt(b) IS NULL THEN NULL
+         ELSE st_geometry_from_text(geo_wkb_to_wkt(b)) END""",
+])

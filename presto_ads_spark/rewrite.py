@@ -2046,6 +2046,169 @@ def _rewrite_frameless_window_frames(sql: str) -> str:
         pos = span_start + len(new_spec) + 1
 
 
+_GROUPING_CALL_RE = re.compile(r"\bGROUPING\s*\(", re.IGNORECASE)
+_GSETS_ANY_RE = re.compile(
+    r"\bGROUPING\s+SETS\b|\bROLLUP\b|\bCUBE\b", re.IGNORECASE
+)
+
+
+def _rewrite_plain_grouping(sql: str) -> str:
+    """``grouping(c)`` under a plain GROUP BY: Presto returns 0 for every
+    grouped column (AbstractTestQueries.java testGrouping, the
+    ``GROUP BY a`` cases); Spark's analyzer rejects grouping() outside
+    GroupingSets/Cube/Rollup. When the statement carries no grouping-set
+    construct at all, every grouping() argument is necessarily a grouping
+    column, so the call folds to the literal 0."""
+    if not _GROUPING_CALL_RE.search(sql) or _GSETS_ANY_RE.search(sql):
+        return sql
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (c for c in _GROUPING_CALL_RE.finditer(sql) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            return sql
+        end = _scan_matching_paren(sql, m.end())
+        sql = sql[: m.start()] + "0" + sql[end:]
+
+
+_OB_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_OVER_PAREN_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+_LIMIT_TAIL_KW_RE = re.compile(r"\b(LIMIT|OFFSET|FETCH)\b", re.IGNORECASE)
+_SORT_DIR_TAIL_RE = re.compile(
+    r"(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?\s*$", re.IGNORECASE
+)
+_BARE_REF_RE = re.compile(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)*$")
+_AS_ALIAS_TAIL_RE = re.compile(r"\s+AS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+_QUAL_REF_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b")
+
+
+def _depth0_matches(sql: str, pat: re.Pattern, mask: list) -> list:
+    """Matches of ``pat`` at paren depth 0, outside literals."""
+    depth = 0
+    depths = [0] * len(sql)
+    for i, c in enumerate(sql):
+        if not mask[i]:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+        depths[i] = depth
+    return [
+        m
+        for m in pat.finditer(sql)
+        if not mask[m.start()] and depths[m.start()] == 0
+    ]
+
+
+def _rewrite_window_in_order_by(sql: str) -> str:
+    """Window functions in the final ORDER BY (AbstractTestQueries.java
+    testOrderByWithOutputColumnReference window block): Presto evaluates
+    them with ORDER-BY name resolution — unqualified names bind to the
+    SELECT output aliases first, qualified ``t.c`` reaches the input
+    scope. Spark's analyzer rejects window expressions under Sort, so
+    hoist: project the sort expressions over the original query's output
+    (a derived table, giving alias-first resolution), thread qualified
+    input refs through as passthrough columns, sort on the projected
+    keys, and re-select the original output columns on top."""
+    stripped = sql.lstrip()
+    if not re.match(r"SELECT\b", stripped, re.IGNORECASE):
+        return sql
+    mask = _literal_mask(sql)
+    obs = _depth0_matches(sql, _OB_RE, mask)
+    if not obs:
+        return sql
+    ob = obs[-1]
+    tail = sql[ob.end() :]
+    lim = ""
+    items_text = tail
+    for m in _LIMIT_TAIL_KW_RE.finditer(tail):
+        pos = ob.end() + m.start()
+        if not mask[pos]:
+            items_text = tail[: m.start()]
+            lim = tail[m.start() :]
+            break
+    if not _OVER_PAREN_RE.search(items_text):
+        return sql
+    sel_m = re.match(r"\s*SELECT\s+", sql, re.IGNORECASE)
+    if re.match(r"(DISTINCT|ALL)\b", sql[sel_m.end() :], re.IGNORECASE):
+        return sql
+    froms = _depth0_matches(sql, re.compile(r"\bFROM\b", re.IGNORECASE), mask)
+    if not froms:
+        return sql
+    fm = froms[0]
+    select_list = sql[sel_m.end() : fm.start()]
+    body = sql[fm.start() : ob.start()]
+    # output names: every select item must be a bare (possibly qualified)
+    # column ref or carry an AS alias — else the hoist can't name the
+    # outer projection and the statement is left unchanged
+    names = []
+    for item in _split_top_level(select_list):
+        am = _AS_ALIAS_TAIL_RE.search(item)
+        if am:
+            names.append(am.group(1))
+        elif _BARE_REF_RE.match(item.strip()):
+            names.append(item.strip().split(".")[-1])
+        else:
+            return sql
+    has_group = bool(
+        _depth0_matches(body, re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE),
+                        _literal_mask(body))
+    )
+    sort_specs = []
+    passthrough: dict = {}
+    for si in _split_top_level(items_text):
+        si = si.strip()
+        dm = _SORT_DIR_TAIL_RE.search(si)
+        expr, direction = si[: dm.start()].strip(), si[dm.start() :].strip()
+        if re.fullmatch(r"\d+", expr):  # positional ref → output name
+            idx = int(expr) - 1
+            if not 0 <= idx < len(names):
+                return sql
+            expr = names[idx]
+        # qualified refs in any hoisted sort item need the input scope —
+        # thread them through the inner select list as passthrough columns
+        def _thread(qm, _pt=passthrough):
+            key = f"{qm.group(1)}.{qm.group(2)}"
+            return _pt.setdefault(key, f"__q_{len(_pt)}")
+
+        emask = _literal_mask(expr)
+        expr = "".join(
+            _thread(qm) if qm else ch
+            for qm, ch in _iter_qual_subst(expr, emask)
+        )
+        sort_specs.append((expr, direction))
+    if passthrough and has_group:
+        return sql  # passthroughs would break aggregation rules
+    extra = "".join(f", {q} AS {a}" for q, a in passthrough.items())
+    inner = f"SELECT {select_list.strip()}{extra} {body.strip()}"
+    mids = ", ".join(
+        f"{expr} AS __sort_{i}" for i, (expr, _) in enumerate(sort_specs)
+    )
+    order = ", ".join(
+        f"__sort_{i} {d}".strip() for i, (_, d) in enumerate(sort_specs)
+    )
+    return (
+        f"SELECT {', '.join(names)} FROM (SELECT __h.*, {mids} FROM "
+        f"({inner}) AS __h) AS __hs ORDER BY {order}{(' ' + lim.strip()) if lim.strip() else ''}"
+    )
+
+
+def _iter_qual_subst(expr: str, mask: list):
+    """Yield (match, None) for qualified refs / (None, char) otherwise,
+    non-overlapping, skipping literal regions."""
+    i = 0
+    while i < len(expr):
+        m = _QUAL_REF_RE.match(expr, i)
+        if m and not mask[i]:
+            yield m, None
+            i = m.end()
+        else:
+            yield None, expr[i]
+            i += 1
+
+
 _RANKING_OVER_RE = re.compile(
     r"\b(rank|dense_rank|percent_rank|cume_dist|row_number|ntile)\s*\("
     r"[^()]*\)\s*OVER\s*\(",
@@ -2206,6 +2369,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_random_bound(sql)
     sql = _rewrite_apply_lambda(sql)
     sql = _rewrite_contains(sql)
+    sql = _rewrite_plain_grouping(sql)
     sql = _rewrite_grouping_multi(sql)
     sql = _rewrite_in_values(sql)
     sql = _rewrite_color_fn_arity(sql)
@@ -2224,6 +2388,18 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_unnest_all(sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
+    # type-position TIMESTAMP WITH TIME ZONE → Spark's session-zoned
+    # TIMESTAMP (TIMESTAMP_LTZ — the closest model; Presto additionally
+    # carries the zone per value, a documented README deviation)
+    sql = _apply_outside_literals(
+        sql,
+        lambda c: re.sub(
+            r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b",
+            "TIMESTAMP",
+            c,
+            flags=re.IGNORECASE,
+        ),
+    )
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_try_generic(sql)
     sql = _rewrite_json_casts(sql)
@@ -2233,6 +2409,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_map_from_arrays(sql)
     sql = _strip_values_row(sql)
     sql = _rewrite_row_constructor(sql)
+    sql = _rewrite_window_in_order_by(sql)
     sql = _rewrite_unordered_ranking_windows(sql)
     sql = _rewrite_frameless_window_frames(sql)
     sql = _rewrite_quantified(sql)

@@ -487,3 +487,35 @@ def duck_values_parens(sql: str) -> str:
         else:
             out.append(joined)
         i = j
+
+
+def compare_pyrows_tol(
+    got: list[tuple], want: list[tuple], tol: float
+) -> str | None:
+    """Like compare_pyrows, but numeric cells match within RELATIVE
+    tolerance ``tol`` — the approx_distinct corpus tier, where the oracle
+    is the exact COUNT(DISTINCT ...) and the engine side is an HLL
+    estimate (the reference's testApproximateCountDistinct battery pins
+    ITS engine-specific estimates; the portable invariant is the error
+    bound)."""
+    g = [[canon_got_cell(c) for c in row] for row in got]
+    e = [[canon_got_cell(c) for c in row] for row in want]
+    if len(g) != len(e):
+        return f"row count {len(g)} != oracle {len(e)}"
+    g = sorted(g, key=_sort_key)
+    e = sorted(e, key=_sort_key)
+    for gr, er in zip(g, e):
+        if len(gr) != len(er):
+            return f"row width {gr!r} vs {er!r}"
+        for x, y in zip(gr, er):
+            if (
+                isinstance(x, (int, float))
+                and isinstance(y, (int, float))
+                and not isinstance(x, bool)
+                and not isinstance(y, bool)
+            ):
+                if abs(float(x) - float(y)) > tol * max(abs(float(y)), 1.0):
+                    return f"cell {x} not within {tol:.0%} of {y}"
+            elif not _cell_eq(x, y):
+                return f"cell {x!r} != {y!r}"
+    return None

@@ -813,3 +813,107 @@ def test_bar_truncates_like_reference(engine):
     ).collect()[0]
     assert row.a.count("█") == 3
     assert row.b is None
+
+
+def test_geospatial_overlay_partial(engine):
+    """ST_Difference / ST_SymDifference / ST_Intersection — the exact
+    (clipping-free) case set; GeoFunctions.java stDifference/
+    stSymDifference/stIntersection delegate to Esri's full overlay."""
+    # disjoint: difference = identity
+    assert one(
+        engine,
+        "st_astext(st_difference(st_point(1.0,1.0), st_make_envelope(5.0,5.0,6.0,6.0)))",
+    ) == "POINT (1.0 1.0)"
+    # point-set minus polygon filters members
+    assert one(
+        engine,
+        "st_astext(st_difference(st_geometry_from_text('MULTIPOINT (1 1, 10 10)'),"
+        " st_make_envelope(0.0,0.0,2.0,2.0)))",
+    ) == "POINT (10.0 10.0)"
+    # contained polygon punches a hole; area is exact
+    assert one(
+        engine,
+        "st_area(st_difference(st_make_envelope(0.0,0.0,10.0,10.0),"
+        " st_make_envelope(2.0,2.0,4.0,4.0)))",
+    ) == 96.0
+    # general overlap is honestly unsupported → NULL
+    assert one(
+        engine,
+        "st_difference(st_make_envelope(0.0,0.0,4.0,4.0),"
+        " st_make_envelope(2.0,2.0,6.0,6.0)) IS NULL",
+    ) is True
+    # symmetric difference of point sets = XOR
+    assert one(
+        engine,
+        "st_astext(st_sym_difference(st_geometry_from_text('MULTIPOINT (1 1, 2 2)'),"
+        " st_geometry_from_text('MULTIPOINT (2 2, 3 3)')))",
+    ) == "MULTIPOINT (1.0 1.0, 3.0 3.0)"
+    # rectangle ∩ rectangle is exact
+    assert one(
+        engine,
+        "st_astext(st_intersection(st_make_envelope(0.0,0.0,4.0,4.0),"
+        " st_make_envelope(2.0,2.0,6.0,6.0)))",
+    ) == "POLYGON ((2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0))"
+    # containment: intersection = contained side
+    assert one(
+        engine,
+        "st_astext(st_intersection(st_make_envelope(0.0,0.0,10.0,10.0),"
+        " st_make_envelope(2.0,2.0,3.0,3.0)))",
+    ) == "POLYGON ((2.0 2.0, 3.0 2.0, 3.0 3.0, 2.0 3.0, 2.0 2.0))"
+
+
+def test_geospatial_line_locate_and_simplify(engine):
+    # GeoFunctions.java lineLocatePoint: fraction of total length
+    assert one(
+        engine,
+        "line_locate_point(st_geometry_from_text('LINESTRING (0 0, 10 0)'), st_point(3.0, 5.0))",
+    ) == 0.3
+    assert one(
+        engine,
+        "line_locate_point(st_geometry_from_text('LINESTRING (0 0, 5 0, 5 5)'), st_point(5.0, 2.5))",
+    ) == 0.75
+    # non-linestring → NULL (reference raises; documented shim)
+    assert one(
+        engine,
+        "line_locate_point(st_point(0.0,0.0), st_point(1.0,1.0)) IS NULL",
+    ) is True
+    # Douglas–Peucker drops near-collinear vertices, keeps corners
+    assert one(
+        engine,
+        "st_astext(simplify_geometry(st_geometry_from_text("
+        "'LINESTRING (0 0, 1 0.01, 2 0, 4 0)'), 0.1))",
+    ) == "LINESTRING (0.0 0.0, 4.0 0.0)"
+    assert one(
+        engine,
+        "st_num_points(simplify_geometry(st_geometry_from_text("
+        "'POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))'), 0.1))",
+    ) == 4
+
+
+def test_geospatial_wkb_round_trip(engine):
+    """ST_AsBinary (pure-SQL LE WKB) / ST_GeomFromBinary round trips."""
+    cases = [
+        "POINT (1.5 -2.5)",
+        "LINESTRING (0.0 0.0, 5.0 5.0)",
+        "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0),"
+        " (2.0 2.0, 3.0 2.0, 3.0 3.0, 2.0 3.0, 2.0 2.0))",
+        "MULTIPOINT (1.0 1.0, 3.0 3.0)",
+        "MULTILINESTRING ((0.0 0.0, 1.0 1.0), (2.0 2.0, 3.0 3.0))",
+        "MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 0.0)),"
+        " ((5.0 5.0, 6.0 5.0, 6.0 6.0, 5.0 5.0)))",
+        "POINT EMPTY",
+    ]
+    for wkt in cases:
+        assert one(
+            engine,
+            "st_astext(st_geom_from_binary(st_as_binary("
+            f"st_geometry_from_text('{wkt}'))))",
+        ) == wkt
+    # canonical WKB bytes for POINT (1 2)
+    assert one(engine, "hex(st_as_binary(st_point(1.0, 2.0)))") == (
+        "0101000000000000000000F03F0000000000000040"
+    )
+    # malformed input → NULL
+    assert one(
+        engine, "st_geom_from_binary(CAST('garbage' AS BINARY)) IS NULL"
+    ) is True

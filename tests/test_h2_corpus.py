@@ -47,7 +47,11 @@ def test_h2_corpus(h2_engine, h2_duck, case):
     if case["count_only"]:
         assert len(got) == len(duck_rows), case["sql"]
         return
-    diff = _gu.compare_pyrows(got, duck_rows)
+    tol = case.get("tolerance")
+    if tol is not None:
+        diff = _gu.compare_pyrows_tol(got, duck_rows, tol)
+    else:
+        diff = _gu.compare_pyrows(got, duck_rows)
     assert diff is None, f"{case['name']}: {case['sql'][:160]}\n{diff}"
 
 

@@ -58,15 +58,11 @@ ORDER_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 # hand-triaged sites: real engine gaps documented in README / here,
 # not portable to this oracle harness
 MANUAL_SKIPS: dict[int, str] = {
-    938: "ORDER BY on a source column shadowed by an output alias over "
-         "GROUPING SETS (Spark resolves the sort against the project "
-         "output; Presto re-resolves the input scope)",
+    938: "ORDER BY on a grouping column hidden by an output alias over "
+         "GROUPING SETS (Spark's missing-reference resolution does not "
+         "reach through the Expand; Presto re-resolves the input scope)",
     258: "apply((SELECT ..)) — scalar subquery inside the array() shim "
          "of the apply rewrite (Spark can't nest a subquery there)",
-    1247: "grouping() under plain GROUP BY (Presto returns 0; Spark "
-          "requires grouping sets)",
-    1250: "grouping() under plain GROUP BY (Presto returns 0; Spark "
-          "requires grouping sets)",
     1709: "REAL = DECIMAL comparison: Presto coerces decimal-side, Spark "
           "float-side (1.2f != 1.2d) — documented type-coercion deviation",
     1716: "REAL = DECIMAL comparison (see 1709)",
@@ -81,8 +77,6 @@ MANUAL_SKIPS: dict[int, str] = {
     4028: "CAST(double AS BIGINT): Presto rounds half-up, Spark/ANSI "
           "truncates — documented deviation (README)",
     4034: "try_cast(double AS BIGINT): same rounding deviation as 4028",
-    961: "window function in ORDER BY with shadowing alias",
-    962: "window function in ORDER BY with shadowing alias",
     1232: "ORDER BY grouping(col) expression re-evaluated after "
           "projection (Spark resolves against output scope)",
     1317: "grouping() mask over a grouping-sets SUBQUERY's passthrough "
@@ -231,6 +225,32 @@ def parse_string_expr(arg: str) -> str | None:
     return "".join(out)
 
 
+_APPROX_DISTINCT_RE = re.compile(r"\bapprox_distinct\s*\(", re.IGNORECASE)
+# relative tolerance for approx_distinct-vs-exact-count checks: Spark's
+# HLL++ default rsd is 0.05 (the 1-arg rename keeps the engine default);
+# 3σ on the sketch estimate — loose enough to survive testdata
+# regeneration, tight enough to catch a broken sketch
+APPROX_TOL = 0.15
+
+
+def approx_count_oracle(sql: str) -> str:
+    """approx_distinct(x[, e]) → count(DISTINCT x) for the oracle side."""
+    out = sql
+    while True:
+        m = _APPROX_DISTINCT_RE.search(out)
+        if m is None:
+            return out
+        depth, i = 1, m.end()
+        while depth and i < len(out):
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        first = split_java_args(out[m.end() : i - 1])[0]
+        out = out[: m.start()] + f"count(DISTINCT {first})" + out[i:]
+
+
 def triage_skip(sql: str) -> str | None:
     low = sql.lower()
     for ident in MISSING_IDENTS:
@@ -241,9 +261,6 @@ def triage_skip(sql: str) -> str | None:
     if re.search(r"\bas\s+json\b", low):
         return ("CAST(.. AS JSON) serialization deviation: Presto renders "
                 "ROW as JSON array, Spark to_json as object (README gap)")
-    last_ob = max(low.rfind("order by"), -1)
-    if last_ob >= 0 and re.search(r"\bover\s*\(", low[last_ob:]):
-        return "window function in ORDER BY clause (unsupported in Spark)"
     if "information_schema" in low:
         return ("information_schema contents are engine-specific (the "
                 "engine synthesizes them from the Spark catalog; H2/DuckDB "
@@ -325,11 +342,17 @@ def main() -> None:
             re.IGNORECASE,
         ):
             oracle = None
+        tolerance = None
+        if oracle is None and _APPROX_DISTINCT_RE.search(actual):
+            # sketch estimate vs exact distinct count: tolerance tier
+            oracle = approx_count_oracle(actual)
+            tolerance = APPROX_TOL
         rec = {
             "name": f"{prefix}{line}",
             "sql": actual,
             "oracle": oracle,
             "count_only": count_only,
+            "tolerance": tolerance,
         }
         osql = oracle if oracle is not None else actual
         dsql = gu.duck_values_parens(gu.duck_int_division(osql))
@@ -361,6 +384,8 @@ def main() -> None:
                     if len(got) == len(duck_rows)
                     else f"count {len(got)} != {len(duck_rows)}"
                 )
+            elif tolerance is not None:
+                diff = gu.compare_pyrows_tol(got, duck_rows, tolerance)
             else:
                 diff = gu.compare_pyrows(got, duck_rows)
         except Exception as e:  # noqa: BLE001

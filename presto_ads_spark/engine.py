@@ -541,13 +541,27 @@ class Engine:
         expose SQL-function signatures, so this lists every callable
         function name plus an explicit ``note`` for shimmed or
         approximated families (NULL = faithful implementation)."""
+        from .rewrite import FUNCTION_RENAMES
+
         names = [r[0] for r in self.spark.sql("SHOW FUNCTIONS").collect()]
         names.extend(
             n for n in _REWRITE_ONLY_FUNCTIONS if n not in names
         )
+        # Presto spellings served by the rewrite layer's rename table
+        # (json_extract → get_json_object, to_hex → hex, …) are part of
+        # the callable surface and belong in the listing (the reference's
+        # product tests assert exactly this — check*FunctionsRegistered)
+        rename_note = {
+            n: f"rename to Spark native {t}"
+            for n, t in FUNCTION_RENAMES.items()
+            if n not in names
+        }
+        names.extend(rename_note)
 
         def note_for(name: str) -> str | None:
             low = name.lower()
+            if low in rename_note:
+                return rename_note[low]
             if low in _FUNCTION_NOTES:
                 return _FUNCTION_NOTES[low]
             for prefix, note in _FUNCTION_NOTE_PREFIXES:

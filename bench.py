@@ -51,6 +51,20 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Host-state context: r4→r5 showed a uniform +32% with zero benched
+    # code changed (adjudicated as background driver/judge load). Record
+    # the 1/5/15-min load averages and process count so rounds are
+    # comparable without guessing.
+    try:
+        load1, load5, load15 = (round(v, 2) for v in os.getloadavg())
+    except OSError:
+        load1 = load5 = load15 = None
+    try:
+        nproc = len(os.listdir("/proc")) and sum(
+            1 for d in os.listdir("/proc") if d.isdigit()
+        )
+    except OSError:
+        nproc = None
     print(
         json.dumps(
             {
@@ -59,6 +73,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host": {
+                    "loadavg": [load1, load5, load15],
+                    "nproc": nproc,
+                    "cpus": os.cpu_count(),
+                },
             }
         )
     )

@@ -447,10 +447,12 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
          WHEN 'MULTIPOLYGON' THEN 'ST_MultiPolygon'
          WHEN 'LINESTRING' THEN 'ST_LineString'
          ELSE concat('ST_', initcap(lower(g.gtype))) END""",
+    # try_element_at: POINT EMPTY has no vertex — Presto returns NULL
+    # (GeoFunctions.java:843 stX / :857 stY isEmpty guard).
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_x(g {_G})
-       RETURNS DOUBLE RETURN element_at(g.pts, 1).x""",
+       RETURNS DOUBLE RETURN try_element_at(g.pts, 1).x""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_y(g {_G})
-       RETURNS DOUBLE RETURN element_at(g.pts, 1).y""",
+       RETURNS DOUBLE RETURN try_element_at(g.pts, 1).y""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_xmin(g {_G})
        RETURNS DOUBLE RETURN array_min(transform(g.pts, p -> p.x))""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_xmax(g {_G})
@@ -521,8 +523,10 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_coord_dim(g {_G})
        RETURNS TINYINT RETURN CAST(2 AS TINYINT)""",
     # --- ring accessors ---------------------------------------------------
+    # size guard: POLYGON EMPTY → NULL (GeoFunctions.java:937 isEmpty).
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_exterior_ring(g {_G})
-       RETURNS {_G} RETURN CASE WHEN g.gtype = 'POLYGON' THEN {_mk_geo(
+       RETURNS {_G} RETURN CASE
+         WHEN g.gtype = 'POLYGON' AND size(g.rings) >= 1 THEN {_mk_geo(
            "'LINESTRING'",
            "element_at(g.rings, 1).pts",
            _single_ring("element_at(g.rings, 1).pts"))}
@@ -536,8 +540,11 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
              "'LINESTRING'", "ir_.pts",
              "array(" + _mk_ring("0", "false", "ir_.pts") + ")")})
          ELSE NULL END""",
+    # try_element_at: Presto returns NULL for an out-of-range index
+    # (GeoFunctions.java:753 stInteriorRingN) — ANSI element_at errors.
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_interior_ring_n(g {_G}, i INT)
-       RETURNS {_G} RETURN element_at(st_interior_rings(g), i)""",
+       RETURNS {_G} RETURN CASE WHEN i >= 1
+         THEN try_element_at(st_interior_rings(g), i) END""",
     # ST_Boundary: polygon (with holes) → MULTILINESTRING of its rings.
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_boundary(g {_G})
        RETURNS {_G} RETURN CASE
@@ -580,9 +587,14 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
          THEN aggregate(g.rings, CAST(0.0 AS DOUBLE), (ll_, lr_) ->
            ll_ + {_chain_len("lr_.pts")})
          ELSE NULL END""",
+    # Empty-input arms mirror GeoFunctions.java:319 stCentroid: POINT
+    # passes through unchanged (even empty); any other empty multi-vertex
+    # geometry yields POINT EMPTY (:329-331).
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_centroid(g {_G})
        RETURNS {_G} RETURN CASE g.gtype
          WHEN 'POINT' THEN g
+         WHEN CASE WHEN size(g.pts) = 0 THEN g.gtype END THEN {_mk_geo(
+             "'POINT'", _EMPTY_PTS, _EMPTY_RINGS)}
          WHEN 'MULTIPOINT' THEN {_mk_geo(
              "'POINT'",
              "array(named_struct("
@@ -1291,3 +1303,116 @@ GEOSPATIAL_SQL_FUNCTIONS.extend([
        RETURNS {_G} RETURN CASE WHEN geo_wkb_to_wkt(b) IS NULL THEN NULL
          ELSE st_geometry_from_text(geo_wkb_to_wkt(b)) END""",
 ])
+
+
+# --- Presto-spelled aliases (the reference's camelCase names) -------------
+#
+# Spark resolves function names case-insensitively but NOT
+# underscore-insensitively: ``ST_Area`` finds ``st_area``, but Presto's
+# multi-word spellings (``@ScalarFunction("ST_GeometryFromText")``,
+# ``"ST_IsEmpty"``, ``"ST_AsBinary")`` — GeoFunctions.java) lowercase to
+# ``st_geometryfromtext`` etc., which never matched the snake_case
+# registrations above.  For every reference spelling whose lowercase form
+# differs from the snake_case name we register a thin forwarding alias
+# with the identical signature, so BOTH spellings resolve from SQL and
+# from DataFrame ``expr()`` alike (no rewrite pass involved).
+# tests/test_geospatial_names.py walks the full @ScalarFunction name list
+# extracted from the reference and asserts live resolution per name.
+
+import re as _re
+
+# Every @ScalarFunction spelling in GeoFunctions.java (extracted; 57 of
+# 60 — ST_Relate is the documented unimplemented gap, spatial_partitions
+# and great_circle_distance/geometry_* / line_locate_point /
+# simplify_geometry are already lowercase in the reference).
+PRESTO_GEO_SPELLINGS: list[str] = [
+    "ST_Area", "ST_AsBinary", "ST_AsText", "ST_Boundary", "ST_Buffer",
+    "ST_Centroid", "ST_Contains", "ST_ConvexHull", "ST_CoordDim",
+    "ST_Crosses", "ST_Difference", "ST_Dimension", "ST_Disjoint",
+    "ST_Distance", "ST_EndPoint", "ST_Envelope", "ST_EnvelopeAsPts",
+    "ST_Equals", "ST_ExteriorRing", "ST_GeomFromBinary", "ST_Geometries",
+    "ST_GeometryFromText", "ST_GeometryN", "ST_GeometryType",
+    "ST_InteriorRingN", "ST_InteriorRings", "ST_Intersection",
+    "ST_Intersects", "ST_IsClosed", "ST_IsEmpty", "ST_IsRing",
+    "ST_IsSimple", "ST_IsValid", "ST_Length", "ST_LineFromText",
+    "ST_LineString", "ST_MultiPoint", "ST_NumGeometries",
+    "ST_NumInteriorRing", "ST_NumPoints", "ST_Overlaps", "ST_Point",
+    "ST_PointN", "ST_Polygon", "ST_StartPoint", "ST_SymDifference",
+    "ST_Touches", "ST_Union", "ST_Within", "ST_X", "ST_XMax", "ST_XMin",
+    "ST_Y", "ST_YMax", "ST_YMin",
+]
+
+_CREATE_HEAD_RE = _re.compile(
+    r"CREATE OR REPLACE TEMPORARY FUNCTION\s+(\w+)\s*\(", _re.S
+)
+
+
+def _parse_sig(ddl: str):
+    """(name, [param decls], return type) from one CREATE FUNCTION ddl."""
+    m = _CREATE_HEAD_RE.search(ddl)
+    if m is None:
+        return None
+    name = m.group(1)
+    i = m.end()
+    depth, j = 1, i
+    while depth:
+        c = ddl[j]
+        if c in "(<":
+            depth += 1
+        elif c in ")>":
+            depth -= 1
+        j += 1
+    params_txt = ddl[i : j - 1]
+    m2 = _re.match(r"\s*RETURNS\s+", ddl[j:])
+    k = j + m2.end()
+    # the return type never contains the bare word RETURN; first match ends it
+    m3 = _re.compile(r"\sRETURN[\s(]").search(ddl, k)
+    rtype = " ".join(ddl[k : m3.start()].split())
+    params = []
+    depth, cur = 0, []
+    for c in params_txt:
+        if c in "<(":
+            depth += 1
+        elif c in ">)":
+            depth -= 1
+        if c == "," and depth == 0:
+            params.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    tail = "".join(cur).strip()
+    if tail:
+        params.append(tail)
+    return name, [" ".join(p.split()) for p in params], rtype
+
+
+# Spark 4.1 ships built-in GEOMETRY-typed functions under some of these
+# lowercased names; CREATE TEMPORARY FUNCTION cannot shadow a builtin with
+# a SQL UDF, so those spellings are routed through the SQL rewriter
+# instead (rewrite.FUNCTION_RENAMES maps ST_AsBinary → st_as_binary).
+SPARK_BUILTIN_COLLISIONS = {"st_asbinary"}
+
+
+def _presto_alias_ddls() -> list[str]:
+    sigs = {}
+    for ddl in GEOSPATIAL_SQL_FUNCTIONS:
+        parsed = _parse_sig(ddl)
+        if parsed:
+            sigs[parsed[0]] = parsed
+    by_key = {n.replace("_", ""): n for n in sigs}
+    out = []
+    for spelling in PRESTO_GEO_SPELLINGS:
+        low = spelling.lower()
+        target = by_key.get(low.replace("_", ""))
+        if target is None or target == low or low in SPARK_BUILTIN_COLLISIONS:
+            continue  # unimplemented, already resolvable, or builtin clash
+        _, params, rtype = sigs[target]
+        argnames = ", ".join(p.split(None, 1)[0] for p in params)
+        out.append(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {low}({', '.join(params)})"
+            f" RETURNS {rtype} RETURN {target}({argnames})"
+        )
+    return out
+
+
+GEOSPATIAL_SQL_FUNCTIONS.extend(_presto_alias_ddls())

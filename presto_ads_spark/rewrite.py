@@ -31,6 +31,12 @@ FUNCTION_RENAMES: dict[str, str] = {
     # HLL sketch aggregates (mergeable across groups, Presto approx_set /
     # merge → Spark DataSketches HLL)
     "approx_set": "hll_sketch_agg",
+    # Presto spelling ST_AsBinary lowercases to Spark 4.1's BUILT-IN
+    # st_asbinary (GEOMETRY-typed), which a temp SQL UDF cannot shadow —
+    # the one geospatial spelling that must be renamed here instead of
+    # aliased at registration (functions/geospatial.py
+    # SPARK_BUILTIN_COLLISIONS).
+    "st_asbinary": "st_as_binary",
     "arbitrary": "any_value",
     "bool_and": "every",
     "bool_or": "some",

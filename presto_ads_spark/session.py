@@ -70,9 +70,24 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
+    # (driver.memory below is a JVM-launch conf: it only takes effect when
+    # this call actually creates the JVM, which is the normal path for
+    # bench/tests; a pre-existing session keeps its heap.)
     conf = dict(DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)
+    # Local mode runs every executor thread inside the driver JVM, whose
+    # default heap is 1 GiB — 32 concurrent tasks' sort/join spill buffers
+    # OOM there long before any plan problem shows up (the round-5 sf1
+    # bench died in an SMJ spill-read exactly this way). Size the heap
+    # like an executor's instead; on a real cluster this key is untouched
+    # and executor memory is what you tune.
+    resolved_master = master or f"local[{cpus}]"
+    if resolved_master.startswith("local"):
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

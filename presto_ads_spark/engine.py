@@ -71,12 +71,20 @@ _FUNCTION_NOTES: dict[str, str] = {
                               "interval)",
     "features": "positional double array (reference FeatureVector map)",
     "learn_classifier": "model is the training set; classify answers "
-                        "nearest-neighbor (reference trains libsvm SVM)",
+                        "nearest-neighbor (reference trains libsvm SVM); "
+                        "capped at 10k training rows — use llm/ml.py "
+                        "MLlib wrappers past that",
     "learn_regressor": "model is the training set; regress answers "
-                       "nearest-neighbor (reference trains libsvm SVR)",
+                       "nearest-neighbor (reference trains libsvm SVR); "
+                       "capped at 10k training rows — use llm/ml.py "
+                       "MLlib wrappers past that",
     "classify": "nearest-neighbor over the learned set (reference: SVM)",
     "regress": "nearest-neighbor over the learned set (reference: SVR)",
     "random": "bounded form lowered to floor(rand() * n)",
+    "st_relate": "canonical DE-9IM masks evaluate via the predicate set "
+                 "(equals/disjoint/within/contains/touches/crosses/"
+                 "overlaps/intersects); other patterns return NULL "
+                 "(reference: Esri general relate)",
 }
 
 # Presto-dialect functions implemented purely in the rewrite layer —

@@ -70,3 +70,75 @@ def _register_python_udfs(spark: SparkSession) -> None:
         ("hmac_sha512", hashlib.sha512),
     ):
         spark.udf.register(name, _mk_hmac(algo), "binary")
+
+    # Presto CAST(x AS JSON) canonicalizer. Presto serializes ROW values
+    # as JSON ARRAYS of their field values while Spark's to_json emits
+    # objects (reference: presto-main/.../operator/scalar/JsonOperators +
+    # RowToJsonCast.java appendToJsonArray). The SQL rewriter lowers
+    # CAST(e AS JSON) to presto_json_canon(to_json(struct(e), ...),
+    # typeof(e)); this UDF re-serializes, turning every struct at any
+    # depth into an array (field order preserved) while maps stay
+    # objects — the runtime DDL type string is what disambiguates the
+    # two. Pure compat surface (JSON text munging), never a hot path.
+    import json as _json
+
+    def _split_top(s: str) -> list[str]:
+        out, depth, cur = [], 0, []
+        for c in s:
+            if c == "<":
+                depth += 1
+            elif c == ">":
+                depth -= 1
+            if c == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    def _parse_ddl(s: str):
+        s = s.strip()
+        low = s.lower()
+        if low.startswith("struct<"):
+            fields = _split_top(s[7:-1])
+            return (
+                "struct",
+                [_parse_ddl(f.split(":", 1)[1]) for f in fields if ":" in f],
+            )
+        if low.startswith("array<"):
+            return ("array", _parse_ddl(s[6:-1]))
+        if low.startswith("map<"):
+            parts = _split_top(s[4:-1])
+            return ("map", _parse_ddl(parts[1]))
+        return ("scalar", None)
+
+    def _canon_value(v, t):
+        if v is None:
+            return None
+        kind, sub = t
+        if kind == "struct" and isinstance(v, dict):
+            return [_canon_value(x, st) for x, st in zip(v.values(), sub)]
+        if kind == "array" and isinstance(v, list):
+            return [_canon_value(x, sub) for x in v]
+        if kind == "map" and isinstance(v, dict):
+            return {k: _canon_value(x, sub) for k, x in v.items()}
+        return v
+
+    def _presto_json_canon(js, ddl):
+        if js is None or ddl is None:
+            return None
+        outer = _json.loads(js)
+        # the rewriter wraps the operand in a one-field struct so scalars
+        # serialize too; unwrap it here
+        val = next(iter(outer.values()), None) if isinstance(outer, dict) else outer
+        if val is None:
+            return None  # CAST(NULL AS JSON) IS NULL (JsonOperators)
+        return _json.dumps(
+            _canon_value(val, _parse_ddl(ddl)),
+            separators=(",", ":"),
+            ensure_ascii=False,
+        )
+
+    spark.udf.register("presto_json_canon", _presto_json_canon, "string")

@@ -58,7 +58,10 @@ Semantics notes (documented deviations from the Esri-backed reference):
 - ST_Buffer supports points (32-gon) only; other shapes return NULL.
 - ST_Crosses/ST_Overlaps/ST_Touches are predicate approximations built
   from intersects/contains/boundary tests (documented per function).
-- Not implemented: ST_Relate, GEOMETRYCOLLECTION.
+- ST_Relate evaluates the canonical DE-9IM masks (equals/disjoint/
+  within/contains/touches/crosses/overlaps/intersects) through the
+  predicate set; other patterns return NULL. GEOMETRYCOLLECTION is
+  not implemented.
 - ST_AsText prints Spark double repr ('1.0', not ESRI's '1').
 - Spark limitation worth knowing: a PYTHON-UDF-backed function
   (st_convex_hull, simplify_geometry, st_geom_from_binary) whose
@@ -1164,29 +1167,38 @@ def _llp_seg(line, p, i) -> str:
     return seg2, t, d
 
 
-_LLP_SEG2, _LLP_T, _LLP_D = _llp_seg("line", "p", "lz_")
+# Segment templates over a ring struct (``llr_.pts``): the fold runs
+# per ring so MULTILINESTRING parts accumulate length WITHOUT phantom
+# connecting segments between parts — matching JTS LengthIndexedLine
+# over a MultiLineString (GeoFunctions.java:494-513 lineLocatePoint
+# accepts LINE_STRING and MULTI_LINE_STRING).
+_LLP_SEG2, _LLP_T, _LLP_D = _llp_seg("llr_", "p", "lz_")
 
 GEOSPATIAL_SQL_FUNCTIONS.append(
     f"""CREATE OR REPLACE TEMPORARY FUNCTION line_locate_point(
          line {_G}, p {_G})
        RETURNS DOUBLE RETURN CASE
          WHEN line IS NULL OR p IS NULL THEN NULL
-         WHEN line.gtype <> 'LINESTRING' OR p.gtype <> 'POINT'
+         WHEN line.gtype NOT IN ('LINESTRING', 'MULTILINESTRING')
+              OR p.gtype <> 'POINT'
               OR size(line.pts) < 2 THEN NULL
-         ELSE aggregate(sequence(1, size(line.pts) - 1),
+         ELSE aggregate(line.rings,
            named_struct('cum', CAST(0.0 AS DOUBLE),
                         'bestd', CAST('Infinity' AS DOUBLE),
                         'bestpos', CAST(0.0 AS DOUBLE)),
-           (lac_, lz_) -> CASE WHEN {_LLP_D} < lac_.bestd
-             THEN named_struct(
-               'cum', lac_.cum + sqrt({_LLP_SEG2}),
-               'bestd', CAST({_LLP_D} AS DOUBLE),
-               'bestpos', lac_.cum + {_LLP_T} * sqrt({_LLP_SEG2}))
-             ELSE named_struct(
-               'cum', lac_.cum + sqrt({_LLP_SEG2}),
-               'bestd', lac_.bestd, 'bestpos', lac_.bestpos) END,
-           lac_ -> CASE WHEN lac_.cum = 0.0 THEN 0.0
-                        ELSE lac_.bestpos / lac_.cum END)
+           (lacc_, llr_) -> CASE WHEN size(llr_.pts) < 2 THEN lacc_
+             ELSE aggregate(sequence(1, size(llr_.pts) - 1), lacc_,
+               (lac_, lz_) -> CASE WHEN {_LLP_D} < lac_.bestd
+                 THEN named_struct(
+                   'cum', lac_.cum + sqrt({_LLP_SEG2}),
+                   'bestd', CAST({_LLP_D} AS DOUBLE),
+                   'bestpos', lac_.cum + {_LLP_T} * sqrt({_LLP_SEG2}))
+                 ELSE named_struct(
+                   'cum', lac_.cum + sqrt({_LLP_SEG2}),
+                   'bestd', lac_.bestd, 'bestpos', lac_.bestpos) END)
+             END,
+           lacc_ -> CASE WHEN lacc_.cum = 0.0 THEN 0.0
+                         ELSE lacc_.bestpos / lacc_.cum END)
          END"""
 )
 
@@ -1321,8 +1333,8 @@ GEOSPATIAL_SQL_FUNCTIONS.extend([
 
 import re as _re
 
-# Every @ScalarFunction spelling in GeoFunctions.java (extracted; 57 of
-# 60 — ST_Relate is the documented unimplemented gap, spatial_partitions
+# Every @ScalarFunction spelling in GeoFunctions.java (extracted;
+# spatial_partitions
 # and great_circle_distance/geometry_* / line_locate_point /
 # simplify_geometry are already lowercase in the reference).
 PRESTO_GEO_SPELLINGS: list[str] = [
@@ -1337,7 +1349,7 @@ PRESTO_GEO_SPELLINGS: list[str] = [
     "ST_IsSimple", "ST_IsValid", "ST_Length", "ST_LineFromText",
     "ST_LineString", "ST_MultiPoint", "ST_NumGeometries",
     "ST_NumInteriorRing", "ST_NumPoints", "ST_Overlaps", "ST_Point",
-    "ST_PointN", "ST_Polygon", "ST_StartPoint", "ST_SymDifference",
+    "ST_PointN", "ST_Polygon", "ST_Relate", "ST_StartPoint", "ST_SymDifference",
     "ST_Touches", "ST_Union", "ST_Within", "ST_X", "ST_XMax", "ST_XMin",
     "ST_Y", "ST_YMax", "ST_YMin",
 ]
@@ -1414,5 +1426,35 @@ def _presto_alias_ddls() -> list[str]:
         )
     return out
 
+
+# ST_Relate — canonical DE-9IM masks mapped onto the predicate set
+# (GeoFunctions.java:1080 stRelate delegates to Esri's general relate
+# operator; the rings model has no full intersection-matrix engine, so
+# the masks that name the standard predicates evaluate through them and
+# any other pattern returns NULL — flagged in SHOW FUNCTIONS notes).
+# Registered BEFORE the Presto-spelling alias pass would run, but the
+# name is single-word so ST_Relate already resolves case-insensitively.
+GEOSPATIAL_SQL_FUNCTIONS.append(
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION st_relate(
+         a {_G}, b {_G}, p STRING)
+       RETURNS BOOLEAN RETURN CASE upper(p)
+         WHEN 'T*F**FFF*' THEN st_equals(a, b)
+         WHEN 'FF*FF****' THEN NOT st_intersects(a, b)
+         WHEN 'T*F**F***' THEN st_within(a, b)
+         WHEN 'T*****FF*' THEN st_contains(a, b)
+         WHEN 'FT*******' THEN st_touches(a, b)
+         WHEN 'F**T*****' THEN st_touches(a, b)
+         WHEN 'F***T****' THEN st_touches(a, b)
+         WHEN 'T*T******' THEN st_crosses(a, b)
+         WHEN '0********' THEN CASE
+           WHEN st_dimension(a) = 1 AND st_dimension(b) = 1
+             THEN st_intersects(a, b) AND NOT st_contains(a, b)
+                  AND NOT st_contains(b, a)
+           ELSE st_crosses(a, b) END
+         WHEN 'T*T***T**' THEN st_overlaps(a, b)
+         WHEN '1*T***T**' THEN st_overlaps(a, b)
+         WHEN 'T********' THEN st_intersects(a, b)
+         ELSE NULL END"""
+)
 
 GEOSPATIAL_SQL_FUNCTIONS.extend(_presto_alias_ddls())

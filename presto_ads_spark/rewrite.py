@@ -782,6 +782,12 @@ def _rewrite_kurtosis(sql: str) -> str:
     return _replace_fn_calls(sql, "kurtosis", build)
 
 
+# Upper bound on SQL-surface learn_classifier/learn_regressor training
+# rows — the 1-NN model array is broadcast into every evaluated row, so
+# past this it's both O(N)-per-row and a plan/driver hazard.
+ML_SQL_MODEL_CAP = 10_000
+
+
 def _rewrite_ml_functions(sql: str) -> str:
     """SQL-surface ML functions (presto-ml MLFunctions.java /
     LearnClassifierAggregation.java): ``features(a, b, ..)`` builds the
@@ -793,7 +799,13 @@ def _rewrite_ml_functions(sql: str) -> str:
     the model here is the training set itself (array of (label, vector)
     structs) and classify/regress answer with the nearest neighbor by
     squared euclidean distance — a faithful-on-separable-data stand-in,
-    annotated in SHOW FUNCTIONS. Everything stays JVM-side (HOFs, no UDF)."""
+    annotated in SHOW FUNCTIONS. Everything stays JVM-side (HOFs, no UDF).
+
+    The model array rides along into EVERY evaluated row, so a large
+    training set is a per-row O(N) scan and a plan-size hazard; training
+    past ML_SQL_MODEL_CAP rows raises at runtime with a pointer to the
+    MLlib wrappers (presto_ads_spark.llm.ml), which are the scale path
+    (documented in README Known gaps)."""
 
     def features(args):
         cast = ", ".join(f"CAST(({a}) AS DOUBLE)" for a in args)
@@ -807,8 +819,19 @@ def _rewrite_ml_functions(sql: str) -> str:
                 f"CAST(({args[0]}) AS {cast_label})" if cast_label
                 else f"({args[0]})"
             )
-            return (
+            agg = (
                 f"array_agg(struct({label} AS __ml_l, ({args[1]}) AS __ml_f))"
+            )
+            # Spark computes the duplicated aggregate once (identical agg
+            # expressions share one buffer); raise_error's void type
+            # coerces with the array branch.
+            return (
+                f"CASE WHEN size({agg}) > {ML_SQL_MODEL_CAP}"
+                f" THEN raise_error('learn_classifier/learn_regressor:"
+                f" training set exceeds {ML_SQL_MODEL_CAP} rows — the"
+                f" SQL-surface 1-NN model is carried into every evaluated"
+                f" row; use the MLlib wrappers (presto_ads_spark.llm.ml)"
+                f" for large models') ELSE {agg} END"
             )
         return build
 
@@ -943,6 +966,22 @@ def _rewrite_try_generic(sql: str) -> str:
             e = e[1 : e.rstrip().rindex(")")].strip()
         if re.search(r"(?:!=|<>|<=|>=|[=<>])", _mask_parens_and_literals(e)):
             return None
+        # TRY over the 2-arg map constructor: Presto's map() raises on a
+        # NULL key or length-mismatched arrays and TRY yields NULL
+        # (MapConstructor.java); guard both conditions explicitly — the
+        # generic pass-through below would let the runtime error escape.
+        mm = re.match(r"^map(?:_from_arrays)?\s*\(", e, re.IGNORECASE)
+        if mm:
+            close = _scan_matching_paren(e, mm.end())
+            if close == len(e):
+                args = _split_top_level(e[mm.end() : close - 1])
+                if len(args) == 2:
+                    ks, vs = args[0].strip(), args[1].strip()
+                    return (
+                        f"(CASE WHEN exists(({ks}), __tk_ -> __tk_ IS NULL)"
+                        f" OR size(({ks})) <> size(({vs})) THEN NULL"
+                        f" ELSE map_from_arrays(({ks}), ({vs})) END)"
+                    )
         lowered = _lower_try_arith(e)
         if lowered is not None:
             return lowered
@@ -1107,6 +1146,12 @@ def _rewrite_map_from_arrays(sql: str) -> str:
 
     def build(args):
         if len(args) == 2:
+            # two quoted scalars can't be the Presto array-pair form —
+            # e.g. the to_json options map('ignoreNullFields', 'false')
+            # emitted by _rewrite_cast_to_json must stay a literal map()
+            # call (Spark's option validation requires it)
+            if all(re.fullmatch(r"'(?:[^']|'')*'", a.strip()) for a in args):
+                return None
             return f"map_from_arrays({args[0]}, {args[1]})"
         return None
 
@@ -1886,6 +1931,52 @@ def _presto_type_to_spark(t: str) -> str | None:
 _CAST_OPEN_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
 
 
+def _rewrite_cast_to_json(sql: str) -> str:
+    """Presto ``CAST(e AS JSON)`` → Presto-canonical JSON text.
+
+    Presto's JSON cast serializes ROW values as JSON ARRAYS of field
+    values (RowToJsonCast.java builds a json array, no field names)
+    while Spark's ``to_json`` emits objects. Lower to
+    ``presto_json_canon(to_json(struct(e), <keep nulls>), typeof(e))``:
+    the one-field struct wrapper lets scalars/maps/arrays serialize
+    through the same path, and the runtime DDL string from ``typeof``
+    tells the canonicalizer (functions/__init__.py) which objects are
+    structs (→ arrays) vs maps (→ stay objects). Spark's option
+    validation requires a literal map() call, so _rewrite_map_from_arrays
+    skips 2-arg map() whose args are both quoted scalars."""
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end() : j - 1]
+        depth, in_str, as_pos = 0, False, -1
+        for k in range(len(inner) - 3):
+            c = inner[k]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and inner[k : k + 4].upper() == " AS ":
+                as_pos = k
+        if as_pos < 0 or inner[as_pos + 4 :].strip().upper() != "JSON":
+            i = m.end()
+            continue
+        expr = inner[:as_pos].strip()
+        repl = (
+            f"presto_json_canon(to_json(struct({expr}), "
+            "map('ignoreNullFields', 'false')), "
+            f"typeof({expr}))"
+        )
+        sql = sql[: m.start()] + repl + sql[j:]
+        i = m.start()
+
+
 def _rewrite_json_casts(sql: str) -> str:
     """Presto ``CAST(json AS MAP(...)|ARRAY(...)|ROW(...))`` →
     ``from_json(expr, '<spark schema>')`` (reference JsonToMapCast.java /
@@ -2064,19 +2155,64 @@ def _rewrite_plain_grouping(sql: str) -> str:
     ``GROUP BY a`` cases); Spark's analyzer rejects grouping() outside
     GroupingSets/Cube/Rollup. When the statement carries no grouping-set
     construct at all, every grouping() argument is necessarily a grouping
-    column, so the call folds to the literal 0."""
+    column, so the call folds to the literal 0 — but only when each
+    argument verifiably appears in some GROUP BY list; otherwise the call
+    is left for Spark's analyzer to reject, matching Presto's analysis
+    error instead of silently returning 0."""
     if not _GROUPING_CALL_RE.search(sql) or _GSETS_ANY_RE.search(sql):
         return sql
+
+    def _group_exprs() -> set[str]:
+        mask = _literal_mask(sql)
+        out: set[str] = set()
+        for gm in re.finditer(r"\bGROUP\s+BY\b", sql, re.IGNORECASE):
+            if mask[gm.start()]:
+                continue
+            depth, j = 0, gm.end()
+            while j < len(sql):
+                c = sql[j]
+                if not mask[j]:
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and re.match(
+                        r"(HAVING|ORDER|LIMIT|OFFSET|FETCH|UNION|"
+                        r"INTERSECT|EXCEPT|WINDOW)\b",
+                        sql[j:],
+                        re.IGNORECASE,
+                    ):
+                        break
+                j += 1
+            out.update(
+                " ".join(e.split()).lower()
+                for e in _split_top_level(sql[gm.end() : j])
+            )
+        return out
+
+    grouped = _group_exprs()
+    i = 0
     while True:
         mask = _literal_mask(sql)
         m = next(
-            (c for c in _GROUPING_CALL_RE.finditer(sql) if not mask[c.start()]),
+            (
+                c
+                for c in _GROUPING_CALL_RE.finditer(sql, i)
+                if not mask[c.start()]
+            ),
             None,
         )
         if m is None:
             return sql
         end = _scan_matching_paren(sql, m.end())
-        sql = sql[: m.start()] + "0" + sql[end:]
+        args = _split_top_level(sql[m.end() : end - 1])
+        if args and all(" ".join(a.split()).lower() in grouped for a in args):
+            sql = sql[: m.start()] + "0" + sql[end:]
+            i = m.start() + 1
+        else:
+            i = end  # not a grouping column — leave for the analyzer
 
 
 _OB_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
@@ -2129,9 +2265,19 @@ def _rewrite_window_in_order_by(sql: str) -> str:
     tail = sql[ob.end() :]
     lim = ""
     items_text = tail
+    # depth-0 only: a LIMIT inside a subquery in a sort item is not the
+    # statement tail
+    tdepth, depths = 0, []
+    for idx, c in enumerate(tail):
+        depths.append(tdepth)
+        if not mask[ob.end() + idx]:
+            if c == "(":
+                tdepth += 1
+            elif c == ")":
+                tdepth -= 1
     for m in _LIMIT_TAIL_KW_RE.finditer(tail):
         pos = ob.end() + m.start()
-        if not mask[pos]:
+        if not mask[pos] and depths[m.start()] == 0:
             items_text = tail[: m.start()]
             lim = tail[m.start() :]
             break
@@ -2162,8 +2308,10 @@ def _rewrite_window_in_order_by(sql: str) -> str:
         _depth0_matches(body, re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE),
                         _literal_mask(body))
     )
+    lower_names = {n.lower() for n in names}
     sort_specs = []
     passthrough: dict = {}
+    unqual_passthrough: list[str] = []
     for si in _split_top_level(items_text):
         si = si.strip()
         dm = _SORT_DIR_TAIL_RE.search(si)
@@ -2184,10 +2332,39 @@ def _rewrite_window_in_order_by(sql: str) -> str:
             _thread(qm) if qm else ch
             for qm, ch in _iter_qual_subst(expr, emask)
         )
+        # unqualified refs that are NOT output aliases fall back to the
+        # input scope in Presto (testOrderByWithOutputColumnReference —
+        # e.g. ORDER BY row_number() OVER (ORDER BY totalprice) with
+        # only custkey selected); thread them through by name so the
+        # hoisted projection over the derived table still resolves them
+        emask = _literal_mask(expr)
+        esub = _subquery_mask(expr, emask)
+        for im in re.finditer(r"\b[A-Za-z_]\w*\b", expr):
+            if emask[im.start()] or esub[im.start()]:
+                continue
+            w = im.group(0)
+            wl = w.lower()
+            j = im.end()
+            while j < len(expr) and expr[j] == " ":
+                j += 1
+            if j < len(expr) and expr[j] in "(.":
+                continue  # function call / qualifier head
+            if im.start() > 0 and expr[im.start() - 1] == ".":
+                continue  # qualified tail
+            if (
+                wl in _SORT_EXPR_KEYWORDS
+                or wl in lower_names
+                or wl.startswith("__q_")
+            ):
+                continue
+            if wl not in (u.lower() for u in unqual_passthrough):
+                unqual_passthrough.append(w)
         sort_specs.append((expr, direction))
-    if passthrough and has_group:
+    if (passthrough or unqual_passthrough) and has_group:
         return sql  # passthroughs would break aggregation rules
-    extra = "".join(f", {q} AS {a}" for q, a in passthrough.items())
+    extra = "".join(
+        f", {q} AS {a}" for q, a in passthrough.items()
+    ) + "".join(f", {c}" for c in unqual_passthrough)
     inner = f"SELECT {select_list.strip()}{extra} {body.strip()}"
     mids = ", ".join(
         f"{expr} AS __sort_{i}" for i, (expr, _) in enumerate(sort_specs)
@@ -2201,19 +2378,63 @@ def _rewrite_window_in_order_by(sql: str) -> str:
     )
 
 
+def _subquery_mask(expr: str, lit_mask: list) -> list:
+    """True for positions inside a ``(SELECT …)`` group — refs there
+    resolve in the subquery's own scope and must not be rewritten."""
+    out = [False] * len(expr)
+    stack: list[bool] = []
+    for i, c in enumerate(expr):
+        if not lit_mask[i]:
+            if c == "(":
+                j = i + 1
+                while j < len(expr) and expr[j].isspace():
+                    j += 1
+                is_sub = expr[j : j + 6].upper() == "SELECT" and (
+                    j + 6 >= len(expr) or not expr[j + 6].isalnum()
+                )
+                stack.append(is_sub or (bool(stack) and stack[-1]))
+            elif c == ")" and stack:
+                stack.pop()
+        if stack and stack[-1]:
+            out[i] = True
+    return out
+
+
 def _iter_qual_subst(expr: str, mask: list):
     """Yield (match, None) for qualified refs / (None, char) otherwise,
-    non-overlapping, skipping literal regions."""
+    non-overlapping, skipping literal regions, qualified FUNCTION calls
+    (``db.fn(x)`` — the dot chain names a routine, not a column), and
+    subquery bodies (their refs resolve in their own scope)."""
+    sub = _subquery_mask(expr, mask)
     i = 0
     while i < len(expr):
         m = _QUAL_REF_RE.match(expr, i)
-        if m and not mask[i]:
+        if m and not mask[i] and not sub[i]:
+            j = m.end()
+            while j < len(expr) and expr[j].isspace():
+                j += 1
+            if j < len(expr) and expr[j] == "(":
+                yield None, expr[i]
+                i += 1
+                continue
             yield m, None
             i = m.end()
         else:
             yield None, expr[i]
             i += 1
 
+
+# Words that can appear bare inside a hoisted sort expression without
+# naming an input column (window/frame/CASE grammar + niladic functions).
+_SORT_EXPR_KEYWORDS = frozenset(
+    """over order by partition rows range groups between and or not
+    current row preceding following unbounded desc asc nulls first last
+    case when then else end cast as try_cast true false null distinct
+    in is like escape exists interval day month year hour minute second
+    to at zone filter where ignore respect within group
+    current_date current_timestamp current_user localtime
+    localtimestamp""".split()
+)
 
 _RANKING_OVER_RE = re.compile(
     r"\b(rank|dense_rank|percent_rank|cume_dist|row_number|ntile)\s*\("
@@ -2359,6 +2580,121 @@ def _rewrite_quantified(sql: str) -> str:
         i = j
 
 
+_AGG_FN_RE = re.compile(
+    r"\b(sum|count|avg|min|max|count_if|stddev(?:_pop|_samp)?|"
+    r"var(?:iance|_pop|_samp)?|skewness|kurtosis|corr|covar_pop|covar_samp|"
+    r"approx_distinct|approx_percentile|approx_set|array_agg|bool_and|"
+    r"bool_or|every|some|arbitrary|any_value|checksum|geometric_mean|"
+    r"bitwise_and_agg|bitwise_or_agg|max_by|min_by|histogram|map_agg|"
+    r"multimap_agg|map_union|reduce_agg|set_agg|set_union)\s*\(",
+    re.IGNORECASE,
+)
+
+_GB_KEYWORD_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+_EGG_BAIL_RE = re.compile(
+    r"\b(HAVING|ORDER\s+BY|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|"
+    r"WINDOW|OVER|DISTINCT)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_empty_grouping_global(sql: str) -> str:
+    """Emit Presto's empty-input global-aggregation rows for grouping
+    sets containing ``()`` (and CUBE/ROLLUP, whose expansions include
+    the global set).
+
+    Presto's grouped execution emits one output row per empty grouping
+    set even when the source relation is empty
+    (AbstractTestAggregations.java:953 testGroupingSetsWithGlobal-
+    AggregationNoInput and siblings); Spark's Expand+HashAggregate
+    lowering groups by (cols, gid) and so emits nothing. Append, per
+    empty set, one UNION ALL arm that
+    - computes every aggregate over a ``WHERE 1 = 0`` scan — Catalyst
+      folds that to an aggregation over an empty LocalRelation, i.e. the
+      exact empty-input aggregate values (SUM→NULL, COUNT→0, …) with NO
+      table scan, and
+    - is gated by ``NOT EXISTS (source)``, which stops at the first
+      matching row — so on the common non-empty input the arm costs one
+      short-circuit probe, not a second full scan (the 100 TB shape).
+
+    Scope: a single plain SELECT whose GROUP BY is exactly one
+    GROUPING SETS/CUBE/ROLLUP construct and whose select items are
+    grouping expressions or aggregate calls; anything fancier (HAVING,
+    ORDER BY, set ops, grouping(), windows) passes through unchanged —
+    those shapes keep today's behavior."""
+    masked = _mask_parens_and_literals(sql)
+    if not re.match(r"\s*SELECT\b", masked, re.IGNORECASE):
+        return sql
+    gb = _GB_KEYWORD_RE.search(masked)
+    if gb is None or _EGG_BAIL_RE.search(masked):
+        return sql
+    from_m = re.search(r"\bFROM\b", masked, re.IGNORECASE)
+    if from_m is None or from_m.start() > gb.start():
+        return sql
+    where_m = re.search(r"\bWHERE\b", masked, re.IGNORECASE)
+    sel_end = re.match(r"\s*SELECT\b", masked, re.IGNORECASE).end()
+    items_txt = sql[sel_end : from_m.start()]
+    src_end = where_m.start() if where_m else gb.start()
+    from_txt = sql[from_m.end() : src_end].strip()
+    where_txt = sql[where_m.end() : gb.start()].strip() if where_m else None
+    gb_txt = sql[gb.end() :].strip()
+
+    # exactly one construct spanning the whole GROUP BY tail
+    cm = re.match(
+        r"(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", gb_txt, re.IGNORECASE
+    )
+    if cm is None:
+        return sql
+    close = _scan_matching_paren(gb_txt, cm.end())
+    if gb_txt[close:].strip():
+        return sql
+    inner = gb_txt[cm.end() : close - 1]
+    entries = _split_top_level(inner)
+    construct = " ".join(cm.group(1).upper().split())
+    if construct == "GROUPING SETS":
+        n_empty = sum(1 for e in entries if re.fullmatch(r"\(\s*\)", e))
+        group_exprs = []
+        for e in entries:
+            if e.startswith("("):
+                group_exprs.extend(_split_top_level(e[1:-1]))
+            else:
+                group_exprs.append(e)
+    else:  # CUBE / ROLLUP expansions both include the global set once
+        n_empty = 1
+        group_exprs = []
+        for e in entries:
+            if e.startswith("("):
+                group_exprs.extend(_split_top_level(e[1:-1]))
+            else:
+                group_exprs.append(e)
+    if n_empty == 0:
+        return sql
+    norm = lambda e: " ".join(e.split()).lower()
+    group_set = {norm(e) for e in group_exprs}
+
+    arm_items = []
+    for item in _split_top_level(items_txt):
+        im = _mask_parens_and_literals(item)
+        am = re.search(r"\sAS\s+\w+\s*$", im, re.IGNORECASE)
+        expr = item[: am.start()] if am else item
+        if norm(expr) in group_set or norm(item) in group_set:
+            arm_items.append("NULL")
+        elif _AGG_FN_RE.search(expr):
+            arm_items.append(item.strip())
+        else:
+            return sql  # scalar-of-grouping-key shape — out of scope
+    if re.search(r"\bgrouping(_id)?\s*\(", items_txt, re.IGNORECASE):
+        return sql
+
+    probe_src = f"{from_txt} WHERE {where_txt}" if where_txt else from_txt
+    arm = (
+        f" UNION ALL SELECT * FROM (SELECT {', '.join(arm_items)}"
+        f" FROM {from_txt} WHERE 1 = 0) __ga_{{i}}"
+        f" WHERE NOT EXISTS (SELECT 1 FROM {probe_src})"
+    )
+    return sql + "".join(arm.format(i=i) for i in range(n_empty))
+
+
 def rewrite(sql: str) -> str:
     """Rewrite a Presto SQL string into Spark SQL.
 
@@ -2408,6 +2744,7 @@ def rewrite(sql: str) -> str:
     )
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_try_generic(sql)
+    sql = _rewrite_cast_to_json(sql)
     sql = _rewrite_json_casts(sql)
     sql = _rewrite_char_casts(sql)
     # must follow the cast rewrites: a 2-arg call pattern would otherwise
@@ -2426,6 +2763,7 @@ def rewrite(sql: str) -> str:
     sql = re.sub(
         r"\bGROUP\s+BY\s*\(\s*\)(?!\s*,)", "", sql, flags=re.IGNORECASE
     )
+    sql = _rewrite_empty_grouping_global(sql)
     # bare NULL as a filter (``WHERE null`` — Presto types it boolean;
     # Spark rejects the VOID literal)
     sql = re.sub(

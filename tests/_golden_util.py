@@ -490,14 +490,21 @@ def duck_values_parens(sql: str) -> str:
 
 
 def compare_pyrows_tol(
-    got: list[tuple], want: list[tuple], tol: float
+    got: list[tuple],
+    want: list[tuple],
+    tol: float,
+    tol_cols: list | None = None,
 ) -> str | None:
     """Like compare_pyrows, but numeric cells match within RELATIVE
     tolerance ``tol`` — the approx_distinct corpus tier, where the oracle
     is the exact COUNT(DISTINCT ...) and the engine side is an HLL
     estimate (the reference's testApproximateCountDistinct battery pins
     ITS engine-specific estimates; the portable invariant is the error
-    bound)."""
+    bound). ``tol_cols`` restricts the slack to the approx columns (by
+    select-item position, emitted by the porter); other cells — group
+    keys, exact aggregates — compare exactly, so a grouped case can't
+    hide a mispaired row inside the tolerance. None = every numeric cell
+    (legacy single-cell scalar cases)."""
     g = [[canon_got_cell(c) for c in row] for row in got]
     e = [[canon_got_cell(c) for c in row] for row in want]
     if len(g) != len(e):
@@ -507,9 +514,10 @@ def compare_pyrows_tol(
     for gr, er in zip(g, e):
         if len(gr) != len(er):
             return f"row width {gr!r} vs {er!r}"
-        for x, y in zip(gr, er):
+        for ci, (x, y) in enumerate(zip(gr, er)):
             if (
-                isinstance(x, (int, float))
+                (tol_cols is None or ci in tol_cols)
+                and isinstance(x, (int, float))
                 and isinstance(y, (int, float))
                 and not isinstance(x, bool)
                 and not isinstance(y, bool)

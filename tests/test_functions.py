@@ -917,3 +917,22 @@ def test_geospatial_wkb_round_trip(engine):
     assert one(
         engine, "st_geom_from_binary(CAST('garbage' AS BINARY)) IS NULL"
     ) is True
+
+
+def test_ml_sql_model_cap(engine):
+    # the SQL-surface 1-NN template refuses training sets above
+    # ML_SQL_MODEL_CAP (the model array rides into every evaluated row);
+    # big models belong to the MLlib wrappers (llm/ml.py)
+    import pytest as _pytest
+
+    ok = engine.sql(
+        "SELECT classify(features(2.0), m) AS c FROM (SELECT "
+        "learn_classifier(v % 3, features(CAST(v AS DOUBLE))) AS m "
+        "FROM UNNEST(sequence(1, 100)) AS t(v))"
+    ).collect()
+    assert ok[0].c == 2
+    with _pytest.raises(Exception, match="exceeds 10000 rows"):
+        engine.sql(
+            "SELECT learn_classifier(v % 3, features(CAST(v AS DOUBLE))) "
+            "FROM UNNEST(sequence(1, 10001)) AS t(v)"
+        ).collect()

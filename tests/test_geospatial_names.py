@@ -32,7 +32,6 @@ _REF_GEO = (
 # Documented unimplemented reference names (module header "Not implemented"
 # list + SHOW FUNCTIONS notes).
 _KNOWN_GAPS = {
-    "ST_Relate",            # DE-9IM matrix — documented skip
     "bing_tile_from_quadkey",  # repo extra, not a reference gap
 }
 
@@ -83,10 +82,9 @@ def test_hardcoded_spelling_list_matches_reference():
     if ref is None:
         pytest.skip("reference sources not available")
     ref_st = {n for n in ref if n.startswith("ST_")}
-    assert ref_st - set(PRESTO_GEO_SPELLINGS) == {"ST_Relate"}, (
-        "reference has ST_* spellings missing from PRESTO_GEO_SPELLINGS"
+    assert ref_st == set(PRESTO_GEO_SPELLINGS), (
+        "PRESTO_GEO_SPELLINGS out of sync with the reference ST_* set"
     )
-    assert set(PRESTO_GEO_SPELLINGS) <= ref_st
 
 
 def test_every_reference_spelling_resolves(engine):
@@ -146,3 +144,25 @@ def test_camelcase_matches_snakecase_result(engine):
     assert rows.c is True
     assert rows.d == 3
     assert rows.e == rows.f
+
+
+def test_st_relate_canonical_masks(engine):
+    row = engine.sql(
+        "SELECT ST_Relate(ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+        "                 ST_GeometryFromText('POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))'),"
+        "                 'T*****FF*') AS contains_t,"
+        "       ST_Relate(ST_Point(0.0, 0.0), ST_Point(9.0, 9.0),"
+        "                 'FF*FF****') AS disjoint_t,"
+        "       ST_Relate(ST_GeometryFromText('LINESTRING (0 0, 2 2)'),"
+        "                 ST_GeometryFromText('LINESTRING (0 2, 2 0)'),"
+        "                 '0********') AS crosses_t,"
+        "       ST_Relate(ST_Point(0.0, 0.0), ST_Point(0.0, 0.0),"
+        "                 'T*F**FFF*') AS equals_t,"
+        "       ST_Relate(ST_Point(0.0, 0.0), ST_Point(0.0, 0.0),"
+        "                 '012TF*012') AS unknown_mask"
+    ).collect()[0]
+    assert row.contains_t is True
+    assert row.disjoint_t is True
+    assert row.crosses_t is True
+    assert row.equals_t is True
+    assert row.unknown_mask is None

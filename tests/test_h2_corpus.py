@@ -49,7 +49,9 @@ def test_h2_corpus(h2_engine, h2_duck, case):
         return
     tol = case.get("tolerance")
     if tol is not None:
-        diff = _gu.compare_pyrows_tol(got, duck_rows, tol)
+        diff = _gu.compare_pyrows_tol(
+            got, duck_rows, tol, case.get("tol_cols")
+        )
     else:
         diff = _gu.compare_pyrows(got, duck_rows)
     assert diff is None, f"{case['name']}: {case['sql'][:160]}\n{diff}"

@@ -159,3 +159,51 @@ def test_frame_strip_spares_column_named_rows():
     # an ORDER BY on a column literally named "rows" is not a frame clause
     out = rewrite("SELECT lag(x) OVER (ORDER BY rows DESC) FROM t")
     assert "ORDER BY rows DESC" in out
+
+
+def test_cast_to_json_lowering():
+    # Presto CAST(e AS JSON) → presto_json_canon(to_json(struct(e), ...),
+    # typeof(e)); the options map must stay a literal map() call
+    out = rewrite("SELECT CAST(ROW(1, 'a') AS JSON)")
+    assert "presto_json_canon(to_json(struct(" in out
+    assert "map('ignoreNullFields', 'false')" in out
+    assert "typeof(" in out
+    # 2-arg map() of quoted scalars is NOT the Presto array-pair form
+    out = rewrite("SELECT map(ARRAY['k'], ARRAY[1])")
+    assert "map_from_arrays" in out
+
+
+def test_try_map_constructor_guard():
+    # TRY over the 2-arg map constructor guards NULL keys and length
+    # mismatch (MapConstructor.java raises; TRY yields NULL)
+    out = rewrite("SELECT TRY(MAP(ARRAY[NULL], ARRAY[1]))")
+    assert "IS NULL" in out and "THEN NULL" in out
+    assert "map_from_arrays" in out
+
+
+def test_empty_grouping_global_arms():
+    # grouping sets containing () gain NOT-EXISTS-gated global arms so an
+    # empty input still yields Presto's global-aggregation rows
+    out = rewrite(
+        "SELECT a, SUM(x) AS s FROM t WHERE x < 0 "
+        "GROUP BY GROUPING SETS ((a), ())"
+    )
+    assert out.count("UNION ALL") == 1
+    assert "WHERE 1 = 0" in out and "NOT EXISTS" in out
+    # one arm per empty set
+    out = rewrite("SELECT SUM(x) AS s FROM t GROUP BY GROUPING SETS ((), ())")
+    assert out.count("UNION ALL") == 2
+    # CUBE expansion includes the global set once
+    out = rewrite("SELECT a, b, SUM(x) FROM t GROUP BY CUBE (a, b)")
+    assert out.count("UNION ALL") == 1
+    # out-of-scope shapes pass through: HAVING, ORDER BY, grouping()
+    for q in (
+        "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ()) HAVING SUM(x) > 0",
+        "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ()) ORDER BY a",
+        "SELECT a, grouping(a), SUM(x) FROM t GROUP BY GROUPING SETS ((a), ())",
+    ):
+        assert "NOT EXISTS" not in rewrite(q)
+    # no empty set → untouched
+    assert "UNION ALL" not in rewrite(
+        "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), (a, b))"
+    )

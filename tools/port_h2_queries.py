@@ -130,11 +130,9 @@ MANUAL_SKIPS.update({
     "A422": "approx_percentile with a non-constant percentile argument "
             "(Spark requires a foldable percentage)",
 })
-for _an in ("A956", "A1031", "A1090", "A1225"):
-    MANUAL_SKIPS[_an] = (
-        "empty-input grouping sets lose the global-aggregation row under "
-        "Spark's Expand+HashAggregate lowering (Presto emits it)"
-    )
+# A956/A1031/A1090/A1225 (empty-input grouping-sets global rows) are live
+# since rewrite._rewrite_empty_grouping_global appends the NOT-EXISTS-gated
+# global arms.
 
 
 def extract_calls(text: str):
@@ -251,6 +249,39 @@ def approx_count_oracle(sql: str) -> str:
         out = out[: m.start()] + f"count(DISTINCT {first})" + out[i:]
 
 
+def approx_item_positions(sql: str) -> list | None:
+    """Select-item indexes containing approx_distinct (for the
+    restricted tolerance columns). None when the select list can't be
+    delimited — the comparator then falls back to all-numeric slack."""
+    m = re.match(r"\s*SELECT\s+", sql, re.IGNORECASE)
+    if m is None:
+        return None
+    depth, in_str, i = 0, False, m.end()
+    items, last = [], m.end()
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c == "," :
+            items.append(sql[last:i])
+            last = i + 1
+        elif depth == 0 and re.match(r"FROM\b", sql[i:], re.IGNORECASE):
+            items.append(sql[last:i])
+            break
+        i += 1
+    else:
+        items.append(sql[last:])
+    return [
+        ci for ci, it in enumerate(items) if _APPROX_DISTINCT_RE.search(it)
+    ] or None
+
+
 def triage_skip(sql: str) -> str | None:
     low = sql.lower()
     for ident in MISSING_IDENTS:
@@ -258,9 +289,9 @@ def triage_skip(sql: str) -> str | None:
             return f"column/table '{ident}' not in driver testdata schema"
     if NONDET_RE.search(sql):
         return "nondeterministic function / sampling"
-    if re.search(r"\bas\s+json\b", low):
-        return ("CAST(.. AS JSON) serialization deviation: Presto renders "
-                "ROW as JSON array, Spark to_json as object (README gap)")
+    # CAST(.. AS JSON) is live since the presto_json_canon lowering
+    # (rewrite._rewrite_cast_to_json) — ROW serializes as a JSON array
+    # exactly like Presto, so those cases run instead of skipping.
     if "information_schema" in low:
         return ("information_schema contents are engine-specific (the "
                 "engine synthesizes them from the Spark catalog; H2/DuckDB "
@@ -343,16 +374,21 @@ def main() -> None:
         ):
             oracle = None
         tolerance = None
+        tol_cols = None
         if oracle is None and _APPROX_DISTINCT_RE.search(actual):
-            # sketch estimate vs exact distinct count: tolerance tier
+            # sketch estimate vs exact distinct count: tolerance tier;
+            # restrict the slack to the approx select items so group
+            # keys / exact aggregates still compare exactly
             oracle = approx_count_oracle(actual)
             tolerance = APPROX_TOL
+            tol_cols = approx_item_positions(actual)
         rec = {
             "name": f"{prefix}{line}",
             "sql": actual,
             "oracle": oracle,
             "count_only": count_only,
             "tolerance": tolerance,
+            "tol_cols": tol_cols,
         }
         osql = oracle if oracle is not None else actual
         dsql = gu.duck_values_parens(gu.duck_int_division(osql))
@@ -385,7 +421,9 @@ def main() -> None:
                     else f"count {len(got)} != {len(duck_rows)}"
                 )
             elif tolerance is not None:
-                diff = gu.compare_pyrows_tol(got, duck_rows, tolerance)
+                diff = gu.compare_pyrows_tol(
+                    got, duck_rows, tolerance, tol_cols
+                )
             else:
                 diff = gu.compare_pyrows(got, duck_rows)
         except Exception as e:  # noqa: BLE001

@@ -654,3 +654,38 @@ FROM orders
 GROUP BY o_orderpriority
 """
     )
+
+
+@q(
+    "fn_json_row_cast",
+    extended=True,
+    tags=("functions", "json"),
+    doc="Presto CAST(.. AS JSON) serialization forms "
+    "(RowToJsonCast.java): ROW values render as JSON ARRAYS of field "
+    "values, maps as objects, arrays elementwise — lowered by "
+    "rewrite._rewrite_cast_to_json through the presto_json_canon "
+    "type-directed re-serializer. Oracle builds the same strings by "
+    "concatenation.",
+    oracle="""
+SELECT o_orderkey,
+  '[' || o_orderkey || ',"' || o_orderstatus || '",' ||
+    CASE WHEN o_totalprice IS NULL THEN 'true' ELSE 'false' END || ']' AS rj,
+  '{"k":' || o_orderkey || '}' AS mj,
+  '[[' || o_orderkey || ',1]]' AS aj
+FROM orders WHERE o_orderkey < 64
+""",
+)
+def fn_json_row_cast(spark, sf_dir):
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+SELECT o_orderkey,
+  JSON_FORMAT(CAST(ROW(o_orderkey, o_orderstatus, o_totalprice IS NULL)
+              AS JSON)) AS rj,
+  JSON_FORMAT(CAST(MAP(ARRAY['k'], ARRAY[o_orderkey]) AS JSON)) AS mj,
+  JSON_FORMAT(CAST(ARRAY[ROW(o_orderkey, 1)] AS JSON)) AS aj
+FROM orders WHERE o_orderkey < 64
+"""
+    )

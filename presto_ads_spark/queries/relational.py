@@ -528,3 +528,31 @@ WHERE n_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 9500)
   AND n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < -990)
 """
     )
+
+
+@q(
+    "agg_empty_grouping_global",
+    extended=True,
+    tags=("agg", "groupid"),
+    doc="Empty-input grouping sets emit the global-aggregation rows "
+    "(AbstractTestAggregations.java:953 testGroupingSetsWithGlobal"
+    "AggregationNoInput family): the engine appends NOT-EXISTS-gated "
+    "UNION ALL arms (rewrite._rewrite_empty_grouping_global) — one per "
+    "empty set, two here for the repeated-sets form.",
+    oracle="""
+SELECT l_linenumber, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS s
+FROM lineitem WHERE l_quantity < 0
+GROUP BY GROUPING SETS ((l_linenumber, l_suppkey), (l_suppkey), (), ())
+""",
+)
+def agg_empty_grouping_global(spark, sf_dir):
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+SELECT l_linenumber, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS s
+FROM lineitem WHERE l_quantity < 0
+GROUP BY GROUPING SETS ((l_linenumber, l_suppkey), (l_suppkey), (), ())
+"""
+    )

@@ -2580,6 +2580,172 @@ def _rewrite_quantified(sql: str) -> str:
         i = j
 
 
+_EXISTS_SEL_RE = re.compile(r"\bEXISTS\s*\(\s*SELECT\b", re.IGNORECASE)
+_PAREN_SEL_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+
+
+def _fromless_parts(body: str):
+    """(items_txt, where_txt|None) when ``body`` is a FROM-less simple
+    select (Presto's implicit one-row VALUES), else None."""
+    bm = _mask_parens_and_literals(body)
+    if re.search(
+        r"\b(FROM|UNION|INTERSECT|EXCEPT|GROUP|HAVING|ORDER|LIMIT|"
+        r"OFFSET|FETCH|OVER|DISTINCT)\b",
+        bm,
+        re.IGNORECASE,
+    ):
+        return None
+    wm = re.search(r"\bWHERE\b", bm, re.IGNORECASE)
+    if wm:
+        return body[: wm.start()], body[wm.end() :]
+    return body, None
+
+
+def _in_relation_position(sql: str, pos: int, mask: list) -> bool:
+    """True when the paren at ``pos`` opens a derived table — directly
+    after FROM/JOIN, or comma-joined inside a FROM clause (``FROM a,
+    (SELECT …) t``). Walks backwards at the same paren depth until a
+    clause keyword decides it."""
+    depth, i = 0, pos - 1
+    while i >= 0:
+        c = sql[i]
+        if not mask[i]:
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth < 0:
+                    return False  # inside an expression's parens
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                j = i
+                while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                    j -= 1
+                w = sql[j + 1 : i + 1].upper()
+                if w in ("FROM", "JOIN"):
+                    return True
+                if w in (
+                    "SELECT", "WHERE", "ON", "HAVING", "BY", "WHEN",
+                    "THEN", "ELSE", "AND", "OR", "NOT", "IN", "EXISTS",
+                    "UNION", "INTERSECT", "EXCEPT", "VALUES", "SET",
+                ):
+                    return False
+                i = j
+                continue
+        i -= 1
+    return False
+
+
+def _rewrite_fromless_subqueries(sql: str) -> str:
+    """Fold FROM-less subqueries to scalar expressions.
+
+    Presto evaluates ``SELECT <items> [WHERE c]`` with no FROM over one
+    implicit row, and decorrelates it in positions where Spark's
+    analyzer rejects any subquery outright — ORDER BY, GROUP BY keys,
+    join-ON over both inputs (AbstractTestQueries.java
+    testCorrelatedScalarSubqueries / testCorrelatedExistsSubqueries).
+    The subquery's value is a closed form, so fold it textually:
+
+    - ``EXISTS(SELECT …)``            → true (one row always)
+    - ``EXISTS(SELECT … WHERE c)``    → coalesce((c), false)
+    - ``(SELECT e)``                  → (e)
+    - ``(SELECT count(*) WHERE c)``   → CASE WHEN c THEN 1 ELSE 0 END
+    - ``(SELECT e WHERE c)``          → CASE WHEN c THEN (e) END
+      (empty → NULL, matching the scalar-subquery contract)
+
+    Aggregates other than count(*) in the item, multi-item selects, and
+    anything with FROM/set-ops are left untouched. Relation-position
+    ``FROM (SELECT 1)`` is excluded by peeking at the preceding word."""
+    # EXISTS first — the scalar pass below would otherwise see its paren
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (
+                c
+                for c in _EXISTS_SEL_RE.finditer(sql, i)
+                if not mask[c.start()]
+            ),
+            None,
+        )
+        if m is None:
+            break
+        open_p = sql.index("(", m.start())
+        close = _scan_matching_paren(sql, open_p + 1)
+        body = sql[open_p + 1 : close - 1]
+        sel = re.match(r"\s*SELECT\b", body, re.IGNORECASE)
+        parts = _fromless_parts(body[sel.end() :])
+        if parts is None:
+            i = open_p + 1  # real subquery — leave for later passes
+            continue
+        _, where = parts
+        repl = "true" if where is None else f"coalesce(({where.strip()}), false)"
+        sql = sql[: m.start()] + repl + sql[close:]
+        i = m.start()
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (
+                c
+                for c in _PAREN_SEL_RE.finditer(sql, i)
+                if not mask[c.start()]
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        before = sql[: m.start()].rstrip()
+        close_peek = _scan_matching_paren(sql, m.start() + 1)
+        after = sql[close_peek:].lstrip()
+        if (
+            re.search(
+                # AS: CTE body (WITH a AS (SELECT …)); set-op keywords:
+                # the paren select is a compound-query branch
+                r"\b(EXISTS|IN|ALL|ANY|SOME|AS|UNION|INTERSECT|EXCEPT)$",
+                before,
+                re.IGNORECASE,
+            )
+            or re.match(r"(UNION|INTERSECT|EXCEPT)\b", after, re.IGNORECASE)
+            or _in_relation_position(sql, m.start(), mask)
+        ):
+            # subquery-operator position / relation position — leave
+            i = m.start() + 1
+            continue
+        close = _scan_matching_paren(sql, m.start() + 1)
+        body = sql[m.start() + 1 : close - 1]
+        sel = re.match(r"\s*SELECT\b", body, re.IGNORECASE)
+        parts = _fromless_parts(body[sel.end() :])
+        if parts is None:
+            i = m.start() + 1
+            continue
+        items_txt, where = parts
+        items = _split_top_level(items_txt)
+        if len(items) != 1:
+            i = m.start() + 1
+            continue
+        item = items[0].strip()
+        am = _AS_ALIAS_TAIL_RE.search(_mask_parens_and_literals(item))
+        if am:
+            item = item[: am.start()].strip()
+        if where is None:
+            repl = f"({item})"
+        elif re.fullmatch(r"count\s*\(\s*\*\s*\)", item, re.IGNORECASE):
+            repl = (
+                f"(CASE WHEN coalesce(({where.strip()}), false)"
+                f" THEN 1 ELSE 0 END)"
+            )
+        elif _AGG_FN_RE.search(item):
+            i = m.start() + 1
+            continue  # non-count aggregate over the conditional row
+        else:
+            repl = (
+                f"(CASE WHEN coalesce(({where.strip()}), false)"
+                f" THEN ({item}) END)"
+            )
+        sql = sql[: m.start()] + repl + sql[close:]
+        i = m.start()
+
+
 _AGG_FN_RE = re.compile(
     r"\b(sum|count|avg|min|max|count_if|stddev(?:_pop|_samp)?|"
     r"var(?:iance|_pop|_samp)?|skewness|kurtosis|corr|covar_pop|covar_samp|"
@@ -2729,6 +2895,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_values_with_lambdas(sql)
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_unnest_all(sql)
+    sql = _rewrite_fromless_subqueries(sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     # type-position TIMESTAMP WITH TIME ZONE → Spark's session-zoned
     # TIMESTAMP (TIMESTAMP_LTZ — the closest model; Presto additionally

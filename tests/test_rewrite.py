@@ -207,3 +207,25 @@ def test_empty_grouping_global_arms():
     assert "UNION ALL" not in rewrite(
         "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), (a, b))"
     )
+
+
+def test_fromless_subquery_folds():
+    # Presto's one-implicit-row FROM-less subqueries fold to closed forms
+    assert rewrite("SELECT a FROM t ORDER BY EXISTS(SELECT 2)") == (
+        "SELECT a FROM t ORDER BY true NULLS LAST"
+    )
+    assert "(2 * n.nationkey)" in rewrite(
+        "SELECT nationkey FROM nation n ORDER BY (SELECT 2 * n.nationkey)"
+    )
+    out = rewrite("SELECT * FROM o ORDER BY (SELECT count(*) WHERE o.k = 0)")
+    assert "CASE WHEN coalesce((o.k = 0), false) THEN 1 ELSE 0 END" in out
+    out = rewrite("SELECT * FROM o ORDER BY EXISTS(SELECT 1 WHERE o.k = 0)")
+    assert "coalesce((o.k = 0), false)" in out
+    # scalar with WHERE and plain item → NULL-on-empty CASE
+    out = rewrite("SELECT (SELECT a WHERE b > 0) FROM t")
+    assert "THEN (a) END" in out
+    # untouched: relation position, real subqueries, non-count aggregates
+    assert rewrite("SELECT * FROM (SELECT 1) t") == "SELECT * FROM (SELECT 1) t"
+    q = "SELECT * FROM o WHERE EXISTS (SELECT 1 FROM l WHERE l.k = o.k)"
+    assert rewrite(q) == q
+    assert "(SELECT max(a) WHERE b)" in rewrite("SELECT (SELECT max(a) WHERE b) FROM t")

@@ -103,15 +103,18 @@ MANUAL_SKIPS: dict[int, str] = {
 
 # Spark analyzer limits on exotic correlated-subquery placements —
 # documented engine limitation family (Presto decorrelates these; Spark
-# rejects at analysis): scalar/EXISTS subqueries in ORDER BY, GROUP BY
-# keys, join-ON referencing both inputs, and multi-level correlation.
-for _ln in (5950, 5951, 6054, 6060, 6063, 6170, 6191, 6196, 6229, 6250,
-            6257, 6347, 6359, 6375, 6404, 6451, 6485):
+# rejects at analysis). The FROM-less shapes (EXISTS(SELECT 2),
+# (SELECT o.x), (SELECT count(*) WHERE c)) are live since
+# rewrite._rewrite_fromless_subqueries folds them to closed-form
+# scalars; only subqueries that actually scan a relation remain.
+for _ln in (6229, 6250, 6257, 6485):
     MANUAL_SKIPS[_ln] = (
-        "correlated/scalar subquery in ORDER BY / GROUP BY key / join-ON "
-        "(Spark analyzer rejects; Presto decorrelates)"
+        "correlated subquery scanning a relation in ORDER BY / GROUP BY "
+        "key / join-ON (Spark analyzer rejects; Presto decorrelates)"
     )
-for _ln in (6057, 6185, 6238):
+# 6057/6185 fold via _rewrite_fromless_subqueries (the FROM-less scalar
+# becomes a grouping-column expression); 6238 scans a relation.
+for _ln in (6238,):
     MANUAL_SKIPS[_ln] = (
         "correlated scalar subquery must appear in GROUP BY under Spark "
         "aggregation rules"

@@ -64,6 +64,11 @@ _FUNCTION_NOTES: dict[str, str] = {
     "st_overlaps": "DE-9IM approximation (intersects minus containment)",
     "st_touches": "boundary-contact approximation",
     "st_is_simple": "structural check (no self-intersection test)",
+    "st_intersection": "exact for point-set/disjoint/equal/containment/"
+                       "rect pairs and any single-ring polygon clipped "
+                       "by a CONVEX polygon (Sutherland-Hodgman); "
+                       "non-convex overlay returns NULL (reference: "
+                       "Esri clipping engine)",
     "st_is_valid": "structural check (ring closure + arity)",
     "st_buffer": "points only (32-gon disc); other shapes return NULL",
     "st_convex_hull": "python UDF (monotone chain; rollup path)",

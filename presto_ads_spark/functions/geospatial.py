@@ -44,12 +44,15 @@ Semantics notes (documented deviations from the Esri-backed reference):
 - ST_Union / geometry_union(_agg) are COLLECTION merges (pid-remapped
   ring concatenation): correct cardinality/containment for disjoint
   inputs, no boolean clipping of overlaps.
-- ST_Difference / ST_SymDifference / ST_Intersection compute the cases
-  that are exact WITHOUT polygon clipping — point-set operands
-  (membership filters), disjoint operands, equal operands, containment
-  (polygon-in-polygon punches a hole), and axis-aligned rectangle
-  intersection — and return NULL for the general overlapping-area
+- ST_Difference / ST_SymDifference compute the cases that are exact
+  WITHOUT polygon clipping — point-set operands (membership filters),
+  disjoint operands, equal operands, containment (polygon-in-polygon
+  punches a hole) — and return NULL for the general overlapping-area
   overlay (the reference delegates that to Esri's clipping engine).
+  ST_Intersection additionally covers the general single-ring polygon
+  pair with a CONVEX second operand via Sutherland-Hodgman clipping
+  (geo_clip_convex Python UDF, same off-hot-path policy as the convex
+  hull); non-convex x non-convex overlay still returns NULL.
 - ST_AsBinary is pure-SQL little-endian ISO WKB (doubles via reflect
   doubleToLongBits); ST_GeomFromBinary decodes through a WKT-emitting
   Python UDF + the JVM parse; malformed WKB returns NULL (Presto
@@ -912,6 +915,79 @@ def register_geospatial_python(spark) -> None:
 
     spark.udf.register("geo_convex_hull", _hull, _PTS)
 
+    # Sutherland–Hodgman polygon clipping: exact ST_Intersection for a
+    # CONVEX clip polygon against any simple single-ring subject — the
+    # per-edge clip loop mutates a variable-length vertex list, which no
+    # SQL fold can express (same policy note as the convex hull above:
+    # per-pair overlay, never a hot path). Returns the closed clipped
+    # ring, [] for an empty intersection, or NULL when the shape is out
+    # of scope (holes, multi-ring, non-convex clip) so the SQL CASE can
+    # fall through to the documented NULL.
+    def _clip_convex(a_rings, b_rings):
+        if not a_rings or not b_rings:
+            return None
+        if len(a_rings) != 1 or len(b_rings) != 1:
+            return None
+        if a_rings[0]["hole"] or b_rings[0]["hole"]:
+            return None
+        subj = [(float(p["x"]), float(p["y"])) for p in a_rings[0]["pts"]]
+        clip = [(float(p["x"]), float(p["y"])) for p in b_rings[0]["pts"]]
+        if len(subj) > 1 and subj[0] == subj[-1]:
+            subj = subj[:-1]
+        if len(clip) > 1 and clip[0] == clip[-1]:
+            clip = clip[:-1]
+        if len(subj) < 3 or len(clip) < 3:
+            return None
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        n = len(clip)
+        signs = set()
+        for i in range(n):
+            c = cross(clip[i], clip[(i + 1) % n], clip[(i + 2) % n])
+            if c:
+                signs.add(c > 0)
+        if len(signs) != 1:
+            return None  # non-convex (or degenerate) clip polygon
+        if not signs.pop():
+            clip.reverse()  # normalize to CCW so "inside" is left-of-edge
+
+        def inter(s, e, a, b):
+            dcx, dcy = a[0] - b[0], a[1] - b[1]
+            dpx, dpy = s[0] - e[0], s[1] - e[1]
+            n1 = a[0] * b[1] - a[1] * b[0]
+            n2 = s[0] * e[1] - s[1] * e[0]
+            d = dcx * dpy - dcy * dpx
+            return ((n1 * dpx - n2 * dcx) / d, (n1 * dpy - n2 * dcy) / d)
+
+        out = subj
+        for i in range(n):
+            cp1, cp2 = clip[i], clip[(i + 1) % n]
+            if not out:
+                break
+            inp, out = out, []
+            s = inp[-1]
+            for e in inp:
+                e_in = cross(cp1, cp2, e) >= 0
+                s_in = cross(cp1, cp2, s) >= 0
+                if e_in:
+                    if not s_in:
+                        out.append(inter(s, e, cp1, cp2))
+                    out.append(e)
+                elif s_in:
+                    out.append(inter(s, e, cp1, cp2))
+                s = e
+        dedup = [p for i, p in enumerate(out) if p != out[i - 1] or not i]
+        if len(dedup) > 1 and dedup[0] == dedup[-1]:
+            dedup.pop()
+        if len(dedup) < 3:
+            return []
+        dedup.append(dedup[0])  # close the ring
+        return [{"x": x, "y": y} for x, y in dedup]
+
+    spark.udf.register("geo_clip_convex", _clip_convex, _PTS)
+
     # --- Douglas–Peucker ring simplification (simplify_geometry) ----------
 
     def _dp(chain, tol):
@@ -1148,6 +1224,14 @@ GEOSPATIAL_SQL_FUNCTIONS.extend([
            THEN st_make_envelope(
              greatest(st_xmin(a), st_xmin(b)), greatest(st_ymin(a), st_ymin(b)),
              least(st_xmax(a), st_xmax(b)), least(st_ymax(a), st_ymax(b)))
+         WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
+              AND geo_clip_convex(a.rings, b.rings) IS NOT NULL THEN
+           CASE WHEN size(geo_clip_convex(a.rings, b.rings)) = 0
+             THEN {_mk_geo("'POLYGON'", _EMPTY_PTS, _EMPTY_RINGS)}
+             ELSE {_mk_geo(
+                 "'POLYGON'",
+                 "geo_clip_convex(a.rings, b.rings)",
+                 _single_ring("geo_clip_convex(a.rings, b.rings)"))} END
          ELSE NULL END""",
 ])
 

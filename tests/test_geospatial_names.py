@@ -166,3 +166,22 @@ def test_st_relate_canonical_masks(engine):
     assert row.crosses_t is True
     assert row.equals_t is True
     assert row.unknown_mask is None
+
+
+def test_st_intersection_convex_clip(engine):
+    """General convex-pair overlay (round-6: Sutherland-Hodgman clip UDF;
+    previously the non-rect overlapping case returned NULL)."""
+    row = engine.sql(
+        "SELECT ST_Area(ST_Intersection("
+        "  ST_GeometryFromText('POLYGON ((0 0, 3 0, 0 3, 0 0))'),"
+        "  ST_GeometryFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))) AS tri_sq,"
+        "ST_Area(ST_Intersection("
+        "  ST_GeometryFromText('POLYGON ((2 0, 4 2, 2 4, 0 2, 2 0))'),"
+        "  ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS diamond,"
+        "ST_Intersection("
+        "  ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+        "  ST_GeometryFromText('POLYGON ((1 1, 5 1, 3 2, 5 3, 1 3, 1 1))')) AS nonconvex"
+    ).collect()[0]
+    assert abs(row.tri_sq - 3.5) < 1e-9
+    assert abs(row.diamond - 8.0) < 1e-9
+    assert row.nonconvex is None

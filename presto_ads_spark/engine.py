@@ -69,6 +69,11 @@ _FUNCTION_NOTES: dict[str, str] = {
                        "by a CONVEX polygon (Sutherland-Hodgman); "
                        "non-convex overlay returns NULL (reference: "
                        "Esri clipping engine)",
+    "st_difference": "exact for clipping-free cases + convex-convex "
+                     "pairs (half-plane decomposition, MULTIPOLYGON "
+                     "pieces); other overlay returns NULL",
+    "st_sym_difference": "exact for clipping-free cases + convex-convex "
+                         "pairs; other overlay returns NULL",
     "st_is_valid": "structural check (ring closure + arity)",
     "st_buffer": "points only (32-gon disc); other shapes return NULL",
     "st_convex_hull": "python UDF (monotone chain; rollup path)",

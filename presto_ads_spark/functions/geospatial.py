@@ -44,15 +44,16 @@ Semantics notes (documented deviations from the Esri-backed reference):
 - ST_Union / geometry_union(_agg) are COLLECTION merges (pid-remapped
   ring concatenation): correct cardinality/containment for disjoint
   inputs, no boolean clipping of overlaps.
-- ST_Difference / ST_SymDifference compute the cases that are exact
-  WITHOUT polygon clipping — point-set operands (membership filters),
-  disjoint operands, equal operands, containment (polygon-in-polygon
-  punches a hole) — and return NULL for the general overlapping-area
-  overlay (the reference delegates that to Esri's clipping engine).
-  ST_Intersection additionally covers the general single-ring polygon
-  pair with a CONVEX second operand via Sutherland-Hodgman clipping
-  (geo_clip_convex Python UDF, same off-hot-path policy as the convex
-  hull); non-convex x non-convex overlay still returns NULL.
+- ST_Difference / ST_SymDifference / ST_Intersection compute the
+  clipping-free cases exactly (point-set operands, disjoint, equal,
+  containment with hole punch, axis-rect intersection) AND the general
+  convex overlay: ST_Intersection clips any simple single-ring polygon
+  by a CONVEX polygon (Sutherland-Hodgman, geo_clip_convex Python UDF);
+  ST_Difference / ST_SymDifference decompose convex-convex pairs into
+  disjoint pieces by incremental half-plane clipping (geo_diff_convex,
+  MULTIPOLYGON result). Non-convex x non-convex overlay returns NULL
+  (the reference delegates that to Esri's clipping engine); both UDFs
+  follow the convex-hull off-hot-path policy.
 - ST_AsBinary is pure-SQL little-endian ISO WKB (doubles via reflect
   doubleToLongBits); ST_GeomFromBinary decodes through a WKT-emitting
   Python UDF + the JVM parse; malformed WKB returns NULL (Presto
@@ -988,6 +989,102 @@ def register_geospatial_python(spark) -> None:
 
     spark.udf.register("geo_clip_convex", _clip_convex, _PTS)
 
+    # Convex difference A \ B by incremental half-plane decomposition:
+    # walk B's edges (CCW); at edge i the piece is
+    # region ∩ outside(e_i), then region narrows to region ∩ inside(e_i).
+    # Pieces are disjoint and union to A \ B. Requires BOTH operands
+    # convex (a concave subject clipped by a half-plane can split into
+    # parts S-H would bridge); returns a pid-numbered ring array
+    # (MULTIPOLYGON parts), [] when A ⊆ B, NULL when out of scope.
+    def _diff_convex(a_rings, b_rings):
+        def ring_pts(rings):
+            if not rings or len(rings) != 1 or rings[0]["hole"]:
+                return None
+            pts = [(float(p["x"]), float(p["y"])) for p in rings[0]["pts"]]
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            return pts if len(pts) >= 3 else None
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        def convex_ccw(pts):
+            n = len(pts)
+            signs = set()
+            for i in range(n):
+                c = cross(pts[i], pts[(i + 1) % n], pts[(i + 2) % n])
+                if c:
+                    signs.add(c > 0)
+            if len(signs) != 1:
+                return None
+            return pts if signs.pop() else list(reversed(pts))
+
+        def inter(s, e, a, b):
+            dcx, dcy = a[0] - b[0], a[1] - b[1]
+            dpx, dpy = s[0] - e[0], s[1] - e[1]
+            n1 = a[0] * b[1] - a[1] * b[0]
+            n2 = s[0] * e[1] - s[1] * e[0]
+            d = dcx * dpy - dcy * dpx
+            return ((n1 * dpx - n2 * dcx) / d, (n1 * dpy - n2 * dcy) / d)
+
+        def halfclip(poly, c1, c2):
+            """poly ∩ {left of c1→c2} (S-H single-edge clip)."""
+            out = []
+            if not poly:
+                return out
+            s = poly[-1]
+            for e in poly:
+                e_in = cross(c1, c2, e) >= 0
+                s_in = cross(c1, c2, s) >= 0
+                if e_in:
+                    if not s_in:
+                        out.append(inter(s, e, c1, c2))
+                    out.append(e)
+                elif s_in:
+                    out.append(inter(s, e, c1, c2))
+                s = e
+            dedup = [p for i, p in enumerate(out) if p != out[i - 1] or not i]
+            if len(dedup) > 1 and dedup[0] == dedup[-1]:
+                dedup.pop()
+            return dedup
+
+        def area2(poly):
+            n = len(poly)
+            return abs(
+                sum(
+                    poly[i][0] * poly[(i + 1) % n][1]
+                    - poly[(i + 1) % n][0] * poly[i][1]
+                    for i in range(n)
+                )
+            )
+
+        a_pts, b_pts = ring_pts(a_rings), ring_pts(b_rings)
+        if a_pts is None or b_pts is None:
+            return None
+        a_pts, b_pts = convex_ccw(a_pts), convex_ccw(b_pts)
+        if a_pts is None or b_pts is None:
+            return None
+        pieces, region = [], a_pts
+        n = len(b_pts)
+        for i in range(n):
+            c1, c2 = b_pts[i], b_pts[(i + 1) % n]
+            outside = halfclip(region, c2, c1)  # reversed edge = outside
+            if len(outside) >= 3 and area2(outside) > 1e-12:
+                pieces.append(outside)
+            region = halfclip(region, c1, c2)
+            if len(region) < 3:
+                break
+        return [
+            {
+                "pid": pid,
+                "hole": False,
+                "pts": [{"x": x, "y": y} for x, y in piece + [piece[0]]],
+            }
+            for pid, piece in enumerate(pieces)
+        ]
+
+    spark.udf.register("geo_diff_convex", _diff_convex, _RINGS)
+
     # --- Douglas–Peucker ring simplification (simplify_geometry) ----------
 
     def _dp(chain, tol):
@@ -1191,6 +1288,18 @@ GEOSPATIAL_SQL_FUNCTIONS.extend([
          WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
               AND NOT exists(b.rings, bh_ -> bh_.hole)
               AND st_contains(a, b) THEN {_hole_punch("a", "b")}
+         WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
+              AND geo_diff_convex(a.rings, b.rings) IS NOT NULL THEN
+           CASE WHEN size(geo_diff_convex(a.rings, b.rings)) = 0
+             THEN named_struct('gtype', 'POLYGON',
+                  'pts', CAST(array() AS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>),
+                  'rings', CAST(array() AS ARRAY<STRUCT<pid: INT, hole: BOOLEAN, pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>))
+             WHEN size(geo_diff_convex(a.rings, b.rings)) = 1
+             THEN named_struct('gtype', 'POLYGON',
+                  'pts', element_at(geo_diff_convex(a.rings, b.rings), 1).pts, 'rings', geo_diff_convex(a.rings, b.rings))
+             ELSE named_struct('gtype', 'MULTIPOLYGON',
+                  'pts', flatten(transform(geo_diff_convex(a.rings, b.rings), dcr_ -> dcr_.pts)),
+                  'rings', geo_diff_convex(a.rings, b.rings)) END
          ELSE NULL END""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_sym_difference(a {_G}, b {_G})
        RETURNS {_G} RETURN CASE
@@ -1207,6 +1316,19 @@ GEOSPATIAL_SQL_FUNCTIONS.extend([
          WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
               AND NOT exists(a.rings, ah_ -> ah_.hole)
               AND st_contains(b, a) THEN {_hole_punch("b", "a")}
+         WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
+              AND geo_diff_convex(a.rings, b.rings) IS NOT NULL
+              AND geo_diff_convex(b.rings, a.rings) IS NOT NULL THEN
+           CASE WHEN size(concat(geo_diff_convex(a.rings, b.rings), transform(geo_diff_convex(b.rings, a.rings), scr_ -> named_struct('pid', scr_.pid + 1000, 'hole', false, 'pts', scr_.pts)))) = 0
+             THEN named_struct('gtype', 'POLYGON',
+                  'pts', CAST(array() AS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>),
+                  'rings', CAST(array() AS ARRAY<STRUCT<pid: INT, hole: BOOLEAN, pts: ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>))
+             WHEN size(concat(geo_diff_convex(a.rings, b.rings), transform(geo_diff_convex(b.rings, a.rings), scr_ -> named_struct('pid', scr_.pid + 1000, 'hole', false, 'pts', scr_.pts)))) = 1
+             THEN named_struct('gtype', 'POLYGON',
+                  'pts', element_at(concat(geo_diff_convex(a.rings, b.rings), transform(geo_diff_convex(b.rings, a.rings), scr_ -> named_struct('pid', scr_.pid + 1000, 'hole', false, 'pts', scr_.pts))), 1).pts, 'rings', concat(geo_diff_convex(a.rings, b.rings), transform(geo_diff_convex(b.rings, a.rings), scr_ -> named_struct('pid', scr_.pid + 1000, 'hole', false, 'pts', scr_.pts))))
+             ELSE named_struct('gtype', 'MULTIPOLYGON',
+                  'pts', flatten(transform(concat(geo_diff_convex(a.rings, b.rings), transform(geo_diff_convex(b.rings, a.rings), scr_ -> named_struct('pid', scr_.pid + 1000, 'hole', false, 'pts', scr_.pts))), dcr_ -> dcr_.pts)),
+                  'rings', concat(geo_diff_convex(a.rings, b.rings), transform(geo_diff_convex(b.rings, a.rings), scr_ -> named_struct('pid', scr_.pid + 1000, 'hole', false, 'pts', scr_.pts)))) END
          ELSE NULL END""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION st_intersection(a {_G}, b {_G})
        RETURNS {_G} RETURN CASE

@@ -836,11 +836,20 @@ def test_geospatial_overlay_partial(engine):
         "st_area(st_difference(st_make_envelope(0.0,0.0,10.0,10.0),"
         " st_make_envelope(2.0,2.0,4.0,4.0)))",
     ) == 96.0
-    # general overlap is honestly unsupported → NULL
+    # general convex overlap computes since round 6 (half-plane
+    # decomposition); 16 - 4 overlap = 12
     assert one(
         engine,
-        "st_difference(st_make_envelope(0.0,0.0,4.0,4.0),"
-        " st_make_envelope(2.0,2.0,6.0,6.0)) IS NULL",
+        "st_area(st_difference(st_make_envelope(0.0,0.0,4.0,4.0),"
+        " st_make_envelope(2.0,2.0,6.0,6.0)))",
+    ) == 12.0
+    # non-convex × non-convex overlay stays honestly NULL
+    assert one(
+        engine,
+        "st_difference("
+        " st_geometry_from_text('POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4, 0 0))'),"
+        " st_geometry_from_text('POLYGON ((1 -1, 5 -1, 3 0, 5 2, 1 2, 1 -1))'))"
+        " IS NULL",
     ) is True
     # symmetric difference of point sets = XOR
     assert one(

@@ -185,3 +185,27 @@ def test_st_intersection_convex_clip(engine):
     assert abs(row.tri_sq - 3.5) < 1e-9
     assert abs(row.diamond - 8.0) < 1e-9
     assert row.nonconvex is None
+
+
+def test_st_difference_convex_pairs(engine):
+    """Round-6 convex-overlay upgrade: A\\B and symmetric difference for
+    convex-convex polygon pairs via incremental half-plane decomposition
+    (previously NULL outside the containment/disjoint arms)."""
+    row = engine.sql(
+        "SELECT ST_Area(ST_Difference("
+        "  ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+        "  ST_GeometryFromText('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))'))) AS d,"
+        "ST_Area(ST_SymDifference("
+        "  ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+        "  ST_GeometryFromText('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))'))) AS sd,"
+        "ST_AsText(ST_Difference("
+        "  ST_GeometryFromText('POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))'),"
+        "  ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS sub,"
+        "ST_NumGeometries(ST_Difference("
+        "  ST_GeometryFromText('POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))'),"
+        "  ST_GeometryFromText('POLYGON ((2 -1, 4 -1, 4 7, 2 7, 2 -1))'))) AS split2"
+    ).collect()[0]
+    assert abs(row.d - 12.0) < 1e-9
+    assert abs(row.sd - 24.0) < 1e-9
+    assert row.sub == "POLYGON EMPTY"
+    assert row.split2 == 2

@@ -41,9 +41,11 @@ Semantics notes (documented deviations from the Esri-backed reference):
 - ST_IsSimple / ST_IsValid are structural checks (ring closure, arity,
   duplicate vertices), not full OGC validation; geometry_invalid_reason
   mirrors them.
-- ST_Union / geometry_union(_agg) are COLLECTION merges (pid-remapped
-  ring concatenation): correct cardinality/containment for disjoint
-  inputs, no boolean clipping of overlaps.
+- ST_Union dissolves convex polygon pairs (contained operand collapses;
+  overlapping pairs partition as a + (b \\ a) pieces, area-exact);
+  other inputs and geometry_union(_agg) remain COLLECTION merges
+  (pid-remapped ring concatenation): correct cardinality/containment
+  for disjoint inputs, no boolean clipping of overlaps.
 - ST_Difference / ST_SymDifference / ST_Intersection compute the
   clipping-free cases exactly (point-set operands, disjoint, equal,
   containment with hole punch, axis-rect intersection) AND the general
@@ -742,6 +744,20 @@ GEOSPATIAL_SQL_FUNCTIONS: list[str] = [
              "'MULTIPOINT'",
              "array_distinct(concat(a.pts, b.pts))",
              _single_ring("array_distinct(concat(a.pts, b.pts))"))}
+         WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
+              AND st_contains(a, b) THEN a
+         WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
+              AND st_contains(b, a) THEN b
+         WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON'
+              AND st_intersects(a, b)
+              AND geo_diff_convex(b.rings, a.rings) IS NOT NULL THEN
+           {_mk_geo(
+               "'MULTIPOLYGON'",
+               "concat(a.pts, flatten(transform("
+               "geo_diff_convex(b.rings, a.rings), upr_ -> upr_.pts)))",
+               "concat(a.rings, transform(geo_diff_convex(b.rings, a.rings),"
+               " upr_ -> named_struct('pid', upr_.pid + 4096,"
+               " 'hole', false, 'pts', upr_.pts)))")}
          ELSE {_mk_geo(
              "CASE WHEN st_dimension(a) = 2 THEN 'MULTIPOLYGON'"
              " ELSE 'MULTILINESTRING' END",

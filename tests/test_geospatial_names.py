@@ -209,3 +209,19 @@ def test_st_difference_convex_pairs(engine):
     assert abs(row.sd - 24.0) < 1e-9
     assert row.sub == "POLYGON EMPTY"
     assert row.split2 == 2
+
+
+def test_st_union_convex_dissolve(engine):
+    """Round-6: ST_Union dissolves convex polygon pairs — contained
+    operand collapses, overlapping pairs partition area-exactly
+    (previously a collection merge that double-counted overlap)."""
+    row = engine.sql(
+        "SELECT ST_Area(ST_Union("
+        "  ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+        "  ST_GeometryFromText('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))'))) AS ov,"
+        "ST_Area(ST_Union("
+        "  ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+        "  ST_GeometryFromText('POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))'))) AS cont"
+    ).collect()[0]
+    assert abs(row.ov - 28.0) < 1e-9
+    assert abs(row.cont - 16.0) < 1e-9

@@ -2158,15 +2158,30 @@ def _rewrite_plain_grouping(sql: str) -> str:
     column, so the call folds to the literal 0 — but only when each
     argument verifiably appears in some GROUP BY list; otherwise the call
     is left for Spark's analyzer to reject, matching Presto's analysis
-    error instead of silently returning 0."""
-    if not _GROUPING_CALL_RE.search(sql) or _GSETS_ANY_RE.search(sql):
+    error instead of silently returning 0.
+
+    Scope awareness: a grouping-set construct INSIDE a subquery doesn't
+    make the OUTER query grouping-set-shaped (AbstractTestQueries.java
+    testGroupingInSubquery family — plain outer GROUP BY over a
+    grouping-sets derived table). Both the bail check and the fold are
+    therefore restricted to top-level (non-subquery) text; grouping()
+    calls inside subqueries are left for their own scope's handling."""
+    if not _GROUPING_CALL_RE.search(sql):
         return sql
+    _pg_mask = _literal_mask(sql)
+    _pg_sub = _subquery_mask(sql, _pg_mask)
+    if any(
+        not _pg_sub[m.start()] and not _pg_mask[m.start()]
+        for m in _GSETS_ANY_RE.finditer(sql)
+    ):
+        return sql  # the outer query itself uses grouping sets
 
     def _group_exprs() -> set[str]:
         mask = _literal_mask(sql)
+        sub = _subquery_mask(sql, mask)
         out: set[str] = set()
         for gm in re.finditer(r"\bGROUP\s+BY\b", sql, re.IGNORECASE):
-            if mask[gm.start()]:
+            if mask[gm.start()] or sub[gm.start()]:
                 continue
             depth, j = 0, gm.end()
             while j < len(sql):
@@ -2196,11 +2211,12 @@ def _rewrite_plain_grouping(sql: str) -> str:
     i = 0
     while True:
         mask = _literal_mask(sql)
+        sub = _subquery_mask(sql, mask)
         m = next(
             (
                 c
                 for c in _GROUPING_CALL_RE.finditer(sql, i)
-                if not mask[c.start()]
+                if not mask[c.start()] and not sub[c.start()]
             ),
             None,
         )

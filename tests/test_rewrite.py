@@ -229,3 +229,18 @@ def test_fromless_subquery_folds():
     q = "SELECT * FROM o WHERE EXISTS (SELECT 1 FROM l WHERE l.k = o.k)"
     assert rewrite(q) == q
     assert "(SELECT max(a) WHERE b)" in rewrite("SELECT (SELECT max(a) WHERE b) FROM t")
+
+
+def test_plain_grouping_scope_aware():
+    # a grouping-sets construct inside a SUBQUERY doesn't block folding
+    # the OUTER query's grouping() under its plain GROUP BY
+    q = (
+        "SELECT k, grouping(k) FROM (SELECT k, sum(x) s FROM t "
+        "GROUP BY GROUPING SETS ((k), ())) GROUP BY k"
+    )
+    out = rewrite(q)
+    head = out.split("FROM", 1)[0]
+    assert "grouping(" not in head and " 0" in head
+    # outer query with its own grouping sets: untouched (Spark handles)
+    q2 = "SELECT k, grouping(k) FROM t GROUP BY GROUPING SETS ((k), ())"
+    assert "grouping" in rewrite(q2)

@@ -79,10 +79,10 @@ MANUAL_SKIPS: dict[int, str] = {
     4034: "try_cast(double AS BIGINT): same rounding deviation as 4028",
     1232: "ORDER BY grouping(col) expression re-evaluated after "
           "projection (Spark resolves against output scope)",
+    # 1335/1351 (plain outer GROUP BY over a grouping-sets subquery) are
+    # live since _rewrite_plain_grouping became subquery-scope-aware.
     1317: "grouping() mask over a grouping-sets SUBQUERY's passthrough "
           "columns (Spark requires exact grouping-column match)",
-    1335: "grouping() over subquery grouping output (see 1317)",
-    1351: "grouping() over subquery grouping output (see 1317)",
     4950: "TRY over overflowing ABS: generic error-swallowing TRY not "
           "expressible (passthrough deviation, README)",
     5458: "LATERAL VIEW (the UNNEST lowering) cannot appear inside a "
@@ -292,6 +292,9 @@ def triage_skip(sql: str) -> str | None:
             return f"column/table '{ident}' not in driver testdata schema"
     if NONDET_RE.search(sql):
         return "nondeterministic function / sampling"
+    if re.search(r"\bAS\s+TIME\b", sql, re.IGNORECASE):
+        return ("TIME / TIME WITH TIME ZONE type not supported by Spark "
+                "(README known gap)")
     # CAST(.. AS JSON) is live since the presto_json_canon lowering
     # (rewrite._rewrite_cast_to_json) — ROW serializes as a JSON array
     # exactly like Presto, so those cases run instead of skipping.

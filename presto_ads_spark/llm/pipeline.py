@@ -1,0 +1,204 @@
+"""Corpus-preparation pipeline operators beyond dedup/similarity: line/
+n-gram boilerplate removal, PII redaction, sequence packing, and
+domain-weighted mixture sampling — the remaining ops a training-data
+pipeline runs between raw crawl and tokenizer.
+
+All are pure DataFrame compositions (JVM-side, codegen; no Python UDFs):
+
+- boilerplate: CCNet/RefinedWeb-style document-frequency filtering — an
+  n-gram that appears in a large fraction of documents is template
+  boilerplate. One explode + one grouped count (map-side partial agg) +
+  one broadcast join back (the boilerplate set is tiny by construction:
+  it's the grams above a high doc-frequency threshold).
+- PII redaction: single projection of regexp_replace/extract chains
+  (Java regex, whole-stage codegen). At 100 TB this is the cheapest kind
+  of operator — embarrassingly parallel, no shuffle.
+- sequence packing: greedy in-order bin-packing of documents into fixed
+  token budgets via a running-sum window partitioned by source — one
+  shuffle on the partition key, then a streaming window. (Per-source
+  streams mirror how packing runs per input shard in practice; a skewed
+  source can be salted into sub-streams without changing the algebra.)
+- mixture sampling: deterministic hash-gated per-domain rates (the
+  "data mixture" step) — a filter, no shuffle, reproducible across runs
+  and engines because the gate is an md5 fold, not Spark's sample().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import md5_hash_col, shingles
+from .text import tokens
+
+# --- boilerplate n-gram removal -------------------------------------------
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_doc_frac: float = 0.20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate ratio from document-frequency n-grams.
+
+    A distinct word n-gram occurring in >= ``min_doc_frac`` of all
+    documents is boilerplate; each document reports how many of its
+    grams are boilerplate and whether it passes a 50% cut. Plan: explode
+    (no shuffle) -> gram doc-frequency groupBy (one shuffle, partial
+    aggs) -> tiny high-DF set joined back (broadcastable) -> per-doc
+    regroup. Reference analog: none in presto-ads — corpus-prep
+    extension (CCNet §4.2-style df filtering).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    gram_df = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= F.col("n_docs") * F.lit(min_doc_frac))
+        .select("gram")
+    )
+    flagged = grams.join(
+        F.broadcast(gram_df.withColumn("is_boiler", F.lit(1))),
+        "gram",
+        "left",
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias(
+                "n_boiler"
+            ),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_boiler").cast("bigint").alias("n_boiler"),
+            (F.col("n_boiler") / F.col("n_grams")).alias("boiler_ratio"),
+            (F.col("n_boiler") * 2 < F.col("n_grams")).alias("keep"),
+        )
+    )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB oracle): no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and mask emails / phone numbers / IPv4 literals.
+
+    One projection — regexp_extract_all for the counts, chained
+    regexp_replace for the masked text. No shuffle; scales linearly.
+    """
+    red = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}"),
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+# --- sequence packing ------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Greedy in-order packing of documents into fixed token budgets.
+
+    Within each ``part_col`` stream (ordered by id), a document joins the
+    sequence numbered ``floor(tokens_before / budget)`` — the standard
+    streaming approximation of first-fit packing (a document may overflow
+    its bin boundary; bins are token-budget aligned on average). Output
+    is one row per packed sequence with its fill statistics. One shuffle
+    (window partition key), streaming window, grouped agg on the same
+    key — no second exchange.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_seq = df.select(
+        F.col(part_col), F.col(id_col), n_tok.alias("n_tok")
+    ).withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget),
+    )
+    return (
+        with_seq.groupBy(part_col, "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+        .select(
+            part_col,
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("seq_tokens").cast("bigint").alias("seq_tokens"),
+        )
+    )
+
+
+# --- mixture sampling ------------------------------------------------------
+
+
+def mix_gate(id_col: Column, rate_permille: Column) -> Column:
+    """Deterministic keep-gate: md5-fold of the id modulo 1000 under the
+    per-row permille rate (engine-independent, reproducible)."""
+    return (md5_hash_col(id_col.cast("string")) % 1000) < rate_permille
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Domain-weighted subsampling ("data mixture"): each domain keeps a
+    deterministic hash-gated fraction (permille). Pure filter + one
+    grouped count — the sample itself never shuffles.
+    """
+    mapping = F.create_map(
+        *[
+            x
+            for k, v in rates_permille.items()
+            for x in (F.lit(k), F.lit(int(v)))
+        ]
+    )
+    rate = F.coalesce(
+        F.element_at(mapping, F.col(part_col)),
+        F.lit(int(default_permille)),
+    )
+    kept = df.filter(mix_gate(F.col(id_col), rate))
+    return (
+        kept.groupBy(part_col)
+        .agg(F.count("*").alias("n_kept"))
+        .select(part_col, F.col("n_kept").cast("bigint").alias("n_kept"))
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import q
-from ..llm import dedup, multimodal, similarity, text
+from ..llm import dedup, multimodal, pipeline, similarity, text
 from ..llm.dedup import MINHASH_AB, MINHASH_P
 from ..llm.hints import fits_broadcast
 from ._util import t
@@ -726,3 +726,288 @@ def text_metrics(spark, sf_dir):
     lang = REGISTRY["text_lang_id"].spark_fn(spark, sf_dir)
     fp = REGISTRY["text_fingerprint"].spark_fn(spark, sf_dir)
     return stats.join(lang, "doc_id").join(fp, "doc_id")
+
+
+# ===========================================================================
+# Corpus-prep pipeline operators (llm/pipeline.py): boilerplate n-gram
+# removal, PII redaction, sequence packing, mixture sampling.
+# ===========================================================================
+
+_DOC_SHINGLES_SQL = SHINGLES_SQL.replace("FROM corpus", "FROM documents")
+
+_BOILER_FRAC = 0.02  # df >= 2% of docs => boilerplate gram
+
+
+@q(
+    "text_boilerplate",
+    extended=True,
+    tags=("llm", "text", "pipeline"),
+    bench=True,
+    doc="Document-frequency boilerplate filter (CCNet-style): 3-gram doc "
+    "frequencies -> grams in >= 2% of docs are boilerplate -> per-doc "
+    "boilerplate ratio + keep cut. The high-DF set is bounded by "
+    "grams_per_doc / min_frac regardless of corpus size, so the "
+    "join-back side broadcasts at any scale.",
+    oracle=f"""
+WITH {_DOC_SHINGLES_SQL.strip()},
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+gdf AS (SELECT shingle, COUNT(DISTINCT id) AS df FROM sh GROUP BY shingle),
+boiler AS (
+  SELECT shingle FROM gdf, nd WHERE df >= n_docs * {_BOILER_FRAC}
+)
+SELECT s.id AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boiler,
+  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS boiler_ratio,
+  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 2
+    < COUNT(*) AS keep
+FROM sh s LEFT JOIN boiler b ON b.shingle = s.shingle
+GROUP BY s.id
+""",
+)
+def text_boilerplate(spark, sf_dir):
+    return pipeline.boilerplate_ngrams(
+        t(spark, sf_dir, "documents"), n=3, min_doc_frac=_BOILER_FRAC
+    )
+
+
+_PII_CORPUS_SQL = """
+pii AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com for details'
+      WHEN 1 THEN text || ' call 555-867-5309 from 10.0.0.'
+                  || CAST(doc_id % 200 AS VARCHAR)
+      ELSE text
+    END AS text
+  FROM documents
+)
+"""
+
+
+def _pii_corpus(spark, sf_dir):
+    """documents with deterministic synthetic PII appended to 2/3 of docs
+    (the raw corpus carries none) — mirror of _PII_CORPUS_SQL."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-867-5309 from 10.0.0."),
+                (F.col("doc_id") % 200).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", injected.alias("text"))
+
+
+_EMAIL_PAT = pipeline.PII_PATTERNS["email"]
+_PHONE_PAT = pipeline.PII_PATTERNS["phone"]
+_IP_PAT = pipeline.PII_PATTERNS["ip"]
+
+
+@q(
+    "pii_redaction",
+    extended=True,
+    tags=("llm", "text", "pipeline"),
+    doc="PII scrub: count + mask emails / phone numbers / IPv4 literals "
+    "in one regexp projection (Java-regex == RE2 on these patterns; no "
+    "shuffle, linear at any scale).",
+    oracle=f"""
+WITH {_PII_CORPUS_SQL.strip()}
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_PHONE_PAT}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{_IP_PAT}')) AS BIGINT) AS n_ip,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+      '{_PHONE_PAT}', '<PHONE>', 'g'),
+    '{_IP_PAT}', '<IP>', 'g') AS redacted
+FROM pii
+""",
+)
+def pii_redaction(spark, sf_dir):
+    return pipeline.redact_pii(_pii_corpus(spark, sf_dir))
+
+
+_PACK_BUDGET = 512
+
+
+@q(
+    "pipeline_pack_sequences",
+    extended=True,
+    tags=("llm", "pipeline"),
+    bench=True,
+    doc="Sequence packing: greedy in-order token-budget binning per "
+    "source stream (running-sum window; one shuffle on the partition "
+    "key, grouped agg reuses it — no second exchange).",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id, CAST(len(split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+seq AS (
+  SELECT source, doc_id, n_tok,
+    CAST(floor(COALESCE(SUM(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT source, seq_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+FROM seq GROUP BY source, seq_id
+""",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    return pipeline.pack_sequences(
+        t(spark, sf_dir, "documents"), budget=_PACK_BUDGET
+    )
+
+
+_MIX_RATES = {"src0": 900, "src1": 700, "src2": 500, "src3": 300}
+_MIX_DEFAULT = 100
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
+
+@q(
+    "pipeline_mix_sample",
+    extended=True,
+    tags=("llm", "pipeline"),
+    doc="Domain-weighted mixture sampling: md5-hash-gated per-source keep "
+    "rates (deterministic, engine-independent — not sample()); a filter "
+    "plus one grouped count.",
+    oracle=f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
+      < {_MIX_CASE}
+GROUP BY source
+""",
+)
+def pipeline_mix_sample(spark, sf_dir):
+    return pipeline.mixture_sample(
+        t(spark, sf_dir, "documents"),
+        rates_permille=_MIX_RATES,
+        default_permille=_MIX_DEFAULT,
+    )
+
+
+# ===========================================================================
+# pipeline_prep_ops — corpus-prep slot union (absorbs text_boilerplate,
+# pii_redaction, pipeline_pack_sequences, pipeline_mix_sample into one
+# driver-scored row; the individual entries stay oracle-verified extended).
+# ===========================================================================
+
+
+@q(
+    "pipeline_prep_ops",
+    tags=("llm", "pipeline", "suite"),
+    doc="Corpus-prep suite: DF-boilerplate filtering, PII redaction, "
+    "sequence packing, mixture sampling — long-format slot union "
+    "(probe, key, k1..k3, d1, s1).",
+    oracle=f"""
+SELECT 'boiler' AS probe, CAST(doc_id AS VARCHAR) AS key,
+       n_grams AS k1, n_boiler AS k2,
+       CAST(CASE WHEN keep THEN 1 ELSE 0 END AS BIGINT) AS k3,
+       boiler_ratio AS d1, CAST(NULL AS VARCHAR) AS s1
+FROM (
+{REGISTRY["text_boilerplate"].oracle}
+) __bo
+UNION ALL
+SELECT 'pii' AS probe, CAST(doc_id AS VARCHAR) AS key,
+       n_email AS k1, n_phone AS k2, n_ip AS k3,
+       CAST(NULL AS DOUBLE) AS d1, redacted AS s1
+FROM (
+{REGISTRY["pii_redaction"].oracle}
+) __pi
+UNION ALL
+SELECT 'pack' AS probe, source AS key,
+       seq_id AS k1, n_docs AS k2, seq_tokens AS k3,
+       CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS VARCHAR) AS s1
+FROM (
+{REGISTRY["pipeline_pack_sequences"].oracle}
+) __pa
+UNION ALL
+SELECT 'mix' AS probe, source AS key,
+       n_kept AS k1, CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
+       CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS VARCHAR) AS s1
+FROM (
+{REGISTRY["pipeline_mix_sample"].oracle}
+) __mi
+""",
+)
+def pipeline_prep_ops(spark, sf_dir):
+    def shape(df, probe, key, k1, k2, k3, d1, s1):
+        return df.select(
+            F.lit(probe).alias("probe"),
+            key.alias("key"),
+            k1.cast("long").alias("k1"),
+            k2.cast("long").alias("k2"),
+            k3.cast("long").alias("k3"),
+            d1.cast("double").alias("d1"),
+            s1.cast("string").alias("s1"),
+        )
+
+    nul = F.lit(None)
+    bo = shape(
+        REGISTRY["text_boilerplate"].spark_fn(spark, sf_dir),
+        "boiler",
+        F.col("doc_id").cast("string"),
+        F.col("n_grams"),
+        F.col("n_boiler"),
+        F.col("keep").cast("int"),
+        F.col("boiler_ratio"),
+        nul,
+    )
+    pi = shape(
+        REGISTRY["pii_redaction"].spark_fn(spark, sf_dir),
+        "pii",
+        F.col("doc_id").cast("string"),
+        F.col("n_email"),
+        F.col("n_phone"),
+        F.col("n_ip"),
+        nul,
+        F.col("redacted"),
+    )
+    pa = shape(
+        REGISTRY["pipeline_pack_sequences"].spark_fn(spark, sf_dir),
+        "pack",
+        F.col("source"),
+        F.col("seq_id"),
+        F.col("n_docs"),
+        F.col("seq_tokens"),
+        nul,
+        nul,
+    )
+    mi = shape(
+        REGISTRY["pipeline_mix_sample"].spark_fn(spark, sf_dir),
+        "mix",
+        F.col("source"),
+        F.col("n_kept"),
+        nul,
+        nul,
+        nul,
+        nul,
+    )
+    return bo.unionAll(pi).unionAll(pa).unionAll(mi)

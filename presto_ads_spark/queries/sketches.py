@@ -96,6 +96,7 @@ def qdigest_merge_rollup(spark, sf_dir):
 
 @q(
     "setdigest_jaccard",
+    extended=True,
     tags=("functions", "approx", "sketch"),
     doc="Presto SetDigest family (SetDigestFunctions.java: make_set_digest, "
     "merge, cardinality, jaccard_index, intersection_cardinality) as a "

@@ -661,32 +661,65 @@ def fn_array_unnest(spark, sf_dir):
 
 
 # ===========================================================================
-# qdigest_rollup — qdigest_agg/value_at_quantile + merge() mergeability
-# (absorbs qdigest_quantiles, qdigest_merge_rollup;
-#  reference QuantileDigestAggregationFunction.java)
+# sketch_digests — qdigest_agg/value_at_quantile + merge() mergeability +
+# SetDigest similarity, long-format slot union
+# (absorbs qdigest_quantiles, qdigest_merge_rollup, setdigest_jaccard;
+#  reference QuantileDigestAggregationFunction.java / SetDigestFunctions.java)
 # ===========================================================================
 
 
 @q(
-    "qdigest_rollup",
+    "sketch_digests",
     tags=("functions", "approx", "sketch", "suite"),
-    doc="qdigest suite: direct per-group sketches AND fine→coarse merge() "
-    "rollup, both emitting rank-error-bound checks (oracle emits TRUE).",
+    doc="Mergeable-sketch suite: qdigest direct per-group sketches, "
+    "fine→coarse merge() rollup, and SetDigest (minhash+HLL) pairwise "
+    "set similarity — every probe emits error-bound checks (oracle TRUE).",
     oracle=f"""
-SELECT 'direct' AS probe, * FROM (
+SELECT 'direct' AS probe, o_orderpriority AS key,
+       p50_ok AS c1, p90_ok AS c2, p99_ok AS c3, weight_ok AS c4
+FROM (
 {_oracle("qdigest_quantiles")}
 ) __qa
 UNION ALL
-SELECT 'merged' AS probe, * FROM (
+SELECT 'merged' AS probe, o_orderpriority AS key,
+       p50_ok AS c1, p90_ok AS c2, p99_ok AS c3, weight_ok AS c4
+FROM (
 {_oracle("qdigest_merge_rollup")}
 ) __qb
+UNION ALL
+SELECT 'setdigest' AS probe, pa || '|' || pb AS key,
+       card_ok AS c1, jaccard_ok AS c2, inter_ok AS c3, TRUE AS c4
+FROM (
+{_oracle("setdigest_jaccard")}
+) __sd
 """,
 )
-def qdigest_rollup(spark, sf_dir):
-    direct = _fn("qdigest_quantiles")(spark, sf_dir).select(
-        F.lit("direct").alias("probe"), "*"
+def sketch_digests(spark, sf_dir):
+    def shape(df, probe, key_col, checks):
+        return df.select(
+            F.lit(probe).alias("probe"),
+            key_col.alias("key"),
+            *[c.alias(f"c{i + 1}") for i, c in enumerate(checks)],
+        )
+
+    direct = _fn("qdigest_quantiles")(spark, sf_dir)
+    merged = _fn("qdigest_merge_rollup")(spark, sf_dir)
+    setd = _fn("setdigest_jaccard")(spark, sf_dir)
+    qcols = [F.col(c) for c in ("p50_ok", "p90_ok", "p99_ok", "weight_ok")]
+    return (
+        shape(direct, "direct", F.col("o_orderpriority"), qcols)
+        .unionAll(shape(merged, "merged", F.col("o_orderpriority"), qcols))
+        .unionAll(
+            shape(
+                setd,
+                "setdigest",
+                F.concat(F.col("pa"), F.lit("|"), F.col("pb")),
+                [
+                    F.col("card_ok"),
+                    F.col("jaccard_ok"),
+                    F.col("inter_ok"),
+                    F.lit(True),
+                ],
+            )
+        )
     )
-    merged = _fn("qdigest_merge_rollup")(spark, sf_dir).select(
-        F.lit("merged").alias("probe"), "*"
-    )
-    return direct.unionAll(merged)

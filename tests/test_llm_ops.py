@@ -126,3 +126,102 @@ def test_embedding_near_dups_connected_chain(spark):
         ).collect()
     }
     assert cc == {1: 1, 2: 1, 3: 1}
+
+
+# --- corpus-prep pipeline operators (llm/pipeline.py) ----------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+
+
+def test_pack_sequences_bins_are_contiguous_and_budget_aligned(spark):
+    from presto_ads_spark.llm import pipeline
+
+    # 5 docs of 3 tokens each, budget 6 → seqs of 2, 2, 1 docs per source
+    rows = [(i, "s0", "a b c") for i in range(5)]
+    out = pipeline.pack_sequences(
+        _docs(spark, rows), budget=6
+    ).collect()
+    got = {r.seq_id: (r.n_docs, r.seq_tokens) for r in out}
+    assert got == {0: (2, 6), 1: (2, 6), 2: (1, 3)}
+
+
+def test_pack_sequences_overflow_doc_lands_in_started_bin(spark):
+    from presto_ads_spark.llm import pipeline
+
+    # doc1 overflows bin 0 (greedy streaming keeps it where it started)
+    rows = [(0, "s0", "a b c d"), (1, "s0", "a b c d e"), (2, "s0", "a")]
+    out = pipeline.pack_sequences(_docs(spark, rows), budget=6).collect()
+    by_seq = {r.seq_id: r.n_docs for r in out}
+    assert by_seq == {0: 2, 1: 1}
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from presto_ads_spark.llm import pipeline
+
+    rows = [(i, f"s{i % 2}", "x") for i in range(400)]
+    kept1 = {
+        r.source: r.n_kept
+        for r in pipeline.mixture_sample(
+            _docs(spark, rows), {"s0": 1000, "s1": 0}, default_permille=0
+        ).collect()
+    }
+    # rate 1000 keeps everything, rate 0 keeps nothing (s1 absent)
+    assert kept1 == {"s0": 200}
+    kept2 = {
+        r.source: r.n_kept
+        for r in pipeline.mixture_sample(
+            _docs(spark, rows), {"s0": 500}, default_permille=500
+        ).collect()
+    }
+    kept3 = {
+        r.source: r.n_kept
+        for r in pipeline.mixture_sample(
+            _docs(spark, rows), {"s0": 500}, default_permille=500
+        ).collect()
+    }
+    assert kept2 == kept3  # hash gate is deterministic
+    assert 0 < kept2["s0"] < 200 and 0 < kept2["s1"] < 200
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from presto_ads_spark.llm import pipeline
+
+    df = _docs(
+        spark,
+        [
+            (1, "s", "mail a@b.io and c.d+x@e-f.org, call 123-456-7890"),
+            (2, "s", "host 192.168.0.1 clean 1234-456-7890"),
+            (3, "s", "nothing here"),
+        ],
+    )
+    out = {r.doc_id: r for r in pipeline.redact_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ip) == (2, 1, 0)
+    assert out[1].redacted == "mail <EMAIL> and <EMAIL>, call <PHONE>"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 0, 1)
+    assert "<IP>" in out[2].redacted and "1234-456-7890" in out[2].redacted
+    assert out[3].redacted == "nothing here"
+
+
+def test_boilerplate_ngrams_flags_common_grams(spark):
+    from presto_ads_spark.llm import pipeline
+
+    # 'the same header' occurs in 3/4 docs (df=75%); unique tails don't
+    rows = [
+        (1, "s", "the same header alpha beta gamma"),
+        (2, "s", "the same header delta epsilon zeta"),
+        (3, "s", "the same header eta theta iota"),
+        (4, "s", "totally different text entirely here now"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in pipeline.boilerplate_ngrams(
+            _docs(spark, rows), n=3, min_doc_frac=0.5
+        ).collect()
+    }
+    assert out[1].n_boiler == 1 and out[1].n_grams == 4
+    assert out[4].n_boiler == 0 and out[4].keep
+    assert abs(out[1].boiler_ratio - 0.25) < 1e-9

@@ -873,6 +873,122 @@ def _rewrite_random_bound(sql: str) -> str:
     return _replace_fn_calls(sql, "random", build)
 
 
+def _rewrite_fn_arity_compat(sql: str) -> str:
+    """Arity-dependent Presto forms:
+
+    - ``IF(cond, value)`` (ConditionalExpressions 2-arg IF) — Spark's
+      ``if`` is strictly 3-arg; append the implicit NULL.
+    - ``date_add('unit', n, ts)`` / ``date_diff('unit', a, b)``
+      (DateTimeFunctions.java string-unit forms) — lower to the
+      date_add_unit/date_diff_unit SQL UDFs (timestampadd/-diff CASE
+      folds); the 2-arg Spark-native date_add stays untouched."""
+    sql = _map_fn_args(
+        sql, "if", lambda args: args + ["NULL"] if len(args) == 2 else None
+    )
+    for fn in ("date_add", "date_diff"):
+        def build(args, _fn=fn):
+            if len(args) == 3 and re.match(r"\s*'", args[0]):
+                return f"{_fn}_unit({', '.join(args)})"
+            return None
+
+        sql = _replace_fn_calls(sql, fn, build)
+    return sql
+
+
+_GBD_RE = re.compile(r"\bGROUP\s+BY\s+DISTINCT\b", re.IGNORECASE)
+_GBD_STOP_RE = re.compile(
+    r"\b(HAVING|ORDER\s+BY|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|"
+    r"WINDOW)\b",
+    re.IGNORECASE,
+)
+
+
+def _expand_grouping_item(item: str) -> list[list[str]] | None:
+    """Grouping-set list contributed by one GROUP BY item (SQL-standard
+    composition): plain expr -> [[expr]]; GROUPING SETS lists its sets;
+    ROLLUP -> entry-list prefixes; CUBE -> entry-list subsets. None = bail
+    (malformed)."""
+    m = re.match(r"(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", item, re.IGNORECASE)
+    if m is None:
+        return [[item.strip()]]
+    close = _scan_matching_paren(item, m.end())
+    if item[close:].strip():
+        return None
+    entries = _split_top_level(item[m.end() : close - 1])
+
+    def cols(e: str) -> list[str]:
+        e = e.strip()
+        if e.startswith("(") and _scan_matching_paren(e, 1) == len(e):
+            return [c for c in _split_top_level(e[1:-1])]
+        return [e]
+
+    kind = " ".join(m.group(1).upper().split())
+    ents = [cols(e) for e in entries]
+    if kind == "GROUPING SETS":
+        return ents
+    if kind == "ROLLUP":
+        return [
+            [c for ent in ents[:i] for c in ent]
+            for i in range(len(ents), -1, -1)
+        ]
+    out = []  # CUBE: all subsets of the entry list
+    for mask in range(1 << len(ents)):
+        out.append(
+            [c for i, ent in enumerate(ents) if mask >> i & 1 for c in ent]
+        )
+    return out
+
+
+def _rewrite_group_by_distinct(sql: str) -> str:
+    """Presto ``GROUP BY DISTINCT …`` (SqlBase.g4 groupBy: setQuantifier?
+    groupingElement+): expand the standard cross-product composition of the
+    grouping elements, then DEDUPLICATE the resulting grouping sets —
+    Spark has no DISTINCT quantifier there, but the deduped expansion is
+    expressible as a plain GROUPING SETS list, which Spark lowers to one
+    Expand (no extra scans at any scale).
+
+    ``GROUP BY DISTINCT a, ROLLUP (b, c), CUBE (d)`` becomes the deduped
+    cross product {a}×{(),(b),(b,c)}×{(),(d)} as GROUPING SETS."""
+    masked = _mask_parens_and_literals(sql)
+    out = sql
+    # masking blanks everything inside parens — scope is the top-level
+    # statement; a subquery-level GROUP BY DISTINCT passes through
+    # unchanged (Spark rejects it loudly, never silently mis-groups)
+    for m in reversed(list(_GBD_RE.finditer(masked))):
+        stop = _GBD_STOP_RE.search(masked, m.end())
+        end = stop.start() if stop else len(sql)
+        items = _split_top_level(out[m.end() : end])
+        if not items:
+            continue
+        per_item = [_expand_grouping_item(it) for it in items]
+        if any(p is None for p in per_item):
+            continue
+        sets: list[list[str]] = [[]]
+        for p in per_item:
+            sets = [s + extra for s in sets for extra in p]
+        norm = lambda c: " ".join(c.split()).lower()  # noqa: E731
+        seen: set[tuple[str, ...]] = set()
+        deduped = []
+        for s in sets:
+            # a column repeated within one composed set is redundant
+            cols, ckeys = [], set()
+            for c in s:
+                if norm(c) not in ckeys:
+                    ckeys.add(norm(c))
+                    cols.append(c)
+            key = tuple(norm(c) for c in cols)
+            if key not in seen:
+                seen.add(key)
+                deduped.append(cols)
+        body = ", ".join("(" + ", ".join(s) + ")" for s in deduped)
+        out = (
+            out[: m.start()]
+            + f"GROUP BY GROUPING SETS ({body}) "
+            + out[end:]
+        )
+    return out
+
+
 def _rewrite_grouping_multi(sql: str) -> str:
     """Presto ``grouping(c1, .., cN)`` returns the N-bit mask (first
     argument = most significant bit — GroupingOperationRewriter); Spark's
@@ -2893,6 +3009,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_random_bound(sql)
     sql = _rewrite_apply_lambda(sql)
     sql = _rewrite_contains(sql)
+    sql = _rewrite_fn_arity_compat(sql)
+    sql = _rewrite_group_by_distinct(sql)
     sql = _rewrite_plain_grouping(sql)
     sql = _rewrite_grouping_multi(sql)
     sql = _rewrite_in_values(sql)

@@ -100,3 +100,29 @@ def test_tpcds_rollup_single_expand_broadcast_dims(spark):
     df = REGISTRY["tpcds_rollup_grouping"].spark_fn(spark, SF_DIR)
     assert plans.expand_count(df) == 1
     plans.assert_broadcast_join(df, expect=2)
+
+
+def test_boilerplate_joinback_broadcasts(spark):
+    """The high-DF gram set is bounded by grams_per_doc/min_frac regardless
+    of corpus size — the join-back must stay a broadcast, never an SMJ."""
+    df = REGISTRY["text_boilerplate"].spark_fn(spark, SF_DIR)
+    p = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    plans.assert_no_python_udf(df)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Window partition key == groupBy key: the grouped agg must reuse the
+    window's exchange (one shuffle total past the scan)."""
+    df = REGISTRY["pipeline_pack_sequences"].spark_fn(spark, SF_DIR)
+    assert plans.exchange_count(df) == 1
+    plans.assert_no_python_udf(df)
+
+
+def test_mixture_sample_no_join_no_window(spark):
+    """Mixture sampling is a filter + one grouped count: no joins at all."""
+    df = REGISTRY["pipeline_mix_sample"].spark_fn(spark, SF_DIR)
+    p = plans.formatted_plan(df)
+    assert "Join" not in p and "Window" not in p
+    plans.assert_no_python_udf(df)

@@ -244,3 +244,33 @@ def test_plain_grouping_scope_aware():
     # outer query with its own grouping sets: untouched (Spark handles)
     q2 = "SELECT k, grouping(k) FROM t GROUP BY GROUPING SETS ((k), ())"
     assert "grouping" in rewrite(q2)
+
+
+def test_group_by_distinct_dedups_grouping_sets():
+    # duplicate sets inside GROUPING SETS collapse
+    # (AbstractTestAggregations.java:1058)
+    out = rewrite(
+        "SELECT a, b, sum(x) FROM t GROUP BY DISTINCT "
+        "GROUPING SETS ((), (a, b), (), (a, b))"
+    )
+    assert "DISTINCT" not in out
+    assert "GROUP BY GROUPING SETS ((), (a, b))" in out
+
+
+def test_group_by_distinct_composes_rollup_cube():
+    # SQL-standard cross-product composition, deduped
+    # (AbstractTestAggregations.java:1247)
+    out = rewrite(
+        "SELECT o, p, s, l, SUM(q) FROM t "
+        "GROUP BY DISTINCT o, p, ROLLUP (s, l), CUBE (l)"
+    )
+    assert "GROUP BY GROUPING SETS ((o, p, s, l), (o, p, s), (o, p), (o, p, l))" in out
+
+
+def test_group_by_distinct_leaves_plain_and_subquery():
+    assert "GROUP BY a" in rewrite("SELECT a FROM t GROUP BY a")
+    # ORDER BY tail preserved; repeated plain keys dedup
+    out = rewrite("SELECT a FROM t GROUP BY DISTINCT a, a ORDER BY a")
+    assert out.startswith("SELECT a FROM t GROUP BY GROUPING SETS ((a))")
+    # the ORDER BY tail survives (and picks up the NULLS-default shim)
+    assert "ORDER BY a" in out

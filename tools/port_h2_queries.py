@@ -40,10 +40,12 @@ SRC = SOURCES[0][0]  # back-compat for single-file debugging
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# columns/tables the driver testdata doesn't carry (TPC-H subset schema)
+# columns/tables the driver testdata doesn't carry (TPC-H subset schema).
+# clerk/shippriority/comment/receiptdate are NOT listed: _golden_util
+# synthesizes them identically on both harness sides (see _h2_synth).
 MISSING_IDENTS = {
-    "clerk", "shippriority", "comment", "shipmode", "commitdate",
-    "receiptdate", "shipinstruct", "mfgr", "container", "address", "phone",
+    "shipmode", "commitdate", "shipinstruct", "mfgr", "container",
+    "address", "phone",
     "partsupp", "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost",
     "nullvalue", "retailprice2", "mktsegment2",
 }
@@ -132,7 +134,97 @@ MANUAL_SKIPS.update({
             "value — oracle dialect artifact)",
     "A422": "approx_percentile with a non-constant percentile argument "
             "(Spark requires a foldable percentage)",
+    "L5671": "IN-subquery as a grouping key (see 5654)",
+    "L6923": "custom_add comes from the installPlugin() test fixture — "
+             "not part of the engine's function surface",
+    "L4905": "TRY(x/CAST(tax*10 AS BIGINT)) oracle needs the CAST(double "
+             "AS BIGINT) rounding deviation (see 4028) — not "
+             "oracle-checkable",
+    "L4910": "TRY + round(totalprice): Presto half-up vs DuckDB half-even "
+             "rounding on .5 cents — not oracle-checkable (see 4028)",
+    "L4915": "TRY(to_base(..)) oracle needs CAST(double AS BIGINT) "
+             "rounding (see 4028) — not oracle-checkable",
+    "L4920": "TRY(to_base(..)) oracle needs CAST(double AS BIGINT) "
+             "rounding (see 4028) — not oracle-checkable",
 })
+# $internal$ statistics aggregates (FunctionRegistry's hidden namespace,
+# used only by ANALYZE stats collection; absent from SHOW FUNCTIONS in
+# the reference too) — not part of the user-facing surface.
+for _ln in (754, 759, 762, 765, 766, 769, 770, 773, 774, 781, 784, 787):
+    MANUAL_SKIPS[f"A{_ln}"] = (
+        '"$internal$*_data_size_for_stats" hidden-namespace statistics '
+        "aggregate (ANALYZE-only, hidden from SHOW FUNCTIONS in the "
+        "reference) — outside the public surface"
+    )
+
+# Sites whose natural oracle cannot run on DuckDB (dialect gaps: WITH
+# ORDINALITY, TRY, map_agg, named-struct CAST, reserved-word aliases,
+# scalar subqueries inside join conditions). Each gets a hand-translated
+# DuckDB-dialect oracle computing the SAME result from the SAME tables —
+# still data-independent (no dbgen literals). Verified live like every
+# other case; a mismatch fails loudly at generation time.
+_AVG_XJOIN = (
+    "(SELECT o2.orderkey AS ok2, s.a FROM (SELECT * FROM orders ORDER BY "
+    "orderkey LIMIT 10) o2 CROSS JOIN (SELECT avg(orderkey) AS a FROM "
+    "orders) s) j ON o1.orderkey BETWEEN j.a - 10 AND j.a + 10"
+)
+MANUAL_ORACLES: dict[str, dict] = {
+    "L451": {"oracle": (
+        "SELECT v.col1, orders.custkey, orders.orderkey FROM (VALUES "
+        "(1, 11), (2, 22), (3, 33)) v(col0, col1) INNER JOIN orders "
+        "ON v.col0 = orders.orderkey")},
+    "L605": {"oracle": (
+        "SELECT a.custkey, u.e, u.f FROM (SELECT custkey FROM orders "
+        "ORDER BY orderkey LIMIT 1) a CROSS JOIN (VALUES (10, 1), "
+        "(20, 2), (30, 3)) u(e, f)")},
+    "L610": {"oracle": (
+        "SELECT a.custkey, u.e, u.f FROM (SELECT custkey FROM orders "
+        "ORDER BY orderkey LIMIT 1) a CROSS JOIN (VALUES (10, 1), "
+        "(20, 2), (30, 3)) u(e, f)")},
+    "L637": {"oracle": "SELECT 2 FROM orders"},
+    "L692": {"oracle": "SELECT max(orderkey) FROM orders"},
+    "L1247": {"oracle": "SELECT 1, 0.0"},
+    "L1614": {"oracle": (
+        "SELECT o.orderkey, o.orderdate, l.shipdate FROM lineitem l "
+        "JOIN orders o ON l.orderkey = o.orderkey AND "
+        "l.shipdate < o.orderdate + INTERVAL 10 DAY")},
+    "L3060": {"oracle": (
+        "SELECT orderkey FROM orders ORDER BY totalprice DESC LIMIT 2")},
+    "L3074": {"oracle": (
+        "SELECT orderkey FROM orders ORDER BY totalprice ASC LIMIT 2")},
+    "L4257": {"oracle": (
+        "SELECT sum(CASE WHEN orderstatus = 'Z' THEN totalprice END) "
+        "FROM orders")},
+    "L4281": {"oracle": "SELECT 1 WHERE false"},
+    "L4416": {"oracle": (
+        "SELECT orderkey, custkey FROM orders ORDER BY orderkey")},
+    "L5014": {"oracle": (
+        'SELECT "key" + 5, status FROM (SELECT orderkey AS "key", '
+        "orderstatus AS status FROM orders UNION ALL SELECT orderkey, "
+        "linestatus FROM lineitem) t")},
+    "L5837": {"oracle": (
+        "SELECT o1.orderkey, COUNT(*) FROM (SELECT * FROM orders ORDER "
+        "BY orderkey LIMIT 5) o1 LEFT JOIN " + _AVG_XJOIN +
+        " GROUP BY o1.orderkey")},
+    "L5848": {"oracle": (
+        "SELECT DISTINCT COUNT(*) FROM (SELECT * FROM orders ORDER BY "
+        "orderkey LIMIT 5) o1 FULL JOIN " + _AVG_XJOIN +
+        " GROUP BY o1.orderkey")},
+    "L6915": {"oracle": "SELECT 1, 2, 3, 4"},
+    "A746": {"oracle": "SELECT COUNT(DISTINCT custkey) FROM orders",
+             "tolerance": True, "tol_cols": [0]},
+    "A747": {"oracle": "SELECT COUNT(DISTINCT custkey) FROM orders",
+             "tolerance": True, "tol_cols": [0]},
+    "A1058": {"oracle": (
+        "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM "
+        "lineitem GROUP BY GROUPING SETS ((linenumber, suppkey), ())")},
+    "A1247": {"oracle": (
+        "SELECT orderkey, partkey, suppkey, linenumber, SUM(CAST("
+        "quantity AS BIGINT)) FROM lineitem GROUP BY GROUPING SETS ("
+        "(orderkey, partkey, suppkey, linenumber), (orderkey, partkey, "
+        "suppkey), (orderkey, partkey), (orderkey, partkey, "
+        "linenumber))")},
+}
 # A956/A1031/A1090/A1225 (empty-input grouping-sets global rows) are live
 # since rewrite._rewrite_empty_grouping_global appends the NOT-EXISTS-gated
 # global arms.
@@ -372,22 +464,32 @@ def main() -> None:
         # Explicit expected values in the reference are tied to ITS dbgen
         # data; for table-referencing queries the faithful oracle is the
         # actual SQL itself run on DuckDB over the same tables (exactly
-        # the 1-arg assertQuery strategy).
-        if oracle is not None and re.search(
-            r"\b(orders|lineitem|customer|supplier|part|nation|region)\b",
-            actual,
-            re.IGNORECASE,
-        ):
-            oracle = None
+        # the 1-arg assertQuery strategy). A table-referencing EXPLICIT
+        # oracle is data-independent too — kept as the fallback when the
+        # actual can't run under DuckDB's dialect.
+        explicit = oracle
+        mo = MANUAL_ORACLES.get(f"{prefix}{line}")
         tolerance = None
         tol_cols = None
-        if oracle is None and _APPROX_DISTINCT_RE.search(actual):
-            # sketch estimate vs exact distinct count: tolerance tier;
-            # restrict the slack to the approx select items so group
-            # keys / exact aggregates still compare exactly
-            oracle = approx_count_oracle(actual)
-            tolerance = APPROX_TOL
-            tol_cols = approx_item_positions(actual)
+        if mo is not None:
+            oracle = mo["oracle"]
+            if mo.get("tolerance"):
+                tolerance = APPROX_TOL
+                tol_cols = mo.get("tol_cols")
+        else:
+            if oracle is not None and re.search(
+                r"\b(orders|lineitem|customer|supplier|part|nation|region)\b",
+                actual,
+                re.IGNORECASE,
+            ):
+                oracle = None
+            if oracle is None and _APPROX_DISTINCT_RE.search(actual):
+                # sketch estimate vs exact distinct count: tolerance tier;
+                # restrict the slack to the approx select items so group
+                # keys / exact aggregates still compare exactly
+                oracle = approx_count_oracle(actual)
+                tolerance = APPROX_TOL
+                tol_cols = approx_item_positions(actual)
         rec = {
             "name": f"{prefix}{line}",
             "sql": actual,
@@ -397,27 +499,37 @@ def main() -> None:
             "tol_cols": tol_cols,
         }
         osql = oracle if oracle is not None else actual
-        dsql = gu.duck_values_parens(gu.duck_int_division(osql))
-        try:
-            duck_rows = [tuple(r) for r in duck.execute(dsql).fetchall()]
-        except Exception as e:  # noqa: BLE001
-            if "closed pending query" in str(e):
-                # a prior error can wedge the connection — reconnect once
-                duck = gu.duckdb_h2_connection(sf_dir)
-                try:
-                    duck_rows = [
-                        tuple(r) for r in duck.execute(dsql).fetchall()
-                    ]
-                except Exception as e2:  # noqa: BLE001
-                    skipped.append(
-                        (line, f"oracle cannot run (DuckDB): {str(e2)[:120]}")
-                    )
-                    continue
-            else:
-                skipped.append(
-                    (line, f"oracle cannot run (DuckDB): {str(e)[:120]}")
-                )
-                continue
+
+        def run_duck(sql_text):
+            nonlocal duck
+            dsql = gu.duck_values_parens(gu.duck_int_division(sql_text))
+            try:
+                return [tuple(r) for r in duck.execute(dsql).fetchall()], None
+            except Exception as e:  # noqa: BLE001
+                if "closed pending query" in str(e):
+                    # a prior error can wedge the connection — reconnect
+                    duck = gu.duckdb_h2_connection(sf_dir)
+                    try:
+                        return [
+                            tuple(r) for r in duck.execute(dsql).fetchall()
+                        ], None
+                    except Exception as e2:  # noqa: BLE001
+                        return None, e2
+                return None, e
+
+        duck_rows, derr = run_duck(osql)
+        if duck_rows is None and mo is None and explicit is not None \
+                and explicit != osql:
+            # dialect-blocked actual: fall back to the reference's own
+            # explicit oracle (re-verified live like everything else)
+            duck_rows, _ = run_duck(explicit)
+            if duck_rows is not None:
+                rec["oracle"] = explicit
+        if duck_rows is None:
+            skipped.append(
+                (line, f"oracle cannot run (DuckDB): {str(derr)[:120]}")
+            )
+            continue
         try:
             got = [tuple(r) for r in eng.sql(actual).collect()]
             if count_only:

@@ -57,9 +57,12 @@ def boilerplate_ngrams(
         F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
     )
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    # shingles() is per-doc distinct, so (id, gram) pairs are unique and
+    # doc-frequency is a plain COUNT — one shuffle with map-side partial
+    # aggs, not a two-phase distinct aggregation
     gram_df = (
         grams.groupBy("gram")
-        .agg(F.countDistinct("id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") >= F.col("n_docs") * F.lit(min_doc_frac))
         .select("gram")

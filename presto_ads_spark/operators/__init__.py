@@ -1,0 +1,133 @@
+"""Temporal join operators Spark lacks as builtins: as-of join and
+banded range join.
+
+Neither exists in the reference (presto 0.216 has no ASOF; Trino added it
+much later) — these are the beyond-parity temporal ops a training-data /
+event-analytics pipeline needs (attach latest-prior state to an event;
+join events into time windows).
+
+Scale design:
+
+- ``asof_join`` is the union+ordered-window formulation: tag both inputs,
+  union by name, one shuffle on the `by` keys, one streaming window pass
+  carrying the last right-side row forward (``last(..., ignorenulls)``),
+  keep left rows. No join node at all — the naive formulation (theta
+  join on ``r.ts <= l.ts`` + max) is a BroadcastNestedLoop/cartesian
+  blow-up at scale; this is O(n log n) sort within partitions.
+- ``range_join`` equi-joins on (by, time-bucket) after exploding each
+  right-side interval into the buckets it covers, then filters the exact
+  containment predicate. Bucketing turns an inequality join Spark would
+  nested-loop into a hash join; bucket width trades explode factor
+  against per-bucket fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = (),
+    value_cols: tuple[str, ...] = (),
+    suffix: str = "_r",
+    tolerance_secs: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.on <= left.on`` within the same ``by`` group (backward as-of,
+    inclusive — pandas ``merge_asof`` semantics). Unmatched left rows keep
+    NULL right values; ``tolerance_secs`` additionally voids matches
+    older than the window.
+
+    Right columns surface as ``<col><suffix>`` plus ``<on><suffix>`` (the
+    matched timestamp).
+    """
+    by = tuple(by)
+    value_cols = tuple(value_cols)
+    r = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn("__side", F.lit(0))
+    l_tagged = left.withColumn("__side", F.lit(1))
+    both = l_tagged.unionByName(r, allowMissingColumns=True)
+
+    # right rows sort before left rows at an equal timestamp, so an exact
+    # tie matches (inclusive backward)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [f"{on}{suffix}", *[f"{c}{suffix}" for c in value_cols]]
+    filled = both.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in carried
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance_secs is not None:
+        in_tol = (
+            _to_secs(F.col(on)) - _to_secs(F.col(f"__f_{on}{suffix}"))
+        ) <= F.lit(float(tolerance_secs))
+        sel = [
+            F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in carried
+        ]
+    else:
+        sel = [F.col(f"__f_{c}").alias(c) for c in carried]
+    return out.select(*left.columns, *sel)
+
+
+def _to_secs(col: Column) -> Column:
+    # TIMESTAMP_NTZ has no direct numeric cast; route through TIMESTAMP
+    # (identical on both sides of a join, so bucketing stays consistent)
+    return col.cast("timestamp").cast("double")
+
+
+def _bucket(col: Column, width_secs: int) -> Column:
+    return F.floor(_to_secs(col) / width_secs).cast("bigint")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    by: tuple[str, ...] = (),
+    bucket_secs: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to every right interval containing its
+    timestamp (``start <= t < end``), equi-joining on (by, time bucket)
+    so Catalyst picks a hash join instead of a nested loop. Intervals
+    longer than ``bucket_secs`` are exploded into each covered bucket
+    (sequence() — one row per bucket) and deduped by the exact predicate.
+    """
+    by = tuple(by)
+    lb = left.withColumn("__b", _bucket(F.col(left_time), bucket_secs))
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(right_start), bucket_secs),
+                _bucket(F.col(right_end), bucket_secs),
+            )
+        ),
+    )
+    cond = [lb["__b"] == rb["__b"]] + [lb[k] == rb[k] for k in by]
+    joined = lb.join(rb, cond, how).filter(
+        (rb[right_start] <= lb[left_time])
+        & (lb[left_time] < rb[right_end])
+    )
+    keep = [lb[c] for c in left.columns] + [
+        rb[c] for c in right.columns if c not in by
+    ]
+    return joined.select(*keep)

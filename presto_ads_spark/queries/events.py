@@ -97,3 +97,86 @@ def events_pivot_status(spark, sf_dir):
         *[F.coalesce(F.col(c), F.lit(0)).alias(c)
           for c in ("click", "view", "purchase", "signup", "error")],
     )
+
+
+# ===========================================================================
+# Temporal join operators (presto_ads_spark/operators/): as-of join and
+# banded range join — beyond-parity ops (no Presto 0.216 analog; DuckDB's
+# native ASOF / inequality joins are the oracles).
+# ===========================================================================
+
+
+@q(
+    "events_asof_join",
+    extended=True,
+    tags=("events", "operator", "asof"),
+    bench=True,
+    doc="Backward as-of join: every click gets the latest prior view of "
+    "the same user (union + ordered window — one shuffle, no join node; "
+    "the naive theta-join formulation nested-loops at scale).",
+    oracle="""
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       v.ts AS ts_r, v.value AS value_r
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+)
+def events_asof_join(spark, sf_dir):
+    from ..operators import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, views, on="ts", by=("user_id",), value_cols=("value",)
+    )
+
+
+@q(
+    "events_range_join",
+    extended=True,
+    tags=("events", "operator", "range"),
+    doc="Banded range join: clicks landing inside [purchase, purchase+1h) "
+    "windows of the same user — interval-bucketed equi-join (hash join on "
+    "(user, bucket)), never an inequality nested loop.",
+    oracle="""
+SELECT c.event_id, c.user_id, c.ts,
+       p.event_id AS w_id, p.ts AS w_start,
+       p.ts + INTERVAL 1 HOUR AS w_end
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts <= c.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+""",
+)
+def events_range_join(spark, sf_dir):
+    from ..operators import range_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("w_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    return range_join(
+        clicks,
+        windows,
+        left_time="ts",
+        right_start="w_start",
+        right_end="w_end",
+        by=("user_id",),
+        bucket_secs=3600,
+    )

@@ -1,0 +1,137 @@
+"""Temporal join operators (presto_ads_spark/operators/): semantics and
+plan-shape checks for asof_join / range_join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from presto_ads_spark import plans
+from presto_ads_spark.operators import asof_join, range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frame(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_inclusive_and_unmatched(spark):
+    left = _frame(
+        spark,
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),
+            (2, "u1", _ts("2024-01-01 12:00:00")),
+            (3, "u2", _ts("2024-01-01 09:00:00")),  # no prior right row
+        ],
+        "id bigint, k string, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), 10.0),  # exact tie -> match
+            ("u1", _ts("2024-01-01 11:00:00"), 11.0),
+            ("u2", _ts("2024-01-01 09:30:00"), 9.0),  # after left -> no
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        r.id: (r.ts_r, r.v_r)
+        for r in asof_join(
+            left, right, on="ts", by=("k",), value_cols=("v",)
+        ).collect()
+    }
+    assert out[1] == (_ts("2024-01-01 10:00:00"), 10.0)
+    assert out[2] == (_ts("2024-01-01 11:00:00"), 11.0)
+    assert out[3] == (None, None)
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    left = _frame(
+        spark,
+        [(1, "u", _ts("2024-01-01 10:00:00"))],
+        "id bigint, k string, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [("u", _ts("2024-01-01 08:00:00"), 8.0)],
+        "k string, ts timestamp, v double",
+    )
+    ok = asof_join(
+        left, right, on="ts", by=("k",), value_cols=("v",),
+        tolerance_secs=3 * 3600,
+    ).collect()[0]
+    assert ok.v_r == 8.0
+    stale = asof_join(
+        left, right, on="ts", by=("k",), value_cols=("v",),
+        tolerance_secs=3600,
+    ).collect()[0]
+    assert stale.v_r is None and stale.ts_r is None
+
+
+def test_asof_plan_has_no_join_node(spark):
+    left = _frame(
+        spark, [(1, "u", _ts("2024-01-01 10:00:00"))],
+        "id bigint, k string, ts timestamp",
+    )
+    right = _frame(
+        spark, [("u", _ts("2024-01-01 08:00:00"), 8.0)],
+        "k string, ts timestamp, v double",
+    )
+    df = asof_join(left, right, on="ts", by=("k",), value_cols=("v",))
+    p = plans.formatted_plan(df)
+    assert "Join" not in p  # union + window, never a join explosion
+    plans.assert_no_python_udf(df)
+
+
+def test_range_join_interval_spanning_buckets(spark):
+    left = _frame(
+        spark,
+        [
+            (1, "u", _ts("2024-01-01 10:30:00")),
+            (2, "u", _ts("2024-01-01 13:30:00")),  # outside
+            (3, "u", _ts("2024-01-01 12:59:59")),  # inside, 3rd bucket
+        ],
+        "id bigint, k string, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [("w1", "u", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 13:00:00"))],
+        "wid string, k string, s timestamp, e timestamp",
+    )
+    out = range_join(
+        left, right, left_time="ts", right_start="s", right_end="e",
+        by=("k",), bucket_secs=3600,
+    )
+    ids = sorted(r.id for r in out.collect())
+    assert ids == [1, 3]
+    # end-exclusive: a row exactly at e never matches
+    edge = _frame(
+        spark, [(9, "u", _ts("2024-01-01 13:00:00"))],
+        "id bigint, k string, ts timestamp",
+    )
+    assert range_join(
+        edge, right, left_time="ts", right_start="s", right_end="e",
+        by=("k",), bucket_secs=3600,
+    ).count() == 0
+
+
+def test_range_join_uses_hash_join_not_nested_loop(spark):
+    left = _frame(
+        spark, [(1, "u", _ts("2024-01-01 10:30:00"))],
+        "id bigint, k string, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [("w1", "u", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "wid string, k string, s timestamp, e timestamp",
+    )
+    df = range_join(
+        left, right, left_time="ts", right_start="s", right_end="e",
+        by=("k",), bucket_secs=3600,
+    )
+    p = plans.formatted_plan(df)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p

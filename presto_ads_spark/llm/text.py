@@ -88,3 +88,82 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         rolled.alias("fingerprint"),
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("digest"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText quality
+    rules' repetition family): duplicate-bigram fraction, most-frequent
+    bigram fraction, most-frequent token fraction, and a keep cut.
+
+    Entirely row-local HOF arithmetic — a projection, no shuffle, no
+    Python; at 100 TB this costs one codegen'd pass over the text column.
+    The per-distinct-gram count scan is O(distinct x total) per document,
+    bounded by document length — not by corpus size.
+    """
+    # stage the arrays as real columns: inlining `bigrams` inside the
+    # per-distinct-gram lambda would re-evaluate the whole construction
+    # once per element (no CSE across HOF lambda boundaries) — staged,
+    # each array is built once per row and the scans run on materialized
+    # values
+    toks = tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col), toks.alias("__t")
+    ).select(
+        id_col,
+        "__t",
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+            ),
+        ).alias("__bg"),
+    ).select(
+        id_col,
+        "__t",
+        "__bg",
+        F.array_distinct("__bg").alias("__db"),
+        F.array_distinct("__t").alias("__dw"),
+    )
+    scored = staged.select(
+        id_col,
+        F.size("__t").alias("__n"),
+        F.size("__bg").alias("__nbi"),
+        F.size("__db").alias("__ndb"),
+        F.array_max(
+            F.transform(
+                "__db",
+                lambda g: F.size(F.filter("__bg", lambda x: x == g)),
+            )
+        ).alias("__topb"),
+        F.array_max(
+            F.transform(
+                "__dw",
+                lambda wd: F.size(F.filter("__t", lambda x: x == wd)),
+            )
+        ).alias("__topw"),
+    )
+    nbi = F.col("__nbi")
+    dup_bigram_frac = F.when(
+        nbi > 0,
+        F.lit(1.0) - F.col("__ndb").cast("double") / nbi.cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_bigram_frac = F.when(
+        nbi > 0, F.col("__topb").cast("double") / nbi.cast("double")
+    ).otherwise(F.lit(0.0))
+    top_token_frac = F.when(
+        F.col("__n") > 0,
+        F.col("__topw").cast("double") / F.col("__n").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        F.col(id_col),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        top_token_frac.alias("top_token_frac"),
+        (
+            (dup_bigram_frac < 0.5)
+            & (top_bigram_frac < 0.2)
+            & (top_token_frac < 0.3)
+        ).alias("keep"),
+    )

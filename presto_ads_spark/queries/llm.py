@@ -617,6 +617,51 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
+@q(
+    "text_repetition",
+    extended=True,
+    tags=("llm", "text"),
+    doc="Within-document repetition signals (Gopher/MassiveText rules): "
+    "duplicate-bigram / top-bigram / top-token fractions + keep cut. "
+    "Pure row-local HOF projection — no shuffle at any scale.",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, split(text, ' ') AS t,
+    list_transform(range(1, len(split(text, ' '))),
+      i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1])) AS bg
+  FROM documents
+),
+s AS (SELECT doc_id, t, bg, list_distinct(bg) AS db,
+             list_distinct(t) AS dw FROM b),
+f AS (
+  SELECT doc_id,
+    CASE WHEN len(bg) > 0
+      THEN 1.0 - CAST(len(db) AS DOUBLE) / len(bg) ELSE 0.0
+    END AS dup_bigram_frac,
+    CASE WHEN len(bg) > 0
+      THEN CAST(list_aggregate(list_transform(db,
+             g -> len(list_filter(bg, x -> x = g))), 'max') AS DOUBLE)
+           / len(bg)
+      ELSE 0.0
+    END AS top_bigram_frac,
+    CASE WHEN len(t) > 0
+      THEN CAST(list_aggregate(list_transform(dw,
+             w -> len(list_filter(t, x -> x = w))), 'max') AS DOUBLE)
+           / len(t)
+      ELSE 0.0
+    END AS top_token_frac
+  FROM s
+)
+SELECT doc_id, dup_bigram_frac, top_bigram_frac, top_token_frac,
+  dup_bigram_frac < 0.5 AND top_bigram_frac < 0.2
+    AND top_token_frac < 0.3 AS keep
+FROM f
+""",
+)
+def text_repetition(spark, sf_dir):
+    return text.repetition_stats(t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Consolidated LLM suite entries (primary registry; the absorbed probes
 # above are extended=True — still verified locally).
@@ -702,14 +747,17 @@ def sim_topk(spark, sf_dir):
     "text_metrics",
     tags=("llm", "text", "suite"),
     doc="Text-analysis suite join-merged on doc_id: quality stats, "
-    "marker-based language-ID, rolling-hash fingerprint (absorbs "
-    "text_quality_stats, text_lang_id, text_fingerprint). Pure projection "
-    "per probe — zero shuffle beyond the joins (co-grained on doc_id).",
+    "marker-based language-ID, rolling-hash fingerprint, repetition "
+    "signals (absorbs text_quality_stats, text_lang_id, "
+    "text_fingerprint, text_repetition). Pure projection per probe — "
+    "zero shuffle beyond the joins (co-grained on doc_id).",
     oracle=f"""
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_types, s.type_token_ratio,
        s.avg_token_len, s.stopword_ratio, s.len_ok,
        l.lang_true, l.lang_pred, l.best_score,
-       f.fingerprint, f.digest
+       f.fingerprint, f.digest,
+       r.dup_bigram_frac, r.top_bigram_frac, r.top_token_frac,
+       r.keep AS rep_keep
 FROM (
 {REGISTRY["text_quality_stats"].oracle}
 ) s
@@ -719,13 +767,19 @@ JOIN (
 JOIN (
 {REGISTRY["text_fingerprint"].oracle}
 ) f ON f.doc_id = s.doc_id
+JOIN (
+{REGISTRY["text_repetition"].oracle}
+) r ON r.doc_id = s.doc_id
 """,
 )
 def text_metrics(spark, sf_dir):
     stats = REGISTRY["text_quality_stats"].spark_fn(spark, sf_dir)
     lang = REGISTRY["text_lang_id"].spark_fn(spark, sf_dir)
     fp = REGISTRY["text_fingerprint"].spark_fn(spark, sf_dir)
-    return stats.join(lang, "doc_id").join(fp, "doc_id")
+    rep = REGISTRY["text_repetition"].spark_fn(spark, sf_dir).withColumnRenamed(
+        "keep", "rep_keep"
+    )
+    return stats.join(lang, "doc_id").join(fp, "doc_id").join(rep, "doc_id")
 
 
 # ===========================================================================

@@ -81,11 +81,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct-shingle table."""
-    toks = F.split(F.col(text_col), " ")
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(toks, n)).alias("shingle"),
+    """(id, shingle) exploded distinct-shingle table.
+
+    The token array is STAGED as a projection before shingles(): passing
+    the raw split() expression into the per-gram slice re-evaluates the
+    split once per gram (no CSE across HOF lambda boundaries) — an
+    O(len²) blowup per document."""
+    toked = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__t")
+    )
+    return toked.select(
+        "id", F.explode(shingles(F.col("__t"), n)).alias("shingle")
     )
 
 
@@ -109,9 +115,13 @@ def minhash_signatures_rowwise(df: DataFrame, text_col: str = "text",
     all as per-row HOF folds. At 100 TB this is the form you want —
     signature computation is embarrassingly parallel with the scan; only
     the (id, K longs) signature rows ever move."""
-    toks = F.split(F.col(text_col), " ")
+    # stage the token array first — slicing the raw split() expression
+    # inside shingles() re-evaluates the split once per gram (O(len²))
+    toked = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__t")
+    )
     hashes = F.transform(
-        shingles(toks, n), lambda s: md5_hash_col(s) % MINHASH_P
+        shingles(F.col("__t"), n), lambda s: md5_hash_col(s) % MINHASH_P
     )
     cols = [
         F.array_min(
@@ -123,7 +133,7 @@ def minhash_signatures_rowwise(df: DataFrame, text_col: str = "text",
     ]
     # persist the hash arrays: CollapseProject would otherwise inline the
     # md5 pipeline into each of the K array-min expressions.
-    hashed = df.select(F.col(id_col).alias("id"), hashes.alias("hs")).persist()
+    hashed = toked.select("id", hashes.alias("hs")).persist()
     return hashed.select("id", *cols)
 
 

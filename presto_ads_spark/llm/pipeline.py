@@ -52,36 +52,51 @@ def boilerplate_ngrams(
     regroup. Reference analog: none in presto-ads — corpus-prep
     extension (CCNet §4.2-style df filtering).
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
+    # Per-doc gram arrays hashed to 64-bit (xxhash64): the df-count
+    # shuffle carries 16-byte (hash, count) pairs instead of gram strings,
+    # and the membership test is a long-array intersect. A 64-bit
+    # collision merges two grams' doc frequencies — vanishing at any
+    # realistic distinct-gram count and harmless near the threshold.
+    # token array staged first: slicing the raw split() inside shingles()
+    # re-evaluates the split per gram (O(len²) per document)
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__t"),
+    ).select(
+        "doc_id",
+        F.transform(
+            shingles(F.col("__t"), n), lambda g: F.xxhash64(g)
+        ).alias("grams"),
     )
+    # persist the hashed gram arrays — the df-count branch and the
+    # join-back branch would otherwise each re-run scan+split+shingle
+    # (at 100 TB this is the natural stage boundary to a temp table)
+    docs = docs.persist()
+    exploded = docs.select("doc_id", F.explode("grams").alias("g"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    # shingles() is per-doc distinct, so (id, gram) pairs are unique and
+    # shingles() is per-doc distinct, so (doc, gram) pairs are unique and
     # doc-frequency is a plain COUNT — one shuffle with map-side partial
-    # aggs, not a two-phase distinct aggregation
+    # aggs. The high-DF survivor set is bounded by grams_per_doc /
+    # min_doc_frac regardless of corpus size, so the join-back is a
+    # broadcast hash join on 8-byte keys.
     gram_df = (
-        grams.groupBy("gram")
+        exploded.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") >= F.col("n_docs") * F.lit(min_doc_frac))
-        .select("gram")
+        .select("g", F.lit(1).alias("is_boiler"))
     )
-    flagged = grams.join(
-        F.broadcast(gram_df.withColumn("is_boiler", F.lit(1))),
-        "gram",
-        "left",
-    )
+    flagged = exploded.join(F.broadcast(gram_df), "g", "left")
     return (
-        flagged.groupBy("id")
+        flagged.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias(
                 "n_boiler"
             ),
         )
         .select(
-            F.col("id").alias("doc_id"),
+            "doc_id",
             F.col("n_grams").cast("bigint").alias("n_grams"),
             F.col("n_boiler").cast("bigint").alias("n_boiler"),
             (F.col("n_boiler") / F.col("n_grams")).alias("boiler_ratio"),

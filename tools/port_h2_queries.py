@@ -224,10 +224,74 @@ MANUAL_ORACLES: dict[str, dict] = {
         "(orderkey, partkey, suppkey, linenumber), (orderkey, partkey, "
         "suppkey), (orderkey, partkey), (orderkey, partkey, "
         "linenumber))")},
+    # the CASE collapses every c to 1, so each of the 25 union arms
+    # contributes |lineitem| rows with a = 1
+    "G7908": {"oracle": "SELECT 25 * count(*) FROM lineitem"},
 }
 # A956/A1031/A1090/A1225 (empty-input grouping-sets global rows) are live
 # since rewrite._rewrite_empty_grouping_global appends the NOT-EXISTS-gated
 # global arms.
+
+
+def generated_sites() -> list[tuple[str, int, str, str | None]]:
+    """Hand-instantiated ports of assertQuery sites whose SQL the source
+    builds with Java expressions (prefix G, keyed by the source line):
+    testLargeIn's 5000-value IN lists, the short/long-decimal join family
+    (Decimals.MAX_SHORT_PRECISION = 18), and the 25x-union correlated
+    count. Same live verification as extracted sites."""
+    long_values = ", ".join(str(i) for i in range(5000))
+    array_values = ", ".join(
+        f"ARRAY[{i}, {i + 1}, {i + 2}]" for i in range(5000)
+    )
+    dec_pair = (
+        "   (VALUES (CAST(1 AS DECIMAL(18,0)), 2)) x (a, b) {join} "
+        "   (VALUES (CAST(0 AS DECIMAL(18,0)), SMALLINT '3')) y (a, b) "
+    )
+    return [
+        ("G", 4308,
+         f"SELECT orderkey FROM orders WHERE orderkey IN ({long_values})",
+         None),
+        ("G", 4309,
+         f"SELECT orderkey FROM orders WHERE orderkey NOT IN ({long_values})",
+         None),
+        ("G", 4311,
+         "SELECT orderkey FROM orders WHERE orderkey IN "
+         f"(mod(1000, orderkey), {long_values})",
+         None),
+        ("G", 4312,
+         "SELECT orderkey FROM orders WHERE orderkey NOT IN "
+         f"(mod(1000, orderkey), {long_values})",
+         None),
+        ("G", 4317,
+         f"SELECT ARRAY[0, 0, 0] in (ARRAY[0, 0, 0], {array_values})",
+         "values true"),
+        ("G", 4318,
+         f"SELECT ARRAY[0, 0, 0] in ({array_values})",
+         "values false"),
+        ("G", 1768,
+         "SELECT * FROM " + dec_pair.format(join=",")
+         + " WHERE x.a = y.a + 1",
+         "VALUES (1, 2, 0, 3)"),
+        ("G", 1774,
+         "SELECT * FROM " + dec_pair.format(join="INNER JOIN")
+         + " ON x.a = y.a + 1",
+         "VALUES (1, 2, 0, 3)"),
+        ("G", 1781,
+         "SELECT * FROM " + dec_pair.format(join="LEFT JOIN")
+         + " ON x.a = y.a + 1",
+         "VALUES (1, 2, 0, 3)"),
+        ("G", 1787,
+         "SELECT * FROM (VALUES CAST(1 AS decimal(18,0))) t1 (a), "
+         "(VALUES CAST(1 AS decimal(19,0))) t2 (b) WHERE a = b",
+         "VALUES (1, 1)"),
+        ("G", 7908,
+         "SELECT count(*) FROM (SELECT * FROM ("
+         "SELECT (SELECT count(*) WHERE c = 1) "
+         "FROM (SELECT CASE orderkey WHEN 1 THEN orderkey ELSE 1 END FROM ("
+         + " UNION ALL ".join(["SELECT * FROM lineitem"] * 25)
+         + ")) o(c)) result(a) WHERE a = 1)",
+         "SELECT 25 * count(*) FROM lineitem"),
+    ]
 
 
 def extract_calls(text: str):
@@ -429,25 +493,33 @@ def main() -> None:
         for path, prefix in SOURCES
         for line, name, inner in extract_calls(open(path).read())
     ]
+    sites += [
+        (p, ln, "generated", (a, o)) for p, ln, a, o in generated_sites()
+    ]
     for prefix, line, name, inner in sites:
         if args.line and (line != args.line or prefix != "L"):
             continue
-        jargs = split_java_args(inner)
-        if not jargs:
-            continue
-        actual = parse_string_expr(jargs[0])
-        if actual is None:
-            skipped.append((line, "non-literal SQL (java expression)"))
-            continue
-        oracle = None
-        if len(jargs) >= 2:
-            oracle = parse_string_expr(jargs[1])
-            if oracle is None:
-                skipped.append((line, "non-literal oracle (java expression)"))
+        if name == "generated":
+            actual, oracle = inner
+        else:
+            jargs = split_java_args(inner)
+            if not jargs:
                 continue
-        if len(jargs) > 2:
-            skipped.append((line, "3+ args (session/typed overload)"))
-            continue
+            actual = parse_string_expr(jargs[0])
+            if actual is None:
+                skipped.append((line, "non-literal SQL (java expression)"))
+                continue
+            oracle = None
+            if len(jargs) >= 2:
+                oracle = parse_string_expr(jargs[1])
+                if oracle is None:
+                    skipped.append(
+                        (line, "non-literal oracle (java expression)")
+                    )
+                    continue
+            if len(jargs) > 2:
+                skipped.append((line, "3+ args (session/typed overload)"))
+                continue
         if f"{prefix}{line}" in MANUAL_SKIPS:
             skipped.append((line, MANUAL_SKIPS[f"{prefix}{line}"]))
             continue

@@ -254,14 +254,10 @@ def generated_sites() -> list[tuple[str, int, str, str | None]]:
         ("G", 4309,
          f"SELECT orderkey FROM orders WHERE orderkey NOT IN ({long_values})",
          None),
-        ("G", 4311,
-         "SELECT orderkey FROM orders WHERE orderkey IN "
-         f"(mod(1000, orderkey), {long_values})",
-         None),
-        ("G", 4312,
-         "SELECT orderkey FROM orders WHERE orderkey NOT IN "
-         f"(mod(1000, orderkey), {long_values})",
-         None),
+        # L4311/L4312 (mod(1000, orderkey) inside the IN list) are NOT
+        # ported: the driver testdata's orderkey starts at 0, so the mod
+        # raises division-by-zero on both engines — faithful behavior,
+        # but the case is only runnable on dbgen data (orderkey >= 1).
         ("G", 4317,
          f"SELECT ARRAY[0, 0, 0] in (ARRAY[0, 0, 0], {array_values})",
          "values true"),

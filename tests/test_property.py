@@ -113,3 +113,123 @@ def test_mysql_patterns_match_python_rendering(spark):
             f"pattern {pattern!r} at {ts}: spark={row[f'c{i}']!r} "
             f"expected={expected!r}"
         )
+
+
+# --- temporal operators vs naive reference implementations -----------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=12, unique=True,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0, max_size=12, unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_join_matches_naive(spark, lefts, rights):
+    """Union+window as-of == per-row argmax of eligible right rows."""
+    import datetime as dt
+
+    from presto_ads_spark.operators import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(i, f"k{k}", ts(s)) for i, (k, s) in enumerate(lefts)],
+        "id bigint, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(f"k{k}", ts(s), float(v)) for k, s, v in rights],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r.id: (r.ts_r, r.v_r)
+        for r in asof_join(
+            left, right, on="ts", by=("k",), value_cols=("v",)
+        ).collect()
+    }
+    for i, (k, s) in enumerate(lefts):
+        elig = [(rs, rv) for rk, rs, rv in rights if rk == k and rs <= s]
+        want = max(elig) if elig else None
+        if want is None:
+            assert got[i] == (None, None)
+        else:
+            assert got[i] == (ts(want[0]), float(want[1]))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lefts=st.lists(st.integers(0, 7200), min_size=1, max_size=10, unique=True),
+    spans=st.lists(
+        st.tuples(st.integers(0, 7200), st.integers(1, 5400)),
+        min_size=0, max_size=6,
+        unique_by=lambda r: r[0],
+    ),
+    bucket=st.sampled_from([60, 600, 3600]),
+)
+def test_range_join_matches_naive_containment(spark, lefts, spans, bucket):
+    """Bucketed range join == exact containment filter for any bucket size."""
+    import datetime as dt
+
+    from presto_ads_spark.operators import range_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(i, "k", ts(s)) for i, s in enumerate(lefts)],
+        "id bigint, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(j, "k", ts(s), ts(s + d)) for j, (s, d) in enumerate(spans)],
+        "wid bigint, k string, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.id, r.wid)
+        for r in range_join(
+            left, right, left_time="ts", right_start="s", right_end="e",
+            by=("k",), bucket_secs=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, ls in enumerate(lefts)
+        for j, (s, d) in enumerate(spans)
+        if s <= ls < s + d
+    )
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    docs=st.lists(st.integers(1, 40), min_size=1, max_size=20),
+    budget=st.sampled_from([8, 64, 512]),
+)
+def test_pack_sequences_conservation_and_order(spark, docs, budget):
+    """Packing preserves totals, bins are dense from 0, and no bin except
+    possibly the last is left under-filled by more than one document."""
+    from presto_ads_spark.llm.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "s", "w " * n) for i, n in enumerate(docs)],
+        "doc_id bigint, source string, text string",
+    )
+    rows = sorted(
+        pack_sequences(df, budget=budget).collect(),
+        key=lambda r: r.seq_id,
+    )
+    # token totals conserved ('w ' * n splits into n + 1 tokens)
+    assert sum(r.seq_tokens for r in rows) == sum(n + 1 for n in docs)
+    assert sum(r.n_docs for r in rows) == len(docs)
+    # seq ids are the floor of the running pre-sum: monotone, start at 0
+    assert rows[0].seq_id == 0
+    ids = [r.seq_id for r in rows]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)

@@ -354,7 +354,31 @@ def parse_string_expr(arg: str) -> str | None:
     """A Java expression made ONLY of string literals joined by '+' →
     the concatenated Python string; anything else → None."""
     pos, out = 0, []
-    arg = arg.strip()
+    # java line comments between concatenated literals (e.g. "// H2
+    # doesn't support FULL OUTER") are not part of the expression —
+    # strip them OUTSIDE string literals only (URLs live inside them)
+    chars, in_str, esc, i = [], False, False, 0
+    while i < len(arg):
+        c = arg[i]
+        if in_str:
+            chars.append(c)
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            chars.append(c)
+            in_str = True
+        elif c == "/" and arg[i : i + 2] == "//":
+            while i < len(arg) and arg[i] != "\n":
+                i += 1
+            continue
+        else:
+            chars.append(c)
+        i += 1
+    arg = "".join(chars).strip()
     while pos < len(arg):
         m = _STR_LIT_RE.match(arg, pos)
         if not m:
@@ -501,6 +525,11 @@ def main() -> None:
             jargs = split_java_args(inner)
             if not jargs:
                 continue
+            # assertQuery(Session, sql[, oracle]) where the session only
+            # toggles optimizer properties — result semantics identical,
+            # so drop the session argument and port the query
+            if jargs[0].strip() in ("noJoinReordering()", "getSession()"):
+                jargs = jargs[1:]
             actual = parse_string_expr(jargs[0])
             if actual is None:
                 skipped.append((line, "non-literal SQL (java expression)"))

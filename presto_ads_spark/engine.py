@@ -15,6 +15,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog as _catalog
+from . import rewrite as rewrite_mod
 from .rewrite import _literal_mask, rewrite, rewrite_integral_column_division
 from .session import apply_runtime_conf, get_spark
 
@@ -209,10 +210,18 @@ class Engine:
                     )
             except Exception:  # noqa: BLE001 — unreadable view: skip
                 continue
+        self._nonint_cols = frozenset(
+            n for n, v in votes.items() if False in v
+        )
         return frozenset(n for n, v in votes.items() if v == {True})
 
     def _rewrite(self, text: str) -> str:
-        return rewrite(rewrite_integral_column_division(text, self._int_cols))
+        # statement-local integral columns of inline VALUES relations
+        # (a catalog name that is ever non-integral keeps its veto)
+        int_cols = self._int_cols | (
+            rewrite_mod.infer_values_int_cols(text) - self._nonint_cols
+        )
+        return rewrite(rewrite_integral_column_division(text, int_cols))
 
     # -- statement entry point -------------------------------------------
     def sql(self, text: str) -> DataFrame:

@@ -1748,6 +1748,70 @@ _COL_DIV_RE = re.compile(
 )
 
 
+_INT_CELL_RE = re.compile(r"^\s*[+-]?\d+\s*$")
+_TYPED_INT_CELL_RE = re.compile(
+    r"^\s*(TINYINT|SMALLINT|INTEGER|INT|BIGINT)\s+'[+-]?\d+'\s*$",
+    re.IGNORECASE,
+)
+_NULL_CELL_RE = re.compile(r"^\s*NULL\s*$", re.IGNORECASE)
+_VALUES_KW_RE = re.compile(r"\bVALUES\b", re.IGNORECASE)
+
+
+def infer_values_int_cols(sql: str) -> frozenset:
+    """Column names of inline ``(VALUES …) alias(c1, …)`` relations whose
+    every cell at that position is an integer literal (or NULL) — feeds
+    the Presto integer-division rewrite for queries over inline tables,
+    where the catalog can't supply types. Conservative: any
+    non-provably-integral cell, arity mismatch, or conflicting vote
+    across VALUES relations in the statement drops the name."""
+    mask = _literal_mask(sql)
+    votes: dict[str, set[bool]] = {}
+    for m in _VALUES_KW_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        j = m.start() - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j < 0 or sql[j] != "(":
+            continue
+        close = _scan_matching_paren(sql, j + 1)
+        body = sql[m.end() : close - 1]
+        am = re.match(
+            r"\s*(?:AS\s+)?\w+\s*\(([^()]*)\)", sql[close:], re.IGNORECASE
+        )
+        if am is None:
+            continue
+        names = [c.strip().lower() for c in am.group(1).split(",")]
+        col_int: list[bool | None] = [None] * len(names)
+        ok = True
+        for item in _split_top_level(body):
+            item = re.sub(r"^\s*ROW\s*\(", "(", item, flags=re.IGNORECASE)
+            if item.startswith("(") and _scan_matching_paren(item, 1) == len(
+                item
+            ):
+                cells = _split_top_level(item[1:-1])
+            else:
+                cells = [item]
+            if len(cells) != len(names):
+                ok = False
+                break
+            for i, cell in enumerate(cells):
+                if _NULL_CELL_RE.match(cell):
+                    continue
+                is_int = bool(
+                    _INT_CELL_RE.match(cell)
+                    or _TYPED_INT_CELL_RE.match(cell)
+                )
+                col_int[i] = (
+                    is_int if col_int[i] is None else (col_int[i] and is_int)
+                )
+        if not ok:
+            continue
+        for name, flag in zip(names, col_int):
+            votes.setdefault(name, set()).add(bool(flag))
+    return frozenset(n for n, v in votes.items() if v == {True})
+
+
 def rewrite_integral_column_division(sql: str, int_cols: frozenset) -> str:
     """Presto integer division for COLUMN operands (BigintOperators.java
     divide: bigint/bigint truncates; Spark's ``/`` always returns double).

@@ -475,6 +475,7 @@ def duck_int_division(sql: str) -> str:
 
     from presto_ads_spark.rewrite import (
         _rewrite_int_literal_division,
+        infer_values_int_cols,
         rewrite_integral_column_division,
     )
 
@@ -485,8 +486,11 @@ def duck_int_division(sql: str) -> str:
         if _unprefixed(c).endswith("key") or _unprefixed(c) in
         ("linenumber", "size", "regionkey", "nationkey")
     )
+    # inline VALUES relations carry their own provably-integral columns
+    # (mirrors Engine._rewrite so both sides divide identically)
     out = rewrite_integral_column_division(
-        _rewrite_int_literal_division(sql), int_cols
+        _rewrite_int_literal_division(sql),
+        int_cols | infer_values_int_cols(sql),
     )
     return _re.sub(r"\bDIV\b", "//", out)
 

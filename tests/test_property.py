@@ -6,7 +6,9 @@ property-testing the error-prone translation layers (SURVEY.md §7 watch-list
 from __future__ import annotations
 
 import datetime
+import os
 import random
+import sys
 
 from hypothesis import given, settings, strategies as st
 
@@ -233,3 +235,74 @@ def test_pack_sequences_conservation_and_order(spark, docs, budget):
     assert rows[0].seq_id == 0
     ids = [r.seq_id for r in rows]
     assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_infer_values_int_cols():
+    from presto_ads_spark.rewrite import infer_values_int_cols as f
+
+    assert f(
+        "SELECT a/b FROM (VALUES (1, 2, 'x'), (3, NULL, 'y')) t(a, b, s)"
+    ) == {"a", "b"}
+    # typed integer literals count; DECIMAL does not
+    assert f(
+        "SELECT * FROM (VALUES (CAST(1 AS DECIMAL(18,0)), SMALLINT '3'))"
+        " x (a, b)"
+    ) == {"b"}
+    # ROW constructor rows; arity mismatch drops the relation
+    assert f("SELECT * FROM (VALUES ROW(1, 2), ROW(3, 4)) t(a, b)") == {
+        "a",
+        "b",
+    }
+    assert f("SELECT * FROM (VALUES (1, 2), (3,)) t(a, b)") == frozenset()
+    # conflicting votes across two relations drop the name
+    assert f(
+        "SELECT * FROM (VALUES (1)) t(a), (VALUES (1.5)) u(a)"
+    ) == frozenset()
+
+
+def test_values_int_division_is_presto_truncating(spark):
+    from presto_ads_spark.engine import Engine
+
+    eng = Engine(spark.newSession(), sf_dir=None)
+    rows = eng.sql(
+        "SELECT a / b AS q, a % b AS r FROM (VALUES (7, 2), (-7, 2)) t(a, b)"
+    ).collect()
+    assert [(r.q, r.r) for r in rows] == [(3, 1), (-3, -1)]
+
+
+def test_expression_fuzz_differential(spark):
+    """Deterministic slice of the tools/fuzz_expressions.py grammar:
+    every generated query must agree with DuckDB exactly."""
+    import random
+
+    import duckdb
+
+    import _golden_util as gu
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from fuzz_expressions import INT_COLS, gen_query
+    from presto_ads_spark.engine import Engine
+    from presto_ads_spark.rewrite import (
+        _rewrite_int_literal_division,
+        infer_values_int_cols,
+        rewrite_integral_column_division,
+    )
+
+    eng = Engine(spark.newSession(), sf_dir=None)
+    duck = duckdb.connect()
+    rng = random.Random(20260814)
+    checked = 0
+    for _ in range(120):
+        q = gen_query(rng)
+        dq = rewrite_integral_column_division(
+            _rewrite_int_literal_division(q),
+            frozenset(INT_COLS) | infer_values_int_cols(q),
+        ).replace(" DIV ", " // ")
+        try:
+            want = [tuple(r) for r in duck.execute(dq).fetchall()]
+        except Exception:
+            continue
+        got = [tuple(r) for r in eng.sql(q).collect()]
+        assert gu.compare_pyrows(got, want) is None, q
+        checked += 1
+    assert checked > 80

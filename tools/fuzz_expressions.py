@@ -1,0 +1,177 @@
+"""Differential expression fuzzer: random scalar-expression queries run
+through Engine.sql AND DuckDB over the same VALUES relation; mismatches
+are real rewrite/compat bugs (modulo the documented deviations, which
+the generator avoids producing).
+
+Mirrors the reference's H2-differential idea (SURVEY §5) but with a
+generative grammar instead of a fixed corpus. Seeded — every failure
+reprints with its seed for a deterministic repro.
+
+Usage: python tools/fuzz_expressions.py [n_queries] [seed]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# the relation both engines see
+ROWS = "(VALUES (1, 2, 'ab'), (3, NULL, 'Cd e'), (-5, 7, ''), " \
+       "(10, -4, 'fgh'), (NULL, 0, 'xy z')) t(a, b, s)"
+
+INT_COLS = ("a", "b")
+STR_COLS = ("s",)
+
+
+def int_expr(r: random.Random, depth: int = 0) -> str:
+    if depth > 2 or r.random() < 0.35:
+        return r.choice(
+            [r.choice(INT_COLS), str(r.randint(-9, 20)), "NULL"]
+        )
+    op = r.choice(["+", "-", "*", "arith", "fn", "case", "cond"])
+    x, y = int_expr(r, depth + 1), int_expr(r, depth + 1)
+    if op in ("+", "-", "*"):
+        return f"({x} {op} {y})"
+    if op == "arith":
+        # division/modulo by non-zero operands only: /0 raises in Presto
+        # but NULLs in DuckDB, a deviation we document. Column `a` holds
+        # no zeros, so it is a legal divisor; `b` holds 0 and is not.
+        d = r.choice(["2", "3", "5", "7", "-3", "a"])
+        return f"({x} {r.choice(['/', '%'])} {d})"
+    if op == "fn":
+        f = r.choice(
+            ["abs", "least", "greatest", "coalesce", "nullif",
+             "try", "array", "strfn"]
+        )
+        if f == "abs":
+            return f"abs({x})"
+        if f == "try":
+            return f"TRY({x})"
+        if f == "array":
+            sub = r.randint(1, 3)
+            return f"(ARRAY[{x}, {y}, {int_expr(r, depth + 1)}][{sub}])"
+        if f == "strfn":
+            return r.choice(
+                [
+                    f"length({str_expr(r, depth + 1)})",
+                    f"strpos({str_expr(r, depth + 1)}, 'a')",
+                    f"cardinality(ARRAY[{x}, {y}])",
+                ]
+            )
+        return f"{f}({x}, {y})"
+    if op == "case":
+        return (
+            f"(CASE WHEN {bool_expr(r, depth + 1)} THEN {x} ELSE {y} END)"
+        )
+    return f"if({bool_expr(r, depth + 1)}, {x}, {y})"
+
+
+def str_expr(r: random.Random, depth: int = 0) -> str:
+    if depth > 2 or r.random() < 0.4:
+        return r.choice(
+            [r.choice(STR_COLS), "'ab'", "'X y'", "''", "CAST(NULL AS VARCHAR)"]
+        )
+    # split_part is EXCLUDED: Presto returns NULL for out-of-range
+    # fields and NULL input (the engine is faithful); DuckDB returns ''
+    # for both — an oracle-dialect gap, not an engine bug.
+    op = r.choice(["concat", "upper", "lower", "trim", "substr", "replace",
+                   "reverse", "case", "lpad", "rpad"])
+    x = str_expr(r, depth + 1)
+    if op == "concat":
+        return f"({x} || {str_expr(r, depth + 1)})"
+    if op == "substr":
+        return f"substr({x}, {r.randint(1, 3)}, {r.randint(0, 4)})"
+    if op == "replace":
+        return f"replace({x}, 'a', 'Z')"
+    if op in ("lpad", "rpad"):
+        return f"{op}({x}, {r.randint(0, 6)}, '.')"
+    if op == "case":
+        return (
+            f"(CASE WHEN {bool_expr(r, depth + 1)} THEN {x} "
+            f"ELSE {str_expr(r, depth + 1)} END)"
+        )
+    return f"{op}({x})"
+
+
+def bool_expr(r: random.Random, depth: int = 0) -> str:
+    if depth > 2:
+        return r.choice(["TRUE", "FALSE", "a > 0", "b IS NULL"])
+    kind = r.choice(["cmp", "null", "between", "in", "not", "andor", "strcmp"])
+    if kind == "cmp":
+        return f"({int_expr(r, depth + 1)} {r.choice(['<', '<=', '=', '>=', '>', '<>'])} {int_expr(r, depth + 1)})"
+    if kind == "strcmp":
+        return f"({str_expr(r, depth + 1)} {r.choice(['=', '<>', '<'])} {str_expr(r, depth + 1)})"
+    if kind == "null":
+        return f"({int_expr(r, depth + 1)} IS {'NOT ' if r.random() < 0.5 else ''}NULL)"
+    if kind == "between":
+        return f"({int_expr(r, depth + 1)} BETWEEN {r.randint(-5, 3)} AND {r.randint(4, 15)})"
+    if kind == "in":
+        vals = ", ".join(str(r.randint(-5, 15)) for _ in range(r.randint(1, 4)))
+        return f"({int_expr(r, depth + 1)} IN ({vals}))"
+    if kind == "not":
+        return f"(NOT {bool_expr(r, depth + 1)})"
+    return f"({bool_expr(r, depth + 1)} {r.choice(['AND', 'OR'])} {bool_expr(r, depth + 1)})"
+
+
+def gen_query(r: random.Random) -> str:
+    items = []
+    for _ in range(r.randint(1, 4)):
+        kind = r.random()
+        if kind < 0.45:
+            items.append(int_expr(r))
+        elif kind < 0.8:
+            items.append(str_expr(r))
+        else:
+            items.append(bool_expr(r))
+    sel = ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(items)
+    )
+    where = f" WHERE {bool_expr(r)}" if r.random() < 0.5 else ""
+    return f"SELECT {sel} FROM {ROWS}{where}"
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
+    import duckdb
+
+    import _golden_util as gu
+    from presto_ads_spark.engine import Engine
+    from presto_ads_spark.session import get_spark
+
+    spark = get_spark("fuzz", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark.newSession(), sf_dir=None)
+    duck = duckdb.connect()
+    rng = random.Random(seed)
+    bad = 0
+    for i in range(n):
+        q = gen_query(rng)
+        from presto_ads_spark.rewrite import (
+            _rewrite_int_literal_division,
+            rewrite_integral_column_division,
+        )
+        dq = rewrite_integral_column_division(
+            _rewrite_int_literal_division(q), frozenset(INT_COLS)
+        ).replace(" DIV ", " // ")
+        try:
+            want = [tuple(r) for r in duck.execute(dq).fetchall()]
+        except Exception:
+            continue  # oracle-side dialect gap, not our bug
+        try:
+            got = [tuple(r) for r in eng.sql(q).collect()]
+            diff = gu.compare_pyrows(got, want)
+        except Exception as e:  # noqa: BLE001
+            diff = f"ENGINE EXC {type(e).__name__}: {str(e)[:160]}"
+        if diff is not None:
+            bad += 1
+            print(f"\nMISMATCH #{bad} (query {i}, seed {seed}):\n  {q}\n  {str(diff)[:300]}")
+    print(f"\n{n} queries, {bad} mismatches")
+
+
+if __name__ == "__main__":
+    main()

@@ -212,15 +212,20 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
     """Exact n-gram Jaccard for pairs (all pairs if candidates is None —
     only sane for small inputs / verification of LSH candidates)."""
     if candidate_pairs is not None:
-        # Candidate-driven verify: only docs that appear in a candidate
-        # pair are shingled at all (semi-join BEFORE the explode — at
-        # 100 TB the verify stage reads |candidate docs|, not the corpus).
-        # On typical inputs the pair list and the candidate-doc shingle
-        # table ride broadcasts through every join, so nothing here
-        # shuffles except the tiny (id_a,id_b) groupBy — but both frames
-        # are data-dependent in size, so every hint is GATED on a bounded
-        # probe and the plan degrades to shuffle joins past the cap.
-        # Persist the UN-hinted frame and hint at each join site (a hint
+        # Candidate-driven verify, EXPLODE-FREE: only docs that appear in
+        # a candidate pair are shingled at all (semi-join before shingling
+        # — at 100 TB the verify stage reads |candidate docs|, not the
+        # corpus), and each doc's distinct-shingle set stays an ARRAY
+        # column (shingles() already emits one): the pair list joins to
+        # the two array columns and |A∩B| is size(array_intersect(sa,sb)),
+        # a per-row JVM hash-set op. The former shape exploded the
+        # shingles and re-grouped |cands|·|shingles/doc| narrow rows
+        # (~150M rows / 100s at sf1 on local[32]); this one moves only
+        # |cands| + 2·|candidate docs| rows total and needs no aggregate.
+        # Hints are GATED on bounded size probes — cand and the shingle
+        # frame are data-dependent, and past the cap AQE picks shuffle
+        # joins from runtime sizes instead of a forced-broadcast OOM.
+        # Persist the UN-hinted frames and hint at each join site (a hint
         # baked inside a cached subtree may not survive InMemoryRelation
         # substitution).
         cand = candidate_pairs.select("id_a", "id_b").persist()
@@ -230,20 +235,48 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
             .union(cand.select(F.col("id_b").alias("cid")))
             .distinct()
         )
-        # ids / counts are bounded by 2·|cand| rows — inherit cand's probe.
+        # ids are bounded by 2·|cand| rows — inherit cand's probe.
         docs = df.join(hint(ids), F.col(id_col) == F.col("cid"), "left_semi")
-        sh = shingle_table(docs, text_col, id_col, n).persist()
-        counts = hint(sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")))
-        a = sh.select(F.col("id").alias("id_a"), "shingle")
-        # the shingle table is |candidate docs| × shingles-per-doc — its
-        # own size class, probed separately (probe materializes sh's cache).
-        b = gated_broadcast(sh.select(F.col("id").alias("id_b"), "shingle"))
-        inter = (
+        toked = docs.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__t"),
+        )
+        sh_arr = toked.select(
+            "id", shingles(F.col("__t"), n).alias("sh")
+        ).persist()
+        # The array frame is NEVER broadcast: a row-count gate is the
+        # wrong proxy for rows carrying whole shingle sets (67k sf1 rows
+        # pass the 1M cap but hash-relation-build of the fat rows measured
+        # 6–20× slower than the shuffle join it replaced). Broadcasting
+        # the narrow pair list and shuffling the array frame by id is the
+        # shape that scales: each array row moves at most twice.
+        a = sh_arr.select(F.col("id").alias("id_a"),
+                          F.col("sh").alias("sa"))
+        b = sh_arr.select(F.col("id").alias("id_b"),
+                          F.col("sh").alias("sb"))
+        n_inter = F.size(F.array_intersect("sa", "sb"))
+        return (
             hint(cand)
             .join(a, "id_a")
-            .join(b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                n_inter.alias("n_inter"),
+                (F.size("sa") + F.size("sb")).alias("n_ab"),
+            )
+            # n_inter >= 1 keeps the legacy contract: zero-overlap pairs
+            # never surfaced from the exploded intersection join either.
+            .filter(F.col("n_inter") >= 1)
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_ab") - F.col("n_inter")).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
     else:
         # the shingle table feeds counts AND both sides of the intersection

@@ -1747,6 +1747,120 @@ _COL_DIV_RE = re.compile(
     r"(?<![\w.)\]])([A-Za-z_][\w.]*|\d+)\s*/\s*([A-Za-z_][\w.]*|\d+)(?![\w.(])"
 )
 
+# aggregate calls whose result is integral when the argument is:
+# count(anything) always; sum/min/max of an integral column / int literal
+_INT_AGG_CALL_RE = re.compile(r"\b(count|sum|min|max)\s*\(", re.IGNORECASE)
+_IDENT_FULL_RE = re.compile(r"[A-Za-z_][\w.]*")
+_INT_LIT_FULL_RE = re.compile(r"[+-]?\d+")
+
+
+def _integral_agg_spans(
+    sql: str, mask: list, int_cols: frozenset
+) -> dict[int, int]:
+    """{start: end} spans of aggregate calls with a provably-integral
+    result (Presto: count → bigint always; sum/min/max preserve an
+    integral argument type — FunctionRegistry standard aggregates)."""
+    spans: dict[int, int] = {}
+    for m in _INT_AGG_CALL_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        end = _scan_matching_paren(sql, m.end())
+        fn = m.group(1).lower()
+        if fn == "count":
+            spans[m.start()] = end
+            continue
+        inner = sql[m.end() : end - 1].strip()
+        inner = re.sub(
+            r"^(?:DISTINCT|ALL)\s+", "", inner, flags=re.IGNORECASE
+        )
+        if _INT_LIT_FULL_RE.fullmatch(inner) or (
+            _IDENT_FULL_RE.fullmatch(inner)
+            and inner.rsplit(".", 1)[-1].lower() in int_cols
+        ):
+            spans[m.start()] = end
+    return spans
+
+
+def _rewrite_integral_agg_division(sql: str, int_cols: frozenset) -> str:
+    """Presto integer division when one operand of ``/`` is an integral
+    AGGREGATE call (``sum(a)/2``, ``count(*)/n``, ``min(k)/max(k)``) and
+    the other is an integral aggregate, integral column, or int literal.
+    The simple-identifier pass (_COL_DIV_RE) can't see call operands, so
+    this pass scans each depth-aware ``/`` with a matched-paren walk.
+    Chained divisions keep the existing complex-operand gap."""
+    mask = _literal_mask(sql)
+    spans = _integral_agg_spans(sql, mask, int_cols)
+    if not spans:
+        return sql
+    ends = {e: s for s, e in spans.items()}
+
+    def _int_simple(tok: str) -> bool:
+        return tok.isdigit() or tok.rsplit(".", 1)[-1].lower() in int_cols
+
+    # (left_start, slash_pos, right_end) for each rewritable L / R
+    edits: list[tuple[int, int, int]] = []
+    for dm in re.finditer(r"/", sql):
+        i = dm.start()
+        if mask[i] or (i and sql[i - 1] == "/") or sql[i + 1 : i + 2] == "/":
+            continue
+        # left operand: an integral-agg span ending here, or a simple token
+        j = i
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        left = None
+        if j in ends:
+            left = (ends[j], j, True)
+        else:
+            k = j
+            while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+                k -= 1
+            tok = sql[k:j]
+            if tok and not (k and sql[k - 1] in ")]'\"") and (
+                tok.isdigit() or _IDENT_FULL_RE.fullmatch(tok)
+            ):
+                left = (k, j, _int_simple(tok))
+        if left is None:
+            continue
+        # right operand: an integral-agg span starting here, or a token
+        j = i + 1
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        right = None
+        if j in spans:
+            right = (j, spans[j], True)
+        else:
+            k = j
+            while k < len(sql) and (sql[k].isalnum() or sql[k] in "_."):
+                k += 1
+            tok = sql[j:k]
+            if tok and sql[k : k + 1] != "(" and (
+                tok.isdigit() or _IDENT_FULL_RE.fullmatch(tok)
+            ):
+                right = (j, k, _int_simple(tok))
+        if right is None:
+            continue
+        # at least one side must be an aggregate call (simple/simple is
+        # _COL_DIV_RE's job, with its own context guards); both integral
+        if (left[1] in ends or right[0] in spans) and left[2] and right[2]:
+            edits.append((left[0], i, right[1]))
+    # apply right-to-left, dropping overlaps (e.g. x/sum(a)/y chains —
+    # one operand can serve only one rewrite; the rest pass through)
+    last_start = len(sql) + 1
+    for ls, di, re_ in sorted(edits, key=lambda t: -t[0]):
+        if re_ > last_start:
+            continue
+        last_start = ls
+        sql = (
+            sql[:ls]
+            + "("
+            + sql[ls:di].rstrip()
+            + " DIV "
+            + sql[di + 1 : re_].lstrip()
+            + ")"
+            + sql[re_:]
+        )
+    return sql
+
 
 _INT_CELL_RE = re.compile(r"^\s*[+-]?\d+\s*$")
 _TYPED_INT_CELL_RE = re.compile(
@@ -1822,7 +1936,13 @@ def rewrite_integral_column_division(sql: str, int_cols: frozenset) -> str:
     from its registered table schemas, omitting ambiguous names. Applies
     only to simple-identifier operands; complex expressions (and chained
     divisions, whose left side is no longer an identifier after one
-    rewrite) pass through — documented gap."""
+    rewrite) pass through — documented gap.
+
+    A second pass (_rewrite_integral_agg_division) extends the rule to
+    integral AGGREGATE-call operands: ``sum(a)/2``, ``count(*)/n``,
+    ``min(k)/max(k)`` truncate in Presto (count is bigint; sum/min/max
+    preserve an integral argument type)."""
+    sql = _rewrite_integral_agg_division(sql, int_cols)
     if not int_cols:
         return sql
 

@@ -274,3 +274,27 @@ def test_group_by_distinct_leaves_plain_and_subquery():
     assert out.startswith("SELECT a FROM t GROUP BY GROUPING SETS ((a))")
     # the ORDER BY tail survives (and picks up the NULLS-default shim)
     assert "ORDER BY a" in out
+
+
+def test_integral_agg_division():
+    # Presto: count → bigint; sum/min/max preserve an integral argument —
+    # dividing any of them by an int truncates (BigintOperators.java divide)
+    from presto_ads_spark.rewrite import rewrite_integral_column_division as R
+
+    ic = frozenset({"a", "b"})
+    assert "(sum(a) DIV 2)" in R("SELECT sum(a)/2 FROM t", ic)
+    assert "(count(*) DIV 2)" in R("SELECT count(*)/2 FROM t", frozenset())
+    assert "(count(*) DIV b)" in R("SELECT count(*) / b FROM t", ic)
+    assert "(min(a) DIV max(a))" in R("SELECT min(a)/max(a) FROM t", ic)
+    assert "(sum(DISTINCT a) DIV 3)" in R("SELECT sum(DISTINCT a)/3 FROM t", ic)
+    assert "(sum(a) DIV count(*))" in R("SELECT sum(a)/count(*) FROM t", ic)
+    # non-integral stays real division
+    assert "sum(x)/2" in R("SELECT sum(x)/2 FROM t", ic)
+    assert "avg(a)/2" in R("SELECT avg(a)/2 FROM t", ic)
+    assert "sum(a)/2.0" in R("SELECT sum(a)/2.0 FROM t", ic)
+    # complex operands pass through (documented gap), literals untouched
+    assert "(sum(a)+1)/2" in R("SELECT (sum(a)+1)/2 FROM t", ic)
+    assert "'7/2'" in R("SELECT '7/2' AS s, sum(a)/2 FROM t", ic)
+    # chained division: one operand serves one rewrite, rest pass through
+    out = R("SELECT a/sum(b)/3 FROM t", ic)
+    assert out.count("DIV") == 1

@@ -117,7 +117,61 @@ def bool_expr(r: random.Random, depth: int = 0) -> str:
     return f"({bool_expr(r, depth + 1)} {r.choice(['AND', 'OR'])} {bool_expr(r, depth + 1)})"
 
 
+def agg_expr(r: random.Random) -> str:
+    """Integral-result aggregates only (avg/stddev would need a float
+    tolerance; the exact ones exercise the integer-division rewrite)."""
+    kind = r.choice(["count_star", "count", "count_distinct", "sum",
+                     "min", "max", "sum_distinct", "arith", "div"])
+    col = r.choice(INT_COLS)
+    if kind == "count_star":
+        return "count(*)"
+    if kind == "count":
+        return f"count({col})"
+    if kind == "count_distinct":
+        return f"count(DISTINCT {col})"
+    if kind == "sum_distinct":
+        return f"sum(DISTINCT {col})"
+    if kind in ("sum", "min", "max"):
+        return f"{kind}({col})"
+    if kind == "arith":
+        return f"(sum({col}) {r.choice(['+', '-', '*'])} count(*))"
+    # integral-aggregate division — Presto truncates (the agg-division
+    # rewrite pass); divisor constants avoid /0
+    return f"(sum({col}) / {r.choice(['2', '3', '7', 'count(*)'])})"
+
+
+def gen_agg_query(r: random.Random) -> str:
+    """GROUP BY over a derived key + aggregates [+ HAVING] [+ ORDER BY]."""
+    key = r.choice(["a % 3", "abs(b % 2)", "length(s) % 3",
+                    "(CASE WHEN a > 0 THEN 1 ELSE 0 END)"])
+    aggs = ", ".join(
+        f"{agg_expr(r)} AS g{i}" for i in range(r.randint(1, 3))
+    )
+    where = f" WHERE {bool_expr(r)}" if r.random() < 0.4 else ""
+    having = (
+        f" HAVING count(*) >= {r.randint(1, 2)}" if r.random() < 0.3 else ""
+    )
+    if r.random() < 0.3:  # global aggregation, no key
+        return f"SELECT {aggs} FROM {ROWS}{where}"
+    return (
+        f"SELECT {key} AS k, {aggs} FROM {ROWS}{where}"
+        f" GROUP BY {key}{having} ORDER BY k"
+    )
+
+
+def gen_setop_query(r: random.Random) -> str:
+    op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    l_ = f"SELECT {int_expr(r)} AS c0, {str_expr(r)} AS c1 FROM {ROWS}"
+    r_ = f"SELECT {int_expr(r)} AS c0, {str_expr(r)} AS c1 FROM {ROWS}"
+    return f"({l_}) {op} ({r_})"
+
+
 def gen_query(r: random.Random) -> str:
+    shape = r.random()
+    if shape < 0.2:
+        return gen_agg_query(r)
+    if shape < 0.3:
+        return gen_setop_query(r)
     items = []
     for _ in range(r.randint(1, 4)):
         kind = r.random()

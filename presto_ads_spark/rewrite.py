@@ -2110,6 +2110,131 @@ def _projection_zones(sql: str) -> list[tuple[int, int]]:
     return zones
 
 
+_GB_IN_LIT_RE = re.compile(
+    r"^(?:[+-]?\d+(?:\.\d+)?|'(?:[^']|'')*'|TRUE|FALSE|NULL)$", re.IGNORECASE
+)
+
+
+def _rewrite_group_by_in_subquery(sql: str) -> str:
+    """``IN (SELECT …)`` as a GROUP BY key / in the select list of a
+    grouped query (AbstractTestQueries.java testSemiJoinWithGroupBy):
+    Presto plans the semi-join below the aggregation; Spark's analyzer
+    rejects subquery predicates in grouping expressions. Hoist every
+    such expression into a derived-table projection (``SELECT *, E AS
+    __inkN FROM …``) — where the projected-IN CASE rewrite applies —
+    and group on the materialized column. Select-list-only occurrences
+    (literal probe, hence uncorrelated-constant for any Presto-legal
+    statement) are appended to GROUP BY, which cannot split groups.
+    Bails on DISTINCT heads, set operations, grouping-set constructs,
+    and multi-GROUP BY statements, leaving the SQL unchanged."""
+    if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
+        return sql
+    if not re.search(r"\bIN\s*\(\s*SELECT\b", sql, re.IGNORECASE):
+        return sql
+    mask = _literal_mask(sql)
+    gbs = _depth0_matches(
+        sql, re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE), mask
+    )
+    if len(gbs) != 1:
+        return sql
+    if _depth0_matches(
+        sql,
+        re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE),
+        mask,
+    ):
+        return sql
+    gb = gbs[0]
+    froms = _depth0_matches(
+        sql, re.compile(r"\bFROM\b", re.IGNORECASE), mask
+    )
+    if not froms or froms[0].start() > gb.start():
+        return sql
+    fm = froms[0]
+    sel_m = re.match(r"\s*SELECT\s+", sql, re.IGNORECASE)
+    if re.match(r"(DISTINCT|ALL)\b", sql[sel_m.end() :], re.IGNORECASE):
+        return sql
+    select_list = sql[sel_m.end() : fm.start()]
+    frombody = sql[fm.end() : gb.start()]
+    rest = sql[gb.end() :]
+    # split the GROUP BY key list from the HAVING/ORDER/LIMIT tail
+    rmask = _literal_mask(rest)
+    depth, cut = 0, len(rest)
+    tail_kw = re.compile(
+        r"\b(HAVING|ORDER\s+BY|LIMIT|OFFSET|FETCH|WINDOW)\b", re.IGNORECASE
+    )
+    for m in tail_kw.finditer(rest):
+        d = 0
+        for k in range(m.start()):
+            if not rmask[k]:
+                if rest[k] == "(":
+                    d += 1
+                elif rest[k] == ")":
+                    d -= 1
+        if d == 0:
+            cut = m.start()
+            break
+    keys_text, tail_text = rest[:cut], rest[cut:]
+    if re.search(
+        r"\b(GROUPING\s+SETS|ROLLUP|CUBE)\b", keys_text, re.IGNORECASE
+    ):
+        return sql
+
+    def _has_in_subq(txt: str) -> bool:
+        tm = _literal_mask(txt)
+        return any(
+            not tm[m.start()] for m in _IN_SUBQ_RE.finditer(txt)
+        )
+
+    hoists: dict[str, str] = {}  # expression text -> __inkN alias
+
+    def _hoist(txt: str) -> str:
+        return hoists.setdefault(txt, f"__ink{len(hoists)}")
+
+    keys = [k.strip() for k in _split_top_level(keys_text)]
+    for k in keys:
+        if _has_in_subq(k):
+            _hoist(k)
+    sel_items = _split_top_level(select_list)
+    for item in sel_items:
+        core = item.strip()
+        am = _AS_ALIAS_TAIL_RE.search(core)
+        if am:
+            core = core[: am.start()].strip()
+        if core in hoists or not _has_in_subq(core):
+            continue
+        # whole-item `lit [NOT] IN (SELECT …)` with a literal probe only
+        im = _IN_SUBQ_RE.search(core)
+        if im is None:
+            continue
+        probe = core[: im.start()].strip()
+        open_paren = core.index("(", im.start())
+        if (
+            _GB_IN_LIT_RE.match(probe)
+            and _scan_matching_paren(core, open_paren + 1) == len(core)
+        ):
+            _hoist(core)
+    if not hoists:
+        return sql
+
+    def _subst(txt: str) -> str:
+        for e, al in sorted(hoists.items(), key=lambda t: -len(t[0])):
+            txt = txt.replace(e, al)
+        return txt
+
+    n = _uniq()
+    new_keys = [_subst(k) for k in keys]
+    for al in hoists.values():
+        if al not in new_keys:
+            new_keys.append(al)
+    inner_proj = ", ".join(f"{e} AS {al}" for e, al in hoists.items())
+    tail = _subst(tail_text).strip()
+    return (
+        f"SELECT {_subst(select_list).strip()} "
+        f"FROM (SELECT *, {inner_proj} FROM {frombody.strip()}) __inh{n} "
+        f"GROUP BY {', '.join(new_keys)}" + (f" {tail}" if tail else "")
+    )
+
+
 def _rewrite_projected_in_subquery(sql: str) -> str:
     """3VL-correct ``[NOT] IN (SELECT …)`` in PROJECTION context.
 
@@ -3241,6 +3366,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_unordered_ranking_windows(sql)
     sql = _rewrite_frameless_window_frames(sql)
     sql = _rewrite_quantified(sql)
+    sql = _rewrite_group_by_in_subquery(sql)
     sql = _rewrite_projected_in_subquery(sql)
     sql = _rewrite_int_literal_division(sql)
     # ``GROUP BY ()`` = one global group (SqlBase.g4 groupingSet can be

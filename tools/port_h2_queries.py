@@ -92,11 +92,6 @@ MANUAL_SKIPS: dict[int, str] = {
     5516: "projected IN over a join output referenced by ORDER BY "
           "(rewrite's CASE not resolvable through the Sort)",
     5535: "projected IN referenced by ORDER BY (see 5516)",
-    5654: "projected IN + GROUP BY interaction (subquery re-evaluated "
-          "per group not supported through the CASE rewrite)",
-    5658: "IN-subquery as a grouping key (see 5654)",
-    5677: "IN-subquery as a grouping key (see 5654)",
-    5686: "IN-subquery as a grouping key + HAVING (see 5654)",
     6446: "EXISTS in ORDER BY (Spark: subquery predicates not allowed "
           "in Sort)",
     6684: "CAST(double AS BIGINT) rounding deviation inside aggregation "
@@ -134,7 +129,6 @@ MANUAL_SKIPS.update({
             "value — oracle dialect artifact)",
     "A422": "approx_percentile with a non-constant percentile argument "
             "(Spark requires a foldable percentage)",
-    "L5671": "IN-subquery as a grouping key (see 5654)",
     "L6923": "custom_add comes from the installPlugin() test fixture — "
              "not part of the engine's function surface",
     "L4905": "TRY(x/CAST(tax*10 AS BIGINT)) oracle needs the CAST(double "
@@ -202,6 +196,14 @@ MANUAL_ORACLES: dict[str, dict] = {
         'SELECT "key" + 5, status FROM (SELECT orderkey AS "key", '
         "orderstatus AS status FROM orders UNION ALL SELECT orderkey, "
         "linestatus FROM lineitem) t")},
+    # DuckDB's binder ICEs on IN-subquery in projection+GROUP BY+HAVING
+    # simultaneously; equivalent scalar-flag form (orderkey is non-null
+    # and 6 < 7 exists, so the IN is two-valued here)
+    "L5671": {"oracle": (
+        "SELECT linenumber, min(orderkey), flag FROM (SELECT l.*, "
+        "(SELECT count(*) > 0 FROM orders WHERE orderkey < 7 AND "
+        "orderkey = 6) AS flag FROM lineitem l) t "
+        "GROUP BY linenumber, flag HAVING flag")},
     "L5837": {"oracle": (
         "SELECT o1.orderkey, COUNT(*) FROM (SELECT * FROM orders ORDER "
         "BY orderkey LIMIT 5) o1 LEFT JOIN " + _AVG_XJOIN +

@@ -298,3 +298,37 @@ def test_integral_agg_division():
     # chained division: one operand serves one rewrite, rest pass through
     out = R("SELECT a/sum(b)/3 FROM t", ic)
     assert out.count("DIV") == 1
+
+
+def test_group_by_in_subquery_hoist():
+    # AbstractTestQueries.java testSemiJoinWithGroupBy: IN (SELECT …) as
+    # a grouping key / in the select list of a grouped query hoists into
+    # a derived-table projection and groups on the materialized column
+    from presto_ads_spark.rewrite import _rewrite_group_by_in_subquery as G
+
+    sub = "6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)"
+    out = G(f"SELECT linenumber, min(orderkey) FROM lineitem "
+            f"GROUP BY linenumber, {sub}")
+    assert "AS __ink0 FROM lineitem" in out
+    assert "GROUP BY linenumber, __ink0" in out
+    # select-list occurrence rides the same materialized column
+    out = G(f"SELECT linenumber, min(orderkey), {sub} FROM lineitem "
+            f"GROUP BY linenumber, {sub}")
+    assert out.count("IN (SELECT") == 1  # one hoisted copy remains
+    assert "min(orderkey), __ink0 " in out
+    # select-only occurrence (literal probe) appends the constant key
+    out = G(f"SELECT linenumber, {sub} FROM lineitem GROUP BY linenumber")
+    assert "GROUP BY linenumber, __ink0" in out
+    # HAVING with a DIFFERENT subquery stays native; tail keeps a space
+    out = G(f"SELECT linenumber, min(orderkey) FROM lineitem GROUP BY "
+            f"linenumber, {sub} HAVING 6 IN (SELECT orderkey FROM orders "
+            f"WHERE orderkey > 3)")
+    assert "__ink0 HAVING 6 IN" in out
+    # bail-outs: grouping sets, DISTINCT head, set ops, no IN key
+    for q in (
+        f"SELECT a FROM t GROUP BY GROUPING SETS ((a), ({sub}))",
+        f"SELECT DISTINCT a, {sub} FROM t GROUP BY a",
+        f"SELECT a FROM t GROUP BY a, {sub} UNION SELECT b FROM u",
+        "SELECT a FROM t GROUP BY a",
+    ):
+        assert G(q) == q

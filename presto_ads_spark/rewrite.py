@@ -2116,20 +2116,27 @@ _GB_IN_LIT_RE = re.compile(
 
 
 def _rewrite_group_by_in_subquery(sql: str) -> str:
-    """``IN (SELECT …)`` as a GROUP BY key / in the select list of a
-    grouped query (AbstractTestQueries.java testSemiJoinWithGroupBy):
-    Presto plans the semi-join below the aggregation; Spark's analyzer
-    rejects subquery predicates in grouping expressions. Hoist every
-    such expression into a derived-table projection (``SELECT *, E AS
-    __inkN FROM …``) — where the projected-IN CASE rewrite applies —
-    and group on the materialized column. Select-list-only occurrences
-    (literal probe, hence uncorrelated-constant for any Presto-legal
-    statement) are appended to GROUP BY, which cannot split groups.
+    """Subquery expressions in GROUP BY keys / the select list of a
+    grouped query — ``IN (SELECT …)`` keys (AbstractTestQueries.java
+    testSemiJoinWithGroupBy) and correlated scalar subqueries
+    (testCorrelatedScalarSubqueries GROUP BY sites): Presto plans the
+    semi-join / decorrelated apply below the aggregation; Spark's
+    analyzer rejects subquery expressions in grouping expressions.
+    Hoist every such expression into a derived-table projection
+    (``SELECT *, E AS __inkN FROM …``) — where the projected-IN CASE
+    rewrite applies and Spark decorrelates projection-level scalar
+    subqueries — and group on the materialized column. The derived
+    table inherits a single-relation FROM's alias (or the table name)
+    so outer qualified refs keep resolving. Select-list-only
+    occurrences (a literal IN probe, or a whole-item scalar subquery —
+    uncorrelated-constant or grouping-key-correlated for any
+    Presto-legal statement) are appended to GROUP BY, which cannot
+    split groups.
     Bails on DISTINCT heads, set operations, grouping-set constructs,
     and multi-GROUP BY statements, leaving the SQL unchanged."""
     if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
         return sql
-    if not re.search(r"\bIN\s*\(\s*SELECT\b", sql, re.IGNORECASE):
+    if not re.search(r"\(\s*SELECT\b", sql, re.IGNORECASE):
         return sql
     mask = _literal_mask(sql)
     gbs = _depth0_matches(
@@ -2179,10 +2186,11 @@ def _rewrite_group_by_in_subquery(sql: str) -> str:
     ):
         return sql
 
-    def _has_in_subq(txt: str) -> bool:
+    def _has_subquery(txt: str) -> bool:
         tm = _literal_mask(txt)
         return any(
-            not tm[m.start()] for m in _IN_SUBQ_RE.finditer(txt)
+            not tm[m.start()]
+            for m in re.finditer(r"\(\s*SELECT\b", txt, re.IGNORECASE)
         )
 
     hoists: dict[str, str] = {}  # expression text -> __inkN alias
@@ -2192,7 +2200,7 @@ def _rewrite_group_by_in_subquery(sql: str) -> str:
 
     keys = [k.strip() for k in _split_top_level(keys_text)]
     for k in keys:
-        if _has_in_subq(k):
+        if _has_subquery(k):
             _hoist(k)
     sel_items = _split_top_level(select_list)
     for item in sel_items:
@@ -2200,17 +2208,24 @@ def _rewrite_group_by_in_subquery(sql: str) -> str:
         am = _AS_ALIAS_TAIL_RE.search(core)
         if am:
             core = core[: am.start()].strip()
-        if core in hoists or not _has_in_subq(core):
+        if core in hoists or not _has_subquery(core):
             continue
-        # whole-item `lit [NOT] IN (SELECT …)` with a literal probe only
+        # whole-item `lit [NOT] IN (SELECT …)` with a literal probe
         im = _IN_SUBQ_RE.search(core)
-        if im is None:
+        if im is not None:
+            probe = core[: im.start()].strip()
+            open_paren = core.index("(", im.start())
+            if (
+                _GB_IN_LIT_RE.match(probe)
+                and _scan_matching_paren(core, open_paren + 1) == len(core)
+            ):
+                _hoist(core)
             continue
-        probe = core[: im.start()].strip()
-        open_paren = core.index("(", im.start())
+        # whole-item scalar subquery `(SELECT …)`
         if (
-            _GB_IN_LIT_RE.match(probe)
-            and _scan_matching_paren(core, open_paren + 1) == len(core)
+            core.startswith("(")
+            and re.match(r"\(\s*SELECT\b", core, re.IGNORECASE)
+            and _scan_matching_paren(core, 1) == len(core)
         ):
             _hoist(core)
     if not hoists:
@@ -2228,9 +2243,23 @@ def _rewrite_group_by_in_subquery(sql: str) -> str:
             new_keys.append(al)
     inner_proj = ", ".join(f"{e} AS {al}" for e, al in hoists.items())
     tail = _subst(tail_text).strip()
+    # the derived table inherits a single-relation FROM's alias (or the
+    # bare table name) so outer qualified refs (o.orderkey) still resolve
+    fb = frombody.strip()
+    fmatch = re.match(
+        r"^([A-Za-z_]\w*)"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|HAVING\b|ORDER\b|LIMIT\b)"
+        r"([A-Za-z_]\w*))?"
+        r"(\s+WHERE\b.*)?$",
+        fb,
+        re.IGNORECASE | re.DOTALL,
+    )
+    outer_alias = (
+        (fmatch.group(2) or fmatch.group(1)) if fmatch else f"__inh{n}"
+    )
     return (
         f"SELECT {_subst(select_list).strip()} "
-        f"FROM (SELECT *, {inner_proj} FROM {frombody.strip()}) __inh{n} "
+        f"FROM (SELECT *, {inner_proj} FROM {fb}) {outer_alias} "
         f"GROUP BY {', '.join(new_keys)}" + (f" {tail}" if tail else "")
     )
 

@@ -104,17 +104,15 @@ MANUAL_SKIPS: dict[int, str] = {
 # (SELECT o.x), (SELECT count(*) WHERE c)) are live since
 # rewrite._rewrite_fromless_subqueries folds them to closed-form
 # scalars; only subqueries that actually scan a relation remain.
-for _ln in (6229, 6250, 6257, 6485):
+for _ln in (6229,):
     MANUAL_SKIPS[_ln] = (
-        "correlated subquery scanning a relation in ORDER BY / GROUP BY "
-        "key / join-ON (Spark analyzer rejects; Presto decorrelates)"
+        "correlated subquery scanning a relation in ORDER BY "
+        "(Spark analyzer rejects; Presto decorrelates)"
     )
-# 6057/6185 fold via _rewrite_fromless_subqueries (the FROM-less scalar
-# becomes a grouping-column expression); 6238 scans a relation.
-for _ln in (6238,):
+for _ln in (6257, 6485):
     MANUAL_SKIPS[_ln] = (
-        "correlated scalar subquery must appear in GROUP BY under Spark "
-        "aggregation rules"
+        "correlated subquery scanning a relation in join-ON "
+        "(Spark analyzer rejects; Presto decorrelates)"
     )
 for _ln in (6074, 6207, 6268, 6364, 6415, 6496, 6500):
     MANUAL_SKIPS[_ln] = (

@@ -201,17 +201,24 @@ class Engine:
         dropped). Feeds the Presto column-typed integer-division rewrite
         (BigintOperators.java divide: bigint/bigint truncates)."""
         integral = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+        floating = {"double", "float"}
         votes: dict[str, set[bool]] = {}
+        dvotes: dict[str, set[bool]] = {}
         for tbl in self.spark.catalog.listTables():
             try:
                 for f in self.spark.table(tbl.name).schema.fields:
-                    votes.setdefault(f.name.lower(), set()).add(
-                        f.dataType.simpleString() in integral
-                    )
+                    t = f.dataType.simpleString()
+                    votes.setdefault(f.name.lower(), set()).add(t in integral)
+                    dvotes.setdefault(f.name.lower(), set()).add(t in floating)
             except Exception:  # noqa: BLE001 — unreadable view: skip
                 continue
         self._nonint_cols = frozenset(
             n for n, v in votes.items() if False in v
+        )
+        # double/real columns feed the CAST(double AS BIGINT) HALF_UP
+        # lowering (DoubleOperators.java castToLong)
+        self._double_cols = frozenset(
+            n for n, v in dvotes.items() if v == {True}
         )
         return frozenset(n for n, v in votes.items() if v == {True})
 
@@ -220,6 +227,9 @@ class Engine:
         # (a catalog name that is ever non-integral keeps its veto)
         int_cols = self._int_cols | (
             rewrite_mod.infer_values_int_cols(text) - self._nonint_cols
+        )
+        text = rewrite_mod.rewrite_double_bigint_cast(
+            text, self._double_cols
         )
         return rewrite(rewrite_integral_column_division(text, int_cols))
 

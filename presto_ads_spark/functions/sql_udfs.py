@@ -166,7 +166,10 @@ SQL_FUNCTIONS: list[str] = [
     """CREATE OR REPLACE TEMPORARY FUNCTION week_of_year(ts TIMESTAMP)
        RETURNS INT RETURN weekofyear(ts)""",
     # Presto date_add('unit', n, ts) → timestampadd; unit names align.
-    """CREATE OR REPLACE TEMPORARY FUNCTION date_add_unit(unit STRING, n INT, ts TIMESTAMP)
+    # n is BIGINT (Presto's signature); the rewrite routes DATE-typed
+    # third arguments to date_add_unit_date below, which returns DATE
+    # like Presto (DateTimeFunctions.java date_add @SqlType(DATE)).
+    """CREATE OR REPLACE TEMPORARY FUNCTION date_add_unit(unit STRING, n BIGINT, ts TIMESTAMP)
        RETURNS TIMESTAMP RETURN
          CASE lower(unit)
            WHEN 'millisecond' THEN timestampadd(MICROSECOND, n * 1000, ts)
@@ -178,6 +181,18 @@ SQL_FUNCTIONS: list[str] = [
            WHEN 'month' THEN timestampadd(MONTH, n, ts)
            WHEN 'quarter' THEN timestampadd(QUARTER, n, ts)
            WHEN 'year' THEN timestampadd(YEAR, n, ts)
+         END""",
+    # DATE overload: Presto keeps the DATE type (day-and-coarser units
+    # only — sub-day units on a DATE are a type error in Presto, here
+    # NULL; documented in SHOW FUNCTIONS notes).
+    """CREATE OR REPLACE TEMPORARY FUNCTION date_add_unit_date(unit STRING, n BIGINT, d DATE)
+       RETURNS DATE RETURN
+         CASE lower(unit)
+           WHEN 'day' THEN date_add(d, CAST(n AS INT))
+           WHEN 'week' THEN date_add(d, CAST(n * 7 AS INT))
+           WHEN 'month' THEN add_months(d, CAST(n AS INT))
+           WHEN 'quarter' THEN add_months(d, CAST(n * 3 AS INT))
+           WHEN 'year' THEN add_months(d, CAST(n * 12 AS INT))
          END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION date_diff_unit(unit STRING, a TIMESTAMP, b TIMESTAMP)
        RETURNS BIGINT RETURN

@@ -113,12 +113,19 @@ def repetition_stats(
     ).select(
         id_col,
         "__t",
-        F.transform(
-            F.sequence(F.lit(1), F.size("__t") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+        # guard: sequence(1, size-1) on a single-token doc is
+        # sequence(1, 0) = [1, 0] (descending), and element_at(t, 0)
+        # throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT — 0/1-token docs
+        # have no bigrams, return []
+        F.when(
+            F.size("__t") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+                ),
             ),
-        ).alias("__bg"),
+        ).otherwise(F.array().cast("array<string>")).alias("__bg"),
     ).select(
         id_col,
         "__t",

@@ -104,29 +104,57 @@ def range_join(
     by: tuple[str, ...] = (),
     bucket_secs: int = 3600,
     how: str = "inner",
+    max_buckets: int = 1024,
 ) -> DataFrame:
     """Join each left row to every right interval containing its
     timestamp (``start <= t < end``), equi-joining on (by, time bucket)
     so Catalyst picks a hash join instead of a nested loop. Intervals
     longer than ``bucket_secs`` are exploded into each covered bucket
-    (sequence() — one row per bucket) and deduped by the exact predicate.
+    (sequence() — one row per bucket); a (left, right) pair can match in
+    at most one bucket (the left row's own), so no dedup is needed.
+
+    The exact containment predicate is part of the JOIN CONDITION, not a
+    post-join filter — with ``how='left'`` the NULL-extended rows of
+    unmatched left rows would evaluate a post-filter to NULL and be
+    silently dropped, degrading every outer mode to inner.
+
+    ``max_buckets`` bounds the explode: an interval covering more than
+    that many buckets raises at runtime instead of silently fanning out
+    (a single year-long interval at bucket_secs=1 is a 31M-row explode
+    per right row). Size ``bucket_secs`` to the typical interval width;
+    raise ``max_buckets`` deliberately if wide intervals are expected.
     """
     by = tuple(by)
     lb = left.withColumn("__b", _bucket(F.col(left_time), bucket_secs))
+    start_b = _bucket(F.col(right_start), bucket_secs)
+    end_b = _bucket(F.col(right_end), bucket_secs)
+    nb = end_b - start_b + F.lit(1)
     rb = right.withColumn(
         "__b",
         F.explode(
-            F.sequence(
-                _bucket(F.col(right_start), bucket_secs),
-                _bucket(F.col(right_end), bucket_secs),
+            F.when(nb <= F.lit(int(max_buckets)), F.sequence(start_b, end_b))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "range_join: interval covers "
+                        ),
+                        nb.cast("string"),
+                        F.lit(
+                            f" buckets of {bucket_secs}s, over the "
+                            f"max_buckets={max_buckets} bound; raise "
+                            "bucket_secs or max_buckets"
+                        ),
+                    )
+                )
             )
         ),
     )
     cond = [lb["__b"] == rb["__b"]] + [lb[k] == rb[k] for k in by]
-    joined = lb.join(rb, cond, how).filter(
-        (rb[right_start] <= lb[left_time])
-        & (lb[left_time] < rb[right_end])
+    exact = (rb[right_start] <= lb[left_time]) & (
+        lb[left_time] < rb[right_end]
     )
+    joined = lb.join(rb, [*cond, exact], how)
     keep = [lb[c] for c in left.columns] + [
         rb[c] for c in right.columns if c not in by
     ]

@@ -881,13 +881,23 @@ def _rewrite_fn_arity_compat(sql: str) -> str:
     - ``date_add('unit', n, ts)`` / ``date_diff('unit', a, b)``
       (DateTimeFunctions.java string-unit forms) — lower to the
       date_add_unit/date_diff_unit SQL UDFs (timestampadd/-diff CASE
-      folds); the 2-arg Spark-native date_add stays untouched."""
+      folds); the 2-arg Spark-native date_add stays untouched. A
+      syntactically DATE-typed third argument (``DATE '…'`` literal or
+      ``CAST(… AS DATE)``) routes to date_add_unit_date, which returns
+      DATE like Presto; other date-typed expressions (column refs) still
+      coerce to TIMESTAMP — documented gap."""
     sql = _map_fn_args(
         sql, "if", lambda args: args + ["NULL"] if len(args) == 2 else None
+    )
+    date_arg_re = re.compile(
+        r"\s*(DATE\s*'|CAST\s*\(.*\bAS\s+DATE\s*\)\s*$)",
+        re.IGNORECASE | re.DOTALL,
     )
     for fn in ("date_add", "date_diff"):
         def build(args, _fn=fn):
             if len(args) == 3 and re.match(r"\s*'", args[0]):
+                if _fn == "date_add" and date_arg_re.match(args[2]):
+                    return f"date_add_unit_date({', '.join(args)})"
                 return f"{_fn}_unit({', '.join(args)})"
             return None
 
@@ -1839,17 +1849,36 @@ def _rewrite_integral_agg_division(sql: str, int_cols: frozenset) -> str:
                 right = (j, k, _int_simple(tok))
         if right is None:
             continue
+        # a surrounding same-precedence operator changes the grouping
+        # Presto would use ('1.0 * sum(a) / 2' parses as (1.0*sum(a))/2;
+        # 'sum(a)/count(*)/3' left-associates) — a textual (L DIV R)
+        # would regroup, so bail and leave the chain to the documented
+        # complex-operand gap
+        p = left[0] - 1
+        while p >= 0 and sql[p].isspace():
+            p -= 1
+        if p >= 0 and sql[p] in "*/%":
+            continue
+        p = right[1]
+        while p < len(sql) and sql[p].isspace():
+            p += 1
+        if p < len(sql) and sql[p] in "*/%":
+            continue
         # at least one side must be an aggregate call (simple/simple is
         # _COL_DIV_RE's job, with its own context guards); both integral
         if (left[1] in ends or right[0] in spans) and left[2] and right[2]:
             edits.append((left[0], i, right[1]))
-    # apply right-to-left, dropping overlaps (e.g. x/sum(a)/y chains —
-    # one operand can serve only one rewrite; the rest pass through)
-    last_start = len(sql) + 1
-    for ls, di, re_ in sorted(edits, key=lambda t: -t[0]):
-        if re_ > last_start:
+    # overlap resolution keeps the LEFTMOST edit (matches Presto's
+    # left-associative parse); survivors are then applied right-to-left
+    # so earlier spans stay valid
+    kept: list[tuple[int, int, int]] = []
+    last_end = -1
+    for ls, di, re_ in sorted(edits):
+        if ls < last_end:
             continue
-        last_start = ls
+        last_end = re_
+        kept.append((ls, di, re_))
+    for ls, di, re_ in reversed(kept):
         sql = (
             sql[:ls]
             + "("
@@ -1860,6 +1889,172 @@ def _rewrite_integral_agg_division(sql: str, int_cols: frozenset) -> str:
             + sql[re_:]
         )
     return sql
+
+
+# Presto CAST(double AS BIGINT) rounds HALF_UP — half away from zero
+# (DoubleOperators.java:231 castToLong: DoubleMath.roundToLong(value,
+# HALF_UP)); Spark's cast truncates and DuckDB rounds half-even, so BOTH
+# engine and oracle apply this schema-aware lowering (duck_int_division
+# chains it).  A cast whose operand is PROVABLY double becomes the
+# sign-split expression
+#     CASE WHEN (e) >= 0 THEN FLOOR((e) + 0.5) ELSE CEIL((e) - 0.5) END
+# which is portable across Spark (floor(double) → bigint) and DuckDB
+# (floor → double, re-cast exact).  Exactness caveat: within 1 ULP of
+# 2^63 the +0.5 is absorbed by the addition — documented (README).
+_CAST_CALL_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
+# fns returning DOUBLE regardless of argument type (MathFunctions.java)
+_ALWAYS_DOUBLE_FNS = {
+    "sqrt", "cbrt", "ln", "log2", "log10", "exp", "pi", "e", "radians",
+    "degrees", "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+    "sinh", "cosh", "tanh", "rand", "random", "infinity", "nan",
+    "to_unixtime",
+}
+# fns preserving a double argument type (round/abs/sign; least/greatest)
+_DOUBLE_PRESERVING_FNS = {"round", "abs", "sign", "least", "greatest"}
+_ARITH_OPS = "+-*/%"
+
+
+def _top_level_arith_parts(e: str) -> list[str]:
+    """Split on top-level binary + - * / % (literal- and paren-aware);
+    unary +/- (operator-or-start preceded) do not split."""
+    mask = _literal_mask(e)
+    parts, depth, start, prev = [], 0, 0, ""
+    i = 0
+    while i < len(e):
+        c = e[i]
+        if mask[i]:
+            prev = c
+            i += 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in _ARITH_OPS:
+            if c in "+-" and (not prev or prev in "(,+-*/%<>="):
+                pass  # unary sign
+            elif c == "/" and (e[i - 1 : i] == "/" or e[i + 1 : i + 2] == "/"):
+                pass
+            else:
+                parts.append(e[start:i])
+                start = i + 1
+        if not c.isspace():
+            prev = c
+        i += 1
+    parts.append(e[start:])
+    return parts
+
+
+def _provably_double(e: str, double_cols: frozenset) -> bool:
+    e = e.strip()
+    if not e:
+        return False
+    while e.startswith("("):
+        close = _scan_matching_paren(e, 1)
+        if close == len(e):
+            e = e[1:-1].strip()
+            if not e:
+                return False
+        else:
+            break
+    parts = _top_level_arith_parts(e)
+    if len(parts) > 1:
+        # a Presto arithmetic expr is double iff any operand is double
+        # (the statement type-checked in Presto, so operands are numeric)
+        return any(_provably_double(p, double_cols) for p in parts)
+    if e[0] in "+-":
+        return _provably_double(e[1:], double_cols)
+    m = re.match(r"([A-Za-z_]\w*)\s*\(", e)
+    if m and _scan_matching_paren(e, m.end()) == len(e):
+        fn = m.group(1).lower()
+        inner = e[m.end() : -1]
+        if fn in _ALWAYS_DOUBLE_FNS:
+            return True
+        if fn in _DOUBLE_PRESERVING_FNS:
+            args = _split_top_level(inner)
+            return bool(args) and any(
+                _provably_double(a, double_cols) for a in args
+            )
+        if fn in ("cast", "try_cast"):
+            return bool(
+                re.search(r"\bAS\s+DOUBLE\s*$", inner, re.IGNORECASE)
+            )
+        return False
+    if _IDENT_FULL_RE.fullmatch(e):
+        return e.rsplit(".", 1)[-1].lower() in double_cols
+    # exponent-form literal is DOUBLE in Presto (plain 1.5 is DECIMAL)
+    return bool(re.fullmatch(r"\d+(?:\.\d+)?[eE][+-]?\d+", e))
+
+
+def _top_level_last_as(inner: str) -> int | None:
+    mask = _literal_mask(inner)
+    depth, pos = 0, None
+    for m in re.finditer(r"\(|\)|\[|\]|\bAS\b", inner, re.IGNORECASE):
+        if mask[m.start()]:
+            continue
+        tok = m.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0:
+            pos = m.start()
+    return pos
+
+
+def rewrite_double_bigint_cast(sql: str, double_cols: frozenset) -> str:
+    """Lower ``CAST(<provably-double> AS BIGINT)`` (and TRY_CAST) to
+    Presto's HALF_UP rounding.  Outermost casts only — a nested
+    double→bigint cast inside the operand stays truncating (no such
+    shape in the corpus; avoids overlapping text edits)."""
+    if not double_cols:
+        return sql
+    mask = _literal_mask(sql)
+    edits: list[tuple[int, int, str]] = []
+    last_end = -1
+    for m in _CAST_CALL_RE.finditer(sql):
+        if mask[m.start()] or m.start() < last_end:
+            continue
+        end = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end() : end - 1]
+        as_pos = _top_level_last_as(inner)
+        if as_pos is None:
+            continue
+        if inner[as_pos + 2 :].strip().upper() != "BIGINT":
+            continue
+        operand = inner[:as_pos].strip()
+        if not _provably_double(operand, double_cols):
+            continue
+        expr = (
+            f"CASE WHEN ({operand}) >= 0 THEN FLOOR(({operand}) + 0.5) "
+            f"ELSE CEIL(({operand}) - 0.5) END"
+        )
+        edits.append((m.start(), end, f"{m.group(1)}({expr} AS BIGINT)"))
+        last_end = end
+    for s, e, rep in reversed(edits):
+        sql = sql[:s] + rep + sql[e:]
+    return sql
+
+
+def rewrite_double_round_half_up(sql: str, double_cols: frozenset) -> str:
+    """ORACLE-side helper: Presto ``round(double)`` rounds HALF_UP
+    (MathFunctions.java round — sign-split floor/ceil ±0.5) and Spark's
+    round matches, but DuckDB rounds half-even; lower 1-arg round over a
+    provably-double operand to the explicit expression so the DuckDB
+    oracle agrees on .5 ties.  Not applied engine-side."""
+    if not double_cols:
+        return sql
+
+    def build(args):
+        if len(args) == 1 and _provably_double(args[0], double_cols):
+            e = args[0].strip()
+            return (
+                f"CASE WHEN ({e}) >= 0 THEN FLOOR(({e}) + 0.5) "
+                f"ELSE CEIL(({e}) - 0.5) END"
+            )
+        return None
+
+    return _replace_fn_calls(sql, "round", build)
 
 
 _INT_CELL_RE = re.compile(r"^\s*[+-]?\d+\s*$")

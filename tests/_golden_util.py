@@ -467,15 +467,31 @@ def compare_pyrows(got: list[tuple], want: list[tuple]) -> str | None:
     return None
 
 
+# double-typed TPC-H columns, both unprefixed (H2 views) and prefixed
+# (golden tests over raw testdata names) — feeds the duck-side
+# CAST(double AS BIGINT) HALF_UP lowering, mirroring Engine._rewrite
+# (DuckDB natively rounds half-even; Presto half-up)
+H2_DOUBLE_COLS = frozenset(
+    n
+    for c in (
+        "o_totalprice", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "c_acctbal", "s_acctbal", "p_retailprice",
+    )
+    for n in (c, _unprefixed(c))
+)
+
+
 def duck_int_division(sql: str) -> str:
-    """Presto integer division (5/2 = 2) for the DuckDB oracle side:
-    apply the repo's literal/column rewrites, then map DIV to DuckDB's
-    // operator."""
+    """Presto numeric-semantics shims for the DuckDB oracle side: the
+    repo's integer-division rewrites (5/2 = 2) and the CAST(double AS
+    BIGINT) HALF_UP lowering, then DIV mapped to DuckDB's // operator."""
     import re as _re
 
     from presto_ads_spark.rewrite import (
         _rewrite_int_literal_division,
         infer_values_int_cols,
+        rewrite_double_bigint_cast,
+        rewrite_double_round_half_up,
         rewrite_integral_column_division,
     )
 
@@ -486,6 +502,9 @@ def duck_int_division(sql: str) -> str:
         if _unprefixed(c).endswith("key") or _unprefixed(c) in
         ("linenumber", "size", "regionkey", "nationkey")
     )
+    sql = rewrite_double_bigint_cast(sql, H2_DOUBLE_COLS)
+    # duck-only: Presto/Spark round(double) is HALF_UP, DuckDB half-even
+    sql = rewrite_double_round_half_up(sql, H2_DOUBLE_COLS)
     # inline VALUES relations carry their own provably-integral columns
     # (mirrors Engine._rewrite so both sides divide identically)
     out = rewrite_integral_column_division(

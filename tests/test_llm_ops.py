@@ -225,3 +225,28 @@ def test_boilerplate_ngrams_flags_common_grams(spark):
     assert out[1].n_boiler == 1 and out[1].n_grams == 4
     assert out[4].n_boiler == 0 and out[4].keep
     assert abs(out[1].boiler_ratio - 0.25) < 1e-9
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    # a single-token doc used to crash: sequence(1, size-1) = [1, 0]
+    # (descending) and element_at(t, 0) throws; 0/1-token docs simply
+    # have no bigrams
+    from presto_ads_spark.llm import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello"),
+            (2, ""),
+            (3, "a a a a a a"),
+            (4, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    # no crash, no bigrams; the lone token IS the top token (frac 1.0),
+    # so the Gopher keep-cut correctly rejects it
+    assert out[1].dup_bigram_frac == 0.0 and out[1].top_token_frac == 1.0
+    assert out[2].dup_bigram_frac == 0.0 and out[2].top_bigram_frac == 0.0
+    # 'a a' repeated: 5 bigrams, 1 distinct -> dup frac 0.8, not kept
+    assert out[3].dup_bigram_frac == 0.8 and not out[3].keep
+    assert out[4].keep

@@ -119,6 +119,61 @@ def test_range_join_interval_spanning_buckets(spark):
     ).count() == 0
 
 
+def test_range_join_left_outer_keeps_unmatched(spark):
+    # the containment predicate lives in the join condition, not a
+    # post-join filter — a post-filter evaluates to NULL on the
+    # NULL-extended rows and silently drops them (every outer mode
+    # degraded to inner before round 7)
+    left = _frame(
+        spark,
+        [
+            (1, "u", _ts("2024-01-01 10:30:00")),  # matches w1
+            (2, "u", _ts("2024-01-01 18:00:00")),  # no interval
+            (3, "v", _ts("2024-01-01 10:30:00")),  # wrong key
+        ],
+        "id bigint, k string, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [("w1", "u", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "wid string, k string, s timestamp, e timestamp",
+    )
+    out = {
+        r.id: r.wid
+        for r in range_join(
+            left, right, left_time="ts", right_start="s", right_end="e",
+            by=("k",), bucket_secs=3600, how="left",
+        ).collect()
+    }
+    assert out == {1: "w1", 2: None, 3: None}
+
+
+def test_range_join_bounds_interval_explode(spark):
+    import pytest
+
+    left = _frame(
+        spark, [(1, "u", _ts("2024-01-01 10:30:00"))],
+        "id bigint, k string, ts timestamp",
+    )
+    # a year-long interval at 60s buckets covers ~525k buckets — must
+    # raise, not silently explode
+    right = _frame(
+        spark,
+        [("w1", "u", _ts("2024-01-01 00:00:00"), _ts("2025-01-01 00:00:00"))],
+        "wid string, k string, s timestamp, e timestamp",
+    )
+    with pytest.raises(Exception, match="max_buckets"):
+        range_join(
+            left, right, left_time="ts", right_start="s", right_end="e",
+            by=("k",), bucket_secs=60,
+        ).collect()
+    # raising the bound deliberately makes the same query run
+    assert range_join(
+        left, right, left_time="ts", right_start="s", right_end="e",
+        by=("k",), bucket_secs=60, max_buckets=600_000,
+    ).count() == 1
+
+
 def test_range_join_uses_hash_join_not_nested_loop(spark):
     left = _frame(
         spark, [(1, "u", _ts("2024-01-01 10:30:00"))],

@@ -295,9 +295,14 @@ def test_integral_agg_division():
     # complex operands pass through (documented gap), literals untouched
     assert "(sum(a)+1)/2" in R("SELECT (sum(a)+1)/2 FROM t", ic)
     assert "'7/2'" in R("SELECT '7/2' AS s, sum(a)/2 FROM t", ic)
-    # chained division: one operand serves one rewrite, rest pass through
-    out = R("SELECT a/sum(b)/3 FROM t", ic)
-    assert out.count("DIV") == 1
+    # chained / same-precedence-adjacent division: rewriting one pair
+    # would regroup Presto's left-associated parse (r6 ADVICE: the old
+    # rightmost-survivor turned 'sum(a)/count(*)/3' into
+    # 'sum(a) / (count(*) DIV 3)') — the whole chain bails
+    assert "DIV" not in R("SELECT a/sum(b)/3 FROM t", ic)
+    assert "DIV" not in R("SELECT sum(a)/count(*)/3 FROM t", ic)
+    assert "DIV" not in R("SELECT 1.0 * sum(a) / 2 FROM t", ic)
+    assert "DIV" not in R("SELECT sum(a)/2 * 3 FROM t", ic)
 
 
 def test_group_by_in_subquery_hoist():

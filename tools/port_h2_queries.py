@@ -76,9 +76,6 @@ MANUAL_SKIPS: dict[int, str] = {
           "reference; shimmed differently here — see SHOW FUNCTIONS note)",
     3168: "LIMIT over non-unique ORDER BY keys — tie rows differ per "
           "engine",
-    4028: "CAST(double AS BIGINT): Presto rounds half-up, Spark/ANSI "
-          "truncates — documented deviation (README)",
-    4034: "try_cast(double AS BIGINT): same rounding deviation as 4028",
     1232: "ORDER BY grouping(col) expression re-evaluated after "
           "projection (Spark resolves against output scope)",
     # 1335/1351 (plain outer GROUP BY over a grouping-sets subquery) are
@@ -94,8 +91,6 @@ MANUAL_SKIPS: dict[int, str] = {
     5535: "projected IN referenced by ORDER BY (see 5516)",
     6446: "EXISTS in ORDER BY (Spark: subquery predicates not allowed "
           "in Sort)",
-    6684: "CAST(double AS BIGINT) rounding deviation inside aggregation "
-          "(see 4028 / README)",
 }
 
 # Spark analyzer limits on exotic correlated-subquery placements —
@@ -129,15 +124,6 @@ MANUAL_SKIPS.update({
             "(Spark requires a foldable percentage)",
     "L6923": "custom_add comes from the installPlugin() test fixture — "
              "not part of the engine's function surface",
-    "L4905": "TRY(x/CAST(tax*10 AS BIGINT)) oracle needs the CAST(double "
-             "AS BIGINT) rounding deviation (see 4028) — not "
-             "oracle-checkable",
-    "L4910": "TRY + round(totalprice): Presto half-up vs DuckDB half-even "
-             "rounding on .5 cents — not oracle-checkable (see 4028)",
-    "L4915": "TRY(to_base(..)) oracle needs CAST(double AS BIGINT) "
-             "rounding (see 4028) — not oracle-checkable",
-    "L4920": "TRY(to_base(..)) oracle needs CAST(double AS BIGINT) "
-             "rounding (see 4028) — not oracle-checkable",
 })
 # $internal$ statistics aggregates (FunctionRegistry's hidden namespace,
 # used only by ANALYZE stats collection; absent from SHOW FUNCTIONS in

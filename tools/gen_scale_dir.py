@@ -15,7 +15,21 @@ and per-copy value distributions are preserved:
 
 Bench-only artifact (written to /tmp by default); NOT driver testdata.
 
-Usage: python tools/gen_scale_dir.py [K] [outdir]
+``--skew`` additionally plants three adversarial hot keys (uniform
+replication tests VOLUME; this mode tests the shapes AQE's skew-join
+splitting does NOT cover — see PERFORMANCE.md "Skew stress"):
+
+- events: ~20%% of all events are remapped to ONE user_id (1) — the
+  as-of join's window partition key, so one partition carries 20%% of
+  the table.
+- documents: ~50%% of docs are remapped to ONE source ('hot_src') —
+  pack_sequences' window partition key (baseline sources are uniform
+  ~1/20 each, so this is a 10x hot partition).
+- documents: ~5%% of docs get IDENTICAL text — every band bucket of the
+  MinHash LSH collides for them (the boilerplate-page shape), making
+  the bucket self-join quadratic in the hot-bucket size.
+
+Usage: python tools/gen_scale_dir.py [K] [outdir] [--skew]
 """
 
 from __future__ import annotations
@@ -26,6 +40,11 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
+
+# ~120-token constant document for the identical-text LSH hot bucket
+HOT_TEXT = " ".join(
+    f"boiler{w % 17} plate{w % 11} legal{w % 7} footer" for w in range(30)
+)
 
 # table -> {column: offset-base column sizing key}; offsets are i * CEIL
 # over the source max so copies never collide.
@@ -47,8 +66,12 @@ SHARED_DIMS = ("nation", "region")
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf{k / 10:g}"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    k = int(args[0]) if args else 10
+    out = args[1] if len(args) > 1 else (
+        f"/tmp/sf{k / 10:g}skew" if skew else f"/tmp/sf{k / 10:g}"
+    )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -72,7 +95,25 @@ def main() -> None:
         ).fetchall()
         sel = []
         for cname, ctype, *_ in desc:
-            if cname in cols:
+            if skew and t == "events" and cname == "user_id":
+                # hot user: 20% of ALL events on one as-of window key
+                sel.append(
+                    "CASE WHEN event_id % 5 = 0 THEN 1 ELSE user_id END"
+                    " AS user_id"
+                )
+            elif skew and t == "documents" and cname == "source":
+                # hot source: half the corpus in one packing partition
+                sel.append(
+                    "CASE WHEN doc_id % 2 = 0 THEN 'hot_src' ELSE source"
+                    " END AS source"
+                )
+            elif skew and t == "documents" and cname == "text":
+                # identical text -> one hot bucket in EVERY LSH band
+                sel.append(
+                    f"CASE WHEN doc_id % 20 = 0 THEN '{HOT_TEXT}' "
+                    "ELSE concat('c', i, ' ', text) END AS text"
+                )
+            elif cname in cols:
                 sel.append(f"{cname} + i * {ceil[cols[cname]]} AS {cname}")
             elif t == "documents" and cname == "text":
                 sel.append("concat('c', i, ' ', text) AS text")

@@ -92,6 +92,14 @@ _FUNCTION_NOTES: dict[str, str] = {
     "classify": "nearest-neighbor over the learned set (reference: SVM)",
     "regress": "nearest-neighbor over the learned set (reference: SVR)",
     "random": "bounded form lowered to floor(rand() * n)",
+    "presto_json_canon": "per-row python UDF (compat path for CAST(row "
+                         "AS JSON) array form) — do NOT put row→JSON "
+                         "casts in large-scan projections; map/array "
+                         "JSON casts stay JVM-side",
+    "date_add": "3-arg string-unit form; a syntactically DATE-typed "
+                "third argument (DATE literal / CAST .. AS DATE) "
+                "returns DATE like Presto, other date-typed "
+                "expressions coerce to TIMESTAMP",
     "st_relate": "canonical DE-9IM masks evaluate via the predicate set "
                  "(equals/disjoint/within/contains/touches/crosses/"
                  "overlaps/intersects); other patterns return NULL "

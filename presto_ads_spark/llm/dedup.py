@@ -137,14 +137,28 @@ def minhash_signatures_rowwise(df: DataFrame, text_col: str = "text",
     return hashed.select("id", *cols)
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 4, max_bucket: int | None = None
+) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become candidates.
 
     Output: distinct (id_a, id_b), id_a < id_b. Each signature explodes to
     ``bands`` (band_id, band_key) rows and candidates come from ONE
     self-join on (band_id, band_key) — one shuffle of the exploded
     signature table instead of the former per-band join + union + distinct
-    (4 shuffles). At scale only (band_key, id) pairs ever move."""
+    (4 shuffles). At scale only (band_key, id) pairs ever move.
+
+    ``max_bucket`` is the skew guard: a band bucket of b docs emits
+    b·(b-1)/2 pairs, and one boilerplate/identical-text cluster (e.g. 1M
+    copies of a legal footer) turns the self-join quadratic — 5·10^11
+    pairs from a single bucket, which AQE's skew-split cannot shrink
+    because the OUTPUT is what's quadratic. With a cap, buckets larger
+    than ``max_bucket`` are dropped from pair generation (aggregate-then-
+    filter BEFORE the self-join, so oversized buckets never fan out).
+    Drop is the right semantic at scale: a bucket that large is an
+    exact-duplicate cluster, which the exact/fingerprint dedup stage
+    catches at O(b); run it first. Default None preserves exact
+    behavior."""
     k = len(MINHASH_AB)
     rows = k // bands
     entries = F.array(
@@ -163,6 +177,18 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4) -> DataFrame:
     e = sig.select("id", F.explode(entries).alias("e")).select(
         "id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        # one shuffle on (band, bk) — the same partitioning the self-join
+        # needs, so the count costs no extra exchange; oversized buckets
+        # are excised before any pair exists
+        w = Window.partitionBy("band", "bk")
+        e = (
+            e.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= F.lit(int(max_bucket)))
+            .drop("__bn")
+        )
     left = e.select(F.col("id").alias("id_a"), "band", "bk")
     right = e.select(F.col("id").alias("id_b"), "band", "bk")
     return (
@@ -174,7 +200,8 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4) -> DataFrame:
 
 
 def minhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
+                      id_col: str = "doc_id", threshold: float = 0.5,
+                      max_bucket: int | None = None) -> DataFrame:
     """Full MinHash+LSH pipeline → (id_a, id_b, est_jaccard ≥ threshold).
 
     Signatures computed row-wise (zero shuffle); the table feeds 4 band
@@ -189,7 +216,9 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     # size probe: past the cap the un-hinted frame goes in and AQE picks a
     # shuffle join from runtime sizes instead of a forced-broadcast OOM.
     # Persisted un-hinted so the probe doubles as cache materialization.
-    cands = gated_broadcast(lsh_candidate_pairs(sig).persist())
+    cands = gated_broadcast(
+        lsh_candidate_pairs(sig, max_bucket=max_bucket).persist()
+    )
     a = sig.select([F.col("id").alias("id_a")] + [F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))])
     b = sig.select([F.col("id").alias("id_b")] + [F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))])
     joined = cands.join(a, "id_a").join(b, "id_b")

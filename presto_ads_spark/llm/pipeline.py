@@ -145,6 +145,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     part_col: str = "source",
+    chunk_docs: int | None = None,
 ) -> DataFrame:
     """Greedy in-order packing of documents into fixed token budgets.
 
@@ -155,19 +156,68 @@ def pack_sequences(
     is one row per packed sequence with its fill statistics. One shuffle
     (window partition key), streaming window, grouped agg on the same
     key — no second exchange.
+
+    ``chunk_docs`` is the SKEW path: the default windows over
+    ``part_col`` alone, so one hot source (half the corpus) serializes
+    on a single sort partition with no AQE help. Chunked, rows window
+    over (source, id-range chunk) — bounded partitions — and the
+    chunk-base token offsets travel through a tiny per-chunk frame
+    (broadcast back). The prefix sum decomposes exactly
+    (tokens_before = chunk_base + within-chunk prefix), so results are
+    IDENTICAL to the unchunked plan, not an approximation.
     """
     n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
-    w = (
-        Window.partitionBy(part_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    with_seq = df.select(
-        F.col(part_col), F.col(id_col), n_tok.alias("n_tok")
-    ).withColumn(
-        "seq_id",
-        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget),
-    )
+    if chunk_docs is None:
+        w = (
+            Window.partitionBy(part_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        with_seq = df.select(
+            F.col(part_col), F.col(id_col), n_tok.alias("n_tok")
+        ).withColumn(
+            "seq_id",
+            F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget),
+        )
+    else:
+        staged = df.select(
+            F.col(part_col),
+            F.col(id_col),
+            n_tok.alias("n_tok"),
+            F.floor(F.col(id_col) / F.lit(int(chunk_docs))).alias("__ck"),
+        )
+        wck = (
+            Window.partitionBy(part_col)
+            .orderBy("__ck")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        base = (
+            staged.groupBy(part_col, "__ck")
+            .agg(F.sum("n_tok").alias("__ct"))
+            .select(
+                part_col,
+                "__ck",
+                F.coalesce(F.sum("__ct").over(wck), F.lit(0))
+                .alias("__base"),
+            )
+        )
+        win = (
+            Window.partitionBy(part_col, "__ck")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        with_seq = staged.join(
+            F.broadcast(base), [part_col, "__ck"]
+        ).withColumn(
+            "seq_id",
+            F.floor(
+                (
+                    F.col("__base")
+                    + F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+                )
+                / budget
+            ),
+        )
     return (
         with_seq.groupBy(part_col, "seq_id")
         .agg(

@@ -36,6 +36,7 @@ def asof_join(
     value_cols: tuple[str, ...] = (),
     suffix: str = "_r",
     tolerance_secs: float | None = None,
+    bucket_secs: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the latest right row with
     ``right.on <= left.on`` within the same ``by`` group (backward as-of,
@@ -45,6 +46,19 @@ def asof_join(
 
     Right columns surface as ``<col><suffix>`` plus ``<on><suffix>`` (the
     matched timestamp).
+
+    ``bucket_secs`` is the SKEW path: the default plan windows over
+    ``by`` alone, so one hot key (a user with 20% of the events) lands
+    its whole history in ONE sort partition — and window stages get no
+    AQE skew-split help. With ``bucket_secs`` set, rows window over
+    (by, time-bucket) instead — the hot key spreads across its time
+    range — and cross-bucket state travels through a tiny per-bucket
+    summary frame (one row per (by, bucket) that has right rows):
+    bucket-final carried values, windowed by ``by`` over buckets
+    (bounded by time-range/bucket_secs rows per key, independent of row
+    count), are re-injected as synthetic seed rows sorting before every
+    real row of the next bucket. Same semantics, two extra small
+    shuffles; choose width so a (key, bucket) cell fits a task.
     """
     by = tuple(by)
     value_cols = tuple(value_cols)
@@ -56,15 +70,60 @@ def asof_join(
     ).withColumn("__side", F.lit(0))
     l_tagged = left.withColumn("__side", F.lit(1))
     both = l_tagged.unionByName(r, allowMissingColumns=True)
+    carried = [f"{on}{suffix}", *[f"{c}{suffix}" for c in value_cols]]
+
+    if bucket_secs is None:
+        part_keys: list = list(by)
+    else:
+        bkt = F.floor(_to_secs(F.col(on)) / F.lit(int(bucket_secs)))
+        both = both.withColumn("__bkt", bkt.cast("bigint"))
+        part_keys = [*by, "__bkt"]
+        # bucket-final carried values per (by, bucket): lexicographic
+        # struct-max ordered by the event time picks the same row the
+        # ordered window's last-carry would (ties on `on` are
+        # order-unspecified in both formulations)
+        rb = both.filter(F.col("__side") == 0)
+        summaries = rb.groupBy(*by, "__bkt").agg(
+            F.max(F.struct(F.col(on), *[F.col(c) for c in carried]))
+            .alias("__s")
+        )
+        # every (by, bucket) any row touches needs a seed from the
+        # closest PRECEDING summarized bucket — windowed over by alone,
+        # but on the tiny per-bucket frame, not the data
+        axis = both.select(*by, "__bkt").distinct()
+        wprev = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__bkt").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seeds = (
+            axis.join(summaries, [*by, "__bkt"], "left")
+            .select(
+                *by,
+                "__bkt",
+                F.last(F.col("__s"), ignorenulls=True)
+                .over(wprev)
+                .alias("__p"),
+            )
+            .filter(F.col("__p").isNotNull())
+            .select(
+                *by,
+                "__bkt",
+                F.lit(None).cast(both.schema[on].dataType).alias(on),
+                *[F.col(f"__p.{c}").alias(c) for c in carried],
+                F.lit(-1).alias("__side"),
+            )
+        )
+        both = both.unionByName(seeds, allowMissingColumns=True)
 
     # right rows sort before left rows at an equal timestamp, so an exact
-    # tie matches (inclusive backward)
+    # tie matches (inclusive backward); seed rows (NULL `on`,
+    # asc_nulls_first) sort before everything in their bucket
     w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        Window.partitionBy(*part_keys)
+        .orderBy(F.col(on).asc_nulls_first(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [f"{on}{suffix}", *[f"{c}{suffix}" for c in value_cols]]
     filled = both.select(
         "*",
         *[

@@ -3300,6 +3300,61 @@ def _in_relation_position(sql: str, pos: int, mask: list) -> bool:
     return False
 
 
+_PAREN_SEL_ANY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+
+
+def _collapse_trivial_subquery_wrappers(sql: str) -> str:
+    """Strip no-op derived-table shells around subqueries so ONE
+    correlation level remains where Presto's decorrelation sees through
+    several (AbstractTestQueries testCorrelatedScalarSubqueries /
+    testCorrelatedExistsSubqueries wrap correlated subqueries as
+    ``(SELECT * FROM (SELECT <subquery>))`` — Spark's analyzer resolves
+    outer references through one subquery level only):
+
+    - ``(SELECT * FROM (Q))``  → ``(Q)``   (no alias, no other clauses)
+    - ``(SELECT (Q))``         → ``(Q)``   (lone scalar-subquery item)
+
+    Both are exact identities (a bare derived table is the query; a
+    one-item FROM-less select of a scalar subquery is that scalar).
+    Iterates to fixpoint so the two compose across nesting levels."""
+    changed = True
+    while changed:
+        changed = False
+        mask = _literal_mask(sql)
+        for m in _PAREN_SEL_ANY_RE.finditer(sql):
+            p = m.start()
+            if mask[p]:
+                continue
+            close = _scan_matching_paren(sql, p + 1)
+            body = sql[p + 1 : close - 1]
+            star = re.match(
+                r"\s*SELECT\s+\*\s+FROM\s*\(", body, re.IGNORECASE
+            )
+            lone = re.match(r"\s*SELECT\s*\(", body, re.IGNORECASE)
+            inner_open = None
+            if star is not None:
+                inner_open = star.end() - 1
+            elif lone is not None:
+                inner_open = lone.end() - 1
+            if inner_open is None:
+                continue
+            if not re.match(
+                r"\s*SELECT\b", body[inner_open + 1 :], re.IGNORECASE
+            ):
+                continue
+            inner_close = _scan_matching_paren(body, inner_open + 1)
+            if body[inner_close:].strip():
+                continue  # alias / WHERE / anything else: not a no-op
+            sql = (
+                sql[:p]
+                + body[inner_open:inner_close]
+                + sql[close:]
+            )
+            changed = True
+            break
+    return sql
+
+
 def _rewrite_fromless_subqueries(sql: str) -> str:
     """Fold FROM-less subqueries to scalar expressions.
 
@@ -3562,6 +3617,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_values_with_lambdas(sql)
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_unnest_all(sql)
+    sql = _collapse_trivial_subquery_wrappers(sql)
     sql = _rewrite_fromless_subqueries(sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     # type-position TIMESTAMP WITH TIME ZONE → Spark's session-zoned

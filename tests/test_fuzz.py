@@ -1,0 +1,40 @@
+"""CI tier for the differential expression fuzzer (tools/
+fuzz_expressions.py): fixed seeds, ~200 queries through Engine.sql vs
+DuckDB on the same VALUES relation. The grammar covers scalar arith /
+string / boolean expressions, integral-aggregate division, set ops,
+datetime (interval arith, date_trunc, field extraction), array HOFs
+(transform/filter lambdas), and window functions — the areas where
+rewrite-layer bugs have historically surfaced (r6 verdict item #5).
+
+A mismatch here is a REAL bug: the failure text carries the query and
+seed for a deterministic repro (`python tools/fuzz_expressions.py N
+SEED`)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import fuzz_expressions as fz  # noqa: E402
+
+SEEDS = (20260814, 1, 7)
+
+
+@pytest.fixture(scope="module")
+def fuzz_engine(spark):
+    from presto_ads_spark.engine import Engine
+
+    return Engine(spark.newSession(), sf_dir=None)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_differential(fuzz_engine, seed):
+    failures = fz.run_fuzz(
+        70, seed, fuzz_engine, duckdb.connect(), verbose=False
+    )
+    assert not failures, "\n".join(failures[:5])

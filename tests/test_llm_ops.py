@@ -250,3 +250,22 @@ def test_repetition_stats_degenerate_docs(spark):
     # 'a a' repeated: 5 bigrams, 1 distinct -> dup frac 0.8, not kept
     assert out[3].dup_bigram_frac == 0.8 and not out[3].keep
     assert out[4].keep
+
+
+def test_lsh_bucket_cap_excises_hot_bucket(spark):
+    # 6 identical-text docs collide in every band (the boilerplate
+    # shape); 2 genuinely-near docs survive the cap. With max_bucket=5
+    # the 15 quadratic pairs from the hot cluster never materialize.
+    from presto_ads_spark.llm import dedup
+
+    hot = "the same boiler plate legal footer text " * 5
+    rows = [(i, hot) for i in range(6)] + [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = dedup.minhash_near_dups(df, threshold=0.5)
+    assert full.filter("id_a < 6").count() == 15  # C(6,2) hot pairs
+    capped = dedup.minhash_near_dups(df, threshold=0.5, max_bucket=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (10, 11) in got and not any(a < 6 for a, _ in got)

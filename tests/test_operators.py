@@ -70,6 +70,19 @@ def test_asof_tolerance_voids_stale_matches(spark):
         tolerance_secs=3600,
     ).collect()[0]
     assert stale.v_r is None and stale.ts_r is None
+    # tolerance composes with the skew (bucketed) path: the match is two
+    # buckets back, carried through the seed chain, then voided/kept by
+    # the same in-tolerance predicate on the matched timestamp
+    ok_b = asof_join(
+        left, right, on="ts", by=("k",), value_cols=("v",),
+        tolerance_secs=3 * 3600, bucket_secs=1800,
+    ).collect()[0]
+    assert ok_b.v_r == 8.0
+    stale_b = asof_join(
+        left, right, on="ts", by=("k",), value_cols=("v",),
+        tolerance_secs=3600, bucket_secs=1800,
+    ).collect()[0]
+    assert stale_b.v_r is None and stale_b.ts_r is None
 
 
 def test_asof_plan_has_no_join_node(spark):

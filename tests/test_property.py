@@ -156,13 +156,25 @@ def test_asof_join_matches_naive(spark, lefts, rights):
             left, right, on="ts", by=("k",), value_cols=("v",)
         ).collect()
     }
+    # the skew path (bucketed windows + cross-bucket seed carry) must be
+    # semantics-identical for ANY bucket width, including widths that
+    # leave buckets empty between right and left rows
+    got_b = {
+        r.id: (r.ts_r, r.v_r)
+        for r in asof_join(
+            left, right, on="ts", by=("k",), value_cols=("v",),
+            bucket_secs=97,
+        ).collect()
+    }
     for i, (k, s) in enumerate(lefts):
         elig = [(rs, rv) for rk, rs, rv in rights if rk == k and rs <= s]
         want = max(elig) if elig else None
         if want is None:
             assert got[i] == (None, None)
+            assert got_b[i] == (None, None)
         else:
             assert got[i] == (ts(want[0]), float(want[1]))
+            assert got_b[i] == got[i]
 
 
 @settings(max_examples=12, deadline=None)
@@ -235,6 +247,13 @@ def test_pack_sequences_conservation_and_order(spark, docs, budget):
     assert rows[0].seq_id == 0
     ids = [r.seq_id for r in rows]
     assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    # the skew path (chunked windows + chunk-base offsets) decomposes the
+    # prefix sum exactly — identical output for any chunk size
+    chunked = sorted(
+        pack_sequences(df, budget=budget, chunk_docs=3).collect(),
+        key=lambda r: r.seq_id,
+    )
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in rows]
 
 
 def test_infer_values_int_cols():

@@ -20,11 +20,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # the relation both engines see
-ROWS = "(VALUES (1, 2, 'ab'), (3, NULL, 'Cd e'), (-5, 7, ''), " \
-       "(10, -4, 'fgh'), (NULL, 0, 'xy z')) t(a, b, s)"
+ROWS = (
+    "(VALUES (1, 2, 'ab', TIMESTAMP '2024-01-15 10:30:00'), "
+    "(3, NULL, 'Cd e', TIMESTAMP '2024-01-15 23:59:59'), "
+    "(-5, 7, '', TIMESTAMP '2024-02-29 00:00:00'), "
+    "(10, -4, 'fgh', NULL), "
+    "(NULL, 0, 'xy z', TIMESTAMP '2023-12-31 07:05:00')) t(a, b, s, d)"
+)
 
 INT_COLS = ("a", "b")
 STR_COLS = ("s",)
+TS_COLS = ("d",)
 
 
 def int_expr(r: random.Random, depth: int = 0) -> str:
@@ -45,8 +51,12 @@ def int_expr(r: random.Random, depth: int = 0) -> str:
     if op == "fn":
         f = r.choice(
             ["abs", "least", "greatest", "coalesce", "nullif",
-             "try", "array", "strfn"]
+             "try", "array", "strfn", "hof", "tsint"]
         )
+        if f == "hof":
+            return array_expr(r, depth + 1)
+        if f == "tsint":
+            return ts_int_expr(r, depth + 1)
         if f == "abs":
             return f"abs({x})"
         if f == "try":
@@ -97,10 +107,84 @@ def str_expr(r: random.Random, depth: int = 0) -> str:
     return f"{op}({x})"
 
 
+def ts_expr(r: random.Random, depth: int = 0) -> str:
+    """Timestamp-valued expressions portable across engine and DuckDB.
+    date_trunc is always CAST to TIMESTAMP (DuckDB returns DATE for
+    day-and-coarser units, Presto/Spark return TIMESTAMP); date_diff is
+    EXCLUDED (Presto counts elapsed full units, DuckDB counts boundary
+    crossings — a genuine semantics difference, documented)."""
+    if depth > 1 or r.random() < 0.45:
+        return r.choice(
+            [
+                r.choice(TS_COLS),
+                "TIMESTAMP '2024-01-20 12:00:00'",
+                "TIMESTAMP '2023-11-05 06:30:15'",
+                "CAST(NULL AS TIMESTAMP)",
+            ]
+        )
+    op = r.choice(["interval", "trunc", "extreme", "case"])
+    x = ts_expr(r, depth + 1)
+    if op == "interval":
+        n = r.randint(1, 40)
+        unit = r.choice(["HOUR", "DAY", "MINUTE"])
+        return f"({x} {r.choice(['+', '-'])} INTERVAL '{n}' {unit})"
+    if op == "trunc":
+        unit = r.choice(["hour", "day", "month", "year", "minute"])
+        return f"CAST(date_trunc('{unit}', {x}) AS TIMESTAMP)"
+    if op == "extreme":
+        return f"{r.choice(['greatest', 'least'])}({x}, {ts_expr(r, depth + 1)})"
+    return (
+        f"(CASE WHEN {bool_expr(r, depth + 1)} THEN {x} "
+        f"ELSE {ts_expr(r, depth + 1)} END)"
+    )
+
+
+def ts_int_expr(r: random.Random, depth: int = 0) -> str:
+    """Integer field extraction from a timestamp (portable subset)."""
+    fn = r.choice(["year", "month", "day", "hour", "minute"])
+    return f"{fn}({ts_expr(r, depth + 1)})"
+
+
+def array_expr(r: random.Random, depth: int = 0) -> str:
+    """Scalar-valued expressions over array HOFs (transform/filter —
+    lambda syntax is shared with DuckDB's list_* family, mapped on the
+    oracle side by _duck_dialect)."""
+    elems = ", ".join(
+        int_expr(r, depth + 2) for _ in range(r.randint(1, 4))
+    )
+    arr = f"ARRAY[{elems}]"
+    kind = r.choice(
+        ["transform_card", "filter_card", "distinct_card", "sort_idx",
+         "contains", "index"]
+    )
+    if kind == "transform_card":
+        return f"cardinality(transform({arr}, x -> x + {r.randint(-3, 3)}))"
+    if kind == "filter_card":
+        return f"cardinality(filter({arr}, x -> x > {r.randint(-4, 6)}))"
+    if kind == "distinct_card":
+        return f"cardinality(array_distinct({arr}))"
+    if kind == "sort_idx":
+        return f"(array_sort({arr})[{r.randint(1, 2)}])"
+    if kind == "contains":
+        return (
+            f"(CASE WHEN contains({arr}, {r.randint(-2, 4)}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return f"({arr}[{r.randint(1, 5)}])"
+
+
 def bool_expr(r: random.Random, depth: int = 0) -> str:
     if depth > 2:
         return r.choice(["TRUE", "FALSE", "a > 0", "b IS NULL"])
-    kind = r.choice(["cmp", "null", "between", "in", "not", "andor", "strcmp"])
+    kind = r.choice(
+        ["cmp", "null", "between", "in", "not", "andor", "strcmp", "tscmp"]
+    )
+    if kind == "tscmp":
+        return (
+            f"({ts_expr(r, depth + 1)} "
+            f"{r.choice(['<', '<=', '=', '>=', '>'])} "
+            f"{ts_expr(r, depth + 1)})"
+        )
     if kind == "cmp":
         return f"({int_expr(r, depth + 1)} {r.choice(['<', '<=', '=', '>=', '>', '<>'])} {int_expr(r, depth + 1)})"
     if kind == "strcmp":
@@ -159,6 +243,36 @@ def gen_agg_query(r: random.Random) -> str:
     )
 
 
+_WIN_TIEBREAK = "coalesce(a, -99), coalesce(b, -99), s NULLS FIRST"
+
+
+def gen_window_query(r: random.Random) -> str:
+    """Window functions over the VALUES relation. The ORDER BY key is a
+    total order of the rows (unique tiebreak incl. NULL s), so ranks and
+    running frames are deterministic on both engines."""
+    part = r.choice(
+        ["", "PARTITION BY (abs(coalesce(a, 0)) % 2) ",
+         "PARTITION BY (CASE WHEN b IS NULL THEN 0 ELSE abs(b) % 2 END) "]
+    )
+    over = f"OVER ({part}ORDER BY {_WIN_TIEBREAK})"
+    fns = [
+        f"row_number() {over}",
+        f"rank() {over}",
+        f"dense_rank() {over}",
+        f"sum(coalesce(b, 0)) {over}",
+        f"lag(coalesce(a, -1), 1) {over}",
+        f"lead(coalesce(a, -1), 1, 0) {over}",
+        f"first_value(coalesce(a, -1)) {over}",
+        f"count(*) {over}",
+    ]
+    picked = r.sample(fns, r.randint(1, 3))
+    sel = ", ".join(f"{e} AS w{i}" for i, e in enumerate(picked))
+    return (
+        f"SELECT coalesce(a, -99) AS k0, {sel} FROM {ROWS}"
+        f" ORDER BY {_WIN_TIEBREAK}"
+    )
+
+
 def gen_setop_query(r: random.Random) -> str:
     op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
     l_ = f"SELECT {int_expr(r)} AS c0, {str_expr(r)} AS c1 FROM {ROWS}"
@@ -172,15 +286,19 @@ def gen_query(r: random.Random) -> str:
         return gen_agg_query(r)
     if shape < 0.3:
         return gen_setop_query(r)
+    if shape < 0.42:
+        return gen_window_query(r)
     items = []
     for _ in range(r.randint(1, 4)):
         kind = r.random()
-        if kind < 0.45:
+        if kind < 0.4:
             items.append(int_expr(r))
-        elif kind < 0.8:
+        elif kind < 0.7:
             items.append(str_expr(r))
-        else:
+        elif kind < 0.85:
             items.append(bool_expr(r))
+        else:
+            items.append(ts_expr(r))
     sel = ", ".join(
         f"{e} AS c{i}" for i, e in enumerate(items)
     )
@@ -188,33 +306,52 @@ def gen_query(r: random.Random) -> str:
     return f"SELECT {sel} FROM {ROWS}{where}"
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
-    import duckdb
+# Presto spellings → DuckDB spellings for the oracle side (the engine
+# side goes through Engine.sql's own rewrites). Lambda syntax (x -> ..)
+# is shared, only the function names differ.
+_DUCK_RENAMES = [
+    (r"\btransform\(", "list_transform("),
+    (r"\bfilter\(", "list_filter("),
+    (r"\bcardinality\(", "len("),
+    (r"\barray_distinct\(", "list_distinct("),
+    (r"\barray_sort\(", "list_sort("),
+    (r"\bcontains\(", "list_contains("),
+    # DuckDB has no TRY; the grammar only wraps non-failing operands
+    # (division avoids zero divisors), so TRY(x) == (x) on the oracle
+    (r"\bTRY\(", "("),
+]
 
+
+def duck_dialect(q: str) -> str:
+    import re as _re
+
+    from presto_ads_spark.rewrite import (
+        _rewrite_int_literal_division,
+        rewrite_integral_column_division,
+    )
+
+    dq = rewrite_integral_column_division(
+        _rewrite_int_literal_division(q), frozenset(INT_COLS)
+    ).replace(" DIV ", " // ")
+    for pat, rep in _DUCK_RENAMES:
+        dq = _re.sub(pat, rep, dq)
+    return dq
+
+
+def run_fuzz(n: int, seed: int, eng, duck, verbose: bool = True):
+    """Run n seeded queries through Engine.sql and DuckDB; returns the
+    list of mismatch descriptions (empty = clean)."""
     import _golden_util as gu
-    from presto_ads_spark.engine import Engine
-    from presto_ads_spark.session import get_spark
 
-    spark = get_spark("fuzz", master="local[8]")
-    spark.sparkContext.setLogLevel("ERROR")
-    eng = Engine(spark.newSession(), sf_dir=None)
-    duck = duckdb.connect()
     rng = random.Random(seed)
-    bad = 0
+    failures: list[str] = []
+    oracle_skipped = 0
     for i in range(n):
         q = gen_query(rng)
-        from presto_ads_spark.rewrite import (
-            _rewrite_int_literal_division,
-            rewrite_integral_column_division,
-        )
-        dq = rewrite_integral_column_division(
-            _rewrite_int_literal_division(q), frozenset(INT_COLS)
-        ).replace(" DIV ", " // ")
         try:
-            want = [tuple(r) for r in duck.execute(dq).fetchall()]
+            want = [tuple(r) for r in duck.execute(duck_dialect(q)).fetchall()]
         except Exception:
+            oracle_skipped += 1
             continue  # oracle-side dialect gap, not our bug
         try:
             got = [tuple(r) for r in eng.sql(q).collect()]
@@ -222,9 +359,31 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             diff = f"ENGINE EXC {type(e).__name__}: {str(e)[:160]}"
         if diff is not None:
-            bad += 1
-            print(f"\nMISMATCH #{bad} (query {i}, seed {seed}):\n  {q}\n  {str(diff)[:300]}")
-    print(f"\n{n} queries, {bad} mismatches")
+            failures.append(
+                f"query {i} seed {seed}: {q}\n  {str(diff)[:300]}"
+            )
+            if verbose:
+                print(f"\nMISMATCH #{len(failures)}:\n  {failures[-1]}")
+    if verbose:
+        print(
+            f"\n{n} queries, {len(failures)} mismatches, "
+            f"{oracle_skipped} oracle-dialect skips"
+        )
+    return failures
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
+    import duckdb
+
+    from presto_ads_spark.engine import Engine
+    from presto_ads_spark.session import get_spark
+
+    spark = get_spark("fuzz", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark.newSession(), sf_dir=None)
+    run_fuzz(n, seed, eng, duckdb.connect())
 
 
 if __name__ == "__main__":

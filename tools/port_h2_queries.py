@@ -109,11 +109,10 @@ for _ln in (6257, 6485):
         "correlated subquery scanning a relation in join-ON "
         "(Spark analyzer rejects; Presto decorrelates)"
     )
-for _ln in (6074, 6207, 6268, 6364, 6415, 6496, 6500):
-    MANUAL_SKIPS[_ln] = (
-        "multi-level correlation (outer reference through two subquery "
-        "levels) — Spark resolves one level only"
-    )
+# (r7) the 7 former multi-level-correlation skips (6074 6207 6268 6364
+# 6415 6496 6500) are live: _collapse_trivial_subquery_wrappers strips
+# the no-op (SELECT * FROM (SELECT ...)) shells down to one correlation
+# level, which Spark resolves natively.
 
 # re-key by source-file prefix, then add non-L sites
 MANUAL_SKIPS = {f"L{k}": v for k, v in MANUAL_SKIPS.items()}

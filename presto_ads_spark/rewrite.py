@@ -2688,47 +2688,92 @@ def _rewrite_json_casts(sql: str) -> str:
         i = m.start()
 
 
+def _parse_char_cast(sql: str, m) -> tuple[str, str, int, int] | None:
+    """If the CAST opening at match ``m`` targets CHAR(n), return
+    (cast_keyword, operand_text, n, end_of_span); else None."""
+    j = _scan_matching_paren(sql, m.end())
+    inner = sql[m.end() : j - 1]
+    depth, in_str, as_pos = 0, False, -1
+    for k in range(len(inner) - 3):
+        c = inner[k]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and inner[k : k + 4].upper() == " AS ":
+            as_pos = k
+    if as_pos < 0:
+        return None
+    tm = re.match(
+        r"^CHAR\s*\(\s*(\d+)\s*\)\s*$", inner[as_pos + 4 :].strip(),
+        re.IGNORECASE,
+    )
+    if not tm:
+        return None
+    cast_kw = sql[m.start() : m.end() - 1].strip().upper().split("(")[0]
+    return cast_kw, inner[:as_pos], int(tm.group(1)), j
+
+
+_CHAR_CMP_OP_RE = re.compile(r"\s*(<>|!=|<=|>=|=|<|>)\s*")
+
+
 def _rewrite_char_casts(sql: str) -> str:
     """Presto ``CAST(e AS CHAR(n))`` pads to length n (Chars.java
     padSpaces; char(n) is a fixed-width type). Spark treats the cast as a
     bare string, so rewrite to ``rpad(CAST(e AS STRING), n, ' ')`` —
-    value, length() and ORDER BY semantics then match. Documented
-    deviation (README Known gaps): comparing char columns of DIFFERENT
-    declared lengths compares the two padded strings directly instead of
-    padding to the common length, so char(2) 'a' <> char(5) 'a' here."""
+    value, length() and ORDER BY semantics then match.
+
+    Cross-length comparison (Chars.java compareChars pads BOTH sides to
+    the common length): when two char casts of different declared
+    lengths face each other across a comparison operator, both pad to
+    ``max(n, m)``, so ``CAST('a' AS CHAR(2)) = CAST('a' AS CHAR(5))`` is
+    TRUE, matching Presto. Only the syntactically-adjacent cast-vs-cast
+    form is detected; a char value routed through an alias keeps the
+    direct padded comparison (README Known gaps)."""
+    # pass 1: adjacent cross-length comparisons → common-length pads
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            break
+        left = _parse_char_cast(sql, m)
+        if left is None:
+            i = m.end()
+            continue
+        kw1, expr1, n1, j1 = left
+        om = _CHAR_CMP_OP_RE.match(sql, j1)
+        if om is None:
+            i = m.end()
+            continue
+        m2 = _CAST_OPEN_RE.match(sql, om.end())
+        right = _parse_char_cast(sql, m2) if m2 else None
+        if right is None:
+            i = m.end()
+            continue
+        kw2, expr2, n2, j2 = right
+        n = max(n1, n2)
+        sql = (
+            sql[: m.start()]
+            + f"rpad({kw1}({expr1} AS STRING), {n}, ' ') {om.group(1)} "
+            + f"rpad({kw2}({expr2} AS STRING), {n}, ' ')"
+            + sql[j2:]
+        )
+        i = m.start() + 1
+    # pass 2: remaining lone casts → declared-length pad
     i = 0
     while True:
         m = _CAST_OPEN_RE.search(sql, i)
         if not m:
             return sql
-        j = _scan_matching_paren(sql, m.end())
-        inner = sql[m.end() : j - 1]
-        depth, in_str, as_pos = 0, False, -1
-        for k in range(len(inner) - 3):
-            c = inner[k]
-            if in_str:
-                in_str = c != "'"
-            elif c == "'":
-                in_str = True
-            elif c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif depth == 0 and inner[k : k + 4].upper() == " AS ":
-                as_pos = k
-        if as_pos < 0:
+        parsed = _parse_char_cast(sql, m)
+        if parsed is None:
             i = m.end()
             continue
-        tm = re.match(
-            r"^CHAR\s*\(\s*(\d+)\s*\)\s*$", inner[as_pos + 4 :].strip(),
-            re.IGNORECASE,
-        )
-        if not tm:
-            i = m.end()
-            continue
-        n = tm.group(1)
-        cast_kw = sql[m.start() : m.end() - 1].strip().upper().split("(")[0]
-        expr = inner[:as_pos]
+        cast_kw, expr, n, j = parsed
         sql = (
             sql[: m.start()]
             + f"rpad({cast_kw}({expr} AS STRING), {n}, ' ')"

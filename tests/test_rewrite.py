@@ -337,3 +337,18 @@ def test_group_by_in_subquery_hoist():
         "SELECT a FROM t GROUP BY a",
     ):
         assert G(q) == q
+
+
+def test_char_cast_common_length_comparison():
+    # Chars.java compareChars pads both sides to the common length;
+    # adjacent cast-vs-cast comparisons pad to max(n, m), lone casts to
+    # their own declared length
+    from presto_ads_spark.rewrite import rewrite
+
+    out = rewrite("SELECT CAST('a' AS CHAR(2)) = CAST('a' AS CHAR(5))")
+    assert "rpad(CAST('a' AS STRING), 5, ' ') = " \
+           "rpad(CAST('a' AS STRING), 5, ' ')" in out
+    out = rewrite("SELECT CAST(x AS CHAR(7)) <> CAST(y AS CHAR(3)) FROM t")
+    assert out.count(", 7, ' ')") == 2
+    out = rewrite("SELECT CAST(x AS CHAR(4)) FROM t")
+    assert "rpad(CAST(x AS STRING), 4, ' ')" in out

@@ -3511,6 +3511,287 @@ def _rewrite_fromless_subqueries(sql: str) -> str:
         i = m.start()
 
 
+_SCALAR_CELL_RE = re.compile(
+    r"\s*(?:[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|'(?:[^']|'')*'|NULL|TRUE|"
+    r"FALSE)\s*$",
+    re.IGNORECASE,
+)
+_VALUES_OPEN_RE = re.compile(r"\(\s*VALUES\b", re.IGNORECASE)
+
+
+def _rewrite_values_scalar_lists(sql: str) -> str:
+    """Fold literal inline-VALUES subqueries in EXPRESSION position to
+    plain literals (QueryTemplate join-condition tests —
+    AbstractTestQueries testJoinWithMultipleInSubqueryClauses /
+    testJoinWithMultipleScalarSubqueryClauses — use ``x in (VALUES
+    1,2,3)`` and ``x = (VALUES 2)`` as join-ON subqueries, which Spark
+    rejects in ON):
+
+    - ``IN (VALUES v1, v2, …)``  → ``IN (v1, v2, …)``
+    - ``(VALUES v)`` (one scalar) → ``(v)``
+
+    All cells must be scalar literals; relation-position VALUES
+    (``FROM (VALUES …)``) are untouched."""
+    changed = True
+    while changed:
+        changed = False
+        mask = _literal_mask(sql)
+        for m in _VALUES_OPEN_RE.finditer(sql):
+            p = m.start()
+            if mask[p] or _in_relation_position(sql, p, mask):
+                continue
+            close = _scan_matching_paren(sql, p + 1)
+            body = sql[p + 1 : close - 1]
+            vm = re.match(r"\s*VALUES\b", body, re.IGNORECASE)
+            cells = _split_top_level(body[vm.end() :])
+            if not all(_SCALAR_CELL_RE.fullmatch(c) for c in cells):
+                continue
+            # expression position only: the token before must be a
+            # comparison/arithmetic operator or IN. Set-op branches
+            # ('(VALUES 1) UNION ALL …'), CTE bodies, and statement-
+            # leading VALUES are relations — leave them.
+            before = sql[:p].rstrip()
+            is_in = bool(re.search(r"\bIN$", before, re.IGNORECASE))
+            if not is_in and not re.search(r"[=<>!+\-*/%]$", before):
+                continue
+            if not is_in and len(cells) != 1:
+                continue
+            lits = ", ".join(c.strip() for c in cells)
+            sql = sql[:p] + f"({lits})" + sql[close:]
+            changed = True
+            break
+    return sql
+
+
+_ORDER_TAIL_RE = re.compile(
+    r"\s*(ASC|DESC)?\s*(NULLS\s+(FIRST|LAST))?\s*$", re.IGNORECASE
+)
+_OB_CLAUSE_END_RE = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH)\b", re.IGNORECASE
+)
+
+
+def _rewrite_order_by_subquery_hoist(sql: str) -> str:
+    """Relation-scanning subqueries in ORDER BY (Spark's analyzer
+    rejects subquery expressions in Sort; Presto decorrelates —
+    AbstractTestQueries testCorrelatedScalarSubqueries /
+    testCorrelatedExistsSubqueries ORDER BY sites). Hoist each
+    subquery-bearing sort item into a derived-table projection and sort
+    on the materialized column:
+
+        SELECT k FROM t o ORDER BY (SELECT … corr o), k LIMIT 1
+        → SELECT k FROM (SELECT k, (SELECT …) AS __ob1 FROM t o) __obh
+          ORDER BY __ob1, k LIMIT 1
+
+    Scope: single plain SELECT, no *, no DISTINCT/GROUP BY/HAVING/set
+    ops, every select item a bare identifier or carrying an AS alias
+    (the outer projection must re-reference them by name). FROM-less
+    subqueries are already folded by _rewrite_fromless_subqueries, so
+    anything left here scans a relation."""
+    if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
+        return sql
+    mask = _literal_mask(sql)
+    obs = _depth0_matches(
+        sql, re.compile(r"\bORDER\s+BY\b", re.IGNORECASE), mask
+    )
+    if len(obs) != 1:
+        return sql
+    if _depth0_matches(
+        sql,
+        re.compile(
+            r"\b(UNION|INTERSECT|EXCEPT|GROUP\s+BY|HAVING|DISTINCT)\b",
+            re.IGNORECASE,
+        ),
+        mask,
+    ):
+        return sql
+    ob = obs[0]
+    end_m = next(
+        (
+            m
+            for m in _depth0_matches(sql, _OB_CLAUSE_END_RE, mask)
+            if m.start() >= ob.end()
+        ),
+        None,
+    )
+    ob_end = end_m.start() if end_m else len(sql)
+    items = _split_top_level(sql[ob.end() : ob_end])
+    if not any(
+        re.search(r"\(\s*SELECT\b", it, re.IGNORECASE) for it in items
+    ):
+        return sql
+    froms = _depth0_matches(
+        sql, re.compile(r"\bFROM\b", re.IGNORECASE), mask
+    )
+    if not froms:
+        return sql
+    sel_m = re.match(r"\s*SELECT\s+", sql, re.IGNORECASE)
+    select_list = sql[sel_m.end() : froms[0].start()]
+    names = []
+    for it in _split_top_level(select_list):
+        it = it.strip()
+        am = _AS_ALIAS_TAIL_RE.search(_mask_parens_and_literals(it))
+        if am:
+            names.append(it[am.start(1) : am.end(1)])
+        elif _IDENT_FULL_RE.fullmatch(it) and "*" not in it:
+            names.append(it.rsplit(".", 1)[-1])
+        else:
+            return sql
+    hoisted, new_items = [], []
+    for it in items:
+        if not re.search(r"\(\s*SELECT\b", it, re.IGNORECASE):
+            new_items.append(it.strip())
+            continue
+        tail_m = _ORDER_TAIL_RE.search(it)
+        expr, tail = it[: tail_m.start()].strip(), it[tail_m.start():].strip()
+        alias = f"__ob{len(hoisted) + 1}"
+        hoisted.append(f"{expr} AS {alias}")
+        new_items.append(f"{alias} {tail}".strip())
+    inner = (
+        sql[sel_m.start() : sel_m.end()]
+        + select_list.strip()
+        + ", "
+        + ", ".join(hoisted)
+        + " "
+        + sql[froms[0].start() : ob.start()].strip()
+    )
+    return (
+        f"SELECT {', '.join(names)} FROM ({inner.strip()}) __obh "
+        f"ORDER BY {', '.join(new_items)}"
+        + (" " + sql[ob_end:].strip() if end_m else "")
+    )
+
+
+_JOIN_KW_RE = re.compile(r"\bJOIN\b", re.IGNORECASE)
+_ON_CLAUSE_END_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|"
+    r"EXCEPT|JOIN|LEFT|RIGHT|FULL|CROSS|INNER)\b",
+    re.IGNORECASE,
+)
+
+
+_SQ_OPEN_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+_STMT_TAIL_KW_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|"
+    r"EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def _has_correlated_subquery(cond: str) -> bool:
+    """True if some subquery inside ``cond`` carries a qualified column
+    reference whose qualifier is NOT an alias defined within that
+    subquery — i.e. an outer (correlated) reference. Uncorrelated
+    subqueries in join-ON are left alone: Spark executes those natively."""
+    for m in _SQ_OPEN_RE.finditer(cond):
+        close = _scan_matching_paren(cond, m.start() + 1)
+        body = cond[m.start() + 1 : close - 1]
+        inner_aliases = {
+            a.lower()
+            for a in re.findall(
+                r"\b(?:FROM|JOIN)\s+\w+(?:\s+(?:AS\s+)?(\w+))?",
+                body,
+                re.IGNORECASE,
+            )
+            if a
+        } | {
+            t.lower()
+            for t in re.findall(
+                r"\b(?:FROM|JOIN)\s+(\w+)", body, re.IGNORECASE
+            )
+        }
+        for qm in _QUAL_REF_RE.finditer(body):
+            if qm.group(1).lower() not in inner_aliases:
+                return True
+    return False
+
+
+def _rewrite_join_on_subquery(sql: str) -> str:
+    """CORRELATED subqueries in an INNER join's ON clause (Spark rejects
+    them; Presto decorrelates — testCorrelatedScalarSubqueries /
+    testCorrelatedExistsSubqueries join sites). For INNER joins,
+    ``A JOIN B ON p`` ≡ ``A CROSS JOIN B WHERE p``, and Spark accepts
+    correlated subqueries in WHERE — so convert and conjoin the
+    predicate into the statement's WHERE (after ALL joins of the FROM
+    clause). Uncorrelated ON-subqueries stay (Spark runs them natively);
+    outer joins pass through (the reference itself rejects correlation
+    there: assertQueryFails '.* not supported')."""
+    if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
+        return sql
+    mask = _literal_mask(sql)
+    for jm in _depth0_matches(sql, _JOIN_KW_RE, mask):
+        before = sql[: jm.start()].rstrip()
+        if re.search(
+            r"\b(LEFT|RIGHT|FULL|CROSS|OUTER|ANTI|SEMI)$",
+            before,
+            re.IGNORECASE,
+        ):
+            continue
+        on_m = next(
+            (
+                m
+                for m in _depth0_matches(
+                    sql, re.compile(r"\bON\b", re.IGNORECASE), mask
+                )
+                if m.start() >= jm.end()
+            ),
+            None,
+        )
+        if on_m is None:
+            continue
+        on_start = on_m.end()
+        end_m = next(
+            (
+                m
+                for m in _depth0_matches(sql, _ON_CLAUSE_END_RE, mask)
+                if m.start() >= on_start
+            ),
+            None,
+        )
+        on_end = end_m.start() if end_m else len(sql)
+        cond = sql[on_start:on_end].strip()
+        if not _SQ_OPEN_RE.search(cond):
+            continue
+        # correlated subqueries of any kind, and PREDICATE subqueries
+        # (IN/EXISTS — rejected in ON even uncorrelated), convert;
+        # uncorrelated SCALAR subqueries stay (Spark runs them in ON)
+        if not (
+            _has_correlated_subquery(cond)
+            or re.search(r"\bIN\s*\(\s*SELECT\b", cond, re.IGNORECASE)
+            or re.search(r"\bEXISTS\s*\(", cond, re.IGNORECASE)
+        ):
+            continue
+        removed = (
+            sql[: jm.start()]
+            + "CROSS JOIN"
+            + sql[jm.end() : on_m.start()]
+            + " "
+            + sql[on_end:]
+        ).strip()
+        # insert at the statement's WHERE position — after the whole
+        # FROM clause (which may contain further joins)
+        rmask = _literal_mask(removed)
+        tm = next(iter(_depth0_matches(removed, _STMT_TAIL_KW_RE, rmask)),
+                  None)
+        if tm is None:
+            new = f"{removed} WHERE {cond}"
+        elif tm.group(1).upper() == "WHERE":
+            new = (
+                removed[: tm.end()]
+                + f" ({cond}) AND "
+                + removed[tm.end() :].lstrip()
+            )
+        else:
+            new = (
+                removed[: tm.start()].rstrip()
+                + f" WHERE {cond} "
+                + removed[tm.start() :]
+            )
+        # one conversion per pass; recurse for multi-join statements
+        return _rewrite_join_on_subquery(new.strip())
+    return sql
+
+
 _AGG_FN_RE = re.compile(
     r"\b(sum|count|avg|min|max|count_if|stddev(?:_pop|_samp)?|"
     r"var(?:iance|_pop|_samp)?|skewness|kurtosis|corr|covar_pop|covar_samp|"
@@ -3663,7 +3944,10 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_unnest_all(sql)
     sql = _collapse_trivial_subquery_wrappers(sql)
+    sql = _rewrite_values_scalar_lists(sql)
     sql = _rewrite_fromless_subqueries(sql)
+    sql = _rewrite_order_by_subquery_hoist(sql)
+    sql = _rewrite_join_on_subquery(sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     # type-position TIMESTAMP WITH TIME ZONE → Spark's session-zoned
     # TIMESTAMP (TIMESTAMP_LTZ — the closest model; Presto additionally

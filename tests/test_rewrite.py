@@ -352,3 +352,33 @@ def test_char_cast_common_length_comparison():
     assert out.count(", 7, ' ')") == 2
     out = rewrite("SELECT CAST(x AS CHAR(4)) FROM t")
     assert "rpad(CAST(x AS STRING), 4, ' ')" in out
+
+
+def test_order_by_subquery_hoist():
+    from presto_ads_spark.rewrite import rewrite
+
+    out = rewrite(
+        "SELECT orderkey FROM orders o ORDER BY "
+        "(SELECT avg(i.orderkey) FROM orders i WHERE o.orderkey < i.orderkey)"
+        ", orderkey LIMIT 1"
+    )
+    assert "AS __ob1" in out and "__obh" in out
+    assert out.strip().endswith("LIMIT 1")
+    # plain ORDER BY untouched
+    assert "__ob" not in rewrite("SELECT k FROM t ORDER BY k DESC LIMIT 2")
+
+
+def test_join_on_subquery_to_cross_where():
+    from presto_ads_spark.rewrite import rewrite
+
+    out = rewrite(
+        "SELECT count(*) FROM a JOIN b ON NOT EXISTS"
+        "(SELECT 1 FROM c WHERE a.x < b.y)"
+    )
+    assert "CROSS JOIN" in out and "WHERE NOT EXISTS" in out
+    # equi-joins untouched; outer joins untouched
+    assert "CROSS" not in rewrite("SELECT * FROM a JOIN b ON a.x = b.x")
+    out = rewrite(
+        "SELECT * FROM a LEFT JOIN b ON EXISTS(SELECT 1 FROM c WHERE a.x=c.x)"
+    )
+    assert "LEFT JOIN" in out and "CROSS" not in out

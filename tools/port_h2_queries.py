@@ -89,8 +89,6 @@ MANUAL_SKIPS: dict[int, str] = {
     5516: "projected IN over a join output referenced by ORDER BY "
           "(rewrite's CASE not resolvable through the Sort)",
     5535: "projected IN referenced by ORDER BY (see 5516)",
-    6446: "EXISTS in ORDER BY (Spark: subquery predicates not allowed "
-          "in Sort)",
 }
 
 # Spark analyzer limits on exotic correlated-subquery placements —
@@ -99,16 +97,10 @@ MANUAL_SKIPS: dict[int, str] = {
 # (SELECT o.x), (SELECT count(*) WHERE c)) are live since
 # rewrite._rewrite_fromless_subqueries folds them to closed-form
 # scalars; only subqueries that actually scan a relation remain.
-for _ln in (6229,):
-    MANUAL_SKIPS[_ln] = (
-        "correlated subquery scanning a relation in ORDER BY "
-        "(Spark analyzer rejects; Presto decorrelates)"
-    )
-for _ln in (6257, 6485):
-    MANUAL_SKIPS[_ln] = (
-        "correlated subquery scanning a relation in join-ON "
-        "(Spark analyzer rejects; Presto decorrelates)"
-    )
+# (r7) former ORDER BY / join-ON correlated-subquery skips (6229 6257
+# 6446 6485) are live: _rewrite_order_by_subquery_hoist materializes
+# sort-item subqueries in a derived projection; _rewrite_join_on_subquery
+# converts INNER `JOIN .. ON <subquery-pred>` to CROSS JOIN + WHERE.
 # (r7) the 7 former multi-level-correlation skips (6074 6207 6268 6364
 # 6415 6496 6500) are live: _collapse_trivial_subquery_wrappers strips
 # the no-op (SELECT * FROM (SELECT ...)) shells down to one correlation
@@ -218,6 +210,67 @@ MANUAL_ORACLES: dict[str, dict] = {
 # global arms.
 
 
+_JOIN_TEMPLATE = (
+    "SELECT * FROM (VALUES 1,2,3,4) t(x) {ty} JOIN (VALUES 1,2,3,5) t2(y)"
+    " ON {c}"
+)
+# (key line, join type, condition, literal oracle) — AbstractTestQueries
+# lines 2243-2414
+_JOIN_TEMPLATE_CASES = [
+    (2255, "", "(x in (VALUES 1,2,3)) = (y in (VALUES 1,2,3)) AND (x in (VALUES 1,2,4)) = (y in (VALUES 1,2,4))",
+     "VALUES (1,1), (1,2), (2,2), (2,1), (3,3)"),
+    (2258, "", "(x in (VALUES 1,2)) = (y in (VALUES 1,2)) AND (x in (VALUES 1)) = (y in (VALUES 3))",
+     "VALUES (2,2), (2,1), (3,5), (4,5)"),
+    (2261, "", "(x in (VALUES 1,2)) = (y in (VALUES 1,2)) AND (x in (VALUES 1)) != (y in (VALUES 3))",
+     "VALUES (1,2), (1,1), (3, 3), (4,3)"),
+    (2264, "", "(x in (VALUES 1)) = (y in (VALUES 1)) AND (x in (SELECT 2)) != (y in (SELECT 2))",
+     "VALUES (2,3), (2,5), (3, 2), (4,2)"),
+    (2280, "left", "(x in (VALUES 1,2,3)) = (y in (VALUES 1,2,3)) AND (x in (VALUES 1,2,4)) = (y in (VALUES 1,2,4))",
+     "VALUES (1,1), (1,2), (2,2), (2,1), (3,3), (4, null)"),
+    (2283, "right", "(x in (VALUES 1,2,3)) = (y in (VALUES 1,2,3)) AND (x in (VALUES 1,2,4)) = (y in (VALUES 1,2,4))",
+     "VALUES (1,1), (1,2), (2,2), (2,1), (3,3), (null, 5)"),
+    (2286, "full", "(x in (VALUES 1,2,3)) = (y in (VALUES 1,2,3)) AND (x in (VALUES 1,2,4)) = (y in (VALUES 1,2,4))",
+     "VALUES (1,1), (1,2), (2,2), (2,1), (3,3), (4, null), (null, 5)"),
+    (2301, "", "(x+y in (VALUES 4))", "VALUES (1,3), (2,2), (3,1)"),
+    (2304, "", "(x+y in (VALUES 4)) AND (x*y in (VALUES 4,5))",
+     "VALUES (2,2)"),
+    (2307, "", "(x+y in (VALUES 4,5)) AND (x*y IN (VALUES 4,5))",
+     "VALUES (4,1), (2,2)"),
+    (2310, "", "(x+y in (VALUES 4,5)) AND (x in (VALUES 4,5)) != (y in (VALUES 4,5))",
+     "VALUES (4,1)"),
+    (2353, "", "(x = (VALUES 1)) AND (y = (VALUES 2)) AND (x in (VALUES 2)) = (y in (VALUES 1))",
+     "VALUES (1,2)"),
+    (2355, "", "(x = (VALUES 2)) = (y > (VALUES 0)) AND (x > (VALUES 1)) = (y < (VALUES 3))",
+     "VALUES (2,2), (2,1)"),
+    (2358, "", "(x = (VALUES 1)) = (y = (VALUES 1)) AND (x = (SELECT 2)) != (y = (SELECT 3))",
+     "VALUES (2,5), (2,2), (3,3), (4,3)"),
+    (2362, "left", "(x = (VALUES 1)) AND (y = (VALUES 2)) AND (x in (VALUES 2)) = (y in (VALUES 1))",
+     "VALUES (1,2), (2,null), (3, null), (4, null)"),
+    (2365, "right", "(x = (VALUES 1)) AND (y = (VALUES 2)) AND (x in (VALUES 2)) = (y in (VALUES 1))",
+     "VALUES (1,2), (null,1), (null, 3), (null, 5)"),
+    (2368, "full", "(x = (VALUES 1)) AND (y = (VALUES 2)) AND (x in (VALUES 2)) = (y in (VALUES 1))",
+     "VALUES (1,2), (2,null), (3, null), (4, null), (null,1), (null, 3), (null, 5)"),
+    (2385, "", "(x+y = (SELECT 4))", "VALUES (1,3), (2,2), (3,1)"),
+    (2387, "", "(x+y = (VALUES 4)) AND (x*y = (VALUES 4))", "VALUES (2,2)"),
+    (2391, "", "x+y > (VALUES 3) AND (x = (VALUES 3)) != (y = (VALUES 3))",
+     "VALUES (3,1), (3,2), (1,3), (2,3), (4,3), (3,5)"),
+    (2394, "", "x+y >= (VALUES 5) AND (x = (VALUES 3)) != (y = (VALUES 3))",
+     "VALUES (3,2), (2,3), (4,3), (3,5)"),
+    (2397, "", "x+y >= (VALUES 3) AND (x = (VALUES 5)) != (y = (VALUES 3))",
+     "VALUES (1,3), (2,3), (3,3), (4,3)"),
+    (2400, "", "x+y >= (VALUES 3) AND (x = (VALUES 3)) != (y = (VALUES 5))",
+     "VALUES (3,1), (3,2), (3,3), (1,5), (2,5), (4,5)"),
+    (2401, "", "x+y >= (VALUES 4) AND (x = (VALUES 3)) != (y = (VALUES 5))",
+     "VALUES (3,1), (3,2), (3,3), (1,5), (2,5), (4,5)"),
+    (2406, "left", "(x+y = (SELECT 4))",
+     "VALUES (1,3), (2,2), (3,1), (4, null)"),
+    (2409, "right", "(x+y = (SELECT 4))",
+     "VALUES (1,3), (2,2), (3,1), (null, 5)"),
+    (2412, "full", "(x+y = (SELECT 4))",
+     "VALUES (1,3), (2,2), (3,1), (4, null), (null, 5)"),
+]
+
+
 def generated_sites() -> list[tuple[str, int, str, str | None]]:
     """Hand-instantiated ports of assertQuery sites whose SQL the source
     builds with Java expressions (prefix G, keyed by the source line):
@@ -265,6 +318,17 @@ def generated_sites() -> list[tuple[str, int, str, str | None]]:
          "SELECT * FROM (VALUES CAST(1 AS decimal(18,0))) t1 (a), "
          "(VALUES CAST(1 AS decimal(19,0))) t2 (b) WHERE a = b",
          "VALUES (1, 1)"),
+        # QueryTemplate join-condition families (testJoinWithMultipleIn-
+        # SubqueryClauses / ...InSubqueryToBeExecutedAsPostJoinFilter /
+        # ...MultipleScalarSubqueryClauses / ...ScalarSubqueryToBe-
+        # ExecutedAsPostJoinFilter): the source builds these with
+        # queryTemplate.replace(...), so the extractor skips them; the
+        # template is fixed and every oracle is a literal VALUES —
+        # data-independent. Instantiated here verbatim.
+        *[
+            ("G", ln, _JOIN_TEMPLATE.format(ty=ty, c=c), want)
+            for ln, ty, c, want in _JOIN_TEMPLATE_CASES
+        ],
         ("G", 7908,
          "SELECT count(*) FROM (SELECT * FROM ("
          "SELECT (SELECT count(*) WHERE c = 1) "

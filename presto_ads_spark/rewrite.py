@@ -3227,17 +3227,16 @@ def _rewrite_quantified(sql: str) -> str:
                 #   some non-null y ≠ x  → FALSE (=ALL) / TRUE (<>ANY)
                 #   some NULL y          → NULL
                 #   else (all y = x)     → TRUE  (=ALL) / FALSE (<>ANY)
-                split = _split_subquery(inner)
                 estart = _expr_start(sql, mask, m.start())
-                if split is not None and estart is not None and estart >= i:
-                    proj, rest = split
+                if estart is not None and estart >= i:
                     x = sql[estart : m.start()].strip()
                     n = _uniq()
-                    wrapped = f"(SELECT {proj} AS __q {rest})"
-                    cnt = f"(SELECT count(*) FROM {wrapped} __qa{n})"
-                    cntv = f"(SELECT count(__q) FROM {wrapped} __qb{n})"
-                    mn = f"(SELECT min(__q) FROM {wrapped} __qc{n})"
-                    mx = f"(SELECT max(__q) FROM {wrapped} __qd{n})"
+                    # derived-table column alias handles star/VALUES
+                    # projections the AS-__q form could not
+                    cnt = f"(SELECT count(*) FROM ({inner}) __qa{n}(__q))"
+                    cntv = f"(SELECT count(__q) FROM ({inner}) __qb{n}(__q))"
+                    mn = f"(SELECT min(__q) FROM ({inner}) __qc{n}(__q))"
+                    mx = f"(SELECT max(__q) FROM ({inner}) __qd{n}(__q))"
                     t, f_ = ("TRUE", "FALSE") if op == "=" else ("FALSE", "TRUE")
                     replaced = (
                         f"CASE WHEN {cnt} = 0 THEN {t} "
@@ -3250,37 +3249,43 @@ def _rewrite_quantified(sql: str) -> str:
                     consumed_from = estart
             else:
                 agg = _QUANT_AGG.get((op, quant))
-                body = inner[6:]
-                f = _top_level_from(body)
-                if f < 0:
-                    f = len(body)  # FROM-less subquery: SELECT <literal>
-                proj = body[:f].strip()
-                depth = 0
-                multi_col = False
-                for c in proj:
-                    if c == "(":
-                        depth += 1
-                    elif c == ")":
-                        depth -= 1
-                    elif c == "," and depth == 0:
-                        multi_col = True
-                        break
-                if (
-                    agg
-                    and f >= 0
-                    and proj
-                    and not multi_col
-                    and not proj.upper().startswith("DISTINCT")
-                ):
-                    # Wrap rather than nest: the subquery may itself contain
-                    # aggregates / GROUP BY (x > ALL (SELECT sum(v) … GROUP
-                    # BY k)) — {agg}({proj}) inline would be an invalid
-                    # nested aggregate; aggregating the wrapped projection
-                    # is always well-formed.
-                    replaced = (
-                        f"{op} (SELECT {agg}(__q) FROM "
-                        f"(SELECT {proj} AS __q {body[f:]}) __qs)"
-                    )
+                estart = _expr_start(sql, mask, m.start())
+                if agg and estart is not None and estart >= i:
+                    # full three-valued form (reference Transform-
+                    # QuantifiedComparisonApplyToLateralJoin.java):
+                    #   ALL = AND over rows: FALSE if any comparison is
+                    #   FALSE (x fails vs the tightest non-null bound),
+                    #   else NULL if x IS NULL or S has NULLs, else TRUE
+                    #   (incl. S empty). ANY = OR over rows dually with
+                    #   FALSE on empty. The former plain min/max lowering
+                    #   returned NULL on empty S — wrong vs Presto.
+                    x = sql[estart : m.start()].strip()
+                    n = _uniq()
+                    cnt = f"(SELECT count(*) FROM ({inner}) __qa{n}(__q))"
+                    cntv = f"(SELECT count(__q) FROM ({inner}) __qb{n}(__q))"
+                    mn = f"(SELECT min(__q) FROM ({inner}) __qc{n}(__q))"
+                    mx = f"(SELECT max(__q) FROM ({inner}) __qd{n}(__q))"
+                    if quant == "ALL":
+                        bound = mn if op in ("<", "<=") else mx
+                        replaced = (
+                            f"CASE WHEN {cnt} = 0 THEN TRUE "
+                            f"WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                            f"WHEN {cntv} > 0 AND NOT(({x}) {op} {bound})"
+                            f" THEN FALSE "
+                            f"WHEN {cnt} > {cntv} THEN CAST(NULL AS BOOLEAN) "
+                            f"ELSE TRUE END"
+                        )
+                    else:
+                        bound = mx if op in ("<", "<=") else mn
+                        replaced = (
+                            f"CASE WHEN {cnt} = 0 THEN FALSE "
+                            f"WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                            f"WHEN {cntv} > 0 AND (({x}) {op} {bound})"
+                            f" THEN TRUE "
+                            f"WHEN {cnt} > {cntv} THEN CAST(NULL AS BOOLEAN) "
+                            f"ELSE FALSE END"
+                        )
+                    consumed_from = estart
         if replaced is None:
             out.append(sql[i:j])
         else:

@@ -116,6 +116,11 @@ MANUAL_SKIPS.update({
     "L6923": "custom_add comes from the installPlugin() test fixture — "
              "not part of the engine's function surface",
 })
+# java-built SQL sites fully covered by generated_sites() G-cases
+for _ln in (190, 191, 1281, 1768, 1774, 1781, 1787, 2254, 2257, 2260, 2263, 2278, 2281, 2284, 2299, 2302, 2305, 2308, 2352, 2353, 2356, 2360, 2363, 2366, 2382, 2385, 2388, 2391, 2394, 2397, 2400, 2405, 2408, 2411, 2437, 2438, 2441, 2442, 2443, 3202, 3944, 3952, 4308, 4309, 4317, 4318, 7711, 7908):
+    MANUAL_SKIPS[f"L{_ln}"] = (
+        "covered by a hand-instantiated G-case (java template/expression site; see generated_sites)"
+    )
 # $internal$ statistics aggregates (FunctionRegistry's hidden namespace,
 # used only by ANALYZE stats collection; absent from SHOW FUNCTIONS in
 # the reference too) — not part of the user-facing surface.
@@ -328,6 +333,80 @@ def generated_sites() -> list[tuple[str, int, str, str | None]]:
         *[
             ("G", ln, _JOIN_TEMPLATE.format(ty=ty, c=c), want)
             for ln, ty, c, want in _JOIN_TEMPLATE_CASES
+        ],
+        # testQuantifiedComparisonCornerCases (L7708-7727): a DataProvider
+        # cross-product — 3 subqueries x ALL/ANY x {1, NULL} x 6 operators.
+        # Exercises the full three-valued quantified-comparison lowering
+        # (empty set, NULL element, NULL probe).
+        *[
+            ("G", 771100 + i,
+             f"SELECT {v} {op} {qn} (SELECT * FROM ({sq}))", None)
+            for i, (sq, qn, v, op) in enumerate(
+                (sq, qn, v, op)
+                for sq in ("SELECT 1 WHERE false",
+                           "SELECT CAST(NULL AS INTEGER)",
+                           "VALUES (1), (NULL)")
+                for qn in ("ALL", "ANY")
+                for v in ("1", "NULL")
+                for op in ("=", "!=", "<", ">", "<=", ">=")
+            )
+        ],
+        # testLimitMaxValue (L190-191): LIMIT Integer.MAX_VALUE
+        ("G", 190, "SELECT orderkey FROM orders LIMIT 2147483647", None),
+        ("G", 191,
+         "SELECT orderkey FROM orders ORDER BY orderkey LIMIT 2147483647",
+         None),
+        # testGroupingWithFortyArguments (L1259-1281): bigint grouping()
+        # implementation for >32 columns; literal VALUES oracle is
+        # data-independent
+        ("G", 1281,
+         "SELECT grouping({g}) FROM (VALUES ({v})) AS t({g}) "
+         "GROUP BY GROUPING SETS (({g}), ({s1}), ({s2}))".format(
+             g=("aa, ab, ac, ad, ae, af, ag, ah, ai, aj, ak, al, am, an, "
+                "ao, ap, aq, ar, asa, at, au, av, aw, ax, ay, az, ba, bb, "
+                "bc, bd, be, bf, bg, bh, bi, bj, bk, bl, bm, bn"),
+             v=", ".join(str(i) for i in range(1, 41)),
+             s1="at, ab, am, bg, bn, ai, an",
+             s2="bb, ad, ae, bc, be, aj"),
+         "VALUES (0), (822283861886), (995358664191)"),
+        # testWindowFunctionsOverWindowFunctions-ish (L3192-3202): two
+        # adjacent window nodes, second consumes the first's output;
+        # data-dependent values → DuckDB runs the same SQL
+        ("G", 3202,
+         "WITH t1 AS (SELECT extendedprice FROM lineitem "
+         "ORDER BY orderkey, partkey LIMIT 2), "
+         "t2 AS (SELECT extendedprice, sum(extendedprice) OVER() AS x "
+         "FROM t1), "
+         "t3 AS (SELECT max(x) OVER() AS m FROM t2) SELECT * FROM t3",
+         None),
+        # testRowNumberNullsLast (L3944/3952): nullif NULLS LAST ordering
+        # under row_number, explicit and default forms
+        ("G", 3944,
+         "SELECT orderkey, row_number() OVER "
+         "(ORDER BY nullif(orderkey, 3) NULLS LAST) "
+         "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) "
+         "ORDER BY 2 DESC LIMIT 5",
+         None),
+        ("G", 3952,
+         "SELECT orderkey, row_number() OVER (ORDER BY nullif(orderkey, 3)) "
+         "FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) "
+         "ORDER BY 2 DESC LIMIT 5",
+         None),
+        # testJoinWithScalarSubqueryToBeExecutedAsPostJoinFilterWithEmpty-
+        # InnerTable (L2426-2443): template with an empty left input
+        *[
+            ("G", ln,
+             "SELECT * FROM (SELECT 1 WHERE false) t(x) "
+             f"{ty} JOIN (VALUES 1) t2(y) ON {c}",
+             want)
+            for ln, ty, c, want in [
+                (2437, "", "(x+y = (SELECT 4))", "SELECT 1 WHERE false"),
+                (2438, "", "(x+y = (VALUES 4)) AND (x*y = (VALUES 4))",
+                 "SELECT 1 WHERE false"),
+                (2441, "left", "(x+y = (SELECT 4))", "SELECT 1 WHERE false"),
+                (2442, "right", "(x+y = (SELECT 4))", "VALUES (null, 1)"),
+                (2443, "full", "(x+y = (SELECT 4))", "VALUES (null, 1)"),
+            ]
         ],
         ("G", 7908,
          "SELECT count(*) FROM (SELECT * FROM ("
@@ -581,7 +660,13 @@ def main() -> None:
                 jargs = jargs[1:]
             actual = parse_string_expr(jargs[0])
             if actual is None:
-                skipped.append((line, "non-literal SQL (java expression)"))
+                skipped.append((
+                    line,
+                    MANUAL_SKIPS.get(
+                        f"{prefix}{line}",
+                        "non-literal SQL (java expression)",
+                    ),
+                ))
                 continue
             oracle = None
             if len(jargs) >= 2:

@@ -1326,7 +1326,11 @@ def _rewrite_apply_lambda(sql: str) -> str:
     def build(args):
         if len(args) != 2 or "->" not in args[1]:
             return None
-        return f"element_at(transform(array({args[0]}), {args[1]}), 1)"
+        # a FROM-less scalar-subquery value (apply((SELECT 10), …) —
+        # testLambdaInSubqueryContext) folds to its literal first: Spark
+        # cannot nest a subquery inside the array() shim
+        arg0 = _rewrite_fromless_subqueries(args[0])
+        return f"element_at(transform(array({arg0}), {args[1]}), 1)"
 
     return _replace_fn_calls(sql, "apply", build)
 
@@ -3568,6 +3572,48 @@ def _rewrite_values_scalar_lists(sql: str) -> str:
     return sql
 
 
+def _unwrap_parenthesized_joins(sql: str) -> str:
+    """Presto allows a parenthesized join expression as a FROM item
+    (``FROM ((A UNION ALL B) u CROSS JOIN UNNEST(u.a) t(col))`` —
+    AbstractTestQueries testCrossJoinUnnestWithUnion); Spark's LATERAL
+    VIEW lowering of UNNEST cannot live inside those parens. The parens
+    are semantically inert when the group is unaliased, so strip them:
+    relation-position parens whose content carries a depth-0 JOIN and
+    whose close is not followed by an alias token."""
+    changed = True
+    while changed:
+        changed = False
+        mask = _literal_mask(sql)
+        for m in re.finditer(r"\(", sql):
+            p = m.start()
+            if mask[p] or not _in_relation_position(sql, p, mask):
+                continue
+            close = _scan_matching_paren(sql, p + 1)
+            body = sql[p + 1 : close - 1]
+            # a body that IS a query (derived table) keeps its parens —
+            # its internal joins belong to the subquery, not the FROM
+            if re.match(
+                r"\s*(SELECT|VALUES|WITH|TABLE)\b", body, re.IGNORECASE
+            ):
+                continue
+            bmask = _literal_mask(body)
+            if not _depth0_matches(body, _JOIN_KW_RE, bmask):
+                continue
+            after = sql[close:].lstrip()
+            am = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)", after, re.IGNORECASE)
+            if am and am.group(1).upper() not in (
+                "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                "UNION", "INTERSECT", "EXCEPT", "JOIN", "CROSS", "INNER",
+                "LEFT", "RIGHT", "FULL", "ON", "NATURAL", "LATERAL",
+                "TABLESAMPLE",
+            ):
+                continue  # aliased join group — parens are load-bearing
+            sql = sql[:p] + body.strip() + sql[close:]
+            changed = True
+            break
+    return sql
+
+
 _ORDER_TAIL_RE = re.compile(
     r"\s*(ASC|DESC)?\s*(NULLS\s+(FIRST|LAST))?\s*$", re.IGNORECASE
 )
@@ -3585,14 +3631,16 @@ def _rewrite_order_by_subquery_hoist(sql: str) -> str:
     on the materialized column:
 
         SELECT k FROM t o ORDER BY (SELECT … corr o), k LIMIT 1
-        → SELECT k FROM (SELECT k, (SELECT …) AS __ob1 FROM t o) __obh
+        → SELECT * EXCEPT (__ob1) FROM
+            (SELECT k, (SELECT …) AS __ob1 FROM t o) __obh
           ORDER BY __ob1, k LIMIT 1
 
-    Scope: single plain SELECT, no *, no DISTINCT/GROUP BY/HAVING/set
-    ops, every select item a bare identifier or carrying an AS alias
-    (the outer projection must re-reference them by name). FROM-less
-    subqueries are already folded by _rewrite_fromless_subqueries, so
-    anything left here scans a relation."""
+    The outer projection drops the materialized sort columns with
+    ``* EXCEPT``, so star and unaliased select items pass through
+    unchanged. Scope: single plain SELECT, no DISTINCT/GROUP BY/HAVING/
+    set ops. FROM-less subqueries are already folded by
+    _rewrite_fromless_subqueries, so anything left here scans a
+    relation."""
     if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
         return sql
     mask = _literal_mask(sql)
@@ -3632,16 +3680,6 @@ def _rewrite_order_by_subquery_hoist(sql: str) -> str:
         return sql
     sel_m = re.match(r"\s*SELECT\s+", sql, re.IGNORECASE)
     select_list = sql[sel_m.end() : froms[0].start()]
-    names = []
-    for it in _split_top_level(select_list):
-        it = it.strip()
-        am = _AS_ALIAS_TAIL_RE.search(_mask_parens_and_literals(it))
-        if am:
-            names.append(it[am.start(1) : am.end(1)])
-        elif _IDENT_FULL_RE.fullmatch(it) and "*" not in it:
-            names.append(it.rsplit(".", 1)[-1])
-        else:
-            return sql
     hoisted, new_items = [], []
     for it in items:
         if not re.search(r"\(\s*SELECT\b", it, re.IGNORECASE):
@@ -3660,8 +3698,9 @@ def _rewrite_order_by_subquery_hoist(sql: str) -> str:
         + " "
         + sql[froms[0].start() : ob.start()].strip()
     )
+    drops = ", ".join(f"__ob{k + 1}" for k in range(len(hoisted)))
     return (
-        f"SELECT {', '.join(names)} FROM ({inner.strip()}) __obh "
+        f"SELECT * EXCEPT ({drops}) FROM ({inner.strip()}) __obh "
         f"ORDER BY {', '.join(new_items)}"
         + (" " + sql[ob_end:].strip() if end_m else "")
     )
@@ -3946,13 +3985,16 @@ def rewrite(sql: str) -> str:
         ),
     )
     sql = _rewrite_values_with_lambdas(sql)
+    sql = _unwrap_parenthesized_joins(sql)
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_unnest_all(sql)
     sql = _collapse_trivial_subquery_wrappers(sql)
     sql = _rewrite_values_scalar_lists(sql)
     sql = _rewrite_fromless_subqueries(sql)
-    sql = _rewrite_order_by_subquery_hoist(sql)
+    # join-ON first: its conversion keeps the JOIN at statement depth 0,
+    # where the ORDER-BY hoist would bury it inside the derived table
     sql = _rewrite_join_on_subquery(sql)
+    sql = _rewrite_order_by_subquery_hoist(sql)
     sql = _TABLESAMPLE_RE.sub(r"TABLESAMPLE (\1 PERCENT)", sql)
     # type-position TIMESTAMP WITH TIME ZONE → Spark's session-zoned
     # TIMESTAMP (TIMESTAMP_LTZ — the closest model; Presto additionally

@@ -63,8 +63,8 @@ MANUAL_SKIPS: dict[int, str] = {
     938: "ORDER BY on a grouping column hidden by an output alias over "
          "GROUPING SETS (Spark's missing-reference resolution does not "
          "reach through the Expand; Presto re-resolves the input scope)",
-    258: "apply((SELECT ..)) — scalar subquery inside the array() shim "
-         "of the apply rewrite (Spark can't nest a subquery there)",
+    # (r7) 258 live: the apply() shim folds FROM-less scalar-subquery
+    # values before wrapping them in array().
     1709: "REAL = DECIMAL comparison: Presto coerces decimal-side, Spark "
           "float-side (1.2f != 1.2d) — documented type-coercion deviation",
     1716: "REAL = DECIMAL comparison (see 1709)",
@@ -84,11 +84,10 @@ MANUAL_SKIPS: dict[int, str] = {
           "columns (Spark requires exact grouping-column match)",
     4950: "TRY over overflowing ABS: generic error-swallowing TRY not "
           "expressible (passthrough deviation, README)",
-    5458: "LATERAL VIEW (the UNNEST lowering) cannot appear inside a "
-          "parenthesized join expression (Spark parser)",
-    5516: "projected IN over a join output referenced by ORDER BY "
-          "(rewrite's CASE not resolvable through the Sort)",
-    5535: "projected IN referenced by ORDER BY (see 5516)",
+    # (r7) 5458 live: _unwrap_parenthesized_joins strips inert parens
+    # around FROM join groups so the UNNEST lowering can emit LATERAL
+    # VIEW. 5516/5535 live: the star-EXCEPT ORDER-BY hoist + join-ON
+    # conversion resolve the projected/sorted IN subqueries.
 }
 
 # Spark analyzer limits on exotic correlated-subquery placements —

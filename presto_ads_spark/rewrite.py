@@ -3750,6 +3750,39 @@ def _has_correlated_subquery(cond: str) -> bool:
     return False
 
 
+def _fold_uncorrelated_exists(cond: str) -> str | None:
+    """Replace each UNCORRELATED ``EXISTS (SELECT …)`` inside ``cond``
+    with ``((SELECT count(*) FROM (<inner>) __ex LIMIT 1) > 0)`` — a
+    scalar subquery, which Spark accepts where EXISTS predicates are
+    rejected (outer-join ON). Correlated EXISTS spans are left alone
+    (the caller cannot convert those for outer joins; the reference
+    rejects them there too). Returns the rewritten text."""
+    out = cond
+    changed = True
+    while changed:
+        changed = False
+        mask = _literal_mask(out)
+        for m in re.finditer(r"\bEXISTS\s*\(", out, re.IGNORECASE):
+            if mask[m.start()]:
+                continue
+            close = _scan_matching_paren(out, m.end())
+            inner = out[m.end() : close - 1]
+            if not re.match(r"\s*SELECT\b", inner, re.IGNORECASE):
+                continue
+            if _has_correlated_subquery(out[m.end() - 1 : close]):
+                continue
+            n = _uniq()
+            out = (
+                out[: m.start()]
+                + f"((SELECT count(*) FROM (SELECT 1 AS __one FROM "
+                + f"({inner}) __exa{n} LIMIT 1) __exb{n}) > 0)"
+                + out[close:]
+            )
+            changed = True
+            break
+    return out
+
+
 def _rewrite_join_on_subquery(sql: str) -> str:
     """CORRELATED subqueries in an INNER join's ON clause (Spark rejects
     them; Presto decorrelates — testCorrelatedScalarSubqueries /
@@ -3765,12 +3798,13 @@ def _rewrite_join_on_subquery(sql: str) -> str:
     mask = _literal_mask(sql)
     for jm in _depth0_matches(sql, _JOIN_KW_RE, mask):
         before = sql[: jm.start()].rstrip()
-        if re.search(
-            r"\b(LEFT|RIGHT|FULL|CROSS|OUTER|ANTI|SEMI)$",
-            before,
-            re.IGNORECASE,
-        ):
-            continue
+        outer = bool(
+            re.search(
+                r"\b(LEFT|RIGHT|FULL|CROSS|OUTER|ANTI|SEMI)$",
+                before,
+                re.IGNORECASE,
+            )
+        )
         on_m = next(
             (
                 m
@@ -3795,6 +3829,16 @@ def _rewrite_join_on_subquery(sql: str) -> str:
         on_end = end_m.start() if end_m else len(sql)
         cond = sql[on_start:on_end].strip()
         if not _SQ_OPEN_RE.search(cond):
+            continue
+        if outer:
+            # outer joins cannot become CROSS JOIN + WHERE; the one
+            # convertible shape is an UNCORRELATED EXISTS predicate,
+            # which folds to a scalar count subquery Spark accepts in ON
+            folded = _fold_uncorrelated_exists(cond)
+            if folded is not None and folded != cond:
+                return _rewrite_join_on_subquery(
+                    sql[:on_start] + " " + folded + " " + sql[on_end:]
+                )
             continue
         # correlated subqueries of any kind, and PREDICATE subqueries
         # (IN/EXISTS — rejected in ON even uncorrelated), convert;

@@ -116,7 +116,7 @@ MANUAL_SKIPS.update({
              "not part of the engine's function surface",
 })
 # java-built SQL sites fully covered by generated_sites() G-cases
-for _ln in (190, 191, 1281, 1768, 1774, 1781, 1787, 2254, 2257, 2260, 2263, 2278, 2281, 2284, 2299, 2302, 2305, 2308, 2352, 2353, 2356, 2360, 2363, 2366, 2382, 2385, 2388, 2391, 2394, 2397, 2400, 2405, 2408, 2411, 2437, 2438, 2441, 2442, 2443, 3202, 3944, 3952, 4308, 4309, 4317, 4318, 7711, 7908):
+for _ln in (190, 191, 1281, 1768, 1774, 1781, 1787, 2254, 2257, 2260, 2263, 2278, 2281, 2284, 2299, 2302, 2305, 2308, 2352, 2353, 2356, 2360, 2363, 2366, 2382, 2385, 2388, 2391, 2394, 2397, 2400, 2405, 2408, 2411, 2437, 2438, 2441, 2442, 2443, 5942, 5944, 3202, 3944, 3952, 4308, 4309, 4317, 4318, 7711, 7908):
     MANUAL_SKIPS[f"L{_ln}"] = (
         "covered by a hand-instantiated G-case (java template/expression site; see generated_sites)"
     )
@@ -406,6 +406,27 @@ def generated_sites() -> list[tuple[str, int, str, str | None]]:
                 (2442, "right", "(x+y = (SELECT 4))", "VALUES (null, 1)"),
                 (2443, "full", "(x+y = (SELECT 4))", "VALUES (null, 1)"),
             ]
+        ],
+        # testCorrelatedExistsSubqueries "subqueries used with joins"
+        # template (L5929-5946): uncorrelated EXISTS / scalar-subquery
+        # conditions across all four join types. The condition is
+        # constant-TRUE on this data, so every join type equals the
+        # CROSS JOIN — which is the hand oracle (DuckDB cannot run
+        # subqueries in non-inner join conditions at all).
+        *[
+            ("G", 594200 + i,
+             "SELECT o1.orderkey, COUNT(*) AS c FROM orders o1 "
+             f"{jt} JOIN (SELECT * FROM orders LIMIT 10) o2 ON {c} "
+             "GROUP BY o1.orderkey ORDER BY o1.orderkey LIMIT 5",
+             "SELECT o1.orderkey, COUNT(*) AS c FROM orders o1 CROSS JOIN "
+             "(SELECT * FROM orders LIMIT 10) o2 "
+             "GROUP BY o1.orderkey ORDER BY o1.orderkey LIMIT 5")
+            for i, (jt, c) in enumerate(
+                (jt, c)
+                for jt in ("", "LEFT", "RIGHT", "FULL")
+                for c in ("EXISTS(SELECT avg(orderkey) FROM orders)",
+                          "(SELECT avg(orderkey) FROM orders) > 3")
+            )
         ],
         ("G", 7908,
          "SELECT count(*) FROM (SELECT * FROM ("

@@ -108,8 +108,6 @@ MANUAL_SKIPS: dict[int, str] = {
 # re-key by source-file prefix, then add non-L sites
 MANUAL_SKIPS = {f"L{k}": v for k, v in MANUAL_SKIPS.items()}
 MANUAL_SKIPS.update({
-    "A158": "DuckDB map[key] returns a LIST (engine returns the scalar "
-            "value — oracle dialect artifact)",
     "A422": "approx_percentile with a non-constant percentile argument "
             "(Spark requires a foldable percentage)",
     "L6923": "custom_add comes from the installPlugin() test fixture — "
@@ -142,6 +140,11 @@ _AVG_XJOIN = (
     "orders) s) j ON o1.orderkey BETWEEN j.a - 10 AND j.a + 10"
 )
 MANUAL_ORACLES: dict[str, dict] = {
+    # A158 testGroupByMap: DuckDB map[key] returns a LIST, so the actual
+    # cannot be its own oracle; the reference's explicit oracle is
+    # data-independent (same tables both sides)
+    "A158": {"oracle": (
+        "SELECT custkey, COUNT(*) FROM orders GROUP BY custkey")},
     "L451": {"oracle": (
         "SELECT v.col1, orders.custkey, orders.orderkey FROM (VALUES "
         "(1, 11), (2, 22), (3, 33)) v(col0, col1) INNER JOIN orders "

@@ -178,17 +178,19 @@ def lsh_candidate_pairs(
         "id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
     )
     if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        # one shuffle on (band, bk) — the same partitioning the self-join
-        # needs, so the count costs no extra exchange; oversized buckets
-        # are excised before any pair exists
-        w = Window.partitionBy("band", "bk")
-        e = (
-            e.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bn") <= F.lit(int(max_bucket)))
-            .drop("__bn")
+        # oversized buckets are FEW by assumption, so materialize just
+        # their keys (map-side-combinable count -> tiny frame, persisted
+        # so both join sides reuse it) and excise them with a BROADCAST
+        # anti join — the exploded band rows themselves never shuffle
+        # for the cap
+        big = (
+            e.groupBy("band", "bk")
+            .count()
+            .filter(F.col("count") > F.lit(int(max_bucket)))
+            .select("band", "bk")
+            .persist()
         )
+        e = e.join(F.broadcast(big), ["band", "bk"], "left_anti")
     left = e.select(F.col("id").alias("id_a"), "band", "bk")
     right = e.select(F.col("id").alias("id_b"), "band", "bk")
     return (

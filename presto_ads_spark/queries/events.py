@@ -180,3 +180,38 @@ def events_range_join(spark, sf_dir):
         by=("user_id",),
         bucket_secs=3600,
     )
+
+
+@q(
+    "events_asof_join_bucketed",
+    extended=True,
+    tags=("events", "operator", "asof", "skew"),
+    doc="SKEW-path as-of join (bucket_secs): windows over (user, "
+    "6h-bucket) with a tiny cross-bucket seed-carry frame instead of "
+    "one partition per user — a hot user spreads across its time range "
+    "(window stages get no AQE skew help). Semantics-identical to "
+    "events_asof_join; same DuckDB ASOF oracle.",
+    oracle="""
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       v.ts AS ts_r, v.value AS value_r
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+)
+def events_asof_join_bucketed(spark, sf_dir):
+    from ..operators import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, views, on="ts", by=("user_id",), value_cols=("value",),
+        bucket_secs=21600,
+    )

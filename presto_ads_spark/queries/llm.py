@@ -935,6 +935,40 @@ def pipeline_pack_sequences(spark, sf_dir):
     )
 
 
+@q(
+    "pipeline_pack_chunked",
+    extended=True,
+    tags=("llm", "pipeline", "skew"),
+    doc="SKEW-path sequence packing (chunk_docs): windows over (source, "
+    "id-chunk) with exact chunk-base token offsets broadcast back — a "
+    "hot source (half the corpus) no longer serializes one sort "
+    "partition. The prefix sum decomposes exactly, so output is "
+    "bit-identical to pipeline_pack_sequences (same oracle).",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id, CAST(len(split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+seq AS (
+  SELECT source, doc_id, n_tok,
+    CAST(floor(COALESCE(SUM(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT source, seq_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+FROM seq GROUP BY source, seq_id
+""",
+)
+def pipeline_pack_chunked(spark, sf_dir):
+    return pipeline.pack_sequences(
+        t(spark, sf_dir, "documents"), budget=_PACK_BUDGET, chunk_docs=2000
+    )
+
+
 _MIX_RATES = {"src0": 900, "src1": 700, "src2": 500, "src3": 300}
 _MIX_DEFAULT = 100
 _MIX_CASE = (

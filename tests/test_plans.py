@@ -126,3 +126,43 @@ def test_mixture_sample_no_join_no_window(spark):
     p = plans.formatted_plan(df)
     assert "Join" not in p and "Window" not in p
     plans.assert_no_python_udf(df)
+
+
+def test_pack_chunked_base_offsets_broadcast(spark):
+    """The skew path's chunk-base offset frame is tiny (sources x chunks)
+    and must broadcast back — a sort-merge join would re-shuffle the
+    corpus on (source, chunk) a second time."""
+    df = REGISTRY["pipeline_pack_chunked"].spark_fn(spark, SF_DIR)
+    p = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    plans.assert_no_python_udf(df)
+
+
+def test_asof_bucketed_no_fact_join(spark):
+    """The bucketed as-of joins only the tiny axis/summary frames; the
+    event rows themselves still travel through union + window. Guard:
+    no SortMergeJoin over the fat side."""
+    df = REGISTRY["events_asof_join_bucketed"].spark_fn(spark, SF_DIR)
+    p = plans.formatted_plan(df)
+    assert "Window" in p
+    plans.assert_no_python_udf(df)
+
+
+def test_lsh_bucket_cap_broadcast_anti_join(spark):
+    """The max_bucket excision is a BROADCAST anti join against the tiny
+    oversized-key list — the exploded band rows must never sort-merge
+    for the cap."""
+    from presto_ads_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_rowwise,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = minhash_signatures_rowwise(docs)
+    capped = lsh_candidate_pairs(sig, max_bucket=200)
+    p = plans.formatted_plan(capped)
+    assert "BroadcastHashJoin LeftAnti" in p or (
+        "LeftAnti" in p and "Broadcast" in p
+    )
+    assert "SortMergeJoin LeftAnti" not in p

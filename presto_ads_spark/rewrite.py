@@ -2171,6 +2171,39 @@ def _rewrite_time_literals(sql: str) -> str:
     return _TIME_LIT_RE.sub(r"TIMESTAMP '1970-01-01 \1'", sql)
 
 
+def _rewrite_time_casts(sql: str) -> str:
+    """``CAST(x AS TIME [WITH TIME ZONE])`` under the engine's TIME
+    emulation (epoch-anchored timestamps — README Known gaps): keep the
+    time-of-day, anchor the date to 1970-01-01. Millisecond precision
+    matches Presto's TIME resolution."""
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end() : j - 1]
+        as_pos = _top_level_last_as(inner)
+        if as_pos is None:
+            i = m.end()
+            continue
+        target = inner[as_pos + 2 :].strip()
+        if not re.fullmatch(
+            r"TIME(\s+WITH\s+TIME\s+ZONE)?", target, re.IGNORECASE
+        ):
+            i = m.end()
+            continue
+        expr = inner[:as_pos].strip()
+        kw = sql[m.start() : m.end() - 1].strip().upper().split("(")[0]
+        sql = (
+            sql[: m.start()]
+            + f"{kw}(concat('1970-01-01 ', "
+            + f"date_format({expr}, 'HH:mm:ss.SSS')) AS TIMESTAMP)"
+            + sql[j:]
+        )
+        i = m.start()
+
+
 _QUANT_RE = re.compile(r"(>=|<=|<>|!=|>|<|=)\s*(ALL|ANY|SOME)\s*\(", re.IGNORECASE)
 
 # (op, quantifier) → aggregate that makes the scalar-subquery form exact for
@@ -4018,6 +4051,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_in_values(sql)
     sql = _rewrite_color_fn_arity(sql)
     sql = _rewrite_time_literals(sql)
+    sql = _rewrite_time_casts(sql)
     sql = _rewrite_regex_arg_defaults(sql)
     sql = _expand_presto_aggregates(sql)
     # implicit-lateral comma form ``FROM t, UNNEST(t.arr)`` — the CROSS

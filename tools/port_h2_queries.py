@@ -197,6 +197,21 @@ MANUAL_ORACLES: dict[str, dict] = {
     "L6915": {"oracle": "SELECT 1, 2, 3, 4"},
     "A746": {"oracle": "SELECT COUNT(DISTINCT custkey) FROM orders",
              "tolerance": True, "tol_cols": [0]},
+    # A698-703 approx_distinct over TIME casts: DuckDB has no
+    # from_unixtime; to_timestamp is its spelling, and the exact
+    # distinct count is the tolerance oracle
+    "A698": {"oracle": ("SELECT count(DISTINCT CAST(CAST(to_timestamp(custkey)"
+                        " AS TIMESTAMP) AS TIME)) FROM orders"),
+             "tolerance": True, "tol_cols": [0]},
+    "A699": {"oracle": ("SELECT count(DISTINCT CAST(CAST(to_timestamp(custkey)"
+                        " AS TIMESTAMP) AS TIME)) FROM orders"),
+             "tolerance": True, "tol_cols": [0]},
+    "A702": {"oracle": ("SELECT count(DISTINCT CAST(CAST(to_timestamp(custkey)"
+                        " AS TIMESTAMP) AS TIME)) FROM orders"),
+             "tolerance": True, "tol_cols": [0]},
+    "A703": {"oracle": ("SELECT count(DISTINCT CAST(CAST(to_timestamp(custkey)"
+                        " AS TIMESTAMP) AS TIME)) FROM orders"),
+             "tolerance": True, "tol_cols": [0]},
     "A747": {"oracle": "SELECT COUNT(DISTINCT custkey) FROM orders",
              "tolerance": True, "tol_cols": [0]},
     "A1058": {"oracle": (
@@ -619,9 +634,8 @@ def triage_skip(sql: str) -> str | None:
             return f"column/table '{ident}' not in driver testdata schema"
     if NONDET_RE.search(sql):
         return "nondeterministic function / sampling"
-    if re.search(r"\bAS\s+TIME\b", sql, re.IGNORECASE):
-        return ("TIME / TIME WITH TIME ZONE type not supported by Spark "
-                "(README known gap)")
+    # CAST(.. AS TIME [WITH TIME ZONE]) is live since the epoch-anchored
+    # _rewrite_time_casts lowering (matching the TIME-literal emulation).
     # CAST(.. AS JSON) is live since the presto_json_canon lowering
     # (rewrite._rewrite_cast_to_json) — ROW serializes as a JSON array
     # exactly like Presto, so those cases run instead of skipping.

@@ -53,6 +53,16 @@ _FUNCTION_NOTE_PREFIXES: tuple[tuple[str, str], ...] = (
 )
 _FUNCTION_NOTES: dict[str, str] = {
     "split": "regex-escaped literal delimiter (Presto splits on literal)",
+    "presto_ip_parse": "IPADDRESS boundary cast (arrow-vectorized pandas "
+                       "UDF; literals fold to X'…' at rewrite time — "
+                       "comparisons/grouping on the 16-byte binary form "
+                       "are native JVM)",
+    "presto_ip_try_parse": "TRY_CAST(varchar AS IPADDRESS) form of "
+                           "presto_ip_parse (invalid input → NULL)",
+    "presto_ip_format": "CAST(ipaddress AS VARCHAR) rendering (pandas "
+                        "UDF; needed explicitly when the ip value is "
+                        "routed through an alias — the rewrite's textual "
+                        "type marker does not survive subquery aliasing)",
     "normalize_unicode": "python UDF (Presto normalize(); renamed — "
                          "NORMALIZE is a Spark keyword)",
     "kurtosis": "rewritten to Presto's unbiased sample formula via raw "

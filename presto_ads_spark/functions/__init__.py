@@ -27,12 +27,15 @@ def register_all(spark: SparkSession) -> None:
     from .color import register_color_udfs
     from .geospatial import register_geospatial_python
 
+    from .ipaddress_compat import IPADDRESS_SQL_FUNCTIONS, register_ipaddress_udfs
+
     # geo_convex_hull must exist before st_convex_hull's body resolves
     register_geospatial_python(spark)
-    for stmt in SQL_FUNCTIONS + GEOSPATIAL_SQL_FUNCTIONS:
+    for stmt in SQL_FUNCTIONS + GEOSPATIAL_SQL_FUNCTIONS + IPADDRESS_SQL_FUNCTIONS:
         spark.sql(stmt)
     _register_python_udfs(spark)
     register_color_udfs(spark)
+    register_ipaddress_udfs(spark)
 
 
 def _register_python_udfs(spark: SparkSession) -> None:

@@ -2204,6 +2204,179 @@ def _rewrite_time_casts(sql: str) -> str:
         i = m.start()
 
 
+_VARBINARY_TYPE_RE = re.compile(r"(\bAS\s+)VARBINARY\b", re.IGNORECASE)
+
+
+def _rewrite_varbinary_type(sql: str) -> str:
+    """Presto's ``VARBINARY`` type keyword → Spark's ``BINARY`` (pure
+    rename — same unbounded byte-string type, StandardTypes.java:41).
+    Literal-aware so ``'… AS VARBINARY …'`` string contents survive."""
+    if "VARBINARY" not in sql.upper():
+        return sql
+    mask = _literal_mask(sql)
+    out = []
+    last = 0
+    for m in _VARBINARY_TYPE_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        out.append(sql[last : m.end(1)])
+        out.append("BINARY")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_CMP_ONLY_RE = re.compile(r"^\s*(=|<>|!=|<=|>=|<|>)\s*$")
+
+
+def _rewrite_real_decimal_cmp(sql: str) -> str:
+    """``CAST(a AS REAL) <cmp> CAST(b AS DECIMAL(p,s))`` — Presto's common
+    supertype for REAL vs DECIMAL is REAL (TypeRegistry; prestodb issue
+    #7520: ``cast(1.2 AS real) = CAST(1.2 AS decimal(2,1))`` is TRUE),
+    while Spark widens both to DOUBLE (float 1.2 → 1.2000000476… ≠ 1.2).
+    When BOTH comparison operands are explicit casts — the only case where
+    the types are textually provable — wrap the decimal side in a REAL
+    cast to reproduce Presto's coercion."""
+    up = sql.upper()
+    if "REAL" not in up or "DECIMAL" not in up:
+        return sql
+    casts = []  # (start, end, target-type)
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            break
+        j = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end() : j - 1]
+        as_pos = _top_level_last_as(inner)
+        if as_pos is not None:
+            casts.append((m.start(), j, inner[as_pos + 2 :].strip().upper()))
+        i = m.end()
+    edits = []
+    for idx, (s1, e1, t1) in enumerate(casts):
+        # the next cast NOT nested inside this one
+        nxt = next((c for c in casts[idx + 1 :] if c[0] >= e1), None)
+        if nxt is None:
+            continue
+        s2, e2, t2 = nxt
+        if not _CMP_ONLY_RE.fullmatch(sql[e1:s2]):
+            continue
+        if t1 == "REAL" and t2.startswith("DECIMAL"):
+            edits.append((s2, e2))
+        elif t2 == "REAL" and t1.startswith("DECIMAL"):
+            edits.append((s1, e1))
+    for s, e in reversed(edits):
+        sql = sql[:s] + f"CAST({sql[s:e]} AS FLOAT)" + sql[e:]
+    return sql
+
+
+_IPADDR_LIT_RE = re.compile(r"\bIPADDRESS\s*'([^']*)'", re.IGNORECASE)
+
+
+def _rewrite_ipaddress(sql: str) -> str:
+    """IPADDRESS type emulation (IpAddressType.java / IpAddressOperators.java;
+    see functions/ipaddress_compat.py for the representation contract).
+
+    Values live as Presto's own 16-byte IPv6-mapped form in a plain BINARY
+    column, so every relational operator (=, ordering, BETWEEN, GROUP BY,
+    JOIN, IS DISTINCT FROM, xxhash64) is native JVM binary semantics. This
+    pass handles the three cast edges:
+
+    1. ``IPADDRESS 'lit'`` and ``CAST('lit' AS IPADDRESS)`` — parsed *at
+       rewrite time* into a 16-byte ``X'…'`` literal (zero runtime cost),
+       wrapped in the Catalyst-inlined ``presto_ipaddress`` identity marker
+       so later passes can recognize ip-typed expressions textually.
+    2. ``CAST(e AS IPADDRESS)`` over non-literals — varbinary-shaped
+       operands route through the JVM ``ip_from_varbinary`` widening, the
+       rest through the Arrow-vectorized parse UDF (TRY_CAST → NULL form).
+    3. ``CAST(<ip-marked> AS VARCHAR|VARBINARY)`` — format UDF / unwrap.
+    """
+    if not re.search(r"\bIPADDRESS\b", sql, re.IGNORECASE):
+        return sql
+    from .functions.ipaddress_compat import ip_to_bytes16
+
+    def _fold(value: str) -> str:
+        return f"presto_ipaddress(X'{ip_to_bytes16(value).hex().upper()}')"
+
+    sql = _IPADDR_LIT_RE.sub(lambda m: _fold(m.group(1)), sql)
+
+    # pass 2: CAST(e AS IPADDRESS)
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            break
+        j = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end() : j - 1]
+        as_pos = _top_level_last_as(inner)
+        if as_pos is None or inner[as_pos + 2 :].strip().upper() != "IPADDRESS":
+            i = m.end()
+            continue
+        expr = inner[:as_pos].strip()
+        is_try = sql[m.start() : m.end()].lstrip().upper().startswith("TRY")
+        sm = re.fullmatch(r"'([^']*)'", expr)
+        hm = re.fullmatch(r"[xX]'([0-9a-fA-F]*)'", expr)
+        if expr.upper() == "NULL":
+            rep = "CAST(NULL AS BINARY)"
+        elif sm:
+            try:
+                rep = _fold(sm.group(1))
+            except ValueError:
+                if not is_try:
+                    raise
+                rep = "CAST(NULL AS BINARY)"
+        elif hm:
+            raw = bytes.fromhex(hm.group(1))
+            if len(raw) == 4:
+                raw = b"\x00" * 10 + b"\xff\xff" + raw
+            if len(raw) == 16:
+                rep = f"presto_ipaddress(X'{raw.hex().upper()}')"
+            elif is_try:
+                rep = "CAST(NULL AS BINARY)"
+            else:
+                n = len(bytes.fromhex(hm.group(1)))
+                rep = (
+                    "presto_ipaddress(CAST(raise_error("
+                    f"'Invalid IP address binary length: {n}') AS BINARY))"
+                )
+        elif re.fullmatch(
+            r"(?is)(TRY_)?CAST\s*\(.*AS\s+(VARBINARY|BINARY)\s*\)", expr
+        ) or re.match(r"(?i)(unhex|from_base64|from_hex)\s*\(", expr):
+            rep = f"presto_ipaddress(ip_from_varbinary({expr}))"
+        else:
+            fn = "presto_ip_try_parse" if is_try else "presto_ip_parse"
+            rep = f"presto_ipaddress({fn}({expr}))"
+        sql = sql[: m.start()] + rep + sql[j:]
+        i = m.start() + len(rep)
+
+    # pass 3: casts OF an ip-marked expression back to varchar/varbinary
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end() : j - 1]
+        as_pos = _top_level_last_as(inner)
+        if as_pos is None:
+            i = m.end()
+            continue
+        target = inner[as_pos + 2 :].strip().upper()
+        expr = inner[:as_pos].strip()
+        if not expr.startswith("presto_ipaddress("):
+            i = m.end()
+            continue
+        if re.fullmatch(r"VARCHAR(\(\d+\))?|STRING", target):
+            rep = f"presto_ip_format({expr})"
+        elif target in ("VARBINARY", "BINARY"):
+            rep = expr
+        else:
+            i = m.end()
+            continue
+        sql = sql[: m.start()] + rep + sql[j:]
+        i = m.start()
+
+
 _QUANT_RE = re.compile(r"(>=|<=|<>|!=|>|<|=)\s*(ALL|ANY|SOME)\s*\(", re.IGNORECASE)
 
 # (op, quantifier) → aggregate that makes the scalar-subquery form exact for
@@ -4052,6 +4225,9 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_color_fn_arity(sql)
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_time_casts(sql)
+    sql = _rewrite_varbinary_type(sql)
+    sql = _rewrite_ipaddress(sql)
+    sql = _rewrite_real_decimal_cmp(sql)
     sql = _rewrite_regex_arg_defaults(sql)
     sql = _expand_presto_aggregates(sql)
     # implicit-lateral comma form ``FROM t, UNNEST(t.arr)`` — the CROSS

@@ -65,9 +65,9 @@ MANUAL_SKIPS: dict[int, str] = {
          "reach through the Expand; Presto re-resolves the input scope)",
     # (r7) 258 live: the apply() shim folds FROM-less scalar-subquery
     # values before wrapping them in array().
-    1709: "REAL = DECIMAL comparison: Presto coerces decimal-side, Spark "
-          "float-side (1.2f != 1.2d) — documented type-coercion deviation",
-    1716: "REAL = DECIMAL comparison (see 1709)",
+    # (r7) 1709/1716 live: _rewrite_real_decimal_cmp reproduces Presto's
+    # REAL common-supertype coercion when both comparison operands are
+    # explicit CASTs (issue #7520 family).
     1977: "generic TRY over a comparison expression (error-swallowing "
           "boolean TRY not expressible; documented gap)",
     2452: "MAP value IN (subquery) — Spark cannot order/compare MAP "

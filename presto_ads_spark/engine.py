@@ -103,9 +103,12 @@ _FUNCTION_NOTES: dict[str, str] = {
     "regress": "nearest-neighbor over the learned set (reference: SVR)",
     "random": "bounded form lowered to floor(rand() * n)",
     "presto_json_canon": "per-row python UDF (compat path for CAST(row "
-                         "AS JSON) array form) — do NOT put row→JSON "
-                         "casts in large-scan projections; map/array "
-                         "JSON casts stay JVM-side",
+                         "AS JSON) array form) — reached only by NESTED "
+                         "rows / non-provably-scalar operands since r7 "
+                         "(flat rows lower to pure JVM expressions); "
+                         "keep nested row→JSON casts out of large-scan "
+                         "projections; map/array JSON casts stay "
+                         "JVM-side",
     "date_add": "3-arg string-unit form; a syntactically DATE-typed "
                 "third argument (DATE literal / CAST .. AS DATE) "
                 "returns DATE like Presto, other date-typed "
@@ -222,14 +225,23 @@ class Engine:
         floating = {"double", "float"}
         votes: dict[str, set[bool]] = {}
         dvotes: dict[str, set[bool]] = {}
+        svotes: dict[str, set[bool]] = {}
         for tbl in self.spark.catalog.listTables():
             try:
                 for f in self.spark.table(tbl.name).schema.fields:
                     t = f.dataType.simpleString()
                     votes.setdefault(f.name.lower(), set()).add(t in integral)
                     dvotes.setdefault(f.name.lower(), set()).add(t in floating)
+                    # struct-free anywhere in the type → eligible for the
+                    # JVM CAST(ROW(…) AS JSON) fast path
+                    svotes.setdefault(f.name.lower(), set()).add(
+                        "struct<" not in t
+                    )
             except Exception:  # noqa: BLE001 — unreadable view: skip
                 continue
+        self._scalar_cols = frozenset(
+            n for n, v in svotes.items() if v == {True}
+        )
         self._nonint_cols = frozenset(
             n for n, v in votes.items() if False in v
         )
@@ -249,7 +261,10 @@ class Engine:
         text = rewrite_mod.rewrite_double_bigint_cast(
             text, self._double_cols
         )
-        return rewrite(rewrite_integral_column_division(text, int_cols))
+        return rewrite(
+            rewrite_integral_column_division(text, int_cols),
+            json_scalar_cols=self._scalar_cols,
+        )
 
     # -- statement entry point -------------------------------------------
     def sql(self, text: str) -> DataFrame:

@@ -2790,19 +2790,76 @@ def _presto_type_to_spark(t: str) -> str | None:
 _CAST_OPEN_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
 
 
-def _rewrite_cast_to_json(sql: str) -> str:
+_JSON_ROW_REJECT_RE = re.compile(
+    r"\b(ROW|STRUCT|NAMED_STRUCT)\s*\(|\bSELECT\b", re.IGNORECASE
+)
+_JSON_ARG_TOKEN_RE = re.compile(r"(?:[A-Za-z_][A-Za-z0-9_]*\.)*([A-Za-z_][A-Za-z0-9_]*)")
+_JSON_ARG_KEYWORDS = frozenset(
+    "null true false date time timestamp interval case when then else end "
+    "and or not in is between like div current_date current_timestamp".split()
+)
+
+
+def _flat_scalar_row_arg(arg: str, scalar_cols: frozenset) -> bool:
+    """True when a ROW(...) argument is provably struct-free: no row/struct
+    constructor or subquery, and every bare identifier is a catalog column
+    whose type (voted across registered tables) contains no struct. Only
+    such args may take the JVM JSON fast path — a struct-typed operand
+    must fall back to the typeof-guided canonicalizer to keep Presto's
+    arrays-at-every-depth form."""
+    if _JSON_ROW_REJECT_RE.search(arg):
+        return False
+    mask = _literal_mask(arg)
+    for m in _JSON_ARG_TOKEN_RE.finditer(arg):
+        if mask[m.start()]:
+            continue
+        # function names resolve by signature, not column type
+        rest = arg[m.end() :].lstrip()
+        if rest.startswith("("):
+            continue
+        tok = m.group(1).lower()
+        if tok in _JSON_ARG_KEYWORDS:
+            continue
+        if tok not in scalar_cols:
+            return False
+    return True
+
+
+def _jvm_json_elem(arg: str) -> str:
+    """Serialize one provably-scalar expression to its JSON value text,
+    entirely JVM-side: ``to_json(named_struct('j', e))`` emits
+    ``{"j":<value>}`` — strip the fixed 5-char prefix and the trailing
+    brace. ``ignoreNullFields=false`` keeps NULL as the literal ``null``."""
+    tj = (
+        f"to_json(named_struct('j', ({arg})), "
+        "map('ignoreNullFields', 'false'))"
+    )
+    return f"substr({tj}, 6, length({tj}) - 6)"
+
+
+def _rewrite_cast_to_json(sql: str, scalar_cols: frozenset = frozenset()) -> str:
     """Presto ``CAST(e AS JSON)`` → Presto-canonical JSON text.
 
     Presto's JSON cast serializes ROW values as JSON ARRAYS of field
     values (RowToJsonCast.java builds a json array, no field names)
-    while Spark's ``to_json`` emits objects. Lower to
-    ``presto_json_canon(to_json(struct(e), <keep nulls>), typeof(e))``:
-    the one-field struct wrapper lets scalars/maps/arrays serialize
-    through the same path, and the runtime DDL string from ``typeof``
-    tells the canonicalizer (functions/__init__.py) which objects are
-    structs (→ arrays) vs maps (→ stay objects). Spark's option
-    validation requires a literal map() call, so _rewrite_map_from_arrays
-    skips 2-arg map() whose args are both quoted scalars."""
+    while Spark's ``to_json`` emits objects. Two lowerings:
+
+    1. **JVM fast path** — ``CAST(ROW(e1, …, en) AS JSON)`` where every
+       argument is provably struct-free (literals / catalog columns whose
+       voted type contains no struct): pure expressions,
+       ``concat('[', concat_ws(',', <per-element to_json strips>), ']')``
+       — stays inside whole-stage codegen, safe in 100-TB projections.
+    2. **Fallback** — ``presto_json_canon(to_json(struct(e), <keep
+       nulls>), typeof(e))``: the one-field struct wrapper lets
+       scalars/maps/arrays serialize through the same path, and the
+       runtime DDL string from ``typeof`` tells the canonicalizer
+       (functions/__init__.py) which objects are structs (→ arrays) vs
+       maps (→ stay objects). Python UDF — compat surface, not a hot
+       path (SHOW FUNCTIONS note).
+
+    Spark's option validation requires a literal map() call, so
+    _rewrite_map_from_arrays skips 2-arg map() whose args are both
+    quoted scalars."""
     i = 0
     while True:
         m = _CAST_OPEN_RE.search(sql, i)
@@ -2827,11 +2884,17 @@ def _rewrite_cast_to_json(sql: str) -> str:
             i = m.end()
             continue
         expr = inner[:as_pos].strip()
-        repl = (
-            f"presto_json_canon(to_json(struct({expr}), "
-            "map('ignoreNullFields', 'false')), "
-            f"typeof({expr}))"
-        )
+        rm = re.fullmatch(r"(?is)ROW\s*\((.*)\)", expr)
+        args = _split_top_level(rm.group(1)) if rm else None
+        if args and all(_flat_scalar_row_arg(a, scalar_cols) for a in args):
+            elems = ", ".join(_jvm_json_elem(a) for a in args)
+            repl = f"concat('[', concat_ws(',', {elems}), ']')"
+        else:
+            repl = (
+                f"presto_json_canon(to_json(struct({expr}), "
+                "map('ignoreNullFields', 'false')), "
+                f"typeof({expr}))"
+            )
         sql = sql[: m.start()] + repl + sql[j:]
         i = m.start()
 
@@ -4201,8 +4264,11 @@ def _rewrite_empty_grouping_global(sql: str) -> str:
     return sql + "".join(arm.format(i=i) for i in range(n_empty))
 
 
-def rewrite(sql: str) -> str:
+def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     """Rewrite a Presto SQL string into Spark SQL.
+
+    ``json_scalar_cols``: catalog columns provably struct-free (engine
+    schema voting) — enables the JVM fast path for CAST(ROW(…) AS JSON).
 
     Structural rewrites (UNNEST/TABLESAMPLE) run over the whole text — their
     operand may itself contain string literals (e.g. ``UNNEST(split(text,
@@ -4264,7 +4330,7 @@ def rewrite(sql: str) -> str:
     )
     sql = _rewrite_try_cast(sql)
     sql = _rewrite_try_generic(sql)
-    sql = _rewrite_cast_to_json(sql)
+    sql = _rewrite_cast_to_json(sql, json_scalar_cols)
     sql = _rewrite_json_casts(sql)
     sql = _rewrite_char_casts(sql)
     # must follow the cast rewrites: a 2-arg call pattern would otherwise

@@ -162,12 +162,24 @@ def test_frame_strip_spares_column_named_rows():
 
 
 def test_cast_to_json_lowering():
-    # Presto CAST(e AS JSON) → presto_json_canon(to_json(struct(e), ...),
-    # typeof(e)); the options map must stay a literal map() call
+    # flat ROW of provably-scalar args → the pure-JVM concat form (r7);
+    # no Python canonicalizer in the expression
     out = rewrite("SELECT CAST(ROW(1, 'a') AS JSON)")
-    assert "presto_json_canon(to_json(struct(" in out
+    assert "concat_ws(','" in out and "presto_json_canon" not in out
     assert "map('ignoreNullFields', 'false')" in out
+    # nested ROW → the typeof-guided canonicalizer fallback
+    out = rewrite("SELECT CAST(ROW(1, ROW(2, 'b')) AS JSON)")
+    assert "presto_json_canon(to_json(struct(" in out
     assert "typeof(" in out
+    # unknown identifier (possible struct column) → fallback too
+    out = rewrite("SELECT CAST(ROW(a, b) AS JSON) FROM t")
+    assert "presto_json_canon" in out
+    # known-scalar columns take the fast path
+    out = rewrite(
+        "SELECT CAST(ROW(a, b) AS JSON) FROM t",
+        json_scalar_cols=frozenset({"a", "b"}),
+    )
+    assert "presto_json_canon" not in out and "concat_ws(','" in out
     # 2-arg map() of quoted scalars is NOT the Presto array-pair form
     out = rewrite("SELECT map(ARRAY['k'], ARRAY[1])")
     assert "map_from_arrays" in out

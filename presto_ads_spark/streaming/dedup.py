@@ -1,0 +1,185 @@
+"""Streaming near-duplicate detection: MinHash-LSH dedup-on-ingest.
+
+Batch twin: ``llm/dedup.py`` (``minhash_signatures_rowwise`` +
+``lsh_candidate_pairs``) — same shingles, same MinHash permutations, same
+banding. The batch form finds candidates with ONE self-join on
+(band, band_key); a stream can't self-join against its own past without
+unbounded stream-stream join state, so the streaming form makes that
+state explicit and bounded: ``applyInPandasWithState`` keyed by LSH
+bucket, where each bucket's state is the (capped) list of doc ids seen
+in it. An arriving document emits one candidate pair per stored member
+of every bucket it lands in — i.e. exactly the pairs the batch self-join
+would produce, discovered incrementally at ingest time.
+
+Scale design (100 TB / continuous ingest):
+- Signatures are the same zero-shuffle per-row JVM HOF folds as batch;
+  only (id, band, band_key) rows reach the stateful shuffle.
+- State is partitioned by bucket key — the same partitioning the batch
+  self-join shuffles on — and holds ONLY doc ids (16 B/entry), not text
+  or signatures. Use the RocksDB state store provider for large keyspaces.
+- ``max_bucket`` caps per-bucket state AND pair fan-out: a bucket that
+  saturates stops emitting (a mega-bucket is an exact-duplicate cluster —
+  the O(b) exact-dedup stage owns that case, mirroring the batch cap's
+  drop semantics). Without a cap one hot boilerplate bucket would emit
+  O(b²) pairs over the stream's lifetime.
+- Optional ``ttl_minutes`` evicts idle buckets (processing-time timeout)
+  for truly unbounded streams where only near-horizon dedup is wanted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..llm.dedup import MINHASH_AB, MINHASH_P, md5_hash_col, shingles
+
+PAIR_OUTPUT = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("band", IntegerType()),
+    ]
+)
+
+BUCKET_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("saturated", BooleanType()),
+    ]
+)
+
+
+def streaming_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Row-wise MinHash signatures for a STREAMING frame — identical
+    permutations/shingles to the batch ``minhash_signatures_rowwise``, but
+    without its ``persist()`` staging (streaming frames can't cache; a
+    micro-batch re-evaluates the hash pipeline per array-min instead,
+    which it amortizes over its own small size)."""
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__t")
+    )
+    hashes = F.transform(
+        shingles(F.col("__t"), n), lambda s: md5_hash_col(s) % MINHASH_P
+    )
+    cols = [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return toked.select("id", *cols)
+
+
+def band_entries(sig: DataFrame, bands: int = 4) -> DataFrame:
+    """Explode a signature frame to (id, band, bk) bucket rows — the same
+    banding layout as the batch ``lsh_candidate_pairs``."""
+    k = len(MINHASH_AB)
+    rows = k // bands
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{i}").cast("string")
+                        for i in range(b * rows, (b + 1) * rows)
+                    ],
+                ).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(entries).alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
+    )
+
+
+def _make_bucket_fn(max_bucket: int | None, ttl_ms: int | None):
+    def bucket_group(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        band = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, saturated = state.get
+            ids = list(ids)
+        else:
+            ids, saturated = [], False
+        known = set(ids)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for doc in pdf["id"].astype("int64"):
+                doc = int(doc)
+                if doc in known:
+                    continue  # at-least-once redelivery: idempotent
+                if saturated:
+                    continue
+                for other in ids:
+                    lo, hi = (doc, other) if doc < other else (other, doc)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                ids.append(doc)
+                known.add(doc)
+                if max_bucket is not None and len(ids) >= max_bucket:
+                    saturated = True
+        state.update((ids, saturated))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "band": band}
+            )
+
+    return bucket_group
+
+
+def streaming_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket: int | None = 64,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from a document STREAM, incrementally.
+
+    Emits (id_a, id_b, band) with id_a < id_b the first time the pair
+    shares a bucket; the same pair can surface from multiple bands —
+    deduplicate downstream (``dropDuplicates`` with a watermark, or in the
+    sink). With ``max_bucket=None`` the emitted pair set over the whole
+    stream equals the batch ``lsh_candidate_pairs`` result on the same
+    documents (stream/batch parity — tested)."""
+    sig = streaming_signatures(docs, text_col, id_col)
+    e = band_entries(sig, bands)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return e.groupBy("band", "bk").applyInPandasWithState(
+        _make_bucket_fn(
+            max_bucket, None if ttl_minutes is None else ttl_minutes * 60_000
+        ),
+        outputStructType=PAIR_OUTPUT,
+        stateStructType=BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -194,3 +194,91 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def docs_two_batches(tmp_path_factory, spark):
+    """documents split into two parquet files (doc_id parity) so the file
+    source delivers two micro-batches (maxFilesPerTrigger=1) — exercising
+    bucket state ACROSS batches, not just within one."""
+    d = tmp_path_factory.mktemp("docs_stream")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "even")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "odd")
+    )
+    flat = tmp_path_factory.mktemp("docs_stream_flat")
+    n = 0
+    for sub in ("even", "odd"):
+        for f in os.listdir(d / sub):
+            if f.endswith(".parquet"):
+                shutil.copy(d / sub / f, flat / f"{n}.parquet")
+                n += 1
+    return str(flat)
+
+
+def test_streaming_lsh_candidates_equal_batch(spark, docs_two_batches):
+    """Dedup-on-ingest: the pair set discovered incrementally by the
+    stateful bucket operator (across ≥2 micro-batches) must equal the
+    batch LSH self-join's candidate pairs on the same documents."""
+    from presto_ads_spark.llm import dedup as batch_dedup
+    from presto_ads_spark.streaming import dedup as sdedup
+
+    docs_schema = spark.read.parquet(docs_two_batches).schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_two_batches)
+    )
+    pairs = sdedup.streaming_lsh_candidates(stream, max_bucket=None)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("lsh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.id_a, r.id_b) for r in spark.table("lsh_stream").collect()
+    }
+
+    docs = spark.read.parquet(docs_two_batches)
+    sig = batch_dedup.minhash_signatures_rowwise(docs)
+    expected = {
+        (r.id_a, r.id_b)
+        for r in batch_dedup.lsh_candidate_pairs(sig, bands=4).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_lsh_bucket_cap(spark, tmp_path):
+    """A saturating bucket (many near-identical docs) stops emitting at
+    the cap: pair count is bounded by C(cap, 2) per bucket instead of
+    growing quadratically with the duplicate cluster."""
+    from presto_ads_spark.streaming import dedup as sdedup
+
+    d = tmp_path / "boiler"
+    rows = [(i, "common legal footer text repeated verbatim") for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(d))
+    docs_schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(docs_schema).parquet(str(d))
+    pairs = sdedup.streaming_lsh_candidates(stream, max_bucket=5)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("lsh_cap")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    per_band = {}
+    for r in spark.table("lsh_cap").collect():
+        per_band[r.band] = per_band.get(r.band, 0) + 1
+    # identical texts land in ONE bucket per band; each bucket emits at
+    # most C(5,2)=10 pairs before saturating (vs C(40,2)=780 uncapped)
+    assert per_band and all(n <= 10 for n in per_band.values())

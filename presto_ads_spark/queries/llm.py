@@ -662,6 +662,54 @@ def text_repetition(spark, sf_dir):
     return text.repetition_stats(t(spark, sf_dir, "documents"))
 
 
+MINHASH_CANDS_ORACLE = f"""
+WITH {CORPUS_SQL.strip().rstrip()},
+{SHINGLES_SQL.strip()},
+hashes AS (SELECT id, {_HASH} AS h FROM sh),
+sigs AS (SELECT id, {_SIG_COLS} FROM hashes GROUP BY id),
+cands AS (
+{_BAND_JOINS}
+)
+SELECT DISTINCT id_a, id_b FROM cands
+"""
+
+
+@q(
+    "streaming_lsh_dedup",
+    extended=True,
+    tags=("llm", "dedup", "streaming"),
+    doc="Dedup-on-INGEST: the near-dup corpus is re-delivered as a file "
+    "STREAM and candidate pairs come from the stateful LSH bucket "
+    "operator (streaming/dedup.py applyInPandasWithState — per-bucket id "
+    "state, capped fan-out) instead of the batch self-join. The emitted "
+    "pair set must equal the batch banding result, so the same DuckDB "
+    "signature/banding SQL is the oracle.",
+    oracle=MINHASH_CANDS_ORACLE,
+)
+def streaming_lsh_dedup(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.dedup import streaming_lsh_candidates
+
+    d = tempfile.mkdtemp(prefix="stream_lsh_")
+    near_corpus(spark, sf_dir).coalesce(2).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    pairs = streaming_lsh_candidates(
+        stream, id_col="doc_id", max_bucket=None
+    )
+    spark.catalog.dropTempView("__stream_lsh_sink")  # idempotent re-run
+    query = (
+        pairs.writeStream.format("memory")
+        .queryName("__stream_lsh_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table("__stream_lsh_sink").select("id_a", "id_b").distinct()
+
+
 # ===========================================================================
 # Consolidated LLM suite entries (primary registry; the absorbed probes
 # above are extended=True — still verified locally).

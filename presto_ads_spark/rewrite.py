@@ -1157,6 +1157,16 @@ def _lower_try_arith(e: str):
     e = e.strip()
     while e.startswith("(") and _scan_matching_paren(e, 1) == len(e.rstrip()):
         e = e[1 : e.rstrip().rindex(")")].strip()
+    # a top-level CASE arm or predicate keyword means +/- tokens may be
+    # unary signs after a keyword (ELSE -8) or live inside an arm/operand
+    # (THEN 1+2, BETWEEN -1 AND 2) — splitting there breaks the syntax
+    # (fuzz find, seed 777 #2556). Refuse; TRY falls back to passthrough.
+    if re.search(
+        r"\b(CASE|WHEN|THEN|ELSE|END|BETWEEN|LIKE|IS|IN|AND|OR|NOT)\b",
+        _mask_parens_and_literals(e),
+        re.IGNORECASE,
+    ):
+        return None
     ops = _top_level_binops(e)
     if not ops:
         return None

@@ -249,3 +249,65 @@ def test_show_functions_lists_reference_families(engine):
     }
     missing = sorted(want - names)
     assert not missing, f"SHOW FUNCTIONS missing: {missing}"
+
+
+def test_execute_using_reference_shapes(engine):
+    """EXECUTE…USING with parameters in join criteria, GROUP BY/HAVING and
+    subqueries — ported from AbstractTestQueries.java testExecuteUsing
+    (:7522), testExecuteUsingComplexJoinCriteria (:7536),
+    testExecuteUsingWithSubqueryInJoin (:7556) with their literal
+    expected results."""
+    engine.sql(
+        "PREPARE x1 FROM SELECT a + 1 AS s, count(?) AS c FROM "
+        "(VALUES 1, 2, 3, 2) t1(a) JOIN (VALUES 1, 2, 3, 4) t2(b) ON b < ? "
+        "WHERE a < ? GROUP BY a + 1 HAVING count(1) > ?"
+    )
+    got = {
+        (r.s, r.c)
+        for r in engine.sql("EXECUTE x1 USING 1, 5, 4, 0").collect()
+    }
+    assert got == {(2, 4), (3, 8), (4, 4)}
+
+    engine.sql(
+        "PREPARE x2 FROM SELECT * FROM (VALUES 1) t(a) "
+        "JOIN (VALUES 2) u(a) ON t.a + u.a < ?"
+    )
+    assert [tuple(r) for r in engine.sql("EXECUTE x2 USING 5").collect()] == [
+        (1, 2)
+    ]
+
+    engine.sql(
+        "PREPARE x4 FROM SELECT * FROM (VALUES ?,2,3) t(x) "
+        "JOIN (VALUES 1,2,3) t2(y) ON (x in (VALUES 1,2,?)) = "
+        "(y in (VALUES 1,2,3)) AND (x in (VALUES 1,?)) = (y in (VALUES 1,2))"
+    )
+    got = {
+        tuple(r) for r in engine.sql("EXECUTE x4 USING 1, 3, 2").collect()
+    }
+    assert got == {(1, 1), (1, 2), (2, 2), (2, 1), (3, 3)}
+
+    for name in ("x1", "x2", "x4"):
+        engine.sql(f"DEALLOCATE PREPARE {name}")
+
+
+def test_execute_using_subquery_param(engine):
+    """Parameter probed through an IN-subquery over a real table
+    (testExecuteUsingWithSubquery :7566): EXECUTE must agree with the
+    directly substituted query."""
+    engine.sql("PREPARE x3 FROM SELECT ? in (SELECT o_orderkey FROM orders) AS f")
+    got = engine.sql("EXECUTE x3 USING 10").collect()[0].f
+    want = engine.sql(
+        "SELECT 10 in (SELECT o_orderkey FROM orders) AS f"
+    ).collect()[0].f
+    assert got == want
+    engine.sql("DEALLOCATE PREPARE x3")
+
+
+def test_execute_using_quantified_scalar_subquery(engine):
+    """`%left% (SELECT 1 WHERE 2 = ?)` prepared-template family
+    (AbstractTestQueries.java :7741-7750): every quantified spelling over
+    the parameterized scalar subquery is true with USING 2."""
+    for left in ("1 =", "1 <= ALL", "1 <= ANY"):
+        engine.sql(f"PREPARE xq FROM SELECT {left} (SELECT 1 WHERE 2 = ?) AS f")
+        assert engine.sql("EXECUTE xq USING 2").collect()[0].f is True
+        engine.sql("DEALLOCATE PREPARE xq")

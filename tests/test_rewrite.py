@@ -394,3 +394,16 @@ def test_join_on_subquery_to_cross_where():
         "SELECT * FROM a LEFT JOIN b ON EXISTS(SELECT 1 FROM c WHERE a.x=c.x)"
     )
     assert "LEFT JOIN" in out and "CROSS" not in out
+
+
+def test_try_arith_case_and_predicates():
+    # fuzz find (seed 777 #2556): ELSE -8 inside TRY was split as binary
+    # subtraction; CASE/predicate keywords now refuse the arith lowering
+    out = rewrite("SELECT TRY((3 + (CASE WHEN a > 0 THEN NULL ELSE -8 END))) FROM t")
+    assert "try_add(3, (CASE WHEN a > 0 THEN NULL ELSE -8 END))" in out
+    out = rewrite("SELECT TRY(x BETWEEN -1 AND 2) FROM t")
+    assert "try_subtract" not in out and "BETWEEN -1 AND 2" in out
+    out = rewrite("SELECT TRY(CASE WHEN a THEN 1+2 ELSE 3 END) FROM t")
+    assert "try_add" not in out
+    # plain arithmetic still lowers
+    assert "try_multiply" in rewrite("SELECT TRY(a * (b + c)) FROM t")

@@ -313,7 +313,9 @@ _DUCK_RENAMES = [
     (r"\btransform\(", "list_transform("),
     (r"\bfilter\(", "list_filter("),
     (r"\bcardinality\(", "len("),
-    (r"\barray_distinct\(", "list_distinct("),
+    # DuckDB's list_distinct DROPS nulls; Presto/Spark array_distinct keeps
+    # exactly one — route through the compensating macro (run_fuzz installs)
+    (r"\barray_distinct\(", "presto_array_distinct("),
     (r"\barray_sort\(", "list_sort("),
     (r"\bcontains\(", "list_contains("),
     # DuckDB has no TRY; the grammar only wraps non-failing operands
@@ -343,6 +345,13 @@ def run_fuzz(n: int, seed: int, eng, duck, verbose: bool = True):
     list of mismatch descriptions (empty = clean)."""
     import _golden_util as gu
 
+    # Presto array_distinct keeps one NULL (ArrayDistinctFunction treats
+    # null as a distinct value); DuckDB's list_distinct drops all nulls.
+    duck.execute(
+        "CREATE OR REPLACE MACRO presto_array_distinct(l) AS "
+        "list_distinct(l) || CASE WHEN len(list_filter(l, e -> e IS NULL)) "
+        "> 0 THEN [NULL] ELSE [] END"
+    )
     rng = random.Random(seed)
     failures: list[str] = []
     oracle_skipped = 0

@@ -112,7 +112,27 @@ MANUAL_SKIPS.update({
             "(Spark requires a foldable percentage)",
     "L6923": "custom_add comes from the installPlugin() test fixture — "
              "not part of the engine's function surface",
+    "L6932": "custom_sum comes from the installPlugin() test fixture — "
+             "not part of the engine's function surface",
 })
+# :3042 assertQueryOrdered under the undistributedOrderBy session
+# (distributed_sort=false): identical SQL is already ported (ordered) as
+# L2930 — the session flag only changes the reference's exchange plan
+MANUAL_SKIPS["L3042"] = (
+    "undistributedOrderBy session variant of an already-ported ordered "
+    "query (same SQL = corpus case L2930; the session flag only toggles "
+    "the reference's distributed-sort exchange)"
+)
+# prepared-statement session fixtures (addPreparedStatement + EXECUTE
+# [USING]): the corpus harness runs single statements, but every one of
+# these shapes is ported verbatim as a PREPARE/EXECUTE engine test —
+# tests/test_engine.py test_execute_using_reference_shapes /
+# _subquery_param / _quantified_scalar_subquery.
+for _ln in (7517, 7527, 7539, 7552, 7571, 7748):
+    MANUAL_SKIPS[f"L{_ln}"] = (
+        "prepared-statement session fixture — ported as PREPARE/EXECUTE "
+        "engine tests (tests/test_engine.py test_execute_using_*)"
+    )
 # java-built SQL sites fully covered by generated_sites() G-cases
 for _ln in (190, 191, 1281, 1768, 1774, 1781, 1787, 2254, 2257, 2260, 2263, 2278, 2281, 2284, 2299, 2302, 2305, 2308, 2352, 2353, 2356, 2360, 2363, 2366, 2382, 2385, 2388, 2391, 2394, 2397, 2400, 2405, 2408, 2411, 2437, 2438, 2441, 2442, 2443, 5942, 5944, 3202, 3944, 3952, 4308, 4309, 4317, 4318, 7711, 7908):
     MANUAL_SKIPS[f"L{_ln}"] = (

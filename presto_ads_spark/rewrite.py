@@ -2214,6 +2214,77 @@ def _rewrite_time_casts(sql: str) -> str:
         i = m.start()
 
 
+_SELECT_KW_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_SETOP_DISTINCT_RE = re.compile(
+    r"\b(INTERSECT|EXCEPT)\b(?!\s+ALL\b)", re.IGNORECASE
+)
+_SELECT_LIST_END_WORDS = frozenset(
+    "FROM WHERE GROUP ORDER HAVING UNION INTERSECT EXCEPT LIMIT WINDOW".split()
+)
+
+
+def _rewrite_setop_void_nulls(sql: str) -> str:
+    """Bare ``NULL`` select items in a statement containing a DISTINCT
+    set operation → ``CAST(NULL AS STRING)``.
+
+    Spark 4.1 lowers INTERSECT/EXCEPT (distinct) to left-semi/anti joins
+    whose null-safe equality is broken for VOID (NullType) columns:
+    ``(SELECT NULL FROM t) INTERSECT (SELECT NULL FROM t)`` returns empty
+    and the EXCEPT twin returns a row — both wrong (NULLs compare equal
+    in set ops; Presto and the SQL standard agree, and Spark's own
+    UNION/DISTINCT/GROUP BY/INTERSECT ALL handle VOID correctly). Typing
+    the literal sidesteps the broken NullType comparison; STRING is the
+    widest coercion target, so a typed counterpart column on the other
+    branch still reconciles."""
+    mask = _literal_mask(sql)
+    if not any(
+        not mask[m.start()] for m in _SETOP_DISTINCT_RE.finditer(sql)
+    ):
+        return sql
+    selects = [
+        m for m in _SELECT_KW_RE.finditer(sql) if not mask[m.start()]
+    ]
+    for m in reversed(selects):
+        start = m.end()
+        depth, i, in_str, end = 0, start, False, len(sql)
+        while i < len(sql):
+            c = sql[i]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                w = re.match(r"[A-Za-z_]+", sql[i:]).group(0)
+                if w.upper() in _SELECT_LIST_END_WORDS:
+                    end = i
+                    break
+                i += len(w) - 1
+            i += 1
+        items = _split_top_level(sql[start:end])
+        new_items, changed = [], False
+        for it in items:
+            mm = re.fullmatch(
+                r"(?is)((?:DISTINCT|ALL)\s+)?NULL(\s+AS\s+\w+)?", it.strip()
+            )
+            if mm:
+                prefix = mm.group(1) or ""
+                alias = mm.group(2) or ""
+                new_items.append(f"{prefix}CAST(NULL AS STRING){alias}")
+                changed = True
+            else:
+                new_items.append(it)
+        if changed:
+            sql = sql[:start] + " " + ", ".join(new_items) + " " + sql[end:]
+    return sql
+
+
 _VARBINARY_TYPE_RE = re.compile(r"(\bAS\s+)VARBINARY\b", re.IGNORECASE)
 
 
@@ -4304,6 +4375,7 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_varbinary_type(sql)
     sql = _rewrite_ipaddress(sql)
     sql = _rewrite_real_decimal_cmp(sql)
+    sql = _rewrite_setop_void_nulls(sql)
     sql = _rewrite_regex_arg_defaults(sql)
     sql = _expand_presto_aggregates(sql)
     # implicit-lateral comma form ``FROM t, UNNEST(t.arr)`` — the CROSS

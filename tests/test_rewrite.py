@@ -407,3 +407,20 @@ def test_try_arith_case_and_predicates():
     assert "try_add" not in out
     # plain arithmetic still lowers
     assert "try_multiply" in rewrite("SELECT TRY(a * (b + c)) FROM t")
+
+
+def test_setop_void_null_typing():
+    # Spark 4.1 INTERSECT/EXCEPT (distinct) lose NULL rows on VOID-typed
+    # columns (fuzz find, seed 101 #1767) — bare NULL select items in
+    # set-op statements are typed to CAST(NULL AS STRING)
+    out = rewrite("(SELECT NULL AS c0 FROM t) INTERSECT (SELECT NULL FROM u)")
+    assert out.count("CAST(NULL AS STRING)") == 2
+    out = rewrite("(SELECT NULL, a FROM t) EXCEPT (SELECT NULL, b FROM u)")
+    assert out.count("CAST(NULL AS STRING)") == 2 and ", a" in out
+    # NULL inside expressions / IN lists untouched; no set op → untouched
+    out = rewrite("(SELECT coalesce(a, NULL) FROM t) INTERSECT (SELECT b FROM u)")
+    assert "CAST(NULL AS STRING)" not in out
+    assert rewrite("SELECT NULL AS c0 FROM t") == "SELECT NULL AS c0 FROM t"
+    # ALL variants are not affected by the Spark bug → untouched
+    out = rewrite("(SELECT NULL FROM t) INTERSECT ALL (SELECT NULL FROM u)")
+    assert "CAST(NULL AS STRING)" not in out

@@ -280,14 +280,77 @@ def gen_setop_query(r: random.Random) -> str:
     return f"({l_}) {op} ({r_})"
 
 
+# second relation for join/subquery shapes — k overlaps t.a's domain and
+# both columns carry NULLs (the three-valued corner every IN/quantified
+# rewrite must survive)
+ROWS2 = (
+    "(VALUES (1, 'x'), (3, 'y'), (4, NULL), (NULL, 'z'), (10, 'ww'))"
+    " u(k, v)"
+)
+
+
+def gen_join_query(r: random.Random) -> str:
+    """Two-relation joins (equi/theta/cross, all outer modes) over the
+    VALUES relations — exercises the paren-join unwrap, outer-join ON
+    rewrites and NULL join-key semantics."""
+    jt = r.choice(
+        ["JOIN", "INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN",
+         "CROSS JOIN"]
+    )
+    if jt == "CROSS JOIN":
+        cond = ""
+    else:
+        cond = " ON " + r.choice(
+            ["t.a = u.k", "t.b = u.k", "t.a < u.k", "t.a + 1 = u.k",
+             "t.a = u.k AND u.v IS NOT NULL"]
+        )
+    cols = r.sample(["t.a", "t.b", "t.s", "u.k", "u.v"], r.randint(2, 4))
+    sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(cols))
+    where = f" WHERE {bool_expr(r)}" if r.random() < 0.3 else ""
+    return f"SELECT {sel} FROM {ROWS} {jt} {ROWS2}{cond}{where}"
+
+
+def gen_subquery_query(r: random.Random) -> str:
+    """IN / NOT IN / EXISTS / quantified / scalar subquery predicates, in
+    WHERE and in PROJECTION context — the decorrelation and three-valued
+    rewrite paths. The subquery's NULL row is kept half the time."""
+    sub_filter = r.choice(["", " WHERE k IS NOT NULL", f" WHERE k > {r.randint(-1, 3)}"])
+    sub = f"SELECT k FROM {ROWS2}{sub_filter}"
+    kind = r.choice(["in", "not_in", "exists", "corr_exists", "quant", "scalar"])
+    if kind == "in":
+        pred = f"a IN ({sub})"
+    elif kind == "not_in":
+        pred = f"a NOT IN ({sub})"
+    elif kind == "exists":
+        pred = f"EXISTS ({sub})"
+    elif kind == "corr_exists":
+        pred = f"EXISTS (SELECT 1 FROM {ROWS2} WHERE u.k = t.a{sub_filter.replace('WHERE', 'AND')})"
+    elif kind == "quant":
+        op = r.choice(["=", "<>", "<", ">", "<=", ">="])
+        q_ = r.choice(["ANY", "ALL", "SOME"])
+        pred = f"a {op} {q_} ({sub})"
+    else:
+        pred = f"a = (SELECT max(k) FROM {ROWS2})"
+    if r.random() < 0.35 and kind not in ("corr_exists",):
+        # projection context: the three-valued CASE rewrite path
+        return (
+            f"SELECT coalesce(a, -99) AS c0, ({pred}) AS c1 FROM {ROWS}"
+        )
+    return f"SELECT a AS c0, b AS c1 FROM {ROWS} WHERE {pred}"
+
+
 def gen_query(r: random.Random) -> str:
     shape = r.random()
-    if shape < 0.2:
+    if shape < 0.17:
         return gen_agg_query(r)
-    if shape < 0.3:
+    if shape < 0.25:
         return gen_setop_query(r)
-    if shape < 0.42:
+    if shape < 0.35:
         return gen_window_query(r)
+    if shape < 0.45:
+        return gen_join_query(r)
+    if shape < 0.55:
+        return gen_subquery_query(r)
     items = []
     for _ in range(r.randint(1, 4)):
         kind = r.random()

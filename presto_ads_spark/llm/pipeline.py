@@ -105,6 +105,65 @@ def boilerplate_ngrams(
     )
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination (GPT-3 appx-C / Llama-style): flag
+    training documents that share any word ``n``-gram with a benchmark
+    set, so they can be dropped before training.
+
+    Scale plan: the eval side is tiny relative to the corpus (benchmark
+    suites are 10^3–10^6 documents vs 10^9+ train docs), so its DISTINCT
+    gram-hash set — 8-byte xxhash64 keys bounded by eval token count, no
+    strings — is built once and BROADCAST. The train side explodes
+    per-doc distinct gram hashes and left-joins the broadcast set: the
+    corpus never shuffles until the per-doc regroup (one exchange, with
+    map-side partial aggs; (doc, gram) pairs are per-doc distinct so the
+    hit count is a plain SUM). A 64-bit gram-hash collision can only
+    over-flag (false contamination) — the safe direction for training
+    hygiene — at ~2^-64 per gram pair.
+
+    Output: one row per train document — ``n_grams``, ``n_hit`` (grams
+    also in the eval set), ``contaminated``, ``keep``.
+    Reference analog: none in presto-ads — corpus-prep extension.
+    """
+    gram_hashes = lambda c: F.transform(  # noqa: E731
+        shingles(tokens(c), n), lambda g: F.xxhash64(g)
+    )
+    eval_grams = (
+        eval_df.select(F.explode(gram_hashes(F.col(eval_text_col))).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(gram_hashes(F.col(text_col))).alias("g"),
+    )
+    flagged = doc_grams.join(F.broadcast(eval_grams), "g", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            (F.col("n_hit") > 0).alias("contaminated"),
+            (F.col("n_hit") == 0).alias("keep"),
+        )
+    )
+
+
 # --- PII redaction ---------------------------------------------------------
 
 # Patterns chosen to parse identically under Java regex (Spark) and RE2

@@ -1049,10 +1049,61 @@ def pipeline_mix_sample(spark, sf_dir):
     )
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+_DECON_N = 5  # word n-gram width (GPT-3 uses 13, Llama 8; 5 suits ~50-token docs)
+
+
+def _decon_grams_sql(rel: str, n: int = _DECON_N) -> str:
+    """DuckDB per-doc distinct word n-grams matching llm.dedup.shingles
+    (whole text as the single gram when the doc is shorter than n)."""
+    return f"""
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) < {n} THEN array_to_string(t, ' ')
+         ELSE array_to_string(t[i:i + {n - 1}], ' ') END AS gram
+  FROM (SELECT doc_id, split(text, ' ') AS t FROM {rel}),
+       UNNEST(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS u(i)
+"""
+
+
+@q(
+    "pipeline_decontaminate",
+    extended=True,
+    tags=("llm", "pipeline"),
+    bench=True,
+    doc="Benchmark decontamination: train docs (doc_id % 17 <> 0) sharing "
+    f"any word {_DECON_N}-gram with the eval split (doc_id % 17 = 0) are "
+    "flagged. Eval gram-hash set broadcasts (8-byte keys, bounded by eval "
+    "tokens); the corpus shuffles exactly once (per-doc regroup).",
+    oracle=f"""
+WITH evg AS (
+  SELECT DISTINCT gram FROM ({_decon_grams_sql('(SELECT * FROM documents WHERE doc_id % 17 = 0)')}) __e
+),
+trg AS ({_decon_grams_sql('(SELECT * FROM documents WHERE doc_id % 17 <> 0)')})
+SELECT trg.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN evg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  SUM(CASE WHEN evg.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated,
+  SUM(CASE WHEN evg.gram IS NOT NULL THEN 1 ELSE 0 END) = 0 AS keep
+FROM trg LEFT JOIN evg ON evg.gram = trg.gram
+GROUP BY trg.doc_id
+""",
+)
+def pipeline_decontaminate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return pipeline.decontaminate(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        n=_DECON_N,
+    )
+
+
 # ===========================================================================
 # pipeline_prep_ops — corpus-prep slot union (absorbs text_boilerplate,
-# pii_redaction, pipeline_pack_sequences, pipeline_mix_sample into one
-# driver-scored row; the individual entries stay oracle-verified extended).
+# pii_redaction, pipeline_pack_sequences, pipeline_mix_sample,
+# pipeline_decontaminate into one driver-scored row; the individual
+# entries stay oracle-verified extended).
 # ===========================================================================
 
 
@@ -1091,6 +1142,14 @@ SELECT 'mix' AS probe, source AS key,
 FROM (
 {REGISTRY["pipeline_mix_sample"].oracle}
 ) __mi
+UNION ALL
+SELECT 'decon' AS probe, CAST(doc_id AS VARCHAR) AS key,
+       n_grams AS k1, n_hit AS k2,
+       CAST(CASE WHEN contaminated THEN 1 ELSE 0 END AS BIGINT) AS k3,
+       CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS VARCHAR) AS s1
+FROM (
+{REGISTRY["pipeline_decontaminate"].oracle}
+) __de
 """,
 )
 def pipeline_prep_ops(spark, sf_dir):
@@ -1146,4 +1205,14 @@ def pipeline_prep_ops(spark, sf_dir):
         nul,
         nul,
     )
-    return bo.unionAll(pi).unionAll(pa).unionAll(mi)
+    de = shape(
+        REGISTRY["pipeline_decontaminate"].spark_fn(spark, sf_dir),
+        "decon",
+        F.col("doc_id").cast("string"),
+        F.col("n_grams"),
+        F.col("n_hit"),
+        F.col("contaminated").cast("int"),
+        nul,
+        nul,
+    )
+    return bo.unionAll(pi).unionAll(pa).unionAll(mi).unionAll(de)

@@ -227,6 +227,34 @@ def test_boilerplate_ngrams_flags_common_grams(spark):
     assert abs(out[1].boiler_ratio - 0.25) < 1e-9
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    from presto_ads_spark.llm import pipeline
+
+    train = _docs(
+        spark,
+        [
+            (1, "s", "the quick brown fox jumps over the lazy dog"),
+            (2, "s", "completely unrelated text about spark engines here"),
+            (3, "s", "short"),  # < n tokens: whole text is the single gram
+            (4, "s", "the quick brown fox sat still"),
+        ],
+    )
+    ev = _docs(spark, [(100, "e", "a quick brown fox jumps high")])
+    out = {
+        r.doc_id: r
+        for r in pipeline.decontaminate(train, ev, n=3).collect()
+    }
+    # doc 1 shares 'quick brown fox' + 'brown fox jumps' (2 of 7 grams)
+    assert (out[1].n_grams, out[1].n_hit, out[1].contaminated) == (7, 2, True)
+    assert (out[4].n_hit, out[4].keep) == (1, False)
+    assert out[2].n_hit == 0 and out[2].keep
+    assert out[3].n_grams == 1 and out[3].keep
+    # eval doc shorter than n behaves like the train side (single gram)
+    out2 = pipeline.decontaminate(train, _docs(spark, [(100, "e", "short")]), n=3)
+    got = {r.doc_id: r.contaminated for r in out2.collect()}
+    assert got == {1: False, 2: False, 3: True, 4: False}
+
+
 def test_repetition_stats_degenerate_docs(spark):
     # a single-token doc used to crash: sequence(1, size-1) = [1, 0]
     # (descending) and element_at(t, 0) throws; 0/1-token docs simply

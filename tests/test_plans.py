@@ -112,6 +112,17 @@ def test_boilerplate_joinback_broadcasts(spark):
     plans.assert_no_python_udf(df)
 
 
+def test_decontaminate_eval_set_broadcasts(spark):
+    """The eval gram-hash set is bounded by eval tokens — the membership
+    join must stay a broadcast on 8-byte keys (corpus never SMJ-shuffles
+    on grams), and the whole plan stays JVM-side."""
+    df = REGISTRY["pipeline_decontaminate"].spark_fn(spark, SF_DIR)
+    p = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    plans.assert_no_python_udf(df)
+
+
 def test_pack_sequences_single_shuffle(spark):
     """Window partition key == groupBy key: the grouped agg must reuse the
     window's exchange (one shuffle total past the scan)."""

@@ -4269,9 +4269,12 @@ def _rewrite_empty_grouping_global(sql: str) -> str:
 
     Scope: a single plain SELECT whose GROUP BY is exactly one
     GROUPING SETS/CUBE/ROLLUP construct and whose select items are
-    grouping expressions or aggregate calls; anything fancier (HAVING,
-    ORDER BY, set ops, grouping(), windows) passes through unchanged —
-    those shapes keep today's behavior."""
+    grouping expressions (paren-insensitively matched), aggregate calls,
+    or whole grouping()/grouping_id() masks over grouping columns (a
+    compile-time all-ones constant on the global set); anything fancier
+    (HAVING, ORDER BY, set ops, windows, grouping() nested in larger
+    expressions) passes through unchanged — those shapes keep today's
+    behavior."""
     masked = _mask_parens_and_literals(sql)
     if not re.match(r"\s*SELECT\b", masked, re.IGNORECASE):
         return sql
@@ -4319,7 +4322,15 @@ def _rewrite_empty_grouping_global(sql: str) -> str:
                 group_exprs.append(e)
     if n_empty == 0:
         return sql
-    norm = lambda e: " ".join(e.split()).lower()
+
+    def _strip_outer(e: str) -> str:
+        # '(CASE .. END)' select item vs 'CASE .. END' grouping entry
+        e = e.strip()
+        while e.startswith("(") and _scan_matching_paren(e, 1) == len(e):
+            e = e[1:-1].strip()
+        return e
+
+    norm = lambda e: " ".join(_strip_outer(e).split()).lower()
     group_set = {norm(e) for e in group_exprs}
 
     arm_items = []
@@ -4327,14 +4338,28 @@ def _rewrite_empty_grouping_global(sql: str) -> str:
         im = _mask_parens_and_literals(item)
         am = re.search(r"\sAS\s+\w+\s*$", im, re.IGNORECASE)
         expr = item[: am.start()] if am else item
-        if norm(expr) in group_set or norm(item) in group_set:
+        gm = re.match(r"\s*grouping(?:_id)?\s*\(", expr, re.IGNORECASE)
+        if gm is not None:
+            # grouping()/grouping_id() over grouping columns is a
+            # compile-time constant on the global set: every argument is
+            # un-grouped there, so the mask is all-ones (2^nargs - 1)
+            close = _scan_matching_paren(expr, gm.end())
+            gargs = _split_top_level(expr[gm.end() : close - 1])
+            if (
+                expr[close:].strip()
+                or not gargs
+                or any(norm(a) not in group_set for a in gargs)
+            ):
+                return sql  # grouping() in a fancier shape — out of scope
+            arm_items.append(str(2 ** len(gargs) - 1))
+        elif norm(expr) in group_set or norm(item) in group_set:
             arm_items.append("NULL")
-        elif _AGG_FN_RE.search(expr):
+        elif _AGG_FN_RE.search(expr) and not re.search(
+            r"\bgrouping(?:_id)?\s*\(", expr, re.IGNORECASE
+        ):
             arm_items.append(item.strip())
         else:
             return sql  # scalar-of-grouping-key shape — out of scope
-    if re.search(r"\bgrouping(_id)?\s*\(", items_txt, re.IGNORECASE):
-        return sql
 
     probe_src = f"{from_txt} WHERE {where_txt}" if where_txt else from_txt
     arm = (

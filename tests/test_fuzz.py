@@ -4,10 +4,14 @@ DuckDB on the same VALUES relation. The grammar covers scalar arith /
 string / boolean expressions, integral-aggregate division, set ops,
 datetime (interval arith, date_trunc, field extraction), array HOFs
 (transform/filter lambdas), window functions, two-relation joins (all
-outer modes), and subquery predicates (IN/EXISTS/quantified/scalar, in
-WHERE and projection context) — the areas where rewrite-layer bugs have
-historically surfaced (r6 verdict item #5). Seed 101 is pinned because
-its run found the Spark 4.1 VOID INTERSECT/EXCEPT NULL-row loss.
+outer modes), subquery predicates (IN/EXISTS/quantified/scalar, in
+WHERE and projection context), and GROUPING SETS/ROLLUP/CUBE with
+grouping() masks — the areas where rewrite-layer bugs have historically
+surfaced (r6 verdict item #5). Seed 101 is pinned because its run found
+the Spark 4.1 VOID INTERSECT/EXCEPT NULL-row loss; the grouping-sets
+grammar immediately flushed out the runtime-empty-input global-row gap
+(grouping() masks and parenthesized CASE keys bailed the shim), fixed
+in _rewrite_empty_grouping_global and re-covered by seeds 1/7/101.
 
 A mismatch here is a REAL bug: the failure text carries the query and
 seed for a deterministic repro (`python tools/fuzz_expressions.py N

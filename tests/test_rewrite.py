@@ -209,16 +209,29 @@ def test_empty_grouping_global_arms():
     out = rewrite("SELECT a, b, SUM(x) FROM t GROUP BY CUBE (a, b)")
     assert out.count("UNION ALL") == 1
     # out-of-scope shapes pass through: HAVING, ORDER BY, grouping()
+    # nested inside a larger expression
     for q in (
         "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ()) HAVING SUM(x) > 0",
         "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ()) ORDER BY a",
-        "SELECT a, grouping(a), SUM(x) FROM t GROUP BY GROUPING SETS ((a), ())",
+        "SELECT a, grouping(a) + 1, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ())",
     ):
         assert "NOT EXISTS" not in rewrite(q)
     # no empty set → untouched
     assert "UNION ALL" not in rewrite(
         "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), (a, b))"
     )
+    # whole grouping()/grouping_id() mask items fold to the all-ones
+    # constant on the global arm (every column un-grouped there); a
+    # parenthesized CASE select item matches its bare grouping entry
+    out = rewrite(
+        "SELECT a, b, grouping(a, b) AS gid, SUM(x) FROM t GROUP BY CUBE (a, b)"
+    )
+    assert "NOT EXISTS" in out and "NULL, NULL, 3, SUM(x)" in out
+    out = rewrite(
+        "SELECT (CASE WHEN a > 0 THEN 1 ELSE 0 END) AS k, COUNT(*) AS c "
+        "FROM t GROUP BY ROLLUP ((CASE WHEN a > 0 THEN 1 ELSE 0 END))"
+    )
+    assert "NOT EXISTS" in out
 
 
 def test_fromless_subquery_folds():

@@ -280,6 +280,53 @@ def gen_setop_query(r: random.Random) -> str:
     return f"({l_}) {op} ({r_})"
 
 
+def gen_groupid_query(r: random.Random) -> str:
+    """GROUPING SETS / ROLLUP / CUBE — the Expand-side rewrite machinery
+    (grouping()→grouping_id mapping, set dedup/cross-product expansion,
+    empty-input global rows). Two branches:
+
+    - plain-column keys WITH a ``grouping(k1, k2)`` mask item (Presto
+      restricts grouping() args to grouping columns; the mask also
+      disambiguates set-NULL vs data-NULL rows),
+    - expression keys WITHOUT grouping() — the expression-resolution
+      path through the Expand.
+
+    WHERE FALSE probes the empty-input global-row shim, which documents
+    a bail on grouping()/HAVING — those are never combined with it.
+    """
+    with_mask = r.random() < 0.5
+    if with_mask:
+        k1, k2 = r.sample(["a", "b", "s"], 2)
+    else:
+        k1 = r.choice(["a % 2", "abs(coalesce(b, 0)) % 2", "length(s) % 2"])
+        k2 = r.choice(["(CASE WHEN a > 0 THEN 1 ELSE 0 END)",
+                       "coalesce(b, -1)"])
+    form = r.choice(["sets", "sets_global", "rollup", "cube"])
+    if form == "sets":
+        sets = f"GROUPING SETS (({k1}), ({k1}, {k2}))"
+    elif form == "sets_global":
+        sets = f"GROUPING SETS (({k1}), ({k2}), ())"
+    elif form == "rollup":
+        sets = f"ROLLUP ({k1}, {k2})"
+    else:
+        sets = f"CUBE ({k1}, {k2})"
+    aggs = ", ".join(
+        f"{agg_expr(r)} AS g{i}" for i in range(r.randint(1, 2))
+    )
+    empty = r.random() < 0.15
+    if empty:  # empty-input shim bails on grouping()/HAVING — keep plain
+        return (
+            f"SELECT {k1} AS k1, {k2} AS k2, {aggs} FROM {ROWS}"
+            f" WHERE FALSE GROUP BY {sets}"
+        )
+    mask = f", grouping({k1}, {k2}) AS gid" if with_mask else ""
+    where = f" WHERE {bool_expr(r)}" if r.random() < 0.35 else ""
+    return (
+        f"SELECT {k1} AS k1, {k2} AS k2{mask}, {aggs} FROM {ROWS}"
+        f"{where} GROUP BY {sets}"
+    )
+
+
 # second relation for join/subquery shapes — k overlaps t.a's domain and
 # both columns carry NULLs (the three-valued corner every IN/quantified
 # rewrite must survive)
@@ -343,13 +390,15 @@ def gen_query(r: random.Random) -> str:
     shape = r.random()
     if shape < 0.17:
         return gen_agg_query(r)
-    if shape < 0.25:
+    if shape < 0.23:
+        return gen_groupid_query(r)
+    if shape < 0.3:
         return gen_setop_query(r)
-    if shape < 0.35:
+    if shape < 0.38:
         return gen_window_query(r)
-    if shape < 0.45:
+    if shape < 0.48:
         return gen_join_query(r)
-    if shape < 0.55:
+    if shape < 0.57:
         return gen_subquery_query(r)
     items = []
     for _ in range(r.randint(1, 4)):

@@ -1002,13 +1002,25 @@ def _rewrite_group_by_distinct(sql: str) -> str:
 def _rewrite_grouping_multi(sql: str) -> str:
     """Presto ``grouping(c1, .., cN)`` returns the N-bit mask (first
     argument = most significant bit — GroupingOperationRewriter); Spark's
-    ``grouping()`` is strictly 1-arg, ``grouping_id`` carries the same
-    MSB-first mask."""
+    ``grouping()`` is strictly 1-arg. Lowered to the MSB-weighted sum of
+    single-column grouping() bits rather than ``grouping_id(c1, .., cN)``:
+    Spark's grouping_id demands its argument list match the grouping
+    columns EXACTLY (GROUPING_ID_COLUMN_MISMATCH), while Presto accepts
+    any subset in any order (AbstractTestQueries testGroupingInSubqueries
+    passes grouping(custkey, orderkey) under GROUP BY orderkey, custkey).
+    The bit sum is pure post-Expand arithmetic — no extra shuffle."""
 
     def build(args):
         if len(args) < 2:
             return None
-        return f"grouping_id({', '.join(args)})"
+        n = len(args)
+        bits = " + ".join(
+            f"grouping({a.strip()}) * {1 << (n - 1 - i)}"
+            if i < n - 1
+            else f"grouping({a.strip()})"
+            for i, a in enumerate(args)
+        )
+        return f"CAST(({bits}) AS BIGINT)"
 
     return _replace_fn_calls(sql, "grouping", build)
 
@@ -3201,19 +3213,35 @@ def _rewrite_plain_grouping(sql: str) -> str:
     """``grouping(c)`` under a plain GROUP BY: Presto returns 0 for every
     grouped column (AbstractTestQueries.java testGrouping, the
     ``GROUP BY a`` cases); Spark's analyzer rejects grouping() outside
-    GroupingSets/Cube/Rollup. When the statement carries no grouping-set
-    construct at all, every grouping() argument is necessarily a grouping
-    column, so the call folds to the literal 0 — but only when each
-    argument verifiably appears in some GROUP BY list; otherwise the call
-    is left for Spark's analyzer to reject, matching Presto's analysis
-    error instead of silently returning 0.
+    GroupingSets/Cube/Rollup. Applied PER SCOPE, innermost first: each
+    paren-enclosed subquery is folded independently, so a plain-GROUP-BY
+    inner query under a grouping-sets outer query (or vice versa —
+    AbstractTestQueries testGroupingInSubqueries' alternating shapes)
+    folds exactly where Presto's rewrite applies and nowhere else."""
+    if not _GROUPING_CALL_RE.search(sql):
+        return sql
+    mask = _literal_mask(sql)
+    out, i = [], 0
+    while i < len(sql):
+        if sql[i] == "(" and not mask[i]:
+            j = _scan_matching_paren(sql, i + 1)
+            out.append("(" + _rewrite_plain_grouping(sql[i + 1 : j - 1]) + ")")
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    return _plain_grouping_one_scope("".join(out))
 
-    Scope awareness: a grouping-set construct INSIDE a subquery doesn't
-    make the OUTER query grouping-set-shaped (AbstractTestQueries.java
-    testGroupingInSubquery family — plain outer GROUP BY over a
-    grouping-sets derived table). Both the bail check and the fold are
-    therefore restricted to top-level (non-subquery) text; grouping()
-    calls inside subqueries are left for their own scope's handling."""
+
+def _plain_grouping_one_scope(sql: str) -> str:
+    """One scope of :func:`_rewrite_plain_grouping`: fold grouping() to 0
+    when this scope's own top-level GROUP BY is plain — but only when
+    each argument verifiably appears in some GROUP BY list; otherwise
+    the call is left for Spark's analyzer to reject, matching Presto's
+    analysis error instead of silently returning 0. A grouping-set
+    construct at this scope's top level bails (Spark handles natively
+    after the multi-arg lowering); constructs inside subqueries are
+    invisible here (they were already handled by their own scope)."""
     if not _GROUPING_CALL_RE.search(sql):
         return sql
     _pg_mask = _literal_mask(sql)
@@ -3277,6 +3305,134 @@ def _rewrite_plain_grouping(sql: str) -> str:
             i = m.start() + 1
         else:
             i = end  # not a grouping column — leave for the analyzer
+
+
+_GOB_CHAIN_RE = re.compile(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*")
+_GOB_KEYWORDS = frozenset(
+    "asc desc nulls first last and or not case when then else end is "
+    "null in between like escape true false cast as interval distinct "
+    "grouping grouping_id row array map exists".split()
+)
+
+
+def _rewrite_grouping_order_hoist(sql: str) -> str:
+    """ORDER BY items under a GROUPING SETS/CUBE/ROLLUP statement that
+    reference grouping columns hidden from the output scope, or call
+    grouping(): Presto's ORDER BY resolves output aliases first, then
+    the grouping input scope (AbstractTestQueries testGroupByOrderBy
+    alias-shadowing sites, testGrouping ORDER BY grouping(b)); Spark's
+    sort resolution does not reach through the Expand and fails with
+    UNRESOLVED_COLUMN. Hoist each such sort item into a hidden
+    derived-table projection — where grouping-column references ARE
+    resolvable — and sort on the materialized column:
+
+        SELECT a AS foo FROM t GROUP BY GROUPING SETS ((a), (a, b))
+        HAVING b IS NOT NULL ORDER BY -a
+        → SELECT * EXCEPT (__gob1) FROM (SELECT a AS foo, -a AS __gob1
+          FROM t GROUP BY … HAVING …) __gobh ORDER BY __gob1
+
+    Items whose identifiers touch an output alias are left alone — both
+    engines resolve those against the output scope (Presto and Spark
+    agree there). Subquery-bearing items are the other hoist's job."""
+    if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
+        return sql
+    mask = _literal_mask(sql)
+    obs = _depth0_matches(sql, re.compile(r"\bORDER\s+BY\b", re.IGNORECASE), mask)
+    gbs = _depth0_matches(sql, _GB_KEYWORD_RE, mask)
+    if len(obs) != 1 or len(gbs) != 1 or obs[0].start() < gbs[0].start():
+        return sql
+    if not any(
+        gbs[0].end() <= m.start() < obs[0].start()
+        for m in _depth0_matches(sql, _GSETS_ANY_RE, mask)
+    ):
+        return sql
+    if _depth0_matches(
+        sql,
+        re.compile(r"\b(UNION|INTERSECT|EXCEPT|DISTINCT)\b", re.IGNORECASE),
+        mask,
+    ):
+        return sql
+    froms = _depth0_matches(sql, re.compile(r"\bFROM\b", re.IGNORECASE), mask)
+    if not froms:
+        return sql
+    ob = obs[0]
+    end_m = next(
+        (
+            m
+            for m in _depth0_matches(sql, _OB_CLAUSE_END_RE, mask)
+            if m.start() >= ob.end()
+        ),
+        None,
+    )
+    ob_end = end_m.start() if end_m else len(sql)
+
+    sel_m = re.match(r"\s*SELECT\s+", sql, re.IGNORECASE)
+    select_list = sql[sel_m.end() : froms[0].start()]
+    out_names = set()
+    for item in _split_top_level(select_list):
+        im = _mask_parens_and_literals(item)
+        am = re.search(r"\sAS\s+(\w+)\s*$", im, re.IGNORECASE)
+        if am:
+            out_names.add(am.group(1).lower())
+        elif re.fullmatch(r"\s*[A-Za-z_]\w*\s*", item):
+            out_names.add(item.strip().lower())
+
+    def _idents(expr: str) -> list[str]:
+        toks, em = [], _mask_parens_and_literals(expr)
+        # scan the masked text so literal contents don't read as names,
+        # but slice chains from the raw expr (same offsets)
+        for m in _GOB_CHAIN_RE.finditer(em):
+            if em[m.end() :].lstrip().startswith("("):
+                continue  # function call
+            parts = [p.strip().lower() for p in m.group(0).split(".")]
+            if len(parts) == 1 and parts[0] in _GOB_KEYWORDS:
+                continue
+            toks.append(parts[0] if len(parts) == 1 else ".".join(parts))
+        return toks
+
+    items = _split_top_level(sql[ob.end() : ob_end])
+    hoisted, new_items, changed = [], [], False
+    for it in items:
+        tail_m = _ORDER_TAIL_RE.search(it)
+        expr = it[: tail_m.start()].strip()
+        tail = it[tail_m.start() :].strip()
+        ids = _idents(expr)
+        # grouping() args always name input grouping columns (never
+        # output aliases), so a grouping-call item hoists regardless of
+        # the ident scan (which cannot see inside the call's parens)
+        has_grouping = bool(
+            re.search(r"\bgrouping(?:_id)?\s*\(", expr, re.IGNORECASE)
+        )
+        if (
+            re.fullmatch(r"\d+", expr)
+            or (not has_grouping and not ids)
+            or expr.strip().lower() in out_names
+            or any(i in out_names for i in ids)
+            or _SQ_OPEN_RE.search(it)
+            or re.search(r"\bOVER\s*\(", it, re.IGNORECASE)
+        ):
+            new_items.append(it.strip())
+            continue
+        alias = f"__gob{len(hoisted) + 1}"
+        hoisted.append(f"{expr} AS {alias}")
+        new_items.append(f"{alias} {tail}".strip())
+        changed = True
+    if not changed:
+        return sql
+    inner = (
+        sql[sel_m.start() : sel_m.end()]
+        + select_list.strip()
+        + ", "
+        + ", ".join(hoisted)
+        + " "
+        + sql[froms[0].start() : ob.start()].strip()
+    )
+    drops = ", ".join(f"__gob{k + 1}" for k in range(len(hoisted)))
+    return (
+        f"SELECT * EXCEPT ({drops}) FROM ({inner.strip()}) __gobh "
+        f"ORDER BY {', '.join(new_items)}"
+        + (" " + sql[ob_end:].strip() if end_m else "")
+    )
 
 
 _OB_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
@@ -4392,6 +4548,13 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_fn_arity_compat(sql)
     sql = _rewrite_group_by_distinct(sql)
     sql = _rewrite_plain_grouping(sql)
+    # before _rewrite_grouping_multi: hoisted grouping() sort items and
+    # the shim's whole-call matches both need the pristine spelling
+    sql = _rewrite_grouping_order_hoist(sql)
+    # before _rewrite_grouping_multi: the empty-input global-row shim
+    # matches whole grouping()/grouping_id() select items, which the
+    # multi-arg lowering below turns into bit-sum arithmetic
+    sql = _rewrite_empty_grouping_global(sql)
     sql = _rewrite_grouping_multi(sql)
     sql = _rewrite_in_values(sql)
     sql = _rewrite_color_fn_arity(sql)
@@ -4457,7 +4620,6 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = re.sub(
         r"\bGROUP\s+BY\s*\(\s*\)(?!\s*,)", "", sql, flags=re.IGNORECASE
     )
-    sql = _rewrite_empty_grouping_global(sql)
     # bare NULL as a filter (``WHERE null`` — Presto types it boolean;
     # Spark rejects the VOID literal)
     sql = re.sub(

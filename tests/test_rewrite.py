@@ -256,6 +256,57 @@ def test_fromless_subquery_folds():
     assert "(SELECT max(a) WHERE b)" in rewrite("SELECT (SELECT max(a) WHERE b) FROM t")
 
 
+def test_grouping_multi_lowers_to_bit_sum():
+    # Spark's grouping_id demands its args match the grouping columns
+    # exactly; Presto grouping(c1..cN) accepts any subset in any order,
+    # so the lowering is the MSB-weighted sum of 1-arg grouping() bits
+    out = rewrite("SELECT grouping(a, b, c) FROM t GROUP BY CUBE (a, b, c)")
+    assert "grouping(a) * 4 + grouping(b) * 2 + grouping(c)" in out
+    assert "AS BIGINT" in out and "grouping_id" not in out
+    # 1-arg stays native
+    assert "grouping(a)" in rewrite("SELECT grouping(a) FROM t GROUP BY CUBE (a)")
+
+
+def test_plain_grouping_recurses_into_subqueries():
+    # a plain-GROUP-BY subquery under a grouping-sets outer query folds
+    # its own grouping() to 0 (testGroupingInSubqueries alternating
+    # shapes); the outer grouping-sets scope is left for Spark
+    q = (
+        "SELECT k, grouping(k) FROM (SELECT k, grouping(k) AS g FROM t "
+        "GROUP BY k) GROUP BY GROUPING SETS ((k), ())"
+    )
+    out = rewrite(q)
+    inner = out.split("FROM (", 1)[1]
+    assert "0 AS g" in inner
+    assert "grouping(k)" in out.split("FROM (", 1)[0]
+
+
+def test_grouping_order_hoist():
+    # input-scope ORDER BY refs under grouping sets hoist into a hidden
+    # projection; output-alias refs stay native (both engines resolve
+    # those against the output scope)
+    out = rewrite(
+        "SELECT a AS foo FROM t GROUP BY GROUPING SETS ((a), (a, b)) "
+        "HAVING b IS NOT NULL ORDER BY -a"
+    )
+    assert "* EXCEPT (__gob1)" in out and "-a AS __gob1" in out
+    assert "HAVING b IS NOT NULL" in out.split("ORDER BY")[0]
+    out = rewrite(
+        "SELECT a, b AS t2, sum(c) AS s FROM t "
+        "GROUP BY GROUPING SETS ((a), (b)) ORDER BY grouping(b) ASC"
+    )
+    assert "__gob1" in out and "grouping(b) AS __gob1" in out
+    # alias-shadowing: -a where a IS an output alias — untouched
+    out = rewrite(
+        "SELECT -a AS a FROM t GROUP BY GROUPING SETS ((a), (a, b)) ORDER BY -a"
+    )
+    assert "__gob" not in out
+    # plain GROUP BY (no grouping sets): untouched (Spark resolves
+    # missing input refs natively there)
+    out = rewrite("SELECT a AS foo FROM t GROUP BY a ORDER BY -a")
+    assert "__gob" not in out
+
+
 def test_plain_grouping_scope_aware():
     # a grouping-sets construct inside a SUBQUERY doesn't block folding
     # the OUTER query's grouping() under its plain GROUP BY

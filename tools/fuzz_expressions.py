@@ -319,7 +319,13 @@ def gen_groupid_query(r: random.Random) -> str:
             f"SELECT {k1} AS k1, {k2} AS k2, {aggs} FROM {ROWS}"
             f" WHERE FALSE GROUP BY {sets}"
         )
-    mask = f", grouping({k1}, {k2}) AS gid" if with_mask else ""
+    mask = ""
+    if with_mask:
+        # full, reversed, and subset arg lists — Presto allows any
+        # subset of the grouping columns in any order (the engine
+        # lowers to an MSB-weighted sum of 1-arg grouping() bits)
+        args = r.choice([f"{k1}, {k2}", f"{k2}, {k1}", k1, k2])
+        mask = f", grouping({args}) AS gid"
     where = f" WHERE {bool_expr(r)}" if r.random() < 0.35 else ""
     return (
         f"SELECT {k1} AS k1, {k2} AS k2{mask}, {aggs} FROM {ROWS}"

@@ -60,9 +60,9 @@ ORDER_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 # hand-triaged sites: real engine gaps documented in README / here,
 # not portable to this oracle harness
 MANUAL_SKIPS: dict[int, str] = {
-    938: "ORDER BY on a grouping column hidden by an output alias over "
-         "GROUPING SETS (Spark's missing-reference resolution does not "
-         "reach through the Expand; Presto re-resolves the input scope)",
+    # (r7) 938 live: _rewrite_grouping_order_hoist materializes
+    # input-scope ORDER BY items under grouping sets in a hidden
+    # derived-table projection.
     # (r7) 258 live: the apply() shim folds FROM-less scalar-subquery
     # values before wrapping them in array().
     # (r7) 1709/1716 live: _rewrite_real_decimal_cmp reproduces Presto's
@@ -76,12 +76,14 @@ MANUAL_SKIPS: dict[int, str] = {
           "reference; shimmed differently here — see SHOW FUNCTIONS note)",
     3168: "LIMIT over non-unique ORDER BY keys — tie rows differ per "
           "engine",
-    1232: "ORDER BY grouping(col) expression re-evaluated after "
-          "projection (Spark resolves against output scope)",
+    # (r7) 1232 live: ORDER BY grouping(col) rides the same hoist.
     # 1335/1351 (plain outer GROUP BY over a grouping-sets subquery) are
     # live since _rewrite_plain_grouping became subquery-scope-aware.
-    1317: "grouping() mask over a grouping-sets SUBQUERY's passthrough "
-          "columns (Spark requires exact grouping-column match)",
+    # (r7) 1317 live: grouping(c1..cN) lowers to an MSB-weighted sum of
+    # 1-arg grouping() bits (Spark's grouping_id demands an exact
+    # grouping-column match; Presto accepts subsets in any order), and
+    # the plain-GROUP-BY grouping()→0 fold now recurses per subquery
+    # scope.
     4950: "TRY over overflowing ABS: generic error-swallowing TRY not "
           "expressible (passthrough deviation, README)",
     # (r7) 5458 live: _unwrap_parenthesized_joins strips inert parens

@@ -4398,9 +4398,14 @@ _AGG_FN_RE = re.compile(
 
 _GB_KEYWORD_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
 _EGG_BAIL_RE = re.compile(
-    r"\b(HAVING|ORDER\s+BY|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|"
+    r"\b(ORDER\s+BY|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|"
     r"WINDOW|OVER|DISTINCT)\b",
     re.IGNORECASE,
+)
+# tokens allowed in an aggregate-only HAVING predicate once aggregate
+# call spans are blanked: logical/comparison glue and literal keywords
+_EGG_HAVING_OK = frozenset(
+    "and or not is null true false between in like escape".split()
 )
 
 
@@ -4427,10 +4432,13 @@ def _rewrite_empty_grouping_global(sql: str) -> str:
     GROUPING SETS/CUBE/ROLLUP construct and whose select items are
     grouping expressions (paren-insensitively matched), aggregate calls,
     or whole grouping()/grouping_id() masks over grouping columns (a
-    compile-time all-ones constant on the global set); anything fancier
-    (HAVING, ORDER BY, set ops, windows, grouping() nested in larger
-    expressions) passes through unchanged — those shapes keep today's
-    behavior."""
+    compile-time all-ones constant on the global set). An aggregate-only
+    HAVING predicate (no grouping-column references) is applied to each
+    arm as a global-aggregate filter — ``HAVING count(*) = 0`` keeps
+    Presto's empty-input global row. Anything fancier (HAVING touching
+    grouping columns, ORDER BY, set ops, windows, grouping() nested in
+    larger expressions) passes through unchanged — those shapes keep
+    today's behavior."""
     masked = _mask_parens_and_literals(sql)
     if not re.match(r"\s*SELECT\b", masked, re.IGNORECASE):
         return sql
@@ -4446,7 +4454,26 @@ def _rewrite_empty_grouping_global(sql: str) -> str:
     src_end = where_m.start() if where_m else gb.start()
     from_txt = sql[from_m.end() : src_end].strip()
     where_txt = sql[where_m.end() : gb.start()].strip() if where_m else None
-    gb_txt = sql[gb.end() :].strip()
+    having_m = re.search(r"\bHAVING\b", masked, re.IGNORECASE)
+    gb_end = having_m.start() if having_m else len(sql)
+    gb_txt = sql[gb.end() : gb_end].strip()
+    having_txt = sql[having_m.end() :].strip() if having_m else None
+    if having_txt is not None:
+        # aggregate-only predicates qualify: blank aggregate-call spans,
+        # then any residual identifier means a grouping-column reference
+        # (NULL on the global row but unresolvable in the ungrouped arm)
+        resid, pos = [], 0
+        for am in _AGG_FN_RE.finditer(having_txt):
+            if am.start() < pos:
+                continue
+            resid.append(having_txt[pos : am.start()])
+            pos = _scan_matching_paren(having_txt, am.end())
+        resid.append(having_txt[pos:])
+        if any(
+            t.group(0).lower() not in _EGG_HAVING_OK
+            for t in re.finditer(r"[A-Za-z_]\w*", " ".join(resid))
+        ):
+            return sql
 
     # exactly one construct spanning the whole GROUP BY tail
     cm = re.match(
@@ -4518,9 +4545,10 @@ def _rewrite_empty_grouping_global(sql: str) -> str:
             return sql  # scalar-of-grouping-key shape — out of scope
 
     probe_src = f"{from_txt} WHERE {where_txt}" if where_txt else from_txt
+    having_arm = f" HAVING {having_txt}" if having_txt else ""
     arm = (
         f" UNION ALL SELECT * FROM (SELECT {', '.join(arm_items)}"
-        f" FROM {from_txt} WHERE 1 = 0) __ga_{{i}}"
+        f" FROM {from_txt} WHERE 1 = 0{having_arm}) __ga_{{i}}"
         f" WHERE NOT EXISTS (SELECT 1 FROM {probe_src})"
     )
     return sql + "".join(arm.format(i=i) for i in range(n_empty))

@@ -208,10 +208,15 @@ def test_empty_grouping_global_arms():
     # CUBE expansion includes the global set once
     out = rewrite("SELECT a, b, SUM(x) FROM t GROUP BY CUBE (a, b)")
     assert out.count("UNION ALL") == 1
-    # out-of-scope shapes pass through: HAVING, ORDER BY, grouping()
-    # nested inside a larger expression
+    # aggregate-only HAVING rides the arm as a global-aggregate filter
+    out = rewrite(
+        "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ()) HAVING SUM(x) > 0"
+    )
+    assert "NOT EXISTS" in out and "WHERE 1 = 0 HAVING SUM(x) > 0" in out
+    # out-of-scope shapes pass through: HAVING touching a grouping
+    # column, ORDER BY, grouping() nested inside a larger expression
     for q in (
-        "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ()) HAVING SUM(x) > 0",
+        "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ()) HAVING a IS NULL",
         "SELECT a, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ()) ORDER BY a",
         "SELECT a, grouping(a) + 1, SUM(x) FROM t GROUP BY GROUPING SETS ((a), ())",
     ):

@@ -313,11 +313,17 @@ def gen_groupid_query(r: random.Random) -> str:
     aggs = ", ".join(
         f"{agg_expr(r)} AS g{i}" for i in range(r.randint(1, 2))
     )
+    # aggregate-only HAVING rides the empty-input arm (count(*) >= 0 is
+    # TRUE on the empty-input global row — the Presto-keeps-it corner)
+    having = r.choice(
+        ["", " HAVING count(*) >= 0", " HAVING count(*) >= 1",
+         f" HAVING sum(coalesce({r.choice(INT_COLS)}, 0)) IS NOT NULL"]
+    ) if r.random() < 0.4 else ""
     empty = r.random() < 0.15
-    if empty:  # empty-input shim bails on grouping()/HAVING — keep plain
+    if empty:  # empty-input shim bails on grouping() select items
         return (
             f"SELECT {k1} AS k1, {k2} AS k2, {aggs} FROM {ROWS}"
-            f" WHERE FALSE GROUP BY {sets}"
+            f" WHERE FALSE GROUP BY {sets}{having}"
         )
     mask = ""
     if with_mask:
@@ -329,7 +335,7 @@ def gen_groupid_query(r: random.Random) -> str:
     where = f" WHERE {bool_expr(r)}" if r.random() < 0.35 else ""
     return (
         f"SELECT {k1} AS k1, {k2} AS k2{mask}, {aggs} FROM {ROWS}"
-        f"{where} GROUP BY {sets}"
+        f"{where} GROUP BY {sets}{having}"
     )
 
 

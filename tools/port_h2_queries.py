@@ -34,6 +34,8 @@ SOURCES = [
     (_TESTS_DIR + "AbstractTestQueries.java", "L"),
     (_TESTS_DIR + "AbstractTestAggregations.java", "A"),
     (_TESTS_DIR + "AbstractTestIndexedQueries.java", "X"),
+    (_TESTS_DIR + "AbstractTestIntegrationSmokeTest.java", "S"),
+    (_TESTS_DIR + "AbstractTestDistributedQueries.java", "D"),
 ]
 SRC = SOURCES[0][0]  # back-compat for single-file debugging
 
@@ -667,6 +669,15 @@ def triage_skip(sql: str) -> str | None:
                 "expose their own)")
     if re.search(r"\bsys\s*\.", low):
         return "index-connector system table (sys.*) not modeled"
+    if re.search(
+        r"\b(analyze_test|test_insert|test_delete|test_view_\w+|"
+        r"test_query_logging_count|test_symbol_aliasing)\b",
+        low,
+    ):
+        return ("references a session-created DDL fixture table "
+                "(AbstractTestDistributedQueries assertUpdate setup) — "
+                "the CREATE/INSERT/DELETE/VIEW surface is covered by the "
+                "write battery (tests/test_distributed_writes.py)")
     if re.search(r"json\s+'invalid'|json_parse\('invalid'\)", low):
         return ("JSON validity not modeled — json values are strings "
                 "(README json shims)")

@@ -165,15 +165,133 @@ def _apply_outside_literals(sql: str, fn: Callable[[str], str]) -> str:
 _UNNEST_HEAD_RE = re.compile(r"CROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
 _UNNEST_TAIL_RE = re.compile(
     r"(\s+WITH\s+ORDINALITY)?\s+(?:AS\s+)?(\w+)\s*\(\s*(\w+)"
+    r"(?:\s*,\s*(\w+))?(?:\s*,\s*(\w+))?(?:\s*,\s*(\w+))?"
     r"(?:\s*,\s*(\w+))?(?:\s*,\s*(\w+))?\s*\)",
     re.IGNORECASE,
 )
 
 
-def _unnest_lateral(args, ordinality, alias, cols) -> str:
+def _values_bound_struct_fields(ident: str, sql: str) -> list[str] | None:
+    """Struct field names for a bare UNNEST operand bound by an inline
+    ``(VALUES …) [AS] rel(c1, .., ck)`` relation in the same statement:
+    the first row's cell at the column's position reveals the element
+    shape (TestUnnest.java's ``CROSS JOIN UNNEST(a) t(x, y)`` sites).
+    Catalog columns are not traced — schema-dependent, documented."""
+    name = ident.split(".")[-1].strip().lower()
+    for m in re.finditer(r"\(\s*VALUES\b", sql, re.IGNORECASE):
+        close = _scan_matching_paren(sql, m.start() + 1)
+        tail = re.match(
+            r"\s*(?:AS\s+)?(\w+)\s*\(([^()]*)\)", sql[close:], re.IGNORECASE
+        )
+        if not tail:
+            continue
+        cols = [c.strip().lower() for c in tail.group(2).split(",")]
+        if name not in cols:
+            continue
+        pos = cols.index(name)
+        body = sql[m.start() + 1 : close - 1].strip()
+        rows = _split_top_level(body[len("VALUES") :].strip())
+        if not rows:
+            continue
+        r0 = rows[0].strip()
+        cells = _split_top_level(r0[1:-1]) if r0.startswith("(") else [r0]
+        if pos < len(cells):
+            return _unnest_struct_fields(cells[pos])
+    return None
+
+
+def _unnest_default_cols(args, n: int, ordinality: bool, ctx=None) -> list[str]:
+    """Synthesized column names for alias-less UNNEST: one per scalar
+    array, one PER FIELD for array-of-ROW operands — declared CAST field
+    names become the output column names (Presto exposes them for
+    by-name selection: ``SELECT x FROM UNNEST(CAST(… ROW(x int, …)))``),
+    plus the trailing ordinal."""
+    cols: list[str] = []
+    for k, a in enumerate(args):
+        fs = _unnest_struct_fields(a, ctx)
+        if fs is None:
+            cols.append(f"__uc{n}_{k}")
+        else:
+            for f in fs:  # two unnamed-ROW args both yield col1.. — dedup
+                cols.append(f if f not in cols else f"{f}__{k}")
+    if ordinality:
+        cols.append(f"__uc{n}_ord")
+    return cols
+
+
+def _unnest_struct_fields(arg: str, ctx: str | None = None) -> list[str] | None:
+    """Field names when ``arg`` is textually an array-of-ROW — Presto's
+    UNNEST flattens ROW elements into one output column PER FIELD
+    (UnnestOperator.java; TestUnnest.java). Detectable forms:
+
+    - ``CAST(… AS ARRAY(ROW(x int, y varchar)))`` → declared names
+    - ``ARRAY[ROW(e1, .., ef), …]`` → Spark's positional col1..colf
+
+    Returns None for scalar/map/unprovable operands (catalog columns
+    need schema knowledge — those keep the single-struct-column
+    behavior and a documented deviation)."""
+    s = arg.strip()
+    if re.match(r"CAST\s*\(", s, re.IGNORECASE):
+        t = re.search(r"\bAS\s+ARRAY\s*\(\s*ROW\s*\(", s, re.IGNORECASE)
+        if not t:
+            return None
+        close = _scan_matching_paren(s, t.end())
+        names = []
+        for f in _split_top_level(s[t.end() : close - 1]):
+            fm = re.match(r'\s*([A-Za-z_]\w*|"[^"]+")\s+\S', f)
+            if not fm:
+                return None  # unnamed field — positional access unsafe
+            names.append(fm.group(1).strip('"'))
+        return names
+    # literal spellings: raw Presto ARRAY[ROW(…)] and the already-lowered
+    # array(struct(…)) (value-position rewrites run before the UNNEST pass)
+    m = re.match(
+        r"(?:ARRAY\s*\[|ARRAY\s*\()\s*(?:ROW|struct)\s*\(", s, re.IGNORECASE
+    )
+    if m:
+        close = _scan_matching_paren(s, m.end())
+        nf = len(_split_top_level(s[m.end() : close - 1]))
+        return [f"col{k + 1}" for k in range(nf)]
+    if ctx is not None and re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)?", s):
+        return _values_bound_struct_fields(s, ctx)
+    return None
+
+
+def _unnest_lateral(args, ordinality, alias, cols, ctx=None) -> str:
     """LATERAL VIEW text for UNNEST over 1 array/map or a 2-array zip
-    (shorter side null-padded), with Presto's 1-based ordinal LAST."""
+    (shorter side null-padded), with Presto's 1-based ordinal LAST.
+    Array-of-ROW operands flatten one column per field (Presto
+    semantics): the plain single-array case is a direct ``inline``;
+    every other struct-bearing shape walks index positions and builds
+    one flat struct per row, so a single inline names all columns."""
     names = ", ".join(cols)
+    fieldss = [_unnest_struct_fields(a, ctx) for a in args]
+    if any(f is not None for f in fieldss):
+        if len(args) == 1 and not ordinality:
+            return f"LATERAL VIEW inline({args[0]}) {alias} AS {names}"
+        hi = (
+            "greatest(" + ", ".join(f"size({a})" for a in args) + ")"
+            if len(args) > 1
+            else f"size({args[0]})"
+        )
+        parts = []
+        for a, fs in zip(args, fieldss):
+            if fs is None:
+                parts.append(f"try_element_at({a}, __zi)")
+            else:
+                parts.extend(
+                    f"try_element_at({a}, __zi).{f}" for f in fs
+                )
+        if ordinality:
+            parts.append("__zi")
+        inner = ", ".join(
+            f"{p} AS __uf{i}" for i, p in enumerate(parts)
+        )
+        return (
+            f"LATERAL VIEW inline(CASE WHEN {hi} < 1 THEN array() ELSE"
+            f" transform(sequence(1, {hi}), __zi -> struct({inner})) END)"
+            f" {alias} AS {names}"
+        )
     if len(args) == 2:
         if ordinality:
             # zip + ordinal: walk index positions explicitly; guard the
@@ -239,19 +357,33 @@ def _rewrite_unnest_all(sql: str) -> str:
             cols = [c for c in tm.groups()[2:] if c]
             end = tm.end()
         else:
-            # alias-less UNNEST (grammar allows it): consume a bare
-            # WITH ORDINALITY if present, synthesize names — 2-arg
-            # UNNEST zips, so column count follows the arg count
+            # alias-less or bare-alias UNNEST (grammar allows both):
+            # consume WITH ORDINALITY / `[AS] u` if present, synthesize
+            # column names (array-of-ROW operands expand per field, so
+            # a bare alias still exposes `u.<field>` references)
             om = re.match(r"\s+WITH\s+ORDINALITY\b", sql[j:], re.IGNORECASE)
             n = _uniq()
             ordinality = bool(om)
-            alias = f"__ua{n}"
-            ncols = len(args) + (1 if om else 0)
-            cols = [f"__uc{n}_{k}" for k in range(ncols)]
             end = j + (om.end() if om else 0)
+            bm = _UNNEST_BARE_ALIAS_RE.match(sql, end)
+            if bm and bm.group(1).lower() not in _UNNEST_ALIAS_STOPWORDS:
+                alias = bm.group(1)
+                end = bm.end()
+            else:
+                alias = f"__ua{n}"
+            cols = _unnest_default_cols(args, n, bool(om), ctx=sql)
         out.append(sql[i : m.start()])
-        out.append(_unnest_lateral(args, ordinality, alias, cols))
+        out.append(_unnest_lateral(args, ordinality, alias, cols, ctx=sql))
         i = end
+
+_UNNEST_BARE_ALIAS_RE = re.compile(
+    r"\s+(?:AS\s+)?([A-Za-z_]\w*)\b(?!\s*\()", re.IGNORECASE
+)
+_UNNEST_ALIAS_STOPWORDS = frozenset(
+    "where group order having limit offset fetch union intersect except "
+    "join cross left right full inner outer on using lateral tablesample "
+    "with as select natural window values and or not in is between like".split()
+)
 
 _VALUES_OPEN_RE = re.compile(r"\(\s*VALUES\b", re.IGNORECASE)
 
@@ -335,15 +467,17 @@ def _rewrite_from_unnest(sql: str) -> str:
             om = re.match(r"\s+WITH\s+ORDINALITY\b", sql[j:], re.IGNORECASE)
             n = _uniq()
             ordinality = bool(om)
-            alias = f"__ua{n}"
-            cols = [
-                f"__uc{n}_{k}"
-                for k in range(len(args) + (1 if om else 0))
-            ]
             end = j + (om.end() if om else 0)
+            bm = _UNNEST_BARE_ALIAS_RE.match(sql, end)
+            if bm and bm.group(1).lower() not in _UNNEST_ALIAS_STOPWORDS:
+                alias = bm.group(1)
+                end = bm.end()
+            else:
+                alias = f"__ua{n}"
+            cols = _unnest_default_cols(args, n, bool(om), ctx=sql)
         body = (
             f"SELECT {', '.join(cols)} FROM (SELECT 1) "
-            + _unnest_lateral(args, ordinality, "__lv", cols)
+            + _unnest_lateral(args, ordinality, "__lv", cols, ctx=sql)
         )
         out.append(sql[i : m.start()])
         out.append(f"FROM ({body}) {alias}")
@@ -976,7 +1110,17 @@ def _rewrite_group_by_distinct(sql: str) -> str:
         sets: list[list[str]] = [[]]
         for p in per_item:
             sets = [s + extra for s in sets for extra in p]
-        norm = lambda c: " ".join(c.split()).lower()  # noqa: E731
+        # ``a`` and ``t.a`` are the same grouping column when t is the
+        # statement's sole relation alias (TestGroupingSets' GROUP BY
+        # DISTINCT ROLLUP(a, t.a) sites) — strip the qualifier for the
+        # dedup KEY only; emitted text keeps its original spelling
+        alias = _sole_from_alias(sql)
+
+        def norm(c: str) -> str:
+            t = " ".join(c.split()).lower()
+            if alias:
+                t = re.sub(rf"\b{re.escape(alias.lower())}\s*\.\s*", "", t)
+            return t
         seen: set[tuple[str, ...]] = set()
         deduped = []
         for s in sets:
@@ -997,6 +1141,30 @@ def _rewrite_group_by_distinct(sql: str) -> str:
             + out[end:]
         )
     return out
+
+
+def _sole_from_alias(sql: str) -> str | None:
+    """The statement's single FROM relation alias, or None when the FROM
+    is absent, multi-relation (join/comma), or alias-less. Used to
+    equate ``a`` with ``<alias>.a`` in grouping-set dedup keys."""
+    masked = _mask_parens_and_literals(sql)
+    fm = re.search(r"\bFROM\b", masked, re.IGNORECASE)
+    if fm is None:
+        return None
+    stop = re.search(
+        r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|FETCH|UNION|"
+        r"INTERSECT|EXCEPT|WINDOW)\b",
+        masked[fm.end() :],
+        re.IGNORECASE,
+    )
+    seg_m = masked[fm.end() : fm.end() + stop.start()] if stop else masked[fm.end() :]
+    seg = sql[fm.end() : fm.end() + len(seg_m)]
+    if "," in seg_m or re.search(r"\bJOIN\b", seg_m, re.IGNORECASE):
+        return None
+    am = re.search(
+        r"(?:\)|\w)\s+(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\([^()]*\))?\s*$", seg
+    )
+    return am.group(1) if am else None
 
 
 def _rewrite_grouping_multi(sql: str) -> str:
@@ -1430,6 +1598,70 @@ _ARRAY_AGG_RE = re.compile(r"\barray_agg\s*\(", re.IGNORECASE)
 _FILTER_TAIL_RE = re.compile(r"\s*FILTER\s*\(", re.IGNORECASE)
 
 
+def _parse_sort_items(txt: str) -> list[tuple[str, bool, bool | None]]:
+    """ORDER BY item list → [(expr, desc, nulls_first|None)]."""
+    keys = []
+    for part in _split_top_level(txt):
+        part = part.strip()
+        nulls_first = None
+        nm = re.search(r"\s+NULLS\s+(FIRST|LAST)\s*$", part, re.IGNORECASE)
+        if nm:
+            nulls_first = nm.group(1).upper() == "FIRST"
+            part = part[: nm.start()].strip()
+        kdesc = False
+        dm = re.search(r"\s+(ASC|DESC)\s*$", part, re.IGNORECASE)
+        if dm:
+            kdesc = dm.group(1).upper() == "DESC"
+            part = part[: dm.start()].strip()
+        keys.append((part, kdesc, nulls_first))
+    return keys
+
+
+_ORDERLESS_AGG_ORDERBY_RE = re.compile(
+    r"\b(sum|count|avg|min|max|bool_and|bool_or|every|arbitrary|any_value|"
+    r"approx_distinct|approx_percentile|approx_set|stddev|stddev_pop|"
+    r"stddev_samp|variance|var_pop|var_samp|skewness|kurtosis|"
+    r"geometric_mean|bitwise_and_agg|bitwise_or_agg|checksum|set_agg|"
+    r"set_union|map_union|histogram|min_by|max_by)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_orderless_agg_orderby(sql: str) -> str:
+    """Presto's grammar permits ``ORDER BY`` inside ANY aggregate call
+    (TestOrderedAggregation ``sum(x ORDER BY y)``); for order-insensitive
+    aggregates the clause is semantically inert, so it is stripped.
+    Order-SENSITIVE aggregates (array_agg, map/multimap_agg) keep their
+    own ordered rewrites."""
+    pos = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (
+                c
+                for c in _ORDERLESS_AGG_ORDERBY_RE.finditer(sql, pos)
+                if not mask[c.start()]
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        arg = sql[m.end() : j - 1]
+        # anchor on the ORDER keyword itself — the mask blanks paren
+        # interiors to spaces, so a leading-\s+ pattern would match from
+        # the start of a masked region and truncate the argument
+        # (``sum(cast(x AS double) ORDER BY x)`` -> ``sum(cast)``)
+        om = re.search(
+            r"\bORDER\s+BY\s", _mask_parens_and_literals(arg), re.IGNORECASE
+        )
+        if om is None:
+            pos = j
+            continue
+        sql = sql[: m.end()] + arg[: om.start()].strip() + sql[j - 1 :]
+        pos = m.end()
+
+
 def _cmp_chain(keys, i: int = 0) -> str:
     """Comparator body for array_sort over (__o0.., __v) structs: walks
     the ORDER BY keys left-to-right with per-key direction and NULLS
@@ -1475,20 +1707,21 @@ def _rewrite_array_agg_ordered(sql: str) -> str:
             pos = m.end()
             continue
         e = arg[: om.start()].strip()
-        keys = []  # (expr, desc, nulls_first | None)
-        for part in _split_top_level(arg[om.end() :]):
-            part = part.strip()
-            nulls_first = None
-            nm = re.search(r"\s+NULLS\s+(FIRST|LAST)\s*$", part, re.IGNORECASE)
-            if nm:
-                nulls_first = nm.group(1).upper() == "FIRST"
-                part = part[: nm.start()].strip()
-            kdesc = False
-            dm = re.search(r"\s+(ASC|DESC)\s*$", part, re.IGNORECASE)
-            if dm:
-                kdesc = dm.group(1).upper() == "DESC"
-                part = part[: dm.start()].strip()
-            keys.append((part, kdesc, nulls_first))
+        distinct = False
+        dm0 = re.match(r"DISTINCT\s+", e, re.IGNORECASE)
+        if dm0:
+            distinct = True
+            e = e[dm0.end() :].strip()
+        keys = _parse_sort_items(arg[om.end() :])
+        if distinct:
+            # Presto: with DISTINCT, every ORDER BY expression must
+            # appear in the arguments — i.e. equal the single argument
+            # (modulo direction). Other shapes stay for the analyzer
+            # to reject, matching Presto's error.
+            norm = lambda x: " ".join(x.split()).lower()  # noqa: E731
+            if any(norm(k) != norm(e) for k, _, _ in keys):
+                pos = m.end()
+                continue
         end = j
         filt = ""
         fm = _FILTER_TAIL_RE.match(sql, j)
@@ -1505,6 +1738,8 @@ def _rewrite_array_agg_ordered(sql: str) -> str:
             f"{k} AS __o{i}" for i, (k, _, _) in enumerate(keys)
         ) + f", {e} AS __v"
         pairs = f"array_agg(struct({fields})){filt}"
+        if distinct:
+            pairs = f"array_distinct({pairs})"
         sorted_pairs = (
             f"array_sort({pairs}, (__cl, __cr) -> {_cmp_chain(keys)})"
         )
@@ -1546,7 +1781,29 @@ def _expand_presto_aggregates(sql: str) -> str:
     def multimap_agg(a):
         if len(a) != 2:
             return None
-        entries = f"array_sort(array_agg(struct({a[0]} AS __mk, {a[1]} AS __mv)))"
+        val = a[1]
+        om = re.search(
+            r"\bORDER\s+BY\s+",  # \b not \s+ — mask blanks parens to spaces
+            _mask_parens_and_literals(val),
+            re.IGNORECASE,
+        )
+        if om:
+            # multimap_agg(k, v ORDER BY s..) — per-key value lists in
+            # sort order (TestOrderedAggregation): comparator-sorted
+            # entries, same chain as ordered array_agg
+            skeys = _parse_sort_items(val[om.end() :])
+            val = val[: om.start()].strip()
+            sf = ", ".join(
+                f"{k} AS __o{i}" for i, (k, _, _) in enumerate(skeys)
+            )
+            entries = (
+                f"array_sort(array_agg(struct({sf}, {a[0]} AS __mk, "
+                f"{val} AS __mv)), (__cl, __cr) -> {_cmp_chain(skeys)})"
+            )
+        else:
+            entries = (
+                f"array_sort(array_agg(struct({a[0]} AS __mk, {val} AS __mv)))"
+            )
         keys = f"array_distinct(transform({entries}, __p -> __p.__mk))"
         return (
             f"map_from_arrays({keys}, transform({keys}, "
@@ -1622,6 +1879,7 @@ def _expand_presto_aggregates(sql: str) -> str:
             + "))"
         )
 
+    sql = _rewrite_orderless_agg_orderby(sql)
     sql = _rewrite_array_agg_ordered(sql)
 
     def reduce_agg(a):

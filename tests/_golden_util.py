@@ -217,6 +217,16 @@ def canon_got_cell(v):
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(str(canon_got_cell(x)) for x in v) + "]"
     if isinstance(v, dict):
+        if (
+            set(v) == {"key", "value"}
+            and isinstance(v["key"], list)
+            and isinstance(v["value"], list)
+            and len(v["key"]) == len(v["value"])
+        ):
+            # duckdb's Python client renders MAP as {'key': [...],
+            # 'value': [...]} — zip back to entries so oracle maps
+            # canonicalize the same as Spark's dict maps
+            v = dict(zip(v["key"], v["value"]))
         items = sorted((str(k), str(canon_got_cell(x))) for k, x in v.items())
         return "{" + ", ".join(f"{k}={x}" for k, x in items) + "}"
     return v

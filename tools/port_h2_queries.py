@@ -37,6 +37,26 @@ SOURCES = [
     (_TESTS_DIR + "AbstractTestIntegrationSmokeTest.java", "S"),
     (_TESTS_DIR + "AbstractTestDistributedQueries.java", "D"),
 ]
+# presto-main's sql/query suite: self-oracled assertions.assertQuery(sql,
+# "VALUES …") sites over inline relations — no fixture tables at all
+_SQL_QUERY_DIR = (
+    "/root/reference/presto-main/src/test/java/com/facebook/presto/sql/query/"
+)
+SOURCES += [
+    (_SQL_QUERY_DIR + "TestOrderedAggregation.java", "OA"),
+    (_SQL_QUERY_DIR + "TestJoinUsing.java", "JU"),
+    (_SQL_QUERY_DIR + "TestDistinctAggregations.java", "DA"),
+    (_SQL_QUERY_DIR + "TestSubqueries.java", "SQ"),
+    (_SQL_QUERY_DIR + "TestUnnest.java", "UN"),
+    (_SQL_QUERY_DIR + "TestFilteredAggregations.java", "FA"),
+    (_SQL_QUERY_DIR + "TestNumericalStability.java", "NS"),
+    (_SQL_QUERY_DIR + "TestGroupingSets.java", "GS"),
+    (_SQL_QUERY_DIR + "TestGrouping.java", "GR"),
+    (_SQL_QUERY_DIR + "TestSessionFunctions.java", "TSF"),
+    (_SQL_QUERY_DIR + "TestPrecomputedHashes.java", "PH"),
+    (_SQL_QUERY_DIR + "TestLegacyUnnestArrayRows.java", "LU"),
+    (_SQL_QUERY_DIR + "TestAggregationOverJoin.java", "AJ"),
+]
 SRC = SOURCES[0][0]  # back-compat for single-file debugging
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
@@ -654,7 +674,11 @@ def approx_item_positions(sql: str) -> list | None:
 def triage_skip(sql: str) -> str | None:
     low = sql.lower()
     for ident in MISSING_IDENTS:
-        if re.search(rf"\b{ident}\b", low):
+        if re.search(rf"\b{ident}\b", low) and not re.search(
+            rf"\bas\s+{ident}\b", low
+        ):
+            # an ``AS <ident>`` definition means the query brings its own
+            # alias (e.g. ``null AS nullvalue`` L182) — nothing missing
             return f"column/table '{ident}' not in driver testdata schema"
     if NONDET_RE.search(sql):
         return "nondeterministic function / sampling"

@@ -145,3 +145,32 @@ def _register_python_udfs(spark: SparkSession) -> None:
         )
 
     spark.udf.register("presto_json_canon", _presto_json_canon, "string")
+
+    # normalize(s[, form]) (StringFunctions.normalize — java.text.Normalizer):
+    # Unicode normalization has no Spark builtin; per-row Python UDF —
+    # compat surface only, never a hot path (SHOW FUNCTIONS carries the
+    # scale caveat).
+    def _unicode_normalize(form, s):
+        if s is None or form is None:
+            return None
+        import unicodedata
+
+        return unicodedata.normalize(form, s)
+
+    spark.udf.register("unicode_normalize", _unicode_normalize, "string")
+
+    # from_utf8 with invalid-sequence replacement (StringFunctions.fromUtf8):
+    # Presto substitutes U+FFFD (or the given replacement — a string or a
+    # codepoint) for malformed sequences; Spark's decode throws. Python
+    # 'replace' error handling follows the same WHATWG maximal-subsequence
+    # convention as Java's CharsetDecoder. Compat path only.
+    def _presto_from_utf8(b, repl):
+        if b is None:
+            return None
+        if repl is None:
+            return None
+        if isinstance(repl, int):
+            repl = chr(repl)
+        return bytes(b).decode("utf-8", errors="replace").replace("�", repl)
+
+    spark.udf.register("presto_from_utf8", _presto_from_utf8, "string")

@@ -62,9 +62,58 @@ SQL_FUNCTIONS: list[str] = [
     # index exceeds the number of fields; Spark's builtin returns ''. The
     # shim splits on the \Q-quoted literal delimiter (empty delimiter →
     # per-character, same as the reference :368).
+    # Empty delimiter splits per CODE POINT (reference :368) and an index
+    # past the last one is NULL; Spark's split('', '\\Q\\E') yields [''] and
+    # split('abc', '\\Q\\E') carries a trailing '' — so that branch indexes
+    # the string directly.
     """CREATE OR REPLACE TEMPORARY FUNCTION presto_split_part(s STRING, d STRING, n INT)
        RETURNS STRING RETURN
-         try_element_at(split(s, concat('\\\\Q', d, '\\\\E'), -1), n)""",
+         CASE
+           WHEN d = '' THEN
+             CASE WHEN n BETWEEN 1 AND length(s) THEN substr(s, n, 1) END
+           ELSE try_element_at(split(s, concat('\\\\Q', d, '\\\\E'), -1), n)
+         END""",
+    # --- trim family (StringFunctions.java:446-520, airlift SliceUtf8) --
+    # Presto's 1-arg trim strips the full Java Character.isWhitespace set
+    # (tab..CR, 1C-1F, space, and the Zs separators except the non-breaking
+    # ones); Spark's builtin strips ASCII space only. The class below spells
+    # that set for the JVM regex engine (codegen-resident — regexp_replace,
+    # not a Python UDF).
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_trim(s STRING)
+       RETURNS STRING RETURN regexp_replace(s,
+         '^[\\\\t-\\\\r\\\\u001C-\\\\u001F \\\\u1680\\\\u180E\\\\u2000-\\\\u2006\\\\u2008-\\\\u200A\\\\u2028\\\\u2029\\\\u205F\\\\u3000]+|[\\\\t-\\\\r\\\\u001C-\\\\u001F \\\\u1680\\\\u180E\\\\u2000-\\\\u2006\\\\u2008-\\\\u200A\\\\u2028\\\\u2029\\\\u205F\\\\u3000]+$',
+         '')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_ltrim(s STRING)
+       RETURNS STRING RETURN regexp_replace(s,
+         '^[\\\\t-\\\\r\\\\u001C-\\\\u001F \\\\u1680\\\\u180E\\\\u2000-\\\\u2006\\\\u2008-\\\\u200A\\\\u2028\\\\u2029\\\\u205F\\\\u3000]+',
+         '')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_rtrim(s STRING)
+       RETURNS STRING RETURN regexp_replace(s,
+         '[\\\\t-\\\\r\\\\u001C-\\\\u001F \\\\u1680\\\\u180E\\\\u2000-\\\\u2006\\\\u2008-\\\\u200A\\\\u2028\\\\u2029\\\\u205F\\\\u3000]+$',
+         '')""",
+    # replace(s, '', r) inserts r around every character (reference
+    # StringFunctions.replace: empty search matches at each position);
+    # Spark's replace returns s unchanged for an empty search.
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_replace3(s STRING, p STRING, r STRING)
+       RETURNS STRING RETURN
+         CASE
+           WHEN p = '' THEN
+             CASE WHEN s = '' THEN r
+                  ELSE concat(r, array_join(transform(split(s, ''), c -> concat(c, r)), ''))
+             END
+           ELSE replace(s, p, r)
+         END""",
+    # substr (StringFunctions.substr): start 0 → '', |negative start| past
+    # the string head → '' — Spark clamps both to the full string. The ''
+    # arms spell substr(s, 1, 0) so a NULL input stays NULL.
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_substr2(s STRING, st BIGINT)
+       RETURNS STRING RETURN
+         CASE WHEN st = 0 OR st < -length(s) THEN substr(s, 1, 0)
+              ELSE substr(s, st) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_substr3(s STRING, st BIGINT, ln BIGINT)
+       RETURNS STRING RETURN
+         CASE WHEN st = 0 OR st < -length(s) THEN substr(s, 1, 0)
+              ELSE substr(s, st, ln) END""",
     # word_stem (WordStemFunction uses a Porter stemmer): simplified
     # suffix-stripping rules — documented approximation, parity for the
     # common plural/participle cases.

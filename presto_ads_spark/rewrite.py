@@ -1552,6 +1552,95 @@ def _rewrite_color_fn_arity(sql: str) -> str:
     return _replace_fn_calls(sql, "bing_tile", bing)
 
 
+_NORM_FORMS = frozenset(("NFC", "NFD", "NFKC", "NFKD"))
+
+
+def _rewrite_string_compat(sql: str) -> str:
+    """String-function deviations caught by the scalar-assert corpus
+    (StringFunctions.java parity — see functions/sql_udfs.py for each
+    shim's semantics):
+
+    - 1-arg trim/ltrim/rtrim → Java-whitespace regexp shims
+    - 2-arg trim family → Spark's ``TRIM(BOTH chars FROM s)`` form
+      (native set-trim; empty char set is a no-op on both engines)
+    - 3-arg replace → empty-search-aware shim
+    - substr / substring (incl. ``FROM … FOR …`` grammar) → start-0 /
+      past-head-negative shims
+    - normalize(s[, FORM]) with bare form keywords → unicode_normalize
+    """
+
+    def trim_family(name, spark_kind):
+        def build(args):
+            if len(args) == 1:
+                # already the Spark BOTH/LEADING/TRAILING … FROM … form
+                # (incl. our own 2-arg output on the rescan) — leave it
+                if re.match(
+                    r"\s*(BOTH|LEADING|TRAILING)\b", args[0], re.IGNORECASE
+                ):
+                    return None
+                return f"presto_{name}({args[0]})"
+            if len(args) == 2:
+                return f"trim({spark_kind} {args[1]} FROM {args[0]})"
+            return None
+
+        return build
+
+    sql = _replace_fn_calls(sql, "trim", trim_family("trim", "BOTH"))
+    sql = _replace_fn_calls(sql, "ltrim", trim_family("ltrim", "LEADING"))
+    sql = _replace_fn_calls(sql, "rtrim", trim_family("rtrim", "TRAILING"))
+
+    def replace3(args):
+        if len(args) == 3:
+            return f"presto_replace3({', '.join(args)})"
+        return None
+
+    sql = _replace_fn_calls(sql, "replace", replace3)
+
+    def substr_build(args):
+        if len(args) == 1:
+            # SUBSTRING(e FROM a [FOR b]) grammar form — single "arg"
+            # carrying top-level FROM/FOR keywords
+            masked = _mask_parens_and_literals(args[0])
+            fm = re.search(r"\bFROM\b", masked, re.IGNORECASE)
+            if not fm:
+                return None
+            e = args[0][: fm.start()].strip()
+            rest = args[0][fm.end() :]
+            rm = re.search(r"\bFOR\b", masked[fm.end() :], re.IGNORECASE)
+            if rm:
+                a = rest[: rm.start()].strip()
+                b = args[0][fm.end() + rm.end() :].strip()
+                return f"presto_substr3({e}, {a}, {b})"
+            return f"presto_substr2({e}, {rest.strip()})"
+        if len(args) == 2:
+            return f"presto_substr2({', '.join(args)})"
+        if len(args) == 3:
+            return f"presto_substr3({', '.join(args)})"
+        return None
+
+    sql = _replace_fn_calls(sql, "substr", substr_build)
+    sql = _replace_fn_calls(sql, "substring", substr_build)
+
+    def normalize(args):
+        if len(args) == 1:
+            return f"unicode_normalize('NFC', {args[0]})"
+        if len(args) == 2 and args[1].strip().upper() in _NORM_FORMS:
+            return f"unicode_normalize('{args[1].strip().upper()}', {args[0]})"
+        return None
+
+    sql = _replace_fn_calls(sql, "normalize", normalize)
+
+    # 2-arg from_utf8(bin, replacement) — custom replacement (string or
+    # codepoint) needs the Python shim; the 1-arg default-U+FFFD form
+    # stays the JVM decode (session codingErrorAction=REPLACE)
+    def from_utf8(args):
+        if len(args) == 2:
+            return f"presto_from_utf8({', '.join(args)})"
+        return None
+
+    return _replace_fn_calls(sql, "from_utf8", from_utf8)
+
+
 _AT_TZ_CALL_RE = re.compile(r"^at_timezone\s*\(", re.IGNORECASE)
 
 
@@ -4832,6 +4921,7 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_apply_lambda(sql)
     sql = _rewrite_contains(sql)
     sql = _rewrite_fn_arity_compat(sql)
+    sql = _rewrite_string_compat(sql)
     sql = _rewrite_group_by_distinct(sql)
     sql = _rewrite_plain_grouping(sql)
     # before _rewrite_grouping_multi: hoisted grouping() sort items and

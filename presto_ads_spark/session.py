@@ -57,6 +57,10 @@ DEFAULT_CONF: dict[str, str] = {
     # read as long and convert (catalog.load_table) — truncation to µs
     # matches what DuckDB's reader does with the same file.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Presto from_utf8 substitutes U+FFFD for malformed sequences
+    # (StringFunctions.fromUtf8); this flips Spark's decode() from
+    # FAIL to the same REPLACE action, keeping the shim JVM-side.
+    "spark.sql.legacy.codingErrorAction": "true",
 }
 
 

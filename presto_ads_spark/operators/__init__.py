@@ -82,37 +82,53 @@ def asof_join(
         # struct-max ordered by the event time picks the same row the
         # ordered window's last-carry would (ties on `on` are
         # order-unspecified in both formulations)
-        rb = both.filter(F.col("__side") == 0)
-        summaries = rb.groupBy(*by, "__bkt").agg(
-            F.max(F.struct(F.col(on), *[F.col(c) for c in carried]))
-            .alias("__s")
+        rb_rows = both.filter(F.col("__side") == 0)
+        # per-column bucket-final values: the default path carries each
+        # column INDEPENDENTLY (last ignorenulls reaches past NULLs to an
+        # earlier non-null), so the summary must too — a single
+        # struct-max row would freeze all columns at one row and surface
+        # NULL where the default path carries an older value. Restricting
+        # the struct-max to rows where the column is non-null picks, per
+        # column, the value at the greatest event time that has one.
+        summaries = rb_rows.groupBy(*by, "__bkt").agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(F.col(on).alias("k"), F.col(c).alias("v")),
+                    )
+                ).alias(f"__s_{c}")
+                for c in carried
+            ]
         )
         # every (by, bucket) any row touches needs a seed from the
-        # closest PRECEDING summarized bucket — windowed over by alone,
-        # but on the tiny per-bucket frame, not the data
+        # closest PRECEDING bucket that has a value — per column, and
+        # windowed over by alone, but on the tiny per-bucket frame, not
+        # the data (a column all-NULL in a bucket leaves __s_<c> NULL,
+        # so last(ignorenulls) reaches further back, like the default)
         axis = both.select(*by, "__bkt").distinct()
         wprev = (
             Window.partitionBy(*by)
             .orderBy(F.col("__bkt").asc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        seeds = (
-            axis.join(summaries, [*by, "__bkt"], "left")
-            .select(
-                *by,
-                "__bkt",
-                F.last(F.col("__s"), ignorenulls=True)
-                .over(wprev)
-                .alias("__p"),
-            )
-            .filter(F.col("__p").isNotNull())
-            .select(
-                *by,
-                "__bkt",
-                F.lit(None).cast(both.schema[on].dataType).alias(on),
-                *[F.col(f"__p.{c}").alias(c) for c in carried],
-                F.lit(-1).alias("__side"),
-            )
+        any_seed = None
+        seed_cols = []
+        for c in carried:
+            pc = F.last(F.col(f"__s_{c}"), ignorenulls=True).over(wprev)
+            seed_cols.append(pc.alias(f"__p_{c}"))
+        seeded = axis.join(summaries, [*by, "__bkt"], "left").select(
+            *by, "__bkt", *seed_cols
+        )
+        for c in carried:
+            nn = F.col(f"__p_{c}").isNotNull()
+            any_seed = nn if any_seed is None else (any_seed | nn)
+        seeds = seeded.filter(any_seed).select(
+            *by,
+            "__bkt",
+            F.lit(None).cast(both.schema[on].dataType).alias(on),
+            *[F.col(f"__p_{c}.v").alias(c) for c in carried],
+            F.lit(-1).alias("__side"),
         )
         both = both.unionByName(seeds, allowMissingColumns=True)
 
@@ -182,16 +198,48 @@ def range_join(
     (a single year-long interval at bucket_secs=1 is a 31M-row explode
     per right row). Size ``bucket_secs`` to the typical interval width;
     raise ``max_buckets`` deliberately if wide intervals are expected.
+    A NULL interval bound explodes to no buckets — the row can never
+    satisfy the containment predicate (three-valued logic), so in inner/
+    left modes it silently drops; in right/full it surfaces once,
+    NULL-extended, like any other unmatched interval.
+
+    ``how='right'``/``'full'`` dedupe unmatched intervals by a
+    pre-explode row id (an interval spanning k buckets otherwise yields
+    k identical NULL-extended rows); ``by`` columns are coalesced across
+    sides so unmatched right rows keep their key values.
     """
     by = tuple(by)
+    how_n = {
+        "left_outer": "left",
+        "right_outer": "right",
+        "full_outer": "full",
+        "fullouter": "full",
+        "outer": "full",
+    }.get(how, how)
+    if how_n not in ("inner", "left", "right", "full"):
+        raise ValueError(f"range_join: unsupported how={how!r}")
+    right_outer = how_n in ("right", "full")
+
     lb = left.withColumn("__b", _bucket(F.col(left_time), bucket_secs))
+    if right_outer:
+        # pre-explode interval id: matched rids are collected from the
+        # inner part and the unmatched intervals re-surface exactly once
+        # via an anti-join on the original (un-exploded) right frame
+        right = right.withColumn("__rid", F.monotonically_increasing_id())
     start_b = _bucket(F.col(right_start), bucket_secs)
     end_b = _bucket(F.col(right_end), bucket_secs)
     nb = end_b - start_b + F.lit(1)
     rb = right.withColumn(
         "__b",
         F.explode(
-            F.when(nb <= F.lit(int(max_buckets)), F.sequence(start_b, end_b))
+            # NULL bounds first: nb <= max is NULL there and would fall
+            # into the raise_error arm; an empty array drops the row
+            # (inner/left) — right/full re-surface it from the rid set
+            F.when(
+                F.col(right_start).isNull() | F.col(right_end).isNull(),
+                F.array().cast("array<bigint>"),
+            )
+            .when(nb <= F.lit(int(max_buckets)), F.sequence(start_b, end_b))
             .otherwise(
                 F.raise_error(
                     F.concat(
@@ -213,7 +261,34 @@ def range_join(
     exact = (rb[right_start] <= lb[left_time]) & (
         lb[left_time] < rb[right_end]
     )
-    joined = lb.join(rb, [*cond, exact], how)
+    join_how = {"right": "inner", "full": "left"}.get(how_n, how_n)
+    joined = lb.join(rb, [*cond, exact], join_how)
+    if right_outer:
+        keep = (
+            [F.coalesce(lb[k], rb[k]).alias(k) for k in by]
+            + [lb[c] for c in left.columns if c not in by]
+            + [rb[c] for c in right.columns if c not in by and c != "__rid"]
+        )
+        matched = joined.select(*keep, rb["__rid"].alias("__mrid"))
+        # unmatched intervals once each: NULL-bound and zero-bucket rows
+        # never reach the join, so anti-join the ORIGINAL right frame
+        # against the matched rid set (tiny — one column, distinct)
+        mrids = matched.select(F.col("__mrid").alias("__rid")).distinct()
+        unmatched = right.join(mrids, "__rid", "left_anti").select(
+            *[F.col(k) for k in by],
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c not in by
+            ],
+            *[F.col(c) for c in right.columns if c not in by and c != "__rid"],
+        )
+        out_cols = (
+            list(by)
+            + [c for c in left.columns if c not in by]
+            + [c for c in right.columns if c not in by and c != "__rid"]
+        )
+        return matched.select(*out_cols).unionByName(unmatched)
     keep = [lb[c] for c in left.columns] + [
         rb[c] for c in right.columns if c not in by
     ]

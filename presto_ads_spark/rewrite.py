@@ -4441,6 +4441,14 @@ def _unwrap_parenthesized_joins(sql: str) -> str:
             p = m.start()
             if mask[p] or not _in_relation_position(sql, p, mask):
                 continue
+            # a group that is the RIGHT operand of a join keeps its
+            # parens: stripping them re-associates the ON clauses
+            # (``a LEFT JOIN (b JOIN c ON …) ON …`` would become the
+            # unparseable ``a LEFT JOIN b JOIN c ON … ON …``). Left/
+            # FROM-position groups are safe — joins left-associate.
+            bm = re.search(r"([A-Za-z_]\w*)\s*$", sql[:p])
+            if bm and bm.group(1).upper() == "JOIN":
+                continue
             close = _scan_matching_paren(sql, p + 1)
             body = sql[p + 1 : close - 1]
             # a body that IS a query (derived table) keeps its parens —
@@ -4669,6 +4677,16 @@ def _rewrite_join_on_subquery(sql: str) -> str:
             None,
         )
         if on_m is None:
+            continue
+        # the ON must belong to THIS join: a depth-0 USING or another
+        # JOIN keyword in between means this join's criteria is USING
+        # (or absent — CROSS/NATURAL) and the matched ON pairs with a
+        # later join, which the loop will visit on its own
+        between = sql[jm.end() : on_m.start()]
+        bmask = mask[jm.end() : on_m.start()]
+        if _depth0_matches(
+            between, re.compile(r"\bUSING\b", re.IGNORECASE), bmask
+        ) or _depth0_matches(between, _JOIN_KW_RE, bmask):
             continue
         on_start = on_m.end()
         end_m = next(

@@ -187,6 +187,102 @@ def test_range_join_bounds_interval_explode(spark):
     ).count() == 1
 
 
+def test_asof_bucketed_carries_past_null_values(spark):
+    # the default path carries each column independently: last(v,
+    # ignorenulls) reaches past a NULL on the latest right row to an
+    # older non-null, while ts_r still reflects the latest row. The
+    # bucket_secs skew path must match — a single struct-max bucket
+    # summary would freeze all columns at one row and surface NULL.
+    left = _frame(
+        spark,
+        [(1, "u", _ts("2024-01-01 12:00:00"))],
+        "id bigint, k string, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [
+            ("u", _ts("2024-01-01 09:00:00"), 9.0, "a"),
+            # latest row in its bucket: v is NULL, w has a value
+            ("u", _ts("2024-01-01 09:30:00"), None, "b"),
+        ],
+        "k string, ts timestamp, v double, w string",
+    )
+    kw = dict(on="ts", by=("k",), value_cols=("v", "w"))
+    base = asof_join(left, right, **kw).collect()[0]
+    skew = asof_join(left, right, bucket_secs=3600, **kw).collect()[0]
+    assert (base.ts_r, base.v_r, base.w_r) == (
+        _ts("2024-01-01 09:30:00"), 9.0, "b",
+    )
+    assert (skew.ts_r, skew.v_r, skew.w_r) == (
+        base.ts_r, base.v_r, base.w_r,
+    )
+
+
+def test_range_join_null_bounds_do_not_crash(spark):
+    # NULL interval bounds can never satisfy containment (3VL): the row
+    # silently drops in inner/left — it must NOT trip the max_buckets
+    # raise_error arm (nb <= max is NULL for NULL bounds)
+    left = _frame(
+        spark, [(1, "u", _ts("2024-01-01 10:30:00"))],
+        "id bigint, k string, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [
+            ("w1", "u", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+            ("w2", "u", None, _ts("2024-01-01 11:00:00")),
+            ("w3", "u", _ts("2024-01-01 10:00:00"), None),
+        ],
+        "wid string, k string, s timestamp, e timestamp",
+    )
+    kw = dict(
+        left_time="ts", right_start="s", right_end="e",
+        by=("k",), bucket_secs=3600,
+    )
+    inner = range_join(left, right, **kw).collect()
+    assert [r.wid for r in inner] == ["w1"]
+    # right/full surface the NULL-bound intervals once each, NULL-extended
+    rows = range_join(left, right, how="right", **kw).collect()
+    got = sorted((r.wid, r.id) for r in rows)
+    assert got == [("w1", 1), ("w2", None), ("w3", None)]
+
+
+def test_range_join_right_full_dedupe_unmatched(spark):
+    # an unmatched interval spanning k buckets must surface exactly ONCE
+    # in right/full modes (pre-explode rows would otherwise yield k
+    # identical NULL-extended copies)
+    left = _frame(
+        spark,
+        [
+            (1, "u", _ts("2024-01-01 10:30:00")),
+            (2, "v", _ts("2024-01-01 23:00:00")),  # unmatched left
+        ],
+        "id bigint, k string, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [
+            ("w1", "u", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+            # spans 5 buckets, matches nothing
+            ("w2", "u", _ts("2024-01-01 14:00:00"), _ts("2024-01-01 19:00:00")),
+        ],
+        "wid string, k string, s timestamp, e timestamp",
+    )
+    kw = dict(
+        left_time="ts", right_start="s", right_end="e",
+        by=("k",), bucket_secs=3600,
+    )
+    rrows = range_join(left, right, how="right", **kw).collect()
+    assert sorted((r.wid, r.id) for r in rrows) == [("w1", 1), ("w2", None)]
+    # unmatched right rows keep their by-key values (coalesced across sides)
+    assert {r.k for r in rrows} == {"u"}
+    frows = range_join(left, right, how="full", **kw).collect()
+    assert sorted(
+        ((r.wid, r.id) for r in frows),
+        key=lambda t: (t[0] or "", t[1] or -1),
+    ) == [(None, 2), ("w1", 1), ("w2", None)]
+
+
 def test_range_join_uses_hash_join_not_nested_loop(spark):
     left = _frame(
         spark, [(1, "u", _ts("2024-01-01 10:30:00"))],

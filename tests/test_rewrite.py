@@ -72,7 +72,9 @@ def test_try_cast():
 
 def test_try_cast_nested_parens():
     out = rewrite("SELECT TRY(CAST(substr(a, 1, 2) AS INT)) FROM t")
-    assert out == "SELECT TRY_CAST(substr(a, 1, 2) AS INT) FROM t"
+    # substr lowers to the start-0/negative-compat shim; TRY(CAST(..)) must
+    # still unwrap to TRY_CAST around the full (rewritten) inner expression.
+    assert out == "SELECT TRY_CAST(presto_substr3(a, 1, 2) AS INT) FROM t"
 
 
 def test_date_format_mysql_pattern():

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import md5_hash_col, shingles
+from .hints import gated_broadcast
 from .text import tokens
 
 # --- boilerplate n-gram removal -------------------------------------------
@@ -120,16 +121,21 @@ def decontaminate(
     training documents that share any word ``n``-gram with a benchmark
     set, so they can be dropped before training.
 
-    Scale plan: the eval side is tiny relative to the corpus (benchmark
-    suites are 10^3–10^6 documents vs 10^9+ train docs), so its DISTINCT
-    gram-hash set — 8-byte xxhash64 keys bounded by eval token count, no
-    strings — is built once and BROADCAST. The train side explodes
-    per-doc distinct gram hashes and left-joins the broadcast set: the
-    corpus never shuffles until the per-doc regroup (one exchange, with
-    map-side partial aggs; (doc, gram) pairs are per-doc distinct so the
-    hit count is a plain SUM). A 64-bit gram-hash collision can only
-    over-flag (false contamination) — the safe direction for training
-    hygiene — at ~2^-64 per gram pair.
+    Scale plan: the eval side is usually tiny relative to the corpus
+    (benchmark suites are 10^3–10^6 documents vs 10^9+ train docs), so
+    its DISTINCT gram-hash set — 8-byte xxhash64 keys bounded by eval
+    token count, no strings — is persisted once and broadcast THROUGH A
+    SIZE-GATED HINT (hints.gated_broadcast): "eval is tiny" is a
+    data-dependent assumption, and an eval suite past the row cap
+    (10^6 docs × ~500 grams ≈ 4 GB of keys) must degrade to a plain
+    key-equi shuffle join AQE can still plan, not die at the 8 GB
+    broadcast wall. The train side explodes per-doc distinct gram
+    hashes and left-joins the (hinted) set: the corpus never shuffles
+    until the per-doc regroup (one exchange, with map-side partial
+    aggs; (doc, gram) pairs are per-doc distinct so the hit count is a
+    plain SUM). A 64-bit gram-hash collision can only over-flag (false
+    contamination) — the safe direction for training hygiene — at
+    ~2^-64 per gram pair.
 
     Output: one row per train document — ``n_grams``, ``n_hit`` (grams
     also in the eval set), ``contaminated``, ``keep``.
@@ -142,12 +148,13 @@ def decontaminate(
         eval_df.select(F.explode(gram_hashes(F.col(eval_text_col))).alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
+        .persist()  # the gate probe doubles as materialization
     )
     doc_grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(gram_hashes(F.col(text_col))).alias("g"),
     )
-    flagged = doc_grams.join(F.broadcast(eval_grams), "g", "left")
+    flagged = doc_grams.join(gated_broadcast(eval_grams), "g", "left")
     return (
         flagged.groupBy("doc_id")
         .agg(

@@ -123,6 +123,36 @@ def test_decontaminate_eval_set_broadcasts(spark):
     plans.assert_no_python_udf(df)
 
 
+def test_decontaminate_broadcast_degrades_past_cap(spark, monkeypatch):
+    """The eval-side broadcast is size-GATED (hints.gated_broadcast, r7
+    verdict wrong #3): an eval suite past the row cap must lose the hint
+    so the 100 TB plan degrades to a key-equi shuffle join AQE can plan,
+    instead of dying at the 8 GB broadcast wall. Shrink the cap instead
+    of building a >1M-gram eval frame."""
+    from presto_ads_spark.llm import hints, pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p")], "id bigint, text string"
+    )
+    # route through the REAL gate with a 2-row cap (the default max_rows
+    # binds hints.BROADCAST_ROW_CAP at def time)
+    monkeypatch.setattr(
+        pipeline,
+        "gated_broadcast",
+        lambda df: hints.gated_broadcast(df, max_rows=2),
+    )
+    df = pipeline.decontaminate(docs, ev)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # and the degraded plan still answers correctly
+    rows = {r.doc_id: r.contaminated for r in df.collect()}
+    assert rows == {1: True, 2: False}
+
+
 def test_pack_sequences_single_shuffle(spark):
     """Window partition key == groupBy key: the grouped agg must reuse the
     window's exchange (one shuffle total past the scan)."""

@@ -250,6 +250,11 @@ class Engine:
         self._double_cols = frozenset(
             n for n, v in dvotes.items() if v == {True}
         )
+        # names ever voted non-double veto alias-derived widening (an
+        # alias shadowing a non-double catalog column must not round)
+        self._nondouble_cols = frozenset(
+            n for n, v in dvotes.items() if False in v
+        )
         return frozenset(n for n, v in votes.items() if v == {True})
 
     def _rewrite(self, text: str) -> str:
@@ -258,9 +263,13 @@ class Engine:
         int_cols = self._int_cols | (
             rewrite_mod.infer_values_int_cols(text) - self._nonint_cols
         )
-        text = rewrite_mod.rewrite_double_bigint_cast(
-            text, self._double_cols
+        # widen the double-proof set through one subquery-alias level
+        # (statement-local; catalog non-double names keep their veto)
+        double_cols = self._double_cols | (
+            rewrite_mod.infer_derived_double_aliases(text, self._double_cols)
+            - self._nondouble_cols
         )
+        text = rewrite_mod.rewrite_double_bigint_cast(text, double_cols)
         return rewrite(
             rewrite_integral_column_division(text, int_cols),
             json_scalar_cols=self._scalar_cols,

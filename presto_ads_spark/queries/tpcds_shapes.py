@@ -398,3 +398,274 @@ def tpcds_bucket_having(spark, sf_dir):
     return buckets.join(c, buckets.o_custkey == c.c_custkey).select(
         "c_name", "c_mktsegment", "cnt"
     )
+
+
+@q(
+    "tpcds_topn_over_rollup",
+    extended=True,
+    tags=("tpcds", "agg", "groupid", "window"),
+    doc="q67 shape: top-N within each category over a rollup'd sales "
+    "summary — RANK() <= k filter over grouping-sets output (tpcds/"
+    "q67.sql rk <= 100); the rank filter is a WindowGroupLimit push.",
+    oracle="""
+WITH s AS (
+  SELECT n_name, c_mktsegment,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sales
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  GROUP BY ROLLUP (n_name, c_mktsegment)
+)
+SELECT n_name, c_mktsegment, sales, rk FROM (
+  SELECT n_name, c_mktsegment, sales,
+    RANK() OVER (PARTITION BY n_name
+                 ORDER BY sales DESC, c_mktsegment ASC NULLS FIRST) AS rk
+  FROM s
+) ranked
+WHERE rk <= 3
+""",
+)
+def tpcds_topn_over_rollup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(dsum(dec("o_totalprice", 18), "sales"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("sales").desc(), F.col("c_mktsegment").asc_nulls_first()
+    )
+    return (
+        s.select("*", F.rank().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@q(
+    "tpcds_channel_intersect",
+    extended=True,
+    tags=("tpcds", "setop", "join", "agg"),
+    doc="q14 shape: cross-channel item set via INTERSECT (items present "
+    "in every channel), then sales aggregated over only those items "
+    "(tpcds/q14_1.sql cross_items).",
+    oracle="""
+WITH cross_items AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_quantity <= 10
+)
+SELECT p_brand, COUNT(*) AS n_sales,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM lineitem, part, cross_items
+WHERE lineitem.l_partkey = p_partkey
+  AND lineitem.l_partkey = cross_items.l_partkey
+GROUP BY p_brand
+""",
+)
+def tpcds_channel_intersect(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cross_items = (
+        li.filter(F.col("l_returnflag") == "N")
+        .select("l_partkey")
+        .intersect(
+            li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+        )
+        .intersect(
+            li.filter(F.col("l_quantity") <= 10).select("l_partkey")
+        )
+    )
+    return (
+        li.join(cross_items, "l_partkey")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            dsum(dec("l_extendedprice", 18), "total"),
+        )
+    )
+
+
+@q(
+    "tpcds_exists_retention",
+    extended=True,
+    tags=("tpcds", "subquery", "semijoin", "agg"),
+    doc="q16/q94 shape: grouped order stats filtered by a correlated "
+    "EXISTS (a bulk line on the same order) AND NOT EXISTS (any "
+    "returned line) — semi + anti join into one grouped agg "
+    "(tpcds/q94.sql ws_wh exists / wr_order_number not exists).",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem r
+    WHERE r.l_orderkey = o.o_orderkey AND r.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def tpcds_exists_retention(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_quantity") >= 45).select("l_orderkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice", 18), "total_price"),
+        )
+    )
+
+
+@q(
+    "tpcds_cumulative_full_outer",
+    extended=True,
+    tags=("tpcds", "window", "join"),
+    doc="q51 shape: two per-(item, date) cumulative revenue series "
+    "(running SUM windows over grouped aggregates) FULL OUTER joined on "
+    "(item, date) with a null-safe ahead/behind flag (tpcds/q51.sql "
+    "web_v1 / store_v1 full outer join).",
+    oracle="""
+WITH web AS (
+  SELECT l_partkey AS item, l_shipdate AS d,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS amt
+  FROM lineitem WHERE l_returnflag = 'N' AND l_partkey % 41 = 0
+  GROUP BY 1, 2
+), web_c AS (
+  SELECT item, d,
+    SUM(amt) OVER (PARTITION BY item ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cume
+  FROM web
+), store AS (
+  SELECT l_partkey AS item, l_shipdate AS d,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS amt
+  FROM lineitem WHERE l_returnflag = 'A' AND l_partkey % 41 = 0
+  GROUP BY 1, 2
+), store_c AS (
+  SELECT item, d,
+    SUM(amt) OVER (PARTITION BY item ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cume
+  FROM store
+)
+SELECT COALESCE(w.item, s.item) AS item, COALESCE(w.d, s.d) AS d,
+  CAST(w.cume AS DOUBLE) AS web_cume,
+  CAST(s.cume AS DOUBLE) AS store_cume,
+  COALESCE(w.cume > s.cume, FALSE) AS web_ahead
+FROM web_c w FULL OUTER JOIN store_c s ON w.item = s.item AND w.d = s.d
+""",
+)
+def tpcds_cumulative_full_outer(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 41 == 0)
+    wd = Window.partitionBy("item").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def series(flag):
+        # one exchange per series: HashPartitioning(item) satisfies both
+        # the (item, d) grouped agg's clustered distribution AND the
+        # window's PARTITION BY item (subset partitioning) — same trick
+        # as tpcds_revenue_share_window. The (item, d) join still adds
+        # its own pair of exchanges (requireAllClusterKeysForCoPartition
+        # rejects the subset for co-partitioning); those are plain hash
+        # shuffles AQE can skew-split, unlike the windows.
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(
+                F.col("l_partkey").alias("item"),
+                F.col("l_shipdate").alias("d"),
+                F.col("l_extendedprice"),
+            )
+            .repartition("item")
+            .groupBy("item", "d")
+            .agg(F.sum(dec("l_extendedprice", 18)).alias("amt"))
+            .select("item", "d", F.sum("amt").over(wd).alias("cume"))
+        )
+
+    w, s = series("N").alias("w"), series("A").alias("s")
+    return w.join(
+        s,
+        (F.col("w.item") == F.col("s.item")) & (F.col("w.d") == F.col("s.d")),
+        "full",
+    ).select(
+        F.coalesce(F.col("w.item"), F.col("s.item")).alias("item"),
+        F.coalesce(F.col("w.d"), F.col("s.d")).alias("d"),
+        F.col("w.cume").cast("double").alias("web_cume"),
+        F.col("s.cume").cast("double").alias("store_cume"),
+        F.coalesce(F.col("w.cume") > F.col("s.cume"), F.lit(False)).alias(
+            "web_ahead"
+        ),
+    )
+
+
+@q(
+    "tpcds_period_growth_compare",
+    extended=True,
+    tags=("tpcds", "join", "cte"),
+    doc="q31 shape: per-nation quarterly totals self-joined across three "
+    "consecutive quarters, keeping nations whose Q2/Q1 growth exceeds "
+    "Q3/Q2 (tpcds/q31.sql ss1..ss3 web/store growth compare).",
+    oracle="""
+WITH qt AS (
+  SELECT n_name, EXTRACT(quarter FROM o_orderdate) AS qtr,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND EXTRACT(year FROM o_orderdate) = 1994
+  GROUP BY 1, 2
+)
+SELECT a.n_name,
+  a.total AS q1_total, b.total AS q2_total, c.total AS q3_total,
+  b.total / a.total AS g12, c.total / b.total AS g23
+FROM qt a
+JOIN qt b ON a.n_name = b.n_name
+JOIN qt c ON a.n_name = c.n_name
+WHERE a.qtr = 1 AND b.qtr = 2 AND c.qtr = 3
+  AND a.total > 0 AND b.total > 0
+  AND b.total / a.total > c.total / b.total
+""",
+)
+def tpcds_period_growth_compare(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1994)
+    cu = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    qt = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.quarter("o_orderdate").alias("qtr"))
+        .agg(dsum(dec("o_totalprice", 18), "total"))
+    )
+    a = qt.filter(F.col("qtr") == 1).alias("a")
+    b = qt.filter(F.col("qtr") == 2).alias("b")
+    c = qt.filter(F.col("qtr") == 3).alias("c")
+    return (
+        a.join(b, F.col("a.n_name") == F.col("b.n_name"))
+        .join(c, F.col("a.n_name") == F.col("c.n_name"))
+        .filter(
+            (F.col("a.total") > 0)
+            & (F.col("b.total") > 0)
+            & (
+                F.col("b.total") / F.col("a.total")
+                > F.col("c.total") / F.col("b.total")
+            )
+        )
+        .select(
+            F.col("a.n_name").alias("n_name"),
+            F.col("a.total").alias("q1_total"),
+            F.col("b.total").alias("q2_total"),
+            F.col("c.total").alias("q3_total"),
+            (F.col("b.total") / F.col("a.total")).alias("g12"),
+            (F.col("c.total") / F.col("b.total")).alias("g23"),
+        )
+    )

@@ -2375,6 +2375,28 @@ def _top_level_last_as(inner: str) -> int | None:
     return pos
 
 
+def infer_derived_double_aliases(
+    sql: str, double_cols: frozenset
+) -> frozenset:
+    """Statement-local alias names whose defining expression (one
+    derived-table/CTE level) is provably double — widens the
+    CAST(double AS BIGINT) HALF_UP proof set across a subquery alias
+    boundary. Iterated once more so an alias-of-an-alias in the same
+    statement also resolves. Callers subtract catalog names voted
+    non-double (a collision must not round a non-double column)."""
+    found: set[str] = set()
+    for _ in range(2):
+        grew = False
+        pool = double_cols | frozenset(found)
+        for expr, alias in _derived_select_aliases(sql):
+            if alias not in found and _provably_double(expr, pool):
+                found.add(alias)
+                grew = True
+        if not grew:
+            break
+    return frozenset(found)
+
+
 def rewrite_double_bigint_cast(sql: str, double_cols: frozenset) -> str:
     """Lower ``CAST(<provably-double> AS BIGINT)`` (and TRY_CAST) to
     Presto's HALF_UP rounding.  Outermost casts only — a nested
@@ -2740,6 +2762,28 @@ def _rewrite_ipaddress(sql: str) -> str:
 
     sql = _IPADDR_LIT_RE.sub(lambda m: _fold(m.group(1)), sql)
 
+    # ip-typed subquery/CTE aliases (one propagation level): a select
+    # item already marker-wrapped (folded literal) or still spelled as a
+    # cast to IPADDRESS makes its alias ip-typed in the outer scope —
+    # identity under re-cast, presto_ip_format under CAST AS VARCHAR
+    ip_aliases: set[str] = set()
+    for expr, alias in _derived_select_aliases(sql):
+        if expr.startswith("presto_ipaddress("):
+            ip_aliases.add(alias)
+            continue
+        em = _CAST_OPEN_RE.match(expr)
+        if em and _scan_matching_paren(expr, em.end()) == len(expr):
+            inner = expr[em.end() : -1]
+            ap = _top_level_last_as(inner)
+            if ap is not None and inner[ap + 2 :].strip().upper() == "IPADDRESS":
+                ip_aliases.add(alias)
+
+    def _is_ip_ident(e: str) -> bool:
+        return bool(
+            _IDENT_FULL_RE.fullmatch(e)
+            and e.rsplit(".", 1)[-1].lower() in ip_aliases
+        )
+
     # pass 2: CAST(e AS IPADDRESS)
     i = 0
     while True:
@@ -2758,6 +2802,8 @@ def _rewrite_ipaddress(sql: str) -> str:
         hm = re.fullmatch(r"[xX]'([0-9a-fA-F]*)'", expr)
         if expr.upper() == "NULL":
             rep = "CAST(NULL AS BINARY)"
+        elif _is_ip_ident(expr):
+            rep = f"presto_ipaddress({expr})"  # already 16-byte binary
         elif sm:
             try:
                 rep = _fold(sm.group(1))
@@ -2803,7 +2849,7 @@ def _rewrite_ipaddress(sql: str) -> str:
             continue
         target = inner[as_pos + 2 :].strip().upper()
         expr = inner[:as_pos].strip()
-        if not expr.startswith("presto_ipaddress("):
+        if not expr.startswith("presto_ipaddress(") and not _is_ip_ident(expr):
             i = m.end()
             continue
         if re.fullmatch(r"VARCHAR(\(\d+\))?|STRING", target):
@@ -3433,6 +3479,139 @@ def _parse_char_cast(sql: str, m) -> tuple[str, str, int, int] | None:
 
 _CHAR_CMP_OP_RE = re.compile(r"\s*(<>|!=|<=|>=|=|<|>)\s*")
 
+_SUBQ_SELECT_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+
+
+def _derived_select_aliases(sql: str) -> list[tuple[str, str]]:
+    """(defining-expression text, alias) for every top-level select item
+    with an explicit ``AS <ident>`` alias inside every parenthesized
+    SELECT (derived tables, CTE bodies). One derived-table level of
+    declared-type propagation: outer scopes treat these alias names as
+    carrying the type of their defining expression (the alias-boundary
+    gap for emulated types — char(n), ipaddress, provably-double)."""
+    out: list[tuple[str, str]] = []
+    mask = _literal_mask(sql)
+    for m in _SUBQ_SELECT_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        close = _scan_matching_paren(sql, m.start() + 1)
+        body = sql[m.start() + 1 : close - 1]
+        sm = re.match(
+            r"\s*SELECT\s+(?:DISTINCT\s+|ALL\s+)?", body, re.IGNORECASE
+        )
+        if sm is None:
+            continue
+        fpos = _top_level_from(body)
+        items = body[sm.end() : fpos if fpos >= 0 else len(body)]
+        for item in _split_top_level(items):
+            am = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+            if am:
+                out.append((item[: am.start()].strip(), am.group(1).lower()))
+    return out
+
+
+_CHAR_IDENT_RE = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*"
+
+
+def _char_alias_lengths(sql: str) -> dict[str, int]:
+    """alias → declared n for select items shaped ``CAST(e AS CHAR(n))
+    AS alias`` inside derived tables / CTEs (one propagation level)."""
+    out: dict[str, int] = {}
+    for expr, alias in _derived_select_aliases(sql):
+        em = _CAST_OPEN_RE.match(expr)
+        parsed = _parse_char_cast(expr, em) if em else None
+        if parsed is not None and parsed[3] == len(expr):
+            out[alias] = parsed[2]
+    return out
+
+
+def _char_alias_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
+    """Cross-length char comparisons where one or both sides are known
+    char(n) ALIASES (their values are already padded to their declared
+    length by the defining cast's rewrite): pad the shorter side to the
+    common length, like Chars.java compareChars."""
+    if not aliases:
+        return sql
+
+    def _alias_len(ident: str) -> int | None:
+        return aliases.get(ident.rsplit(".", 1)[-1].lower())
+
+    # alias <op> CAST(e AS CHAR(m))  — and the mirrored cast <op> alias
+    a_re = re.compile(
+        rf"(?<![\w.'])({_CHAR_IDENT_RE})\s*(<>|!=|<=|>=|=|<|>)\s*"
+        r"(?=(?:TRY_)?CAST\s*\()",
+        re.IGNORECASE,
+    )
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = a_re.search(sql, i)
+        if not m:
+            break
+        n1 = None if mask[m.start()] else _alias_len(m.group(1))
+        cm = _CAST_OPEN_RE.match(sql, m.end())
+        parsed = _parse_char_cast(sql, cm) if (cm and n1) else None
+        if parsed is None:
+            i = m.end()
+            continue
+        kw, expr, n2, j = parsed
+        n = max(n1, n2)
+        lhs = m.group(1) if n == n1 else f"rpad({m.group(1)}, {n}, ' ')"
+        rep = f"{lhs} {m.group(2)} rpad({kw}({expr} AS STRING), {n}, ' ')"
+        sql = sql[: m.start()] + rep + sql[j:]
+        i = m.start() + len(rep)
+    b_re = re.compile(
+        rf"\s*(<>|!=|<=|>=|=|<|>)\s*({_CHAR_IDENT_RE})(?![\w.(])",
+        re.IGNORECASE,
+    )
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        cm = _CAST_OPEN_RE.search(sql, i)
+        if not cm:
+            break
+        parsed = None if mask[cm.start()] else _parse_char_cast(sql, cm)
+        if parsed is None:
+            i = cm.end()
+            continue
+        kw, expr, n1, j = parsed
+        om = b_re.match(sql, j)
+        n2 = _alias_len(om.group(2)) if om else None
+        if n2 is None:
+            i = cm.end()
+            continue
+        n = max(n1, n2)
+        rhs = om.group(2) if n == n2 else f"rpad({om.group(2)}, {n}, ' ')"
+        rep = f"rpad({kw}({expr} AS STRING), {n}, ' ') {om.group(1)} {rhs}"
+        sql = sql[: cm.start()] + rep + sql[om.end() :]
+        i = cm.start() + len(rep)
+    # alias <op> alias with different declared lengths
+    c_re = re.compile(
+        rf"(?<![\w.'])({_CHAR_IDENT_RE})\s*(<>|!=|<=|>=|=|<|>)\s*"
+        rf"({_CHAR_IDENT_RE})(?![\w.(])",
+        re.IGNORECASE,
+    )
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = c_re.search(sql, i)
+        if not m:
+            break
+        if mask[m.start()]:
+            i = m.end()
+            continue
+        n1, n2 = _alias_len(m.group(1)), _alias_len(m.group(3))
+        if n1 is None or n2 is None or n1 == n2:
+            i = m.end()
+            continue
+        n = max(n1, n2)
+        lhs = m.group(1) if n == n1 else f"rpad({m.group(1)}, {n}, ' ')"
+        rhs = m.group(3) if n == n2 else f"rpad({m.group(3)}, {n}, ' ')"
+        rep = f"{lhs} {m.group(2)} {rhs}"
+        sql = sql[: m.start()] + rep + sql[m.end() :]
+        i = m.start() + len(rep)
+    return sql
+
 
 def _rewrite_char_casts(sql: str) -> str:
     """Presto ``CAST(e AS CHAR(n))`` pads to length n (Chars.java
@@ -3444,9 +3623,12 @@ def _rewrite_char_casts(sql: str) -> str:
     the common length): when two char casts of different declared
     lengths face each other across a comparison operator, both pad to
     ``max(n, m)``, so ``CAST('a' AS CHAR(2)) = CAST('a' AS CHAR(5))`` is
-    TRUE, matching Presto. Only the syntactically-adjacent cast-vs-cast
-    form is detected; a char value routed through an alias keeps the
-    direct padded comparison (README Known gaps)."""
+    TRUE, matching Presto. Round 8 additionally tracks declared lengths
+    through ONE derived-table/CTE alias level (_char_alias_lengths), so
+    an aliased char compares cross-length too; deeper alias chains keep
+    the direct padded comparison (README Known gaps)."""
+    # pass 0: declared lengths of one level of subquery aliases
+    aliases = _char_alias_lengths(sql)
     # pass 1: adjacent cross-length comparisons → common-length pads
     i = 0
     while True:
@@ -3476,6 +3658,8 @@ def _rewrite_char_casts(sql: str) -> str:
             + sql[j2:]
         )
         i = m.start() + 1
+    # pass 1b: comparisons with one or both sides a known char alias
+    sql = _char_alias_cmp_pass(sql, aliases)
     # pass 2: remaining lone casts → declared-length pad
     i = 0
     while True:

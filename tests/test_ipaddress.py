@@ -153,3 +153,20 @@ def test_null_handling(engine):
     assert _one(engine, "CAST(NULL AS IPADDRESS)") is None
     assert _one(engine, "CAST(CAST(NULL AS IPADDRESS) AS VARCHAR)") is None
     assert _one(engine, "CAST(try_cast(NULL AS VARCHAR) AS IPADDRESS)") is None
+
+
+def test_alias_boundary_type_tracking(engine):
+    # an ip value routed through a subquery/CTE alias keeps its type
+    # for render, unwrap, re-cast, and compare (r7 README "routed
+    # through a subquery alias" gap — now one level deep)
+    rows = engine.sql(
+        "SELECT CAST(c AS VARCHAR) AS s, CAST(c AS IPADDRESS) = "
+        "IPADDRESS '1.2.3.4' AS eq FROM "
+        "(SELECT CAST('::ffff:1.2.3.4' AS IPADDRESS) AS c) q"
+    ).collect()
+    assert rows[0].s == "1.2.3.4" and rows[0].eq is True
+    vb = engine.sql(
+        "SELECT CAST(c AS VARBINARY) AS vb FROM "
+        "(SELECT IPADDRESS '::1' AS c) q"
+    ).collect()[0].vb
+    assert bytes(vb) == b"\x00" * 15 + b"\x01"

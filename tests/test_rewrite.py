@@ -437,6 +437,62 @@ def test_char_cast_common_length_comparison():
     assert "rpad(CAST(x AS STRING), 4, ' ')" in out
 
 
+def test_char_alias_boundary_comparisons():
+    # declared char(n) lengths survive ONE derived-table/CTE alias
+    # level (r7 verdict missing #2): alias-vs-cast, cast-vs-alias, and
+    # alias-vs-alias comparisons pad to the common length
+    from presto_ads_spark.rewrite import rewrite
+
+    out = rewrite(
+        "SELECT c = CAST('a' AS CHAR(2)) FROM "
+        "(SELECT CAST('a' AS CHAR(5)) AS c FROM t) q"
+    )
+    assert "c = rpad(CAST('a' AS STRING), 5, ' ')" in out
+    out = rewrite(
+        "SELECT CAST('a' AS CHAR(7)) <> q.c FROM "
+        "(SELECT CAST('a' AS CHAR(5)) AS c FROM t) q"
+    )
+    assert "rpad(CAST('a' AS STRING), 7, ' ') <> rpad(q.c, 7, ' ')" in out
+    out = rewrite(
+        "WITH a AS (SELECT CAST(x AS CHAR(5)) AS c5 FROM t), "
+        "b AS (SELECT CAST(y AS CHAR(2)) AS c2 FROM t) "
+        "SELECT c5 = c2 FROM a, b"
+    )
+    assert "c5 = rpad(c2, 5, ' ')" in out
+    # same declared length: already-consistent padded values, untouched
+    out = rewrite(
+        "WITH a AS (SELECT CAST(x AS CHAR(3)) AS p FROM t), "
+        "b AS (SELECT CAST(y AS CHAR(3)) AS r FROM t) SELECT p = r FROM a, b"
+    )
+    assert "p = r" in out
+    # non-char identifiers never rewritten
+    assert rewrite("SELECT a = b FROM t") == "SELECT a = b FROM t"
+
+
+def test_ipaddress_alias_boundary_casts():
+    # ip-typed aliases keep their type across one subquery level:
+    # CAST(alias AS VARCHAR) renders, AS VARBINARY unwraps, re-cast to
+    # IPADDRESS is identity (not a string re-parse of binary)
+    from presto_ads_spark.rewrite import rewrite
+
+    out = rewrite(
+        "SELECT CAST(c AS VARCHAR) FROM "
+        "(SELECT CAST('1.2.3.4' AS IPADDRESS) AS c FROM t) q"
+    )
+    assert "presto_ip_format(c)" in out
+    out = rewrite(
+        "SELECT CAST(c AS VARBINARY) AS vb FROM "
+        "(SELECT CAST(x AS IPADDRESS) AS c FROM t) q"
+    )
+    assert "SELECT c AS vb" in out
+    out = rewrite(
+        "SELECT CAST(c AS IPADDRESS) AS i FROM "
+        "(SELECT IPADDRESS '::1' AS c FROM t) q"
+    )
+    assert "presto_ipaddress(c) AS i" in out
+    assert "presto_ip_parse(c)" not in out
+
+
 def test_order_by_subquery_hoist():
     from presto_ads_spark.rewrite import rewrite
 

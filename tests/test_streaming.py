@@ -282,3 +282,89 @@ def test_streaming_lsh_bucket_cap(spark, tmp_path):
     # identical texts land in ONE bucket per band; each bucket emits at
     # most C(5,2)=10 pairs before saturating (vs C(40,2)=780 uncapped)
     assert per_band and all(n <= 10 for n in per_band.values())
+
+
+def test_streaming_lsh_rocksdb_state_store(spark, docs_two_batches, tmp_path):
+    """State-scale evidence: the same stream/batch candidate parity (and
+    the bucket saturation cap) hold under the RocksDB state store
+    provider — the provider the dedup docstring prescribes for large
+    keyspaces, where per-bucket id lists live off-heap instead of in
+    executor memory. Skips when the bundled RocksDB JNI is unavailable."""
+    import pytest
+
+    from presto_ads_spark.llm import dedup as batch_dedup
+    from presto_ads_spark.streaming import dedup as sdedup
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        docs_schema = spark.read.parquet(docs_two_batches).schema
+        stream = (
+            spark.readStream.schema(docs_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_two_batches)
+        )
+        pairs = sdedup.streaming_lsh_candidates(stream, max_bucket=None)
+        try:
+            q = (
+                pairs.writeStream.format("memory")
+                .queryName("lsh_rocks")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        except Exception as e:  # noqa: BLE001 — environment, not semantics
+            if "RocksDB" in str(e) or "UnsatisfiedLink" in str(e):
+                pytest.skip(f"RocksDB JNI unavailable: {e}")
+            raise
+        got = {
+            (r.id_a, r.id_b) for r in spark.table("lsh_rocks").collect()
+        }
+        # exact stream/batch parity, same invariant as the default
+        # provider test — the provider must not change the answer
+        docs = spark.read.parquet(docs_two_batches)
+        sig = batch_dedup.minhash_signatures_rowwise(docs)
+        expected = {
+            (r.id_a, r.id_b)
+            for r in batch_dedup.lsh_candidate_pairs(sig, bands=4).collect()
+        }
+        assert got == expected and len(got) > 0
+
+        # capped-bucket saturation under RocksDB: 40 identical docs, one
+        # bucket per band; pair emission stops at C(cap, 2)
+        d = tmp_path / "boiler"
+        rows = [
+            (i, "common legal footer text repeated verbatim")
+            for i in range(40)
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(d))
+        bschema = spark.read.parquet(str(d)).schema
+        bstream = spark.readStream.schema(bschema).parquet(str(d))
+        bpairs = sdedup.streaming_lsh_candidates(bstream, max_bucket=5)
+        bq = (
+            bpairs.writeStream.format("memory")
+            .queryName("lsh_rocks_cap")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        bq.awaitTermination(180)
+        per_band = {}
+        for r in spark.table("lsh_rocks_cap").collect():
+            per_band[r.band] = per_band.get(r.band, 0) + 1
+        assert per_band and all(n <= 10 for n in per_band.values())
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

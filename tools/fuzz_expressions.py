@@ -82,23 +82,41 @@ def int_expr(r: random.Random, depth: int = 0) -> str:
 
 def str_expr(r: random.Random, depth: int = 0) -> str:
     if depth > 2 or r.random() < 0.4:
+        # multibyte leaves exercise the code-point shims (substr /
+        # reverse / pads are code-point-based in Presto AND DuckDB)
         return r.choice(
-            [r.choice(STR_COLS), "'ab'", "'X y'", "''", "CAST(NULL AS VARCHAR)"]
+            [r.choice(STR_COLS), "'ab'", "'X y'", "''",
+             "CAST(NULL AS VARCHAR)", "'héÿ'", "'αβ γ'"]
         )
-    # split_part is EXCLUDED: Presto returns NULL for out-of-range
-    # fields and NULL input (the engine is faithful); DuckDB returns ''
-    # for both — an oracle-dialect gap, not an engine bug.
-    op = r.choice(["concat", "upper", "lower", "trim", "substr", "replace",
+    # Oracle-dialect exclusions (engine is Presto-faithful, DuckDB
+    # differs — verified against the reference, not engine bugs):
+    # - split_part out-of-range/NULL: Presto NULL, DuckDB ''
+    # - substr(s, 0[, n]) and no-length past-head negative starts:
+    #   Presto '', DuckDB clamps to the string head
+    # - replace(s, '', r): Presto interleaves r around every code point
+    #   (StringFunctions.java:121-133), DuckDB returns s unchanged
+    op = r.choice(["concat", "upper", "lower", "trim", "ltrim", "rtrim",
+                   "substr", "neg_substr", "replace", "strip_replace",
                    "reverse", "case", "lpad", "rpad"])
     x = str_expr(r, depth + 1)
     if op == "concat":
         return f"({x} || {str_expr(r, depth + 1)})"
     if op == "substr":
         return f"substr({x}, {r.randint(1, 3)}, {r.randint(0, 4)})"
+    if op == "neg_substr":
+        # negative start counts from the end in both engines; always
+        # pass a length (see exclusion note above)
+        return f"substr({x}, {r.randint(-5, -1)}, {r.randint(0, 4)})"
     if op == "replace":
         return f"replace({x}, 'a', 'Z')"
+    if op == "strip_replace":
+        # deletion form (2-arg lowers to this in Presto) over a
+        # possibly-multibyte needle
+        needle = r.choice(["'a'", "'é'", "' '"])
+        return f"replace({x}, {needle}, '')"
     if op in ("lpad", "rpad"):
-        return f"{op}({x}, {r.randint(0, 6)}, '.')"
+        pad = r.choice(["'.'", "'ü'"])
+        return f"{op}({x}, {r.randint(0, 6)}, {pad})"
     if op == "case":
         return (
             f"(CASE WHEN {bool_expr(r, depth + 1)} THEN {x} "

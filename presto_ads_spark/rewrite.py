@@ -3422,9 +3422,13 @@ def _rewrite_json_casts(sql: str) -> str:
         if not re.match(r"^(MAP|ARRAY|ROW)\s*[(<]", ttype, re.IGNORECASE):
             i = m.end()
             continue
-        if re.match(r"^(MAP|ARRAY)\s*<[^(<]*>$", ttype, re.IGNORECASE):
-            # pure angle form with no paren types inside — already Spark
-            # syntax; leave the cast untouched
+        if re.match(r"^(MAP|ARRAY|ROW|STRUCT)\s*<", ttype, re.IGNORECASE):
+            # angle-bracket head is already Spark syntax (Presto's
+            # complex-type spelling is parenthesized) — leave the cast
+            # untouched. Matching on the HEAD alone matters: the old
+            # no-nested-content form let ARRAY<ARRAY<DOUBLE>> through,
+            # where the translation is a fixed point and the rescan from
+            # m.start() span-looped forever (round-8 porter hang).
             i = m.end()
             continue
         schema = _presto_type_to_spark(ttype)
@@ -3441,9 +3445,13 @@ def _rewrite_json_casts(sql: str) -> str:
         ) or re.match(
             r"^\s*cast\s*\(\s*row\s*\(", expr, re.IGNORECASE
         ):
-            sql = sql[: m.start()] + f"CAST({expr} AS {schema})" + sql[j:]
+            rep = f"CAST({expr} AS {schema})"
         else:
-            sql = sql[: m.start()] + f"from_json({expr}, '{schema}')" + sql[j:]
+            rep = f"from_json({expr}, '{schema}')"
+        if rep == sql[m.start() : j]:  # fixed point: never re-scan in place
+            i = j
+            continue
+        sql = sql[: m.start()] + rep + sql[j:]
         i = m.start()
 
 

@@ -551,3 +551,32 @@ def test_setop_void_null_typing():
     # ALL variants are not affected by the Spark bug → untouched
     out = rewrite("(SELECT NULL FROM t) INTERSECT ALL (SELECT NULL FROM u)")
     assert "CAST(NULL AS STRING)" not in out
+
+
+def test_json_cast_angle_targets_never_loop():
+    # CAST(x AS ARRAY<ARRAY<DOUBLE>>): a nested angle target previously
+    # escaped the "already Spark syntax" skip, translated to itself, and
+    # the in-place rescan span-looped forever (round-8 porter hang).
+    # Angle-HEADED targets now skip; paren targets still translate.
+    import signal
+
+    from presto_ads_spark.rewrite import rewrite
+
+    def bail(*a):  # pragma: no cover - only fires on regression
+        raise TimeoutError("json-cast rewrite looped")
+
+    old = signal.signal(signal.SIGALRM, bail)
+    try:
+        signal.alarm(10)
+        out = rewrite(
+            "SELECT CAST(ARRAY [ARRAY[1], ARRAY[2, 3]]"
+            " AS ARRAY<ARRAY<DOUBLE>>) AS c0"
+        )
+        signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+    assert "AS ARRAY<ARRAY<DOUBLE>>" in out
+    assert "array(array(1), array(2, 3))" in out
+    # paren spelling still lowers
+    out = rewrite("SELECT CAST('[1,2]' AS ARRAY(INTEGER))")
+    assert "from_json('[1,2]', 'array<int>')" in out

@@ -270,6 +270,7 @@ class Engine:
             - self._nondouble_cols
         )
         text = rewrite_mod.rewrite_double_bigint_cast(text, double_cols)
+        text = rewrite_mod.rewrite_double_div_ieee(text, double_cols)
         return rewrite(
             rewrite_integral_column_division(text, int_cols),
             json_scalar_cols=self._scalar_cols,

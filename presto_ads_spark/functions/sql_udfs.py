@@ -136,10 +136,20 @@ SQL_FUNCTIONS: list[str] = [
     # --- MathFunctions.java ---------------------------------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION truncate_num(x DOUBLE)
        RETURNS DOUBLE RETURN CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END""",
+    # conv() is unsigned-64-bit — a '-'-prefixed input wraps around, so
+    # negatives route through DECIMAL(20,0) negation (MIN_VALUE-safe)
     """CREATE OR REPLACE TEMPORARY FUNCTION from_base(s STRING, b INT)
-       RETURNS BIGINT RETURN CAST(conv(s, b, 10) AS BIGINT)""",
+       RETURNS BIGINT RETURN
+         CASE WHEN s LIKE '-%'
+              THEN CAST(-CAST(conv(substr(s, 2), b, 10) AS DECIMAL(20,0))
+                        AS BIGINT)
+              ELSE CAST(conv(s, b, 10) AS BIGINT) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION to_base(x BIGINT, b INT)
-       RETURNS STRING RETURN lower(conv(CAST(x AS STRING), 10, b))""",
+       RETURNS STRING RETURN
+         CASE WHEN x < 0
+              THEN concat('-', lower(conv(
+                     CAST(-CAST(x AS DECIMAL(20,0)) AS STRING), 10, b)))
+              ELSE lower(conv(CAST(x AS STRING), 10, b)) END""",
     # cosine_similarity over double arrays (Presto's is over sparse maps;
     # the array form is what the embeddings workload needs).
     """CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)

@@ -82,6 +82,10 @@ FUNCTION_RENAMES: dict[str, str] = {
     # Presto zip pads the shorter array with NULLs — same as arrays_zip.
     "zip": "arrays_zip",
     "levenshtein_distance": "levenshtein",
+    # DateTimeFunctions.java @ScalarFunction aliases
+    "yow": "year_of_week",
+    "dow": "day_of_week",
+    "doy": "day_of_year",
     # Presto digests are varbinary→varbinary (VarbinaryFunctions.java);
     # Spark's md5/sha1 return hex STRINGs and can't be shadowed → shims.
     "md5": "presto_md5",
@@ -1197,17 +1201,24 @@ def _rewrite_grouping_multi(sql: str) -> str:
 # date/time family, so the rest lower to casts. JSON 'x' is the identity —
 # the json compat layer models json values as strings.
 _TYPED_LIT_RE = re.compile(
+    # \s* not \s+: the reference writes TINYINT'123' without a space
     r"\b(SMALLINT|TINYINT|INTEGER|INT|BIGINT|REAL|DOUBLE|DECIMAL|BOOLEAN|"
-    r"VARCHAR|CHAR|JSON)\s+('(?:[^']|'')*')",
+    r"VARCHAR|CHAR|JSON)\s*('(?:[^']|'')*')",
     re.IGNORECASE,
 )
 
 
 def _rewrite_typed_literals(sql: str) -> str:
     """Runs over the full text (the literal is part of the pattern, so
-    chunked outside-literal application can't see it)."""
+    chunked outside-literal application can't see it) — but the TYPE
+    keyword itself must sit outside any string literal: with the \\s*
+    spelling (TINYINT'123'), a bare type word inside one literal
+    adjacent to the next literal would otherwise match."""
+    mask = _literal_mask(sql)
 
     def sub(m: re.Match) -> str:
+        if mask[m.start()]:
+            return m.group(0)
         t = m.group(1).upper()
         lit = m.group(2)
         if t in ("JSON", "VARCHAR", "CHAR"):
@@ -1270,6 +1281,12 @@ def _rewrite_try_generic(sql: str) -> str:
             and _scan_matching_paren(e, 1) == len(e.rstrip())
         ):
             e = e[1 : e.rstrip().rindex(")")].strip()
+        # a whole-body CASE … END (the shim inlines emit these — substr
+        # guards, to_base/from_base sign splits) passes through like any
+        # non-arithmetic call: the comparison tokens inside the CASE are
+        # not top-level arithmetic to split at
+        if re.match(r"(?is)^\s*CASE\b.*\bEND\s*$", e):
+            return f"({e})"
         if re.search(r"(?:!=|<>|<=|>=|[=<>])", _mask_parens_and_literals(e)):
             return None
         # TRY over the 2-arg map constructor: Presto's map() raises on a
@@ -1454,6 +1471,67 @@ def _rewrite_row_constructor(sql: str) -> str:
     return _replace_fn_calls(sql, "row", build)
 
 
+_MAP_CALL_HEAD_RE = re.compile(
+    r"\b(MAP|map_from_arrays|map_from_entries|map_concat|map_filter"
+    r"|transform_keys|transform_values)\s*\(",
+    re.IGNORECASE,
+)
+_MAP_CMP_OP_RE = re.compile(r"\s*(<>|!=|=)\s*")
+
+
+def _map_eq_expr(a: str, b: str) -> str:
+    """Presto map equality (MapOperators / MapGenericEquality): same key
+    set, all values equal; NULL when a value comparison is
+    indeterminate and nothing else differs. Spark has no map =, so spell
+    the three-valued logic over map_keys/try_element_at (containment is
+    checked before any value access, so ANSI element lookups are safe)."""
+    k = "__mk"
+    av, bv = f"try_element_at({a}, {k})", f"try_element_at({b}, {k})"
+    return (
+        f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+        f"WHEN size({a}) <> size({b}) THEN false "
+        f"WHEN NOT forall(map_keys({a}), {k} -> map_contains_key({b}, {k})) "
+        f"THEN false "
+        f"WHEN exists(map_keys({a}), {k} -> ({av} IS NOT NULL AND "
+        f"{bv} IS NOT NULL AND {av} <> {bv})) THEN false "
+        f"WHEN exists(map_keys({a}), {k} -> ({av} IS NULL OR {bv} IS NULL)) "
+        f"THEN CAST(NULL AS BOOLEAN) "
+        f"ELSE true END"
+    )
+
+
+def _rewrite_map_equality(sql: str) -> str:
+    """``MAP(…) = MAP(…)`` / ``<>`` / ``!=`` where BOTH sides are
+    textually map-producing calls → the three-valued equality expression
+    (Spark rejects = on MapType: DATATYPE_MISMATCH.INVALID_ORDERING_TYPE).
+    Both-sides-call is the provable case; map-typed columns/aliases keep
+    Spark's error (documented)."""
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = _MAP_CALL_HEAD_RE.search(sql, i)
+        if not m:
+            return sql
+        if mask[m.start()]:
+            i = m.end()
+            continue
+        j = _scan_matching_paren(sql, m.end())
+        om = _MAP_CMP_OP_RE.match(sql, j)
+        if om is None:
+            i = m.end()
+            continue
+        m2 = _MAP_CALL_HEAD_RE.match(sql, om.end())
+        if m2 is None:
+            i = m.end()
+            continue
+        j2 = _scan_matching_paren(sql, m2.end())
+        a, b = sql[m.start() : j], sql[om.end() : j2]
+        eq = _map_eq_expr(a, b)
+        rep = eq if om.group(1) == "=" else f"(NOT {eq})"
+        sql = sql[: m.start()] + rep + sql[j2:]
+        i = m.start() + len(rep)
+
+
 def _rewrite_map_from_arrays(sql: str) -> str:
     """Presto's 2-arg ``map(array_k, array_v)`` (MapConstructor.java) →
     ``map_from_arrays``. Spark's variadic key-value ``map(k1, v1, ...)``
@@ -1555,19 +1633,104 @@ def _rewrite_color_fn_arity(sql: str) -> str:
 _NORM_FORMS = frozenset(("NFC", "NFD", "NFKC", "NFKD"))
 
 
+# Character.isWhitespace's set (what Presto's trim family strips),
+# spelled for the JVM regex engine through a Spark SQL string literal
+# (one level of backslash escaping is consumed by the literal parser).
+_JAVA_WS_CLASS = (
+    "\\\\t-\\\\r\\\\u001C-\\\\u001F \\\\u1680\\\\u180E\\\\u2000-\\\\u2006"
+    "\\\\u2008-\\\\u200A\\\\u2028\\\\u2029\\\\u205F\\\\u3000"
+)
+
+
+def _inline_string_shims(sql: str) -> str:
+    """Inline the presto_trim/ltrim/rtrim/replace3/substr2/substr3 temp-
+    function calls to pure expressions. Spark cannot resolve a SQL
+    function body over a LAMBDA variable (``filter(a, x -> substr(x,
+    1, 1))`` fails with MISSING_ATTRIBUTES after the shim rename), so
+    the shims must not survive as calls. The inline bodies mirror
+    functions/sql_udfs.py exactly; the temp functions stay registered
+    for direct user calls. Safe under _replace_fn_calls' rescan: the
+    bodies contain plain substr/replace/regexp_replace, never a
+    presto_* name."""
+
+    def trim_inline(anchored):
+        pat = "|".join(a.format(cls=_JAVA_WS_CLASS) for a in anchored)
+
+        def build(args):
+            if len(args) == 1:
+                return f"regexp_replace({args[0]}, '{pat}', '')"
+            return None
+
+        return build
+
+    sql = _replace_fn_calls(
+        sql, "presto_trim", trim_inline(("^[{cls}]+", "[{cls}]+$"))
+    )
+    sql = _replace_fn_calls(sql, "presto_ltrim", trim_inline(("^[{cls}]+",)))
+    sql = _replace_fn_calls(sql, "presto_rtrim", trim_inline(("[{cls}]+$",)))
+
+    def replace3(args):
+        if len(args) != 3:
+            return None
+        s, p, r = (a.strip() for a in args)
+        if re.fullmatch(r"'[^']+'", p):  # non-empty literal search:
+            return f"replace({s}, {p}, {r})"  # Spark already matches
+        # Presto's empty search interleaves the replacement around every
+        # code point (StringFunctions.java:121-133); __rc is a
+        # collision-proof lambda var (never user-visible)
+        interleave = (
+            f"CASE WHEN ({s}) = '' THEN ({r}) "
+            f"ELSE concat({r}, array_join(transform(split({s}, ''), "
+            f"__rc -> concat(__rc, {r})), '')) END"
+        )
+        if p == "''":
+            return interleave
+        return (
+            f"CASE WHEN ({p}) = '' THEN {interleave} "
+            f"ELSE replace({s}, {p}, {r}) END"
+        )
+
+    sql = _replace_fn_calls(sql, "presto_replace3", replace3)
+
+    def substr_inline(args):
+        if len(args) not in (2, 3):
+            return None
+        s, st = args[0].strip(), args[1].strip()
+        tail = f", {args[2].strip()}" if len(args) == 3 else ""
+        if re.fullmatch(r"[1-9]\d*", st):  # positive literal start:
+            return f"substr({s}, {st}{tail})"  # Spark already matches
+        # start 0 / negative-before-head → '' (substr(s,1,0) keeps NULL
+        # inputs NULL)
+        return (
+            f"CASE WHEN ({st}) = 0 OR ({st}) < -length({s}) "
+            f"THEN substr({s}, 1, 0) ELSE substr({s}, {st}{tail}) END"
+        )
+
+    sql = _replace_fn_calls(sql, "presto_substr2", substr_inline)
+    return _replace_fn_calls(sql, "presto_substr3", substr_inline)
+
+
 def _rewrite_string_compat(sql: str) -> str:
     """String-function deviations caught by the scalar-assert corpus
     (StringFunctions.java parity — see functions/sql_udfs.py for each
     shim's semantics):
 
-    - 1-arg trim/ltrim/rtrim → Java-whitespace regexp shims
+    - 1-arg trim/ltrim/rtrim → Java-whitespace shims
     - 2-arg trim family → Spark's ``TRIM(BOTH chars FROM s)`` form
       (native set-trim; empty char set is a no-op on both engines)
     - 3-arg replace → empty-search-aware shim
     - substr / substring (incl. ``FROM … FOR …`` grammar) → start-0 /
       past-head-negative shims
     - normalize(s[, FORM]) with bare form keywords → unicode_normalize
-    """
+
+    The presto_* names emitted here are then INLINED to pure
+    expressions by _inline_string_shims (below): a SQL temp function
+    body cannot capture a lambda variable, so the call forms broke
+    every ``transform/filter(…, x -> substr(x, …))`` with
+    MISSING_ATTRIBUTES (scalar-corpus finding, round 8). Two passes
+    because _replace_fn_calls rescans its replacement — a builder may
+    never emit a same-name call, and the inline bodies contain plain
+    substr/replace."""
 
     def trim_family(name, spark_kind):
         def build(args):
@@ -1620,6 +1783,7 @@ def _rewrite_string_compat(sql: str) -> str:
 
     sql = _replace_fn_calls(sql, "substr", substr_build)
     sql = _replace_fn_calls(sql, "substring", substr_build)
+    sql = _inline_string_shims(sql)
 
     def normalize(args):
         if len(args) == 1:
@@ -1639,6 +1803,250 @@ def _rewrite_string_compat(sql: str) -> str:
         return None
 
     return _replace_fn_calls(sql, "from_utf8", from_utf8)
+
+
+_ROW_FIELD_RE = re.compile(r"\b(row|struct)\s*\(", re.IGNORECASE)
+
+# Spark typeof() → Presto 0.216 type-name spellings (typeof scalar,
+# TypeOfFunction.java); parameterized names (varchar(n), array(...))
+# stay Spark-spelled — documented deviation.
+_TYPEOF_NAME_MAP = (
+    ("int", "integer"),
+    ("string", "varchar"),
+    ("void", "unknown"),
+    ("float", "real"),
+    ("binary", "varbinary"),
+)
+
+
+def _rewrite_scalar_compat_misc(sql: str) -> str:
+    """Scalar-surface deviations flushed by the assert corpus (round 8):
+
+    - ``flatten`` skips NULL sub-arrays (ArrayFlattenFunction appends
+      only non-null elements); Spark's returns NULL for the whole result
+    - ``typeof`` base-name spellings (integer/varchar/unknown/real)
+    - ``from_base``/``to_base`` inline (SQL temp-function bodies cannot
+      capture lambda variables, and conv() needs the signed wrapper)
+    - 2-arg ``truncate(decimal, n)`` with a literal n → sign-split
+      floor/ceil over exact power-of-ten scaling
+    - anonymous ``row(...).fieldN`` → Spark's ``.col{N+1}`` (RowType
+      names anonymous fields field0..; Spark names them col1..)
+
+    Marker-then-inline where the inline body contains the source name
+    (see _replace_fn_calls: a builder may never emit a same-name call).
+    """
+    # flatten: marker, then inline with the null-filter
+    sql = _replace_fn_calls(
+        sql, "flatten", lambda a: f"__pflat({a[0]})" if len(a) == 1 else None
+    )
+    sql = _replace_fn_calls(
+        sql,
+        "__pflat",
+        lambda a: f"flatten(filter({a[0]}, __fe -> __fe IS NOT NULL))",
+    )
+    # typeof: marker, then inline the name-mapping CASE
+    sql = _replace_fn_calls(
+        sql, "typeof", lambda a: f"__ptypeof({a[0]})" if len(a) == 1 else None
+    )
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{p}'" for s, p in _TYPEOF_NAME_MAP
+    )
+    sql = _replace_fn_calls(
+        sql,
+        "__ptypeof",
+        lambda a: f"CASE typeof({a[0]}) {whens} ELSE typeof({a[0]}) END",
+    )
+
+    def from_base(a):
+        if len(a) != 2:
+            return None
+        s, b = a[0].strip(), a[1].strip()
+        return (
+            f"CASE WHEN ({s}) LIKE '-%' THEN "
+            f"CAST(-CAST(conv(substr(({s}), 2), {b}, 10) AS DECIMAL(20,0)) "
+            f"AS BIGINT) ELSE CAST(conv(({s}), {b}, 10) AS BIGINT) END"
+        )
+
+    sql = _replace_fn_calls(sql, "from_base", from_base)
+
+    def to_base(a):
+        if len(a) != 2:
+            return None
+        x, b = a[0].strip(), a[1].strip()
+        return (
+            f"CASE WHEN ({x}) < 0 THEN concat('-', lower(conv("
+            f"CAST(-CAST(({x}) AS DECIMAL(20,0)) AS STRING), 10, {b}))) "
+            f"ELSE lower(conv(CAST(({x}) AS STRING), 10, {b})) END"
+        )
+
+    sql = _replace_fn_calls(sql, "to_base", to_base)
+
+    def truncate2(a):
+        # 2-arg truncate(x, n) is Presto's DECIMAL overload
+        # (MathFunctions.java truncate(decimal, bigint)); a literal n
+        # scales by an exact integer power of ten so decimal arithmetic
+        # stays exact. 1-arg keeps the truncate_num rename. Non-literal
+        # n is not provable — left to error (documented).
+        if len(a) != 2:
+            return None
+        x, n_txt = a[0].strip(), a[1].strip()
+        if not re.fullmatch(r"-?\d+", n_txt):
+            return None
+        n = int(n_txt)
+        p = 10 ** abs(n)
+        if n >= 0:
+            up, down = f"({x}) * {p}", str(p)
+            return (
+                f"CASE WHEN ({x}) >= 0 THEN floor({up}) / {down} "
+                f"ELSE ceil({up}) / {down} END"
+            )
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN floor(({x}) / {p}) * {p} "
+            f"ELSE ceil(({x}) / {p}) * {p} END"
+        )
+
+    sql = _replace_fn_calls(sql, "truncate", truncate2)
+
+    # extract(field FROM INTERVAL 'n' UNIT): Presto normalizes a
+    # single-unit interval into day-time (or year-month) fields and
+    # extracts the component (IntervalDayTime/IntervalYearMonth
+    # operators); Spark rejects cross-unit extraction. Literal forms
+    # fold at rewrite time.
+    def _fold_interval_extract(m: re.Match) -> str:
+        field, n, unit = m.group(1).lower(), int(m.group(2)), m.group(3).lower()
+        day_secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+        if unit in day_secs and field in ("second", "minute", "hour", "day"):
+            total = n * day_secs[unit]
+            sign = -1 if total < 0 else 1
+            t = abs(total)
+            v = {
+                "second": t % 60,
+                "minute": (t // 60) % 60,
+                "hour": (t // 3600) % 24,
+                "day": t // 86400,
+            }[field]
+            return str(sign * v)
+        months = {"month": 1, "year": 12}
+        if unit in months and field in ("month", "year"):
+            total = n * months[unit]
+            sign = -1 if total < 0 else 1
+            t = abs(total)
+            v = {"month": t % 12, "year": t // 12}[field]
+            return str(sign * v)
+        return m.group(0)
+
+    sql = re.sub(
+        r"(?i)\bextract\s*\(\s*(second|minute|hour|day|month|year)\s+FROM\s+"
+        r"INTERVAL\s*'(-?\d+)'\s+(second|minute|hour|day|month|year)\s*\)",
+        _fold_interval_extract,
+        sql,
+    )
+    # CAST(TIMESTAMP 'lit' AS VARCHAR): Presto renders timestamps with
+    # exactly three fractional digits ('… 03:04:05.000'); Spark's cast
+    # drops the fraction when zero. Literal operands are provably
+    # timestamp; columns aren't (documented).
+    sql = re.sub(
+        r"(?i)\b(?:TRY_)?CAST\s*\(\s*(TIMESTAMP\s*'[^']*')\s+AS\s+"
+        r"VARCHAR\s*\)",
+        r"date_format(\1, 'yyyy-MM-dd HH:mm:ss.SSS')",
+        sql,
+    )
+    # row(...).fieldN → row(...).col{N+1}
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = _ROW_FIELD_RE.search(sql, i)
+        if not m:
+            return sql
+        if mask[m.start()]:
+            i = m.end()
+            continue
+        j = _scan_matching_paren(sql, m.end())
+        fm = re.match(r"\.field(\d+)\b", sql[j:])
+        if fm is None:
+            i = m.end()
+            continue
+        sql = (
+            sql[:j] + f".col{int(fm.group(1)) + 1}" + sql[j + fm.end() :]
+        )
+        i = m.end()
+
+
+_SQL_STR_LIT = r"'(?:[^']|'')*'"
+
+
+def _rewrite_literal_backslashes(sql: str) -> str:
+    """Presto string literals are VERBATIM (SqlBase.g4 STRING: the only
+    escape is the doubled quote); Spark's parser processes C-style
+    backslash escapes, so ``'\\t'`` silently becomes a TAB and a literal
+    ending in ``\\`` swallows its closing quote (``\\'`` = escaped
+    quote), shifting the literal boundary. Double every backslash inside
+    every single-quoted literal so Spark reads exactly Presto's bytes.
+
+    MUST run FIRST in rewrite(): literals emitted by later passes (the
+    Java-whitespace trim regex, datetime patterns) intentionally use
+    Spark escape processing and must not be doubled."""
+    if "\\" not in sql:
+        return sql
+    out, i, n, in_str = [], 0, len(sql), False
+    while i < n:
+        c = sql[i]
+        if not in_str:
+            out.append(c)
+            if c == "'":
+                in_str = True
+            i += 1
+            continue
+        if c == "'":
+            if i + 1 < n and sql[i + 1] == "'":  # '' stays the escape
+                out.append("''")
+                i += 2
+                continue
+            in_str = False
+            out.append(c)
+            i += 1
+            continue
+        out.append("\\\\" if c == "\\" else c)
+        i += 1
+    return "".join(out)
+
+
+# U+001E (record separator) — a char that never appears in patterns;
+# making it the LIKE escape disables escaping, which is Presto's default
+# (LikeUtils: no escape char unless ESCAPE is given; Spark defaults to
+# backslash)
+_LIKE_NOESC = "\x1e"
+_LIKE_PAT_RE = re.compile(
+    rf"\bLIKE\s*({_SQL_STR_LIT})(\s+ESCAPE\s*({_SQL_STR_LIT}))?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_like_escapes(sql: str) -> str:
+    """Presto LIKE has NO escape character unless ESCAPE is written, and
+    ``ESCAPE ''`` explicitly means none; Spark's default escape is
+    backslash and it rejects the empty ESCAPE. Backslash-carrying
+    patterns without an ESCAPE (and empty-ESCAPE forms) get a sentinel
+    escape char so the backslash matches literally."""
+    if "LIKE" not in sql.upper():
+        return sql
+    mask = _literal_mask(sql)
+    out, last = [], 0
+    for m in _LIKE_PAT_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        pat, esc = m.group(1), m.group(3)
+        if esc is not None and esc == "''":
+            rep = f"LIKE {pat} ESCAPE '{_LIKE_NOESC}'"
+        elif esc is None and "\\" in pat:
+            rep = f"LIKE {pat} ESCAPE '{_LIKE_NOESC}'"
+        else:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(rep)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 _AT_TZ_CALL_RE = re.compile(r"^at_timezone\s*\(", re.IGNORECASE)
@@ -2373,6 +2781,45 @@ def _top_level_last_as(inner: str) -> int | None:
         elif depth == 0:
             pos = m.start()
     return pos
+
+
+_SIMPLE_DIV_RE = re.compile(
+    r"(?<![\w.'])((?:\d+\.?\d*(?:[eE][+-]?\d+)?)|[A-Za-z_][\w.]*)"
+    r"\s*/\s*"
+    r"((?:\d+\.?\d*(?:[eE][+-]?\d+)?)|[A-Za-z_][\w.]*)(?![\w.('])"
+)
+
+
+def rewrite_double_div_ieee(sql: str, double_cols: frozenset) -> str:
+    """Presto double division is IEEE-754 (x/0 → ±Infinity, 0/0 → NaN;
+    DoubleOperators.divide); Spark under ANSI raises DIVIDE_BY_ZERO.
+    For divisions whose operands are simple tokens with a provably
+    double side, guard the zero divisor with the IEEE result
+    (x * Infinity: +x → Inf, -x → -Inf, 0/NaN → NaN). The ELSE arm's
+    parenthesized operands no longer match the simple-token shape, so
+    the emitted text never re-rewrites."""
+    if "/" not in sql:
+        return sql
+    mask = _literal_mask(sql)
+    out, last = [], 0
+    for m in _SIMPLE_DIV_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        x, y = m.group(1), m.group(2)
+        if not (
+            _provably_double(x, double_cols)
+            or _provably_double(y, double_cols)
+        ):
+            continue
+        rep = (
+            f"CASE WHEN ({y}) = 0.0E0 THEN ({x}) * "
+            f"CAST('Infinity' AS DOUBLE) ELSE ({x}) / ({y}) END"
+        )
+        out.append(sql[last : m.start()])
+        out.append(rep)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def infer_derived_double_aliases(
@@ -3422,13 +3869,17 @@ def _rewrite_json_casts(sql: str) -> str:
         if not re.match(r"^(MAP|ARRAY|ROW)\s*[(<]", ttype, re.IGNORECASE):
             i = m.end()
             continue
-        if re.match(r"^(MAP|ARRAY|ROW|STRUCT)\s*<", ttype, re.IGNORECASE):
-            # angle-bracket head is already Spark syntax (Presto's
-            # complex-type spelling is parenthesized) — leave the cast
-            # untouched. Matching on the HEAD alone matters: the old
-            # no-nested-content form let ARRAY<ARRAY<DOUBLE>> through,
+        if (
+            re.match(r"^(MAP|ARRAY|ROW|STRUCT)\s*<", ttype, re.IGNORECASE)
+            and "(" not in ttype
+        ):
+            # paren-free angle form is already Spark syntax — leave the
+            # cast untouched (nested angles included: the old
+            # no-nested-content skip let ARRAY<ARRAY<DOUBLE>> through,
             # where the translation is a fixed point and the rescan from
-            # m.start() span-looped forever (round-8 porter hang).
+            # m.start() span-looped forever — round-8 porter hang).
+            # Mixed spellings like array<row(a bigint)> (h2 L470) DO
+            # carry parens and still translate.
             i = m.end()
             continue
         schema = _presto_type_to_spark(ttype)
@@ -3438,10 +3889,15 @@ def _rewrite_json_casts(sql: str) -> str:
         expr = inner[:as_pos]
         # ROW target over a row/struct constructor is Presto's NAMED ROW
         # CAST (assigns field names, RowType coercion) — a plain Spark
-        # struct cast, not a JSON parse. JSON strings/columns keep the
-        # from_json route (JsonToRowCast.java).
+        # struct cast, not a JSON parse; likewise a MAP/ARRAY target over
+        # a map/array constructor is an element-type coercion
+        # (CAST(map(ARRAY[],ARRAY[]) AS MAP(BIGINT,VARCHAR))). JSON
+        # strings/columns keep the from_json route (JsonToRowCast.java).
         if re.match(
-            r"^\s*(?:row|struct|array)\s*\(", expr, re.IGNORECASE
+            r"^\s*(?:row|struct|array|map|map_from_arrays"
+            r"|map_from_entries)\s*\(",
+            expr,
+            re.IGNORECASE,
         ) or re.match(
             r"^\s*cast\s*\(\s*row\s*\(", expr, re.IGNORECASE
         ):
@@ -3621,6 +4077,120 @@ def _char_alias_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
     return sql
 
 
+def _lit_codepoints(lit: str) -> int:
+    """Code-point length of a SQL string literal's value ('' = escaped
+    quote)."""
+    return len(lit[1:-1].replace("''", "'"))
+
+
+def _char_vs_literal_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
+    """char(n) cast or alias facing a varchar string literal across a
+    comparison: pad BOTH to max(n, literal length) per Presto's
+    char/varchar coercion (a literal longer than n only matches when its
+    tail is the padding spaces — exactly what common-length rpad gives)."""
+    # cast/alias OP literal
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            break
+        parsed = None if mask[m.start()] else _parse_char_cast(sql, m)
+        if parsed is None:
+            i = m.end()
+            continue
+        kw, expr, n, j = parsed
+        om = re.compile(
+            rf"\s*(<>|!=|<=|>=|=|<|>)\s*({_SQL_STR_LIT})(?!')"
+        ).match(sql, j)
+        if om is None:
+            i = m.end()
+            continue
+        nn = max(n, _lit_codepoints(om.group(2)))
+        rep = (
+            f"rpad({kw}({expr} AS STRING), {nn}, ' ') {om.group(1)} "
+            f"rpad({om.group(2)}, {nn}, ' ')"
+        )
+        sql = sql[: m.start()] + rep + sql[om.end() :]
+        i = m.start() + len(rep)
+    # literal OP cast
+    lit_re = re.compile(
+        rf"({_SQL_STR_LIT})\s*(<>|!=|<=|>=|=|<|>)\s*(?=(?:TRY_)?CAST\s*\()",
+        re.IGNORECASE,
+    )
+    i = 0
+    while True:
+        m = lit_re.search(sql, i)
+        if not m:
+            break
+        mask = _literal_mask(sql)
+        # the literal itself is masked; require its OPENING quote to be
+        # the literal start (not inside a bigger literal)
+        if m.start() > 0 and mask[m.start()] and mask[m.start() - 1]:
+            i = m.end()
+            continue
+        cm = _CAST_OPEN_RE.match(sql, m.end())
+        parsed = _parse_char_cast(sql, cm) if cm else None
+        if parsed is None:
+            i = m.end()
+            continue
+        kw, expr, n, j = parsed
+        nn = max(n, _lit_codepoints(m.group(1)))
+        rep = (
+            f"rpad({m.group(1)}, {nn}, ' ') {m.group(2)} "
+            f"rpad({kw}({expr} AS STRING), {nn}, ' ')"
+        )
+        sql = sql[: m.start()] + rep + sql[j:]
+        i = m.start() + len(rep)
+    # alias OP literal / literal OP alias
+    if aliases:
+        def _alias_len(ident):
+            return aliases.get(ident.rsplit(".", 1)[-1].lower())
+
+        a_re = re.compile(
+            rf"(?<![\w.'])({_CHAR_IDENT_RE})\s*(<>|!=|<=|>=|=|<|>)\s*"
+            rf"({_SQL_STR_LIT})(?!')"
+        )
+        i = 0
+        while True:
+            mask = _literal_mask(sql)
+            m = a_re.search(sql, i)
+            if not m:
+                break
+            n1 = None if mask[m.start()] else _alias_len(m.group(1))
+            if n1 is None:
+                i = m.end()
+                continue
+            nn = max(n1, _lit_codepoints(m.group(3)))
+            lhs = m.group(1) if nn == n1 else f"rpad({m.group(1)}, {nn}, ' ')"
+            rep = f"{lhs} {m.group(2)} rpad({m.group(3)}, {nn}, ' ')"
+            sql = sql[: m.start()] + rep + sql[m.end() :]
+            i = m.start() + len(rep)
+        b_re = re.compile(
+            rf"({_SQL_STR_LIT})\s*(<>|!=|<=|>=|=|<|>)\s*"
+            rf"({_CHAR_IDENT_RE})(?![\w.(])"
+        )
+        i = 0
+        while True:
+            mask = _literal_mask(sql)
+            m = b_re.search(sql, i)
+            if not m:
+                break
+            if m.start() > 0 and mask[m.start()] and mask[m.start() - 1]:
+                i = m.end()
+                continue
+            n2 = _alias_len(m.group(3))
+            if n2 is None:
+                i = m.end()
+                continue
+            nn = max(n2, _lit_codepoints(m.group(1)))
+            rhs = m.group(3) if nn == n2 else f"rpad({m.group(3)}, {nn}, ' ')"
+            rep = f"rpad({m.group(1)}, {nn}, ' ') {m.group(2)} {rhs}"
+            sql = sql[: m.start()] + rep + sql[m.end() :]
+            i = m.start() + len(rep)
+    return sql
+
+
 def _rewrite_char_casts(sql: str) -> str:
     """Presto ``CAST(e AS CHAR(n))`` pads to length n (Chars.java
     padSpaces; char(n) is a fixed-width type). Spark treats the cast as a
@@ -3668,6 +4238,12 @@ def _rewrite_char_casts(sql: str) -> str:
         i = m.start() + 1
     # pass 1b: comparisons with one or both sides a known char alias
     sql = _char_alias_cmp_pass(sql, aliases)
+    # pass 1c: char cast vs varchar STRING LITERAL — Presto coerces the
+    # varchar to char and compares padded to the common length, so
+    # cast('bar' as char(5)) = 'bar' AND = 'bar   ' are both TRUE
+    # (CharOperators + Chars.padSpaces); pad both sides to
+    # max(n, length(literal))
+    sql = _char_vs_literal_cmp_pass(sql, aliases)
     # pass 2: remaining lone casts → declared-length pad
     i = 0
     while True:
@@ -5121,6 +5697,7 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     operand may itself contain string literals (e.g. ``UNNEST(split(text,
     ' '))``), so literal-splitting first would hide them. Function renames
     are word-boundary regexes and DO respect literal boundaries."""
+    sql = _rewrite_literal_backslashes(sql)
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_at_time_zone(sql)
@@ -5132,6 +5709,8 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_contains(sql)
     sql = _rewrite_fn_arity_compat(sql)
     sql = _rewrite_string_compat(sql)
+    sql = _rewrite_scalar_compat_misc(sql)
+    sql = _rewrite_like_escapes(sql)
     sql = _rewrite_group_by_distinct(sql)
     sql = _rewrite_plain_grouping(sql)
     # before _rewrite_grouping_multi: hoisted grouping() sort items and
@@ -5191,6 +5770,7 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_char_casts(sql)
     # must follow the cast rewrites: a 2-arg call pattern would otherwise
     # fire on type-position MAP(K, V) inside CAST targets
+    sql = _rewrite_map_equality(sql)
     sql = _rewrite_map_from_arrays(sql)
     sql = _strip_values_row(sql)
     sql = _rewrite_row_constructor(sql)

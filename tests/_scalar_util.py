@@ -141,6 +141,10 @@ def _split_top_level_plus(s: str) -> list[str]:
 
 
 _NAMED_CONSTANTS = {
+    # statically-imported spellings (import static java.lang.Double.NaN)
+    "NaN": nan,
+    "POSITIVE_INFINITY": inf,
+    "NEGATIVE_INFINITY": -inf,
     "Double.NaN": nan,
     "Float.NaN": nan,
     "Double.POSITIVE_INFINITY": inf,
@@ -369,7 +373,10 @@ def parse_java_value(s: str):
                 kk = parse_java_value(k)
                 if isinstance(kk, list):
                     kk = tuple(kk)  # hashable stand-in for array keys
-                out[kk] = parse_java_value(v)
+                try:
+                    out[kk] = parse_java_value(v)
+                except TypeError:  # map-typed key: not comparable here
+                    raise ValueError(f"unhashable map key in {s!r}")
             return out
     body = _call_body(s, "nCopies")
     if body is not None:
@@ -379,6 +386,26 @@ def parse_java_value(s: str):
     if body is not None:
         inner = parse_java_value(body)
         return Decimal(str(inner))
+    body = _call_body(s, "SqlDecimal.of")
+    if body is not None:
+        # SqlDecimal.of("text") / of("text", p, s) / of(unscaledLong, p, s)
+        a = split_java_args(body)
+        first = a[0].strip()
+        if first.startswith('"'):
+            return Decimal(str(parse_java_value(first)))
+        if len(a) == 3:
+            unscaled = parse_java_value(first)
+            return Decimal(int(unscaled)).scaleb(-int(a[2]))
+        return Decimal(str(parse_java_value(first)))
+    body = _call_body(s, "utf8Slice")
+    if body is not None:
+        m = re.fullmatch(
+            r"String\.valueOf\s*\((.*)\)", body.strip(), re.DOTALL
+        )
+        v = parse_java_value(m.group(1) if m else body)
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
     body = _call_body(s, "sqlVarbinary")
     if body is not None:
         v = parse_java_value(body)
@@ -429,6 +456,18 @@ _SIMPLE_TYPES = {
     "VARBINARY": "bytes",
     "UNKNOWN": "unknown",
     "UnknownType.UNKNOWN": "unknown",
+    # fully-qualified spellings used by the type-operator suites
+    "BooleanType.BOOLEAN": "bool",
+    "VarcharType.VARCHAR": "str",
+    "DoubleType.DOUBLE": "double",
+    "BigintType.BIGINT": "int",
+    "IntegerType.INTEGER": "int",
+    "SmallintType.SMALLINT": "int",
+    "TinyintType.TINYINT": "int",
+    "VarbinaryType.VARBINARY": "bytes",
+    # ipaddress: engine cell is the 16-byte binary emulation; compare
+    # its RFC 5952 rendering against the expected string
+    "IPADDRESS": "ip",
 }
 
 
@@ -556,6 +595,14 @@ def values_match(cat, got, want) -> bool:
     if cat == "bytes":
         g = bytes(got) if isinstance(got, (bytes, bytearray)) else got
         return g == want
+    if cat == "ip":
+        from presto_ads_spark.functions.ipaddress_compat import (
+            bytes_to_ip_str,
+        )
+
+        if not isinstance(got, (bytes, bytearray)) or len(got) != 16:
+            return False
+        return bytes_to_ip_str(bytes(got)) == str(want)
     if cat == "decimal":
         return Decimal(str(got)) == Decimal(str(want))
     if isinstance(cat, tuple) and cat[0] == "array":

@@ -696,8 +696,11 @@ def test_fail_function(engine):
 
 
 def test_typeof_native(engine):
+    # base names map to Presto spellings (TypeOfFunction.java; round 8)
     assert one(engine, "typeof(CAST(1 AS BIGINT))") == "bigint"
-    assert one(engine, "typeof('x')") == "string"
+    assert one(engine, "typeof('x' || '')") == "varchar"
+    assert one(engine, "typeof(123)") == "integer"
+    assert one(engine, "typeof(NULL)") == "unknown"
 
 
 def test_split_part_presto_oob_null(engine):
@@ -967,3 +970,45 @@ def test_cast_row_json_paths_agree(engine, e):
         f"SELECT CAST(ROW(x, 9) AS JSON) AS j FROM (VALUES ({e})) t(x)"
     ).collect()[0].j
     assert fast == slow
+
+
+def test_scalar_corpus_burndown_round8(engine):
+    """Spot-pins for the round-8 scalar-corpus burn-down families (the
+    emitted corpus covers them in bulk; these survive regeneration)."""
+    # flatten skips NULL sub-arrays (ArrayFlattenFunction)
+    assert one(engine, "flatten(ARRAY [ARRAY [1], NULL, ARRAY [2]])") == [1, 2]
+    # signed from_base/to_base (conv is unsigned)
+    assert one(engine, "from_base('-7fffffff', 16)") == -2147483647
+    assert one(engine, "to_base(-25, 16)") == "-19"
+    # ...and inside lambdas (SQL temp fns can't capture lambda vars)
+    assert one(engine, "transform(ARRAY [25, 26], x -> to_base(x, 16))") == [
+        "19", "1a",
+    ]
+    assert one(
+        engine, "filter(ARRAY ['abc', 'ayz'], x -> substr(x, 1, 1) = 'a')"
+    ) == ["abc", "ayz"]
+    # 2-arg decimal truncate
+    from decimal import Decimal
+
+    assert one(engine, "truncate(DECIMAL '1234.56', 1)") == Decimal("1234.5")
+    assert one(engine, "truncate(DECIMAL '1234', -1)") == Decimal("1230")
+    # anonymous row field names
+    assert one(engine, "row(5, 6).field0") == 5
+    # typed integer literals without a space
+    assert one(engine, "abs(TINYINT'-123')") == 123
+    # map equality (three-valued)
+    assert one(engine, "MAP(ARRAY[1,2], ARRAY[2,3]) = MAP(ARRAY[2,1], ARRAY[3,2])") is True
+    assert one(engine, "MAP(ARRAY[1], ARRAY[NULL]) = MAP(ARRAY[1], ARRAY[NULL])") is None
+    # verbatim literals: backslash is not an escape in Presto strings
+    assert one(engine, r"length('\t')") == 2
+    assert one(engine, r"'_x_' like '\_x\_'") is False
+    assert one(engine, "'_x_' like '_x_' escape ''") is True
+    # IEEE double division
+    assert one(engine, "is_infinite(1.0E0 / 0.0E0)") is True
+    assert one(engine, "is_nan(0.0E0 / 0.0E0)") is True
+    # interval field extraction (literal fold)
+    assert one(engine, "extract(minute FROM INTERVAL '247' SECOND)") == 4
+    # timestamp rendering carries millis
+    assert one(
+        engine, "cast(TIMESTAMP '2001-1-22 03:04:05' as varchar)"
+    ) == "2001-01-22 03:04:05.000"

@@ -72,9 +72,25 @@ def test_try_cast():
 
 def test_try_cast_nested_parens():
     out = rewrite("SELECT TRY(CAST(substr(a, 1, 2) AS INT)) FROM t")
-    # substr lowers to the start-0/negative-compat shim; TRY(CAST(..)) must
-    # still unwrap to TRY_CAST around the full (rewritten) inner expression.
-    assert out == "SELECT TRY_CAST(presto_substr3(a, 1, 2) AS INT) FROM t"
+    # a positive-literal start needs no compat guard, so the substr
+    # survives as-is; TRY(CAST(..)) must still unwrap to TRY_CAST
+    # around the full (rewritten) inner expression.
+    assert out == "SELECT TRY_CAST(substr(a, 1, 2) AS INT) FROM t"
+
+
+def test_string_shims_inline_for_lambda_capture():
+    # SQL temp-function bodies can't capture lambda variables, so the
+    # compat shims must inline (scalar-corpus finding, round 8):
+    # substr with a non-literal start becomes the CASE guard, and a
+    # lambda-context call never carries a presto_* name.
+    out = rewrite("SELECT filter(a, x -> substr(x, 1, 1) = 'b') FROM t")
+    assert "presto_substr" not in out
+    out = rewrite("SELECT substr(s, i) FROM t")
+    assert "CASE WHEN (i) = 0 OR (i) < -length(s)" in out
+    out = rewrite("SELECT transform(a, x -> replace(x, '', '-')) FROM t")
+    assert "presto_replace3" not in out and "array_join" in out
+    out = rewrite("SELECT transform(a, x -> trim(x)) FROM t")
+    assert "presto_trim" not in out and "regexp_replace" in out
 
 
 def test_date_format_mysql_pattern():

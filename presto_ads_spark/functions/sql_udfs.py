@@ -352,7 +352,8 @@ SQL_FUNCTIONS: list[str] = [
     """CREATE OR REPLACE TEMPORARY FUNCTION parse_presto_data_size(s STRING)
        RETURNS DECIMAL(38, 0) RETURN
          -- floor: Presto BigDecimal.toBigInteger truncates, Spark cast rounds
-         CAST(FLOOR(CAST(regexp_extract(s, '^([0-9.]+)', 1) AS DECIMAL(20, 6)) *
+         -- DECIMAL(32,6): '6917529027641081856EB'-scale magnitudes fit
+         CAST(FLOOR(CAST(regexp_extract(s, '^([0-9.]+)', 1) AS DECIMAL(32, 6)) *
            CASE regexp_extract(s, '([A-Za-z]+)$', 1)
              WHEN 'B' THEN CAST(1 AS DECIMAL(38, 0))
              WHEN 'kB' THEN CAST(1024 AS DECIMAL(38, 0))
@@ -360,6 +361,9 @@ SQL_FUNCTIONS: list[str] = [
              WHEN 'GB' THEN CAST(1073741824 AS DECIMAL(38, 0))
              WHEN 'TB' THEN CAST(1099511627776 AS DECIMAL(38, 0))
              WHEN 'PB' THEN CAST(1125899906842624 AS DECIMAL(38, 0))
+             WHEN 'EB' THEN CAST(1152921504606846976 AS DECIMAL(38, 0))
+             WHEN 'ZB' THEN CAST(1180591620717411303424 AS DECIMAL(38, 0))
+             WHEN 'YB' THEN CAST(1208925819614629174706176 AS DECIMAL(38, 0))
            END) AS DECIMAL(38, 0))""",
     # Presto JSON type is carried as its canonical string form here:
     # json_parse validates/passes the text through (NULL stays NULL),

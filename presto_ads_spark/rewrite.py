@@ -25,6 +25,8 @@ from collections.abc import Callable
 # literals. Only pure renames belong here; anything needing argument surgery
 # gets a regex rule or a registered compat function instead.
 # Reference inventory: presto-main/.../metadata/FunctionRegistry.java:418-660.
+_SQL_STR_LIT = r"'(?:[^']|'')*'"  # Presto literal: '' is the only escape
+
 FUNCTION_RENAMES: dict[str, str] = {
     "approx_distinct": "approx_count_distinct",
     "approx_percentile": "percentile_approx",
@@ -1819,6 +1821,209 @@ _TYPEOF_NAME_MAP = (
 )
 
 
+_JSON_LIT_CAST_RE = re.compile(
+    rf"\b(TRY_)?CAST\s*\(\s*JSON\s*({_SQL_STR_LIT})\s+AS\s+"
+    r"((?:BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR"
+    r"|DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)"
+    r"|ARRAY\s*[(<]\s*(?:BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL"
+    r"|BOOLEAN|VARCHAR|DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\))\s*[)>]))\s*\)",
+    re.IGNORECASE,
+)
+
+_INT_BOUNDS = {
+    "TINYINT": 2**7,
+    "SMALLINT": 2**15,
+    "INT": 2**31,
+    "INTEGER": 2**31,
+    "BIGINT": 2**63,
+}
+
+
+def _json_scalar_to_sql(v, t: str):
+    """One JSON value → SQL literal text per Presto's JsonUtil
+    currentTokenAs* coercions (float→half-up int, string→numeric parse,
+    bool→1/0); None when not foldable."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = " ".join(t.split()).upper()
+    if v is None:
+        base = t if "(" in t or t != "INT" else "INT"
+        return f"CAST(NULL AS {base})"
+    if t in _INT_BOUNDS:
+        if isinstance(v, bool):
+            n = int(v)
+        elif isinstance(v, int):
+            n = v
+        elif isinstance(v, float):
+            n = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        elif isinstance(v, str):
+            try:
+                n = int(v.strip())
+            except ValueError:
+                return None
+        else:
+            return None
+        if not -_INT_BOUNDS[t] <= n < _INT_BOUNDS[t]:
+            return None
+        return f"CAST({n} AS {t})"
+    if t in ("DOUBLE", "REAL"):
+        if isinstance(v, bool):
+            x = float(v)
+        elif isinstance(v, (int, float)):
+            x = float(v)
+        elif isinstance(v, str):
+            try:
+                x = float(v.strip())
+            except ValueError:
+                return None
+        else:
+            return None
+        return f"CAST('{x!r}' AS {t})"
+    if t == "BOOLEAN":
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return "true" if v != 0 else "false"
+        if isinstance(v, str):
+            s = v.strip().lower()
+            if s in ("true", "t", "1"):
+                return "true"
+            if s in ("false", "f", "0"):
+                return "false"
+        return None
+    if t == "VARCHAR":
+        if isinstance(v, bool):
+            return "'true'" if v else "'false'"
+        if isinstance(v, int):
+            return f"'{v}'"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return None  # float rendering is Java Double.toString — skip
+    dm = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if dm:
+        p, s = int(dm.group(1)), int(dm.group(2))
+        try:
+            if isinstance(v, bool):
+                d = Decimal(int(v))
+            elif isinstance(v, (int, str)):
+                d = Decimal(str(v).strip())
+            elif isinstance(v, float):
+                d = Decimal(repr(v))
+            else:
+                return None
+            q = d.quantize(Decimal(1).scaleb(-s), rounding=ROUND_HALF_UP)
+        except Exception:  # noqa: BLE001 — unparsable: not foldable
+            return None
+        if len(q.as_tuple().digits) - s > p - s:
+            return None  # integral overflow for (p, s)
+        return f"CAST('{q}' AS DECIMAL({p},{s}))"
+    return None
+
+
+_DEC_LIT_ARITH_RE = re.compile(
+    r"DECIMAL\s*'(-?[\d.]+)'\s*([+\-*/])\s*DECIMAL\s*'(-?[\d.]+)'",
+    re.IGNORECASE,
+)
+
+
+def _dec_ps(txt: str) -> tuple[int, int]:
+    digits = re.sub(r"[^0-9]", "", txt)
+    frac = txt.split(".", 1)[1] if "." in txt else ""
+    return max(len(digits), 1), len(frac)
+
+
+def _fold_decimal_literal_arith(sql: str) -> str:
+    """``DECIMAL 'a' <op> DECIMAL 'b'`` (+ - *) folds at rewrite time
+    with Presto's SQL-standard result types (DecimalOperators: add/sub
+    scale=max(s1,s2), precision=max(int digits)+scale+1 capped at 38;
+    mul p=p1+p2, s=s1+s2) — Spark reduces the scale (rounding) when the
+    unbounded precision exceeds 38, Presto keeps the exact value as
+    long as it fits. Results that don't fit 38 digits keep the original
+    text (Presto raises there; so does Spark)."""
+    from decimal import Decimal, localcontext
+
+    while True:
+        m = _DEC_LIT_ARITH_RE.search(sql)
+        if not m:
+            return sql
+        a_txt, op, b_txt = m.groups()
+        p1, s1 = _dec_ps(a_txt)
+        p2, s2 = _dec_ps(b_txt)
+        with localcontext() as ctx:
+            ctx.prec = 100  # default 28 would round the 38-digit results
+            a, b = Decimal(a_txt), Decimal(b_txt)
+            if op == "+":
+                res, s = a + b, max(s1, s2)
+            elif op == "-":
+                res, s = a - b, max(s1, s2)
+            elif op == "*":
+                res, s = a * b, s1 + s2
+            else:
+                # DecimalOperators.divide: result scale is the
+                # DIVIDEND's scale, rounded HALF_UP ('1.0'/'3' → 0.3)
+                if b == 0:
+                    return sql  # both engines raise
+                from decimal import ROUND_HALF_UP
+
+                s = s1
+                res = (a / b).quantize(
+                    Decimal(1).scaleb(-s), rounding=ROUND_HALF_UP
+                )
+            q = res.scaleb(s).to_integral_value()  # exact by construction
+        ndig = len(str(abs(int(q))))
+        if ndig > 38 or s > 38:
+            return sql  # overflow: both engines raise — leave as-is
+        p = max(ndig, s, 1)
+        sign = "-" if q < 0 else ""
+        body = str(abs(int(q))).rjust(s + 1, "0")
+        text = (
+            f"{sign}{body[:-s]}.{body[-s:]}" if s else f"{sign}{body}"
+        )
+        rep = f"CAST('{text}' AS DECIMAL({p},{s}))"
+        sql = sql[: m.start()] + rep + sql[m.end() :]
+
+
+def _fold_json_literal_casts(sql: str) -> str:
+    """``CAST(JSON '<literal>' AS <scalar|array-of-scalar>)`` folds at
+    rewrite time per JsonOperators/JsonUtil coercions — Spark's
+    from_json/string casts reject the cross-type coercions Presto
+    defines (true→1, '128.9'→129 half-up, "3.14"→3.14). Non-foldable
+    shapes keep the original text (TRY_ forms fold to NULL)."""
+    import json as _json
+
+    def sub(m: re.Match) -> str:
+        is_try, lit, t = m.group(1), m.group(2), m.group(3)
+        try:
+            v = _json.loads(lit[1:-1].replace("''", "'"))
+        except ValueError:
+            return m.group(0)
+        am = re.match(r"(?is)ARRAY\s*[(<]\s*(.+?)\s*[)>]$", t.strip())
+        if am:
+            if not isinstance(v, list):
+                folded = None
+            else:
+                elems = [_json_scalar_to_sql(e, am.group(1)) for e in v]
+                folded = (
+                    f"array({', '.join(elems)})"
+                    if all(e is not None for e in elems)
+                    else None
+                )
+                if isinstance(v, list) and not v:
+                    inner = _presto_type_to_spark(f"ARRAY({am.group(1)})")
+                    folded = f"CAST(array() AS {inner})" if inner else None
+        else:
+            folded = _json_scalar_to_sql(v, t)
+        if folded is not None:
+            return folded
+        if is_try:
+            base = re.sub(r"(?is)^ARRAY\s*[(<]\s*(.+?)\s*[)>]$", r"ARRAY<\1>", t)
+            return f"CAST(NULL AS {base})"
+        return m.group(0)
+
+    return _JSON_LIT_CAST_RE.sub(sub, sql)
+
+
 def _rewrite_scalar_compat_misc(sql: str) -> str:
     """Scalar-surface deviations flushed by the assert corpus (round 8):
 
@@ -1885,8 +2090,22 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
         # 2-arg truncate(x, n) is Presto's DECIMAL overload
         # (MathFunctions.java truncate(decimal, bigint)); a literal n
         # scales by an exact integer power of ten so decimal arithmetic
-        # stays exact. 1-arg keeps the truncate_num rename. Non-literal
-        # n is not provable — left to error (documented).
+        # stays exact. 1-arg over a DECIMAL literal folds to the exact
+        # integral part (type decimal(p-s, 0)); other 1-arg forms keep
+        # the truncate_num rename. Non-literal n is not provable —
+        # left to error (documented).
+        if len(a) == 1:
+            dm = re.fullmatch(
+                r"(?is)DECIMAL\s*'(-?[\d.]+)'", a[0].strip()
+            )
+            if dm:
+                from decimal import Decimal
+
+                txt = dm.group(1)
+                p, s = _dec_ps(txt)
+                ip = int(Decimal(txt))  # truncates toward zero
+                return f"CAST('{ip}' AS DECIMAL({max(p - s, 1)},0))"
+            return None
         if len(a) != 2:
             return None
         x, n_txt = a[0].strip(), a[1].strip()
@@ -1906,6 +2125,65 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
         )
 
     sql = _replace_fn_calls(sql, "truncate", truncate2)
+
+    # width_bucket(x, bins array) — Presto's 2-arg overload
+    # (MathFunctions.java widthBucket(operand, bins)): the bucket index
+    # is the count of bin boundaries <= x (bins sorted ascending)
+    def width_bucket2(a):
+        if len(a) == 2:
+            x, bins = a[0].strip(), a[1].strip()
+            return f"size(filter({bins}, __wb -> __wb <= ({x})))"
+        return None
+
+    sql = _replace_fn_calls(sql, "width_bucket", width_bucket2)
+
+    # bare DECIMAL cast target: Presto defaults to decimal(38,0)
+    # (DecimalType.createDecimalType()); Spark defaults to (10,0)
+    sql = re.sub(
+        r"(?i)\bAS\s+DECIMAL\s*\)", "AS DECIMAL(38,0))", sql
+    )
+
+    # CAST(e AS VARCHAR(n)) truncates to n code points in Presto
+    # (CharacterStringCasts.varcharToVarcharCast truncateToLength);
+    # Spark's VARCHAR(n) cast keeps the full string in query context
+    def varchar_n(args):
+        if len(args) != 1:
+            return None
+        am = re.search(
+            r"(?is)\s+AS\s+VARCHAR\s*\(\s*(\d+)\s*\)\s*$", args[0]
+        )
+        if am is None:
+            return None
+        expr = args[0][: am.start()]
+        return f"substr(CAST({expr} AS STRING), 1, {am.group(1)})"
+
+    sql = _replace_fn_calls(sql, "cast", varchar_n)
+    sql = _replace_fn_calls(sql, "try_cast", varchar_n)
+
+    # greatest/least: Presto 0.216 returns NULL when ANY argument is
+    # NULL (AbstractGreatestLeast codegen null-propagates) and accepts a
+    # single argument; Spark ignores NULLs and requires >= 2 args.
+    # Marker-then-inline (same-name rescan rule).
+    def _gl(marker):
+        def build(args):
+            if len(args) == 1:
+                return f"({args[0]})"
+            nulls = " OR ".join(f"({a.strip()}) IS NULL" for a in args)
+            return (
+                f"CASE WHEN {nulls} THEN NULL "
+                f"ELSE {marker}({', '.join(args)}) END"
+            )
+
+        return build
+
+    sql = _replace_fn_calls(sql, "greatest", _gl("__pgreatest"))
+    sql = _replace_fn_calls(
+        sql, "__pgreatest", lambda a: f"greatest({', '.join(a)})"
+    )
+    sql = _replace_fn_calls(sql, "least", _gl("__pleast"))
+    sql = _replace_fn_calls(
+        sql, "__pleast", lambda a: f"least({', '.join(a)})"
+    )
 
     # extract(field FROM INTERVAL 'n' UNIT): Presto normalizes a
     # single-unit interval into day-time (or year-month) fields and
@@ -1971,8 +2249,6 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
         )
         i = m.end()
 
-
-_SQL_STR_LIT = r"'(?:[^']|'')*'"
 
 
 def _rewrite_literal_backslashes(sql: str) -> str:
@@ -3941,7 +4217,7 @@ def _parse_char_cast(sql: str, m) -> tuple[str, str, int, int] | None:
     return cast_kw, inner[:as_pos], int(tm.group(1)), j
 
 
-_CHAR_CMP_OP_RE = re.compile(r"\s*(<>|!=|<=|>=|=|<|>)\s*")
+_CHAR_CMP_OP_RE = re.compile(r"\s*(IS\s+NOT\s+DISTINCT\s+FROM|IS\s+DISTINCT\s+FROM|<>|!=|<=|>=|=|<|>)\s*", re.IGNORECASE)
 
 _SUBQ_SELECT_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
 
@@ -4002,7 +4278,7 @@ def _char_alias_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
 
     # alias <op> CAST(e AS CHAR(m))  — and the mirrored cast <op> alias
     a_re = re.compile(
-        rf"(?<![\w.'])({_CHAR_IDENT_RE})\s*(<>|!=|<=|>=|=|<|>)\s*"
+        rf"(?<![\w.'])({_CHAR_IDENT_RE})\s*(IS\s+NOT\s+DISTINCT\s+FROM|IS\s+DISTINCT\s+FROM|<>|!=|<=|>=|=|<|>)\s*"
         r"(?=(?:TRY_)?CAST\s*\()",
         re.IGNORECASE,
     )
@@ -4025,7 +4301,7 @@ def _char_alias_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
         sql = sql[: m.start()] + rep + sql[j:]
         i = m.start() + len(rep)
     b_re = re.compile(
-        rf"\s*(<>|!=|<=|>=|=|<|>)\s*({_CHAR_IDENT_RE})(?![\w.(])",
+        rf"\s*(IS\s+NOT\s+DISTINCT\s+FROM|IS\s+DISTINCT\s+FROM|<>|!=|<=|>=|=|<|>)\s*({_CHAR_IDENT_RE})(?![\w.(])",
         re.IGNORECASE,
     )
     i = 0
@@ -4051,7 +4327,7 @@ def _char_alias_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
         i = cm.start() + len(rep)
     # alias <op> alias with different declared lengths
     c_re = re.compile(
-        rf"(?<![\w.'])({_CHAR_IDENT_RE})\s*(<>|!=|<=|>=|=|<|>)\s*"
+        rf"(?<![\w.'])({_CHAR_IDENT_RE})\s*(IS\s+NOT\s+DISTINCT\s+FROM|IS\s+DISTINCT\s+FROM|<>|!=|<=|>=|=|<|>)\s*"
         rf"({_CHAR_IDENT_RE})(?![\w.(])",
         re.IGNORECASE,
     )
@@ -4101,7 +4377,8 @@ def _char_vs_literal_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
             continue
         kw, expr, n, j = parsed
         om = re.compile(
-            rf"\s*(<>|!=|<=|>=|=|<|>)\s*({_SQL_STR_LIT})(?!')"
+            rf"\s*(IS\s+NOT\s+DISTINCT\s+FROM|IS\s+DISTINCT\s+FROM|<>|!=|<=|>=|=|<|>)\s*({_SQL_STR_LIT})(?!')",
+            re.IGNORECASE,
         ).match(sql, j)
         if om is None:
             i = m.end()
@@ -4115,7 +4392,7 @@ def _char_vs_literal_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
         i = m.start() + len(rep)
     # literal OP cast
     lit_re = re.compile(
-        rf"({_SQL_STR_LIT})\s*(<>|!=|<=|>=|=|<|>)\s*(?=(?:TRY_)?CAST\s*\()",
+        rf"({_SQL_STR_LIT})\s*(IS\s+NOT\s+DISTINCT\s+FROM|IS\s+DISTINCT\s+FROM|<>|!=|<=|>=|=|<|>)\s*(?=(?:TRY_)?CAST\s*\()",
         re.IGNORECASE,
     )
     i = 0
@@ -4148,8 +4425,9 @@ def _char_vs_literal_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
             return aliases.get(ident.rsplit(".", 1)[-1].lower())
 
         a_re = re.compile(
-            rf"(?<![\w.'])({_CHAR_IDENT_RE})\s*(<>|!=|<=|>=|=|<|>)\s*"
-            rf"({_SQL_STR_LIT})(?!')"
+            rf"(?<![\w.'])({_CHAR_IDENT_RE})\s*(IS\s+NOT\s+DISTINCT\s+FROM|IS\s+DISTINCT\s+FROM|<>|!=|<=|>=|=|<|>)\s*"
+            rf"({_SQL_STR_LIT})(?!')",
+            re.IGNORECASE,
         )
         i = 0
         while True:
@@ -4167,8 +4445,9 @@ def _char_vs_literal_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
             sql = sql[: m.start()] + rep + sql[m.end() :]
             i = m.start() + len(rep)
         b_re = re.compile(
-            rf"({_SQL_STR_LIT})\s*(<>|!=|<=|>=|=|<|>)\s*"
-            rf"({_CHAR_IDENT_RE})(?![\w.(])"
+            rf"({_SQL_STR_LIT})\s*(IS\s+NOT\s+DISTINCT\s+FROM|IS\s+DISTINCT\s+FROM|<>|!=|<=|>=|=|<|>)\s*"
+            rf"({_CHAR_IDENT_RE})(?![\w.(])",
+            re.IGNORECASE,
         )
         i = 0
         while True:
@@ -4189,6 +4468,65 @@ def _char_vs_literal_cmp_pass(sql: str, aliases: dict[str, int]) -> str:
             sql = sql[: m.start()] + rep + sql[m.end() :]
             i = m.start() + len(rep)
     return sql
+
+
+def _char_between_pass(sql: str) -> str:
+    """``A BETWEEN B AND C`` where every side is a char cast or string
+    literal (and at least one is a char cast): pad all three to the
+    common length per compareChars."""
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            return sql
+        parsed = _parse_char_cast(sql, m)
+        if parsed is None:
+            i = m.end()
+            continue
+
+        def _side(pos):
+            """(render(n), length, end) for a char cast or literal at pos."""
+            cm = _CAST_OPEN_RE.match(sql, pos)
+            p = _parse_char_cast(sql, cm) if cm else None
+            if p is not None:
+                kw, expr, n, j = p
+                return (
+                    lambda nn: f"rpad({kw}({expr} AS STRING), {nn}, ' ')",
+                    n,
+                    j,
+                )
+            lm = re.match(_SQL_STR_LIT, sql[pos:])
+            if lm:
+                lit = lm.group(0)
+                return (
+                    lambda nn: f"rpad({lit}, {nn}, ' ')",
+                    _lit_codepoints(lit),
+                    pos + lm.end(),
+                )
+            return None
+
+        kw1, expr1, n1, j1 = parsed
+        bm = re.compile(r"\s+(NOT\s+)?BETWEEN\s+", re.IGNORECASE).match(
+            sql, j1
+        )
+        lo = _side(bm.end()) if bm else None
+        am = (
+            re.compile(r"\s+AND\s+", re.IGNORECASE).match(sql, lo[2])
+            if lo
+            else None
+        )
+        hi = _side(am.end()) if am else None
+        if hi is None:
+            i = m.end()
+            continue
+        nn = max(n1, lo[1], hi[1])
+        neg = "NOT " if bm.group(1) else ""
+        rep = (
+            f"rpad({kw1}({expr1} AS STRING), {nn}, ' ') {neg}BETWEEN "
+            f"{lo[0](nn)} AND {hi[0](nn)}"
+        )
+        sql = sql[: m.start()] + rep + sql[hi[2] :]
+        i = m.start() + len(rep)
 
 
 def _rewrite_char_casts(sql: str) -> str:
@@ -4244,6 +4582,8 @@ def _rewrite_char_casts(sql: str) -> str:
     # (CharOperators + Chars.padSpaces); pad both sides to
     # max(n, length(literal))
     sql = _char_vs_literal_cmp_pass(sql, aliases)
+    # pass 1d: BETWEEN over char casts/literals
+    sql = _char_between_pass(sql)
     # pass 2: remaining lone casts → declared-length pad
     i = 0
     while True:
@@ -5709,6 +6049,8 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_contains(sql)
     sql = _rewrite_fn_arity_compat(sql)
     sql = _rewrite_string_compat(sql)
+    sql = _fold_json_literal_casts(sql)
+    sql = _fold_decimal_literal_arith(sql)
     sql = _rewrite_scalar_compat_misc(sql)
     sql = _rewrite_like_escapes(sql)
     sql = _rewrite_group_by_distinct(sql)

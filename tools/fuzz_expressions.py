@@ -463,6 +463,10 @@ _DUCK_RENAMES = [
     # DuckDB has no TRY; the grammar only wraps non-failing operands
     # (division avoids zero divisors), so TRY(x) == (x) on the oracle
     (r"\bTRY\(", "("),
+    # Presto 0.216 greatest/least NULL-propagate (AbstractGreatestLeast);
+    # DuckDB ignores NULLs — route through compensating macros
+    (r"\bgreatest\(", "presto_greatest("),
+    (r"\bleast\(", "presto_least("),
 ]
 
 
@@ -494,6 +498,11 @@ def run_fuzz(n: int, seed: int, eng, duck, verbose: bool = True):
         "list_distinct(l) || CASE WHEN len(list_filter(l, e -> e IS NULL)) "
         "> 0 THEN [NULL] ELSE [] END"
     )
+    for gl in ("greatest", "least"):
+        duck.execute(
+            f"CREATE OR REPLACE MACRO presto_{gl}(a, b) AS "
+            f"CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE {gl}(a, b) END"
+        )
     rng = random.Random(seed)
     failures: list[str] = []
     oracle_skipped = 0

@@ -159,6 +159,25 @@ def _register_python_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("unicode_normalize", _unicode_normalize, "string")
 
+    # word_stem (WordStemFunction.java → Snowball EnglishStemmer): real
+    # Porter2, replacing the round-7 simplified suffix rules (the
+    # scalar-assert corpus flushed the divergences). English only; the
+    # 2-arg language form accepts 'en' and raises otherwise (the
+    # reference ships all Snowball languages — documented gap). Compat
+    # surface, not a hot path.
+    from .stemmer import porter2_stem
+
+    def _word_stem(w, lang="en"):
+        if w is None:
+            return None
+        if lang != "en":
+            raise ValueError(
+                f"word_stem: only 'en' is implemented (got {lang!r})"
+            )
+        return porter2_stem(w)
+
+    spark.udf.register("word_stem", _word_stem, "string")
+
     # from_utf8 with invalid-sequence replacement (StringFunctions.fromUtf8):
     # Presto substitutes U+FFFD (or the given replacement — a string or a
     # codepoint) for malformed sequences; Spark's decode throws. Python

@@ -114,20 +114,9 @@ SQL_FUNCTIONS: list[str] = [
        RETURNS STRING RETURN
          CASE WHEN st = 0 OR st < -length(s) THEN substr(s, 1, 0)
               ELSE substr(s, st, ln) END""",
-    # word_stem (WordStemFunction uses a Porter stemmer): simplified
-    # suffix-stripping rules — documented approximation, parity for the
-    # common plural/participle cases.
-    """CREATE OR REPLACE TEMPORARY FUNCTION word_stem(w STRING)
-       RETURNS STRING RETURN
-         CASE
-           WHEN w RLIKE '.*sses$' THEN regexp_replace(w, 'sses$', 'ss')
-           WHEN w RLIKE '.*ies$' THEN regexp_replace(w, 'ies$', 'i')
-           WHEN w RLIKE '.*ss$' THEN w
-           WHEN w RLIKE '..s$' THEN regexp_replace(w, 's$', '')
-           WHEN w RLIKE '...ing$' THEN regexp_replace(w, 'ing$', '')
-           WHEN w RLIKE '..ed$' THEN regexp_replace(w, 'ed$', '')
-           ELSE w
-         END""",
+    # word_stem: registered as a real Porter2 Python UDF in
+    # functions/__init__.py (round 8) — no SQL shim.
+
     # Presto to_unixtime returns DOUBLE with fractional seconds
     # (DateTimeFunctions.java toUnixTime) — Spark's unix_timestamp returns
     # BIGINT and would truncate; go through unix_micros.

@@ -2126,6 +2126,21 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
 
     sql = _replace_fn_calls(sql, "truncate", truncate2)
 
+    # ngrams(arr, n) type-preserving (ArrayNgramsFunction returns
+    # array(array(T))): slice windows over the original array — the
+    # array_ngrams shim's ARRAY<STRING> signature coerced elements.
+    # n > size yields one whole-array gram, like Presto.
+    def ngrams_inline(a):
+        if len(a) != 2:
+            return None
+        arr, n = a[0].strip(), a[1].strip()
+        return (
+            f"transform(sequence(1, greatest(size({arr}) - ({n}) + 1, 1)), "
+            f"__ng -> slice({arr}, __ng, least({n}, size({arr}))))"
+        )
+
+    sql = _replace_fn_calls(sql, "ngrams", ngrams_inline)
+
     # width_bucket(x, bins array) — Presto's 2-arg overload
     # (MathFunctions.java widthBucket(operand, bins)): the bucket index
     # is the count of bin boundaries <= x (bins sorted ascending)

@@ -342,12 +342,17 @@ def test_split_to_multimap(engine):
     assert v == {"a": ["1", "3"], "b": ["2"]}
 
 
-def test_word_stem_simplified(engine):
+def test_word_stem_porter2(engine):
+    # real Porter2 (functions/stemmer.py), matching the reference's
+    # Snowball EnglishStemmer (round 8 — was a simplified ruleset)
     assert one(engine, "word_stem('caresses')") == "caress"
     assert one(engine, "word_stem('ponies')") == "poni"
     assert one(engine, "word_stem('cats')") == "cat"
-    assert one(engine, "word_stem('running')") == "runn"
-    assert one(engine, "word_stem('table')") == "table"
+    assert one(engine, "word_stem('running')") == "run"
+    assert one(engine, "word_stem('table')") == "tabl"
+    assert one(engine, "word_stem('generally')") == "general"
+    assert one(engine, "word_stem('faithfulness')") == "faith"
+    assert one(engine, "word_stem('authorized', 'en')") == "author"
 
 
 def test_normalize_unicode_udf(engine):

@@ -119,9 +119,10 @@ def test_bare_varchar_cast():
     assert rewrite("SELECT TRY_CAST(x AS VARCHAR), y FROM t") == (
         "SELECT TRY_CAST(x AS STRING), y FROM t"
     )
-    # parameterized VARCHAR(n) untouched
+    # parameterized VARCHAR(n) truncates to n code points (round 8,
+    # CharacterStringCasts.varcharToVarcharCast)
     assert rewrite("SELECT CAST(x AS VARCHAR(10)) FROM t") == (
-        "SELECT CAST(x AS VARCHAR(10)) FROM t"
+        "SELECT substr(CAST(x AS STRING), 1, 10) FROM t"
     )
     # inside string literal untouched
     assert rewrite("SELECT 'CAST(x AS VARCHAR)' AS s") == "SELECT 'CAST(x AS VARCHAR)' AS s"

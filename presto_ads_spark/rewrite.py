@@ -1204,8 +1204,9 @@ def _rewrite_grouping_multi(sql: str) -> str:
 # the json compat layer models json values as strings.
 _TYPED_LIT_RE = re.compile(
     # \s* not \s+: the reference writes TINYINT'123' without a space
-    r"\b(SMALLINT|TINYINT|INTEGER|INT|BIGINT|REAL|DOUBLE|DECIMAL|BOOLEAN|"
-    r"VARCHAR|CHAR|JSON)\s*('(?:[^']|'')*')",
+    r"\b(SMALLINT|TINYINT|INTEGER|INT|BIGINT|REAL|DOUBLE\s+PRECISION|"
+    r"DOUBLE|DECIMAL|BOOLEAN|VARCHAR|CHAR|JSON|VARBINARY)"
+    r"\s*('(?:[^']|'')*')",
     re.IGNORECASE,
 )
 
@@ -1221,12 +1222,16 @@ def _rewrite_typed_literals(sql: str) -> str:
     def sub(m: re.Match) -> str:
         if mask[m.start()]:
             return m.group(0)
-        t = m.group(1).upper()
+        t = " ".join(m.group(1).upper().split())
         lit = m.group(2)
         if t in ("JSON", "VARCHAR", "CHAR"):
             return lit
         if t == "INTEGER":
             t = "INT"
+        if t == "DOUBLE PRECISION":
+            t = "DOUBLE"
+        if t == "VARBINARY":  # bytes of the utf8 text (VarbinaryFunctions)
+            t = "BINARY"
         if t == "DECIMAL":
             # Presto infers precision/scale from the literal text
             digits = re.sub(r"[^0-9]", "", lit)
@@ -1478,7 +1483,27 @@ _MAP_CALL_HEAD_RE = re.compile(
     r"|transform_keys|transform_values)\s*\(",
     re.IGNORECASE,
 )
-_MAP_CMP_OP_RE = re.compile(r"\s*(<>|!=|=)\s*")
+_MAP_CMP_OP_RE = re.compile(
+    r"\s*(IS\s+NOT\s+DISTINCT\s+FROM|IS\s+DISTINCT\s+FROM|<>|!=|=)\s*",
+    re.IGNORECASE,
+)
+
+
+def _map_distinct_expr(a: str, b: str) -> str:
+    """IS DISTINCT FROM over maps is a TOTAL comparator
+    (MapDistinctFromOperator): NULL values compare null-safely (two
+    NULL-valued entries are NOT distinct), unlike `=`'s three-valued
+    result."""
+    k = "__mk"
+    av, bv = f"try_element_at({a}, {k})", f"try_element_at({b}, {k})"
+    return (
+        f"CASE WHEN ({a}) IS NULL AND ({b}) IS NULL THEN false "
+        f"WHEN ({a}) IS NULL OR ({b}) IS NULL THEN true "
+        f"WHEN size({a}) <> size({b}) THEN true "
+        f"WHEN NOT forall(map_keys({a}), {k} -> map_contains_key({b}, {k})) "
+        f"THEN true "
+        f"ELSE NOT forall(map_keys({a}), {k} -> {av} <=> {bv}) END"
+    )
 
 
 def _map_eq_expr(a: str, b: str) -> str:
@@ -1508,6 +1533,24 @@ def _rewrite_map_equality(sql: str) -> str:
     (Spark rejects = on MapType: DATATYPE_MISMATCH.INVALID_ORDERING_TYPE).
     Both-sides-call is the provable case; map-typed columns/aliases keep
     Spark's error (documented)."""
+    # NULL IS [NOT] DISTINCT FROM MAP(...) — left-NULL form
+    i = 0
+    nl_re = re.compile(
+        r"\bNULL\s+IS\s+(NOT\s+)?DISTINCT\s+FROM\s*", re.IGNORECASE
+    )
+    while True:
+        m = nl_re.search(sql, i)
+        if not m:
+            break
+        m2 = _MAP_CALL_HEAD_RE.match(sql, m.end())
+        if m2 is None:
+            i = m.end()
+            continue
+        j2 = _scan_matching_paren(sql, m2.end())
+        d = f"(({sql[m.end() : j2]}) IS NOT NULL)"
+        rep = f"(NOT {d})" if m.group(1) else d
+        sql = sql[: m.start()] + rep + sql[j2:]
+        i = m.start() + len(rep)
     i = 0
     while True:
         mask = _literal_mask(sql)
@@ -1522,14 +1565,30 @@ def _rewrite_map_equality(sql: str) -> str:
         if om is None:
             i = m.end()
             continue
+        op = " ".join(om.group(1).upper().split())
         m2 = _MAP_CALL_HEAD_RE.match(sql, om.end())
-        if m2 is None:
+        nm2 = re.compile(r"NULL\b", re.IGNORECASE).match(sql, om.end())
+        if m2 is not None:
+            j2 = _scan_matching_paren(sql, m2.end())
+            b = sql[om.end() : j2]
+        elif nm2 is not None and op.startswith("IS"):
+            j2, b = nm2.end(), None
+        else:
             i = m.end()
             continue
-        j2 = _scan_matching_paren(sql, m2.end())
-        a, b = sql[m.start() : j], sql[om.end() : j2]
-        eq = _map_eq_expr(a, b)
-        rep = eq if om.group(1) == "=" else f"(NOT {eq})"
+        a = sql[m.start() : j]
+        if op == "=":
+            rep = _map_eq_expr(a, b)
+        elif op in ("<>", "!="):
+            rep = f"(NOT {_map_eq_expr(a, b)})"
+        else:
+            # DISTINCT forms; a NULL right side reduces to a null check
+            d = (
+                f"(({a}) IS NOT NULL)"
+                if b is None
+                else _map_distinct_expr(a, b)
+            )
+            rep = d if op == "IS DISTINCT FROM" else f"(NOT {d})"
         sql = sql[: m.start()] + rep + sql[j2:]
         i = m.start() + len(rep)
 
@@ -2000,6 +2059,9 @@ def _fold_json_literal_casts(sql: str) -> str:
             return m.group(0)
         am = re.match(r"(?is)ARRAY\s*[(<]\s*(.+?)\s*[)>]$", t.strip())
         if am:
+            if v is None:
+                inner = _presto_type_to_spark(f"ARRAY({am.group(1)})")
+                return f"CAST(NULL AS {inner})" if inner else m.group(0)
             if not isinstance(v, list):
                 folded = None
             else:
@@ -2321,6 +2383,15 @@ def _rewrite_like_escapes(sql: str) -> str:
     escape char so the backslash matches literally."""
     if "LIKE" not in sql.upper():
         return sql
+    # ESCAPE NULL: the whole LIKE is NULL for ANY subject
+    # (TestConditions.java:50); `= CAST(NULL AS VARCHAR)` is NULL
+    # regardless of the left operand, and NOT of NULL stays NULL so the
+    # NOT variant drops too (Spark's parser rejects the clause outright)
+    sql = re.sub(
+        rf"(?i)(\bNOT\s+)?LIKE\s*({_SQL_STR_LIT}|\w+)\s+ESCAPE\s+NULL\b",
+        "= CAST(NULL AS VARCHAR)",
+        sql,
+    )
     mask = _literal_mask(sql)
     out, last = [], 0
     for m in _LIKE_PAT_RE.finditer(sql):

@@ -2203,6 +2203,49 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
 
     sql = _replace_fn_calls(sql, "ngrams", ngrams_inline)
 
+    # cosine_similarity over SPARSE MAPS — the reference's actual
+    # signature (MathFunctions.java cosineSimilarity(map<varchar,
+    # double>, map<varchar,double>)); the registered array form is the
+    # beyond-parity embeddings variant. Textually-provable map operands
+    # (map constructors / NULL) lower to aggregate expressions; a NULL
+    # value inside either map propagates NULL like Presto.
+    def cos_sim_map(a):
+        if len(a) != 2:
+            return None
+        x, y = a[0].strip(), a[1].strip()
+
+        def mapish(e):
+            return re.match(r"(?is)^(map\s*\(|null$)", e)
+
+        if not (mapish(x) or mapish(y)):
+            return None
+
+        def fix(e):
+            return (
+                "CAST(NULL AS MAP<STRING,DOUBLE>)"
+                if e.upper() == "NULL"
+                else e
+            )
+
+        x, y = fix(x), fix(y)
+        dot = (
+            f"aggregate(map_keys({x}), 0.0E0, (__ca, __ck) -> __ca + "
+            f"CASE WHEN map_contains_key({y}, __ck) THEN "
+            f"try_element_at({x}, __ck) * try_element_at({y}, __ck) "
+            f"ELSE 0.0E0 END)"
+        )
+        na = (
+            f"sqrt(aggregate(map_values({x}), 0.0E0, "
+            f"(__ca, __cv) -> __ca + __cv * __cv))"
+        )
+        nb = (
+            f"sqrt(aggregate(map_values({y}), 0.0E0, "
+            f"(__ca, __cv) -> __ca + __cv * __cv))"
+        )
+        return f"({dot} / ({na} * {nb}))"
+
+    sql = _replace_fn_calls(sql, "cosine_similarity", cos_sim_map)
+
     # width_bucket(x, bins array) — Presto's 2-arg overload
     # (MathFunctions.java widthBucket(operand, bins)): the bucket index
     # is the count of bin boundaries <= x (bins sorted ascending)
@@ -4027,6 +4070,8 @@ _SCALAR_TYPE_MAP = {
     "tinyint": "tinyint", "smallint": "smallint",
     "double": "double", "real": "float", "boolean": "boolean",
     "date": "date", "timestamp": "timestamp", "varbinary": "binary",
+    # Presto's UNKNOWN (untyped NULL) — Spark's VOID accepts NULL casts
+    "unknown": "void",
 }
 
 
@@ -4070,10 +4115,17 @@ def _presto_type_to_spark(t: str) -> str | None:
         return f"map<{k},{v}>" if k and v else None
     if kind == "ROW":
         fields = []
-        for p in parts:
+        for i_f, p in enumerate(parts):
             fm = re.match(r"^\s*(\w+)\s+(.+)$", p, re.DOTALL)
             if not fm:
-                return None
+                # unnamed field (ROW(INTEGER, INTEGER) is legal Presto;
+                # RowType names them field0..) — Spark structs need
+                # names, use Presto's spelling
+                ft_only = _presto_type_to_spark(p.strip())
+                if not ft_only:
+                    return None
+                fields.append(f"field{i_f}:{ft_only}")
+                continue
             ft = _presto_type_to_spark(fm.group(2))
             if not ft:
                 return None

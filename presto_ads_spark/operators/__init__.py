@@ -224,8 +224,16 @@ def range_join(
     if right_outer:
         # pre-explode interval id: matched rids are collected from the
         # inner part and the unmatched intervals re-surface exactly once
-        # via an anti-join on the original (un-exploded) right frame
-        right = right.withColumn("__rid", F.monotonically_increasing_id())
+        # via an anti-join on the original (un-exploded) right frame.
+        # monotonically_increasing_id is only stable if both branches
+        # (join input and anti-join input) read the SAME materialized
+        # ids — after a shuffle or non-deterministic source the two
+        # plan branches would otherwise assign different rids, silently
+        # dropping or duplicating unmatched rows; localCheckpoint pins
+        # the ids once (fails loudly on executor loss, never recomputes)
+        right = right.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
     start_b = _bucket(F.col(right_start), bucket_secs)
     end_b = _bucket(F.col(right_end), bucket_secs)
     nb = end_b - start_b + F.lit(1)

@@ -1288,12 +1288,14 @@ def _rewrite_try_generic(sql: str) -> str:
             and _scan_matching_paren(e, 1) == len(e.rstrip())
         ):
             e = e[1 : e.rstrip().rindex(")")].strip()
-        # a whole-body CASE … END (the shim inlines emit these — substr
-        # guards, to_base/from_base sign splits) passes through like any
-        # non-arithmetic call: the comparison tokens inside the CASE are
-        # not top-level arithmetic to split at
+        # a whole-body CASE … END (user-written, or shim-emitted — substr
+        # guards, to_base/from_base sign splits): lower each THEN/ELSE
+        # result arm through the try_* arithmetic so an erroring arm
+        # yields NULL like Presto's TRY; non-arith arms (every shim
+        # shape) pass through unchanged
         if re.match(r"(?is)^\s*CASE\b.*\bEND\s*$", e):
-            return f"({e})"
+            lowered_case = _lower_try_case(e)
+            return f"({lowered_case if lowered_case is not None else e})"
         if re.search(r"(?:!=|<>|<=|>=|[=<>])", _mask_parens_and_literals(e)):
             return None
         # TRY over the 2-arg map constructor: Presto's map() raises on a
@@ -1384,6 +1386,60 @@ def _lower_try_arith(e: str):
         # truncate the try_divide back to the integral result
         return f"CAST(try_divide({left_l}, {right_l}) AS BIGINT)"
     return f"{_TRY_OPS[c]}({left_l}, {right_l})"
+
+
+_CASE_KW_RE = re.compile(r"\b(CASE|WHEN|THEN|ELSE|END)\b", re.IGNORECASE)
+
+
+def _lower_try_case(e: str):
+    """TRY over a whole-body ``CASE … END``: Presto evaluates the CASE
+    and NULLs any evaluation error. Spark has no generic TRY, so lower
+    each top-level THEN/ELSE result arm through ``_lower_try_arith``
+    (arith overflow/zero-division become NULL via try_*); arms with no
+    top-level arithmetic — every shim-emitted shape — stay verbatim.
+    Returns the rewritten CASE text, or None when ``e`` is not a
+    well-formed whole-body CASE."""
+    masked = _mask_parens_and_literals(e)
+    if not re.match(r"(?is)^\s*CASE\b", masked) or not re.search(
+        r"(?is)\bEND\s*$", masked
+    ):
+        return None
+    # keyword scan with CASE-nesting depth: collect the OUTER case's
+    # THEN/ELSE arm spans (nested CASE inside an arm is not hidden by
+    # paren masking, so plain regex splitting would mis-pair keywords)
+    depth, arms, cur = 0, [], None
+    for m in _CASE_KW_RE.finditer(masked):
+        kw = m.group(1).upper()
+        if kw == "CASE":
+            # an arm containing a nested CASE spans it whole — the
+            # keyword-refusal in _lower_try_arith keeps it verbatim
+            depth += 1
+        elif kw == "END":
+            depth -= 1
+            if depth == 0 and cur is not None:
+                arms.append((cur, m.start()))
+                cur = None
+        elif depth == 1 and kw in ("THEN", "ELSE"):
+            if cur is not None:
+                arms.append((cur, m.start()))
+            cur = m.end()
+        elif depth == 1 and kw == "WHEN" and cur is not None:
+            arms.append((cur, m.start()))
+            cur = None
+    if depth != 0:
+        return None
+    out, prev, changed = [], 0, False
+    for s, t in arms:
+        low = _lower_try_arith(e[s:t])
+        out.append(e[prev:s])
+        if low is not None:
+            out.append(f" {low} ")
+            changed = True
+        else:
+            out.append(e[s:t])
+        prev = t
+    out.append(e[prev:])
+    return "".join(out) if changed else e
 
 
 def _mask_parens_and_literals(e: str) -> str:
@@ -1993,20 +2049,38 @@ def _dec_ps(txt: str) -> tuple[int, int]:
 
 
 def _fold_decimal_literal_arith(sql: str) -> str:
-    """``DECIMAL 'a' <op> DECIMAL 'b'`` (+ - *) folds at rewrite time
-    with Presto's SQL-standard result types (DecimalOperators: add/sub
-    scale=max(s1,s2), precision=max(int digits)+scale+1 capped at 38;
-    mul p=p1+p2, s=s1+s2) — Spark reduces the scale (rounding) when the
-    unbounded precision exceeds 38, Presto keeps the exact value as
+    """``DECIMAL 'a' <op> DECIMAL 'b'`` folds at rewrite time with
+    Presto's SQL-standard result types (DecimalOperators: add/sub
+    scale=max(s1,s2); mul s=s1+s2; div scale=max(s1,s2) rounded HALF_UP,
+    DecimalOperators.java:317) — Spark reduces the scale (rounding) when
+    the unbounded precision exceeds 38, Presto keeps the exact value as
     long as it fits. Results that don't fit 38 digits keep the original
-    text (Presto raises there; so does Spark)."""
+    text (Presto raises there; so does Spark).
+
+    A pair only folds when it is provably an isolated expression under
+    SQL precedence/left-associativity: never when the left operand binds
+    to a preceding operator that would regroup (``x - D'1' - D'2'`` is
+    ``(x-1)-2``, not ``x-(1-2)``; ``a / D'2' * D'3'`` is ``(a/2)*3``),
+    and never when a +/- pair is followed by a tighter-binding * / %
+    (``D'1' + D'2' * x`` is ``1+(2*x)``)."""
     from decimal import Decimal, localcontext
 
+    pos = 0
     while True:
-        m = _DEC_LIT_ARITH_RE.search(sql)
+        m = _DEC_LIT_ARITH_RE.search(sql, pos)
         if not m:
             return sql
         a_txt, op, b_txt = m.groups()
+        # precedence guards: inspect the nearest non-space neighbors
+        prev = sql[: m.start()].rstrip()[-1:]
+        nxt = sql[m.end() :].lstrip()[:1]
+        unsafe_prev = "*/%" if op in "*/" else "-*/%"
+        if prev in set(unsafe_prev):
+            pos = m.start() + 1  # skip this pair, keep scanning
+            continue
+        if op in "+-" and nxt in ("*", "/", "%"):
+            pos = m.start() + 1
+            continue
         p1, s1 = _dec_ps(a_txt)
         p2, s2 = _dec_ps(b_txt)
         with localcontext() as ctx:
@@ -2019,13 +2093,13 @@ def _fold_decimal_literal_arith(sql: str) -> str:
             elif op == "*":
                 res, s = a * b, s1 + s2
             else:
-                # DecimalOperators.divide: result scale is the
-                # DIVIDEND's scale, rounded HALF_UP ('1.0'/'3' → 0.3)
+                # DecimalOperators.divide: result scale max(s1, s2),
+                # rounded HALF_UP ('1' / '3.00' → 0.33)
                 if b == 0:
                     return sql  # both engines raise
                 from decimal import ROUND_HALF_UP
 
-                s = s1
+                s = max(s1, s2)
                 res = (a / b).quantize(
                     Decimal(1).scaleb(-s), rounding=ROUND_HALF_UP
                 )
@@ -2041,6 +2115,7 @@ def _fold_decimal_literal_arith(sql: str) -> str:
         )
         rep = f"CAST('{text}' AS DECIMAL({p},{s}))"
         sql = sql[: m.start()] + rep + sql[m.end() :]
+        pos = m.start()
 
 
 def _fold_json_literal_casts(sql: str) -> str:
@@ -2252,7 +2327,13 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
     def width_bucket2(a):
         if len(a) == 2:
             x, bins = a[0].strip(), a[1].strip()
-            return f"size(filter({bins}, __wb -> __wb <= ({x})))"
+            # NULL-propagate: with x NULL the lambda is NULL for every
+            # bin, filter drops all, and size() would return 0 where
+            # Presto returns NULL (same for a NULL bins argument)
+            return (
+                f"CASE WHEN ({x}) IS NULL OR ({bins}) IS NULL THEN NULL "
+                f"ELSE size(filter({bins}, __wb -> __wb <= ({x}))) END"
+            )
         return None
 
     sql = _replace_fn_calls(sql, "width_bucket", width_bucket2)

@@ -299,26 +299,18 @@ def test_expression_fuzz_differential(spark):
     import _golden_util as gu
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from fuzz_expressions import INT_COLS, gen_query
+    from fuzz_expressions import duck_dialect, gen_query, install_duck_macros
     from presto_ads_spark.engine import Engine
-    from presto_ads_spark.rewrite import (
-        _rewrite_int_literal_division,
-        infer_values_int_cols,
-        rewrite_integral_column_division,
-    )
 
     eng = Engine(spark.newSession(), sf_dir=None)
     duck = duckdb.connect()
+    install_duck_macros(duck)
     rng = random.Random(20260814)
     checked = 0
     for _ in range(120):
         q = gen_query(rng)
-        dq = rewrite_integral_column_division(
-            _rewrite_int_literal_division(q),
-            frozenset(INT_COLS) | infer_values_int_cols(q),
-        ).replace(" DIV ", " // ")
         try:
-            want = [tuple(r) for r in duck.execute(dq).fetchall()]
+            want = [tuple(r) for r in duck.execute(duck_dialect(q)).fetchall()]
         except Exception:
             continue
         got = [tuple(r) for r in eng.sql(q).collect()]

@@ -547,8 +547,17 @@ def test_try_arith_case_and_predicates():
     assert "try_add(3, (CASE WHEN a > 0 THEN NULL ELSE -8 END))" in out
     out = rewrite("SELECT TRY(x BETWEEN -1 AND 2) FROM t")
     assert "try_subtract" not in out and "BETWEEN -1 AND 2" in out
+    # TRY over a whole-body CASE lowers each THEN/ELSE arm (an erroring
+    # arith arm NULLs like Presto's TRY); the CASE structure is intact
     out = rewrite("SELECT TRY(CASE WHEN a THEN 1+2 ELSE 3 END) FROM t")
-    assert "try_add" not in out
+    assert "CASE WHEN a THEN try_add(1, 2) ELSE 3 END" in out
+    # a nested-CASE arm stays verbatim (keyword refusal), siblings lower
+    out = rewrite(
+        "SELECT TRY(CASE WHEN a THEN CASE WHEN b THEN 1 ELSE 2 END"
+        " ELSE 4-1 END) FROM t"
+    )
+    assert "CASE WHEN b THEN 1 ELSE 2 END" in out
+    assert "try_subtract(4, 1)" in out
     # plain arithmetic still lowers
     assert "try_multiply" in rewrite("SELECT TRY(a * (b + c)) FROM t")
 
@@ -597,3 +606,48 @@ def test_json_cast_angle_targets_never_loop():
     # paren spelling still lowers
     out = rewrite("SELECT CAST('[1,2]' AS ARRAY(INTEGER))")
     assert "from_json('[1,2]', 'array<int>')" in out
+
+
+def test_decimal_fold_respects_precedence():
+    from presto_ads_spark.rewrite import _fold_decimal_literal_arith as f
+
+    # a +/- pair followed by tighter-binding * never folds first
+    out = f("SELECT DECIMAL '1' + DECIMAL '2' * DECIMAL '3'")
+    assert "CAST('6' AS DECIMAL(1,0))" in out and "'3'" not in out.replace(
+        "DECIMAL '3'", ""
+    )
+    assert "DECIMAL '1' +" in out
+    # left-associativity: x - 1 - 2 is (x-1)-2, not x-(1-2)
+    assert f("SELECT x - DECIMAL '1' - DECIMAL '2' FROM t") == (
+        "SELECT x - DECIMAL '1' - DECIMAL '2' FROM t"
+    )
+    # (a/2)*3, not a/(2*3)
+    assert f("SELECT a / DECIMAL '2' * DECIMAL '3' FROM t") == (
+        "SELECT a / DECIMAL '2' * DECIMAL '3' FROM t"
+    )
+    # unary minus binds the left operand: -(1)+2, not -(1+2)
+    assert f("SELECT -DECIMAL '1' + DECIMAL '2'") == (
+        "SELECT -DECIMAL '1' + DECIMAL '2'"
+    )
+    # isolated pairs still fold; * folds even after +/-
+    assert f("SELECT DECIMAL '1' + DECIMAL '2'") == (
+        "SELECT CAST('3' AS DECIMAL(1,0))"
+    )
+    assert "CAST('6' AS DECIMAL(1,0))" in f(
+        "SELECT x + DECIMAL '2' * DECIMAL '3' FROM t"
+    )
+    # division result scale is max(s1, s2), HALF_UP
+    # (DecimalOperators.java:317) — not the dividend's scale
+    assert f("SELECT DECIMAL '1' / DECIMAL '3.00'") == (
+        "SELECT CAST('0.33' AS DECIMAL(2,2))"
+    )
+    assert f("SELECT DECIMAL '1.0' / DECIMAL '3'") == (
+        "SELECT CAST('0.3' AS DECIMAL(1,1))"
+    )
+
+
+def test_width_bucket2_null_propagates():
+    # NULL operand/bins: Presto returns NULL; the filter-count spelling
+    # alone returns 0 (the lambda is NULL for every bin)
+    out = rewrite("SELECT width_bucket(x, ARRAY[1, 5, 10]) FROM t")
+    assert "CASE WHEN (x) IS NULL" in out and "size(filter(" in out

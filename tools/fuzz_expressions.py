@@ -475,22 +475,23 @@ def duck_dialect(q: str) -> str:
 
     from presto_ads_spark.rewrite import (
         _rewrite_int_literal_division,
+        infer_values_int_cols,
         rewrite_integral_column_division,
     )
 
     dq = rewrite_integral_column_division(
-        _rewrite_int_literal_division(q), frozenset(INT_COLS)
+        _rewrite_int_literal_division(q),
+        frozenset(INT_COLS) | infer_values_int_cols(q),
     ).replace(" DIV ", " // ")
     for pat, rep in _DUCK_RENAMES:
         dq = _re.sub(pat, rep, dq)
     return dq
 
 
-def run_fuzz(n: int, seed: int, eng, duck, verbose: bool = True):
-    """Run n seeded queries through Engine.sql and DuckDB; returns the
-    list of mismatch descriptions (empty = clean)."""
-    import _golden_util as gu
-
+def install_duck_macros(duck) -> None:
+    """Install the Presto-semantics compensating macros every DuckDB
+    oracle connection needs before running ``duck_dialect`` output
+    (shared by run_fuzz and tests/test_property.py)."""
     # Presto array_distinct keeps one NULL (ArrayDistinctFunction treats
     # null as a distinct value); DuckDB's list_distinct drops all nulls.
     duck.execute(
@@ -498,11 +499,21 @@ def run_fuzz(n: int, seed: int, eng, duck, verbose: bool = True):
         "list_distinct(l) || CASE WHEN len(list_filter(l, e -> e IS NULL)) "
         "> 0 THEN [NULL] ELSE [] END"
     )
+    # Presto 0.216 greatest/least are RETURN_NULL_ON_NULL
+    # (AbstractGreatestLeast.java:118); DuckDB ignores NULLs.
     for gl in ("greatest", "least"):
         duck.execute(
             f"CREATE OR REPLACE MACRO presto_{gl}(a, b) AS "
             f"CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE {gl}(a, b) END"
         )
+
+
+def run_fuzz(n: int, seed: int, eng, duck, verbose: bool = True):
+    """Run n seeded queries through Engine.sql and DuckDB; returns the
+    list of mismatch descriptions (empty = clean)."""
+    import _golden_util as gu
+
+    install_duck_macros(duck)
     rng = random.Random(seed)
     failures: list[str] = []
     oracle_skipped = 0

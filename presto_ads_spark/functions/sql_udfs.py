@@ -160,8 +160,16 @@ SQL_FUNCTIONS: list[str] = [
     # json_extract_scalar ≈ get_json_object (same $.path dialect).
     """CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(js STRING, path STRING)
        RETURNS STRING RETURN get_json_object(js, path)""",
+    # json_array_get (JsonFunctions.java:376): negative index counts from
+    # the end; a JSON null element returns SQL NULL. The int-range guard
+    # keeps the negative-offset addition from ANSI-overflowing on
+    # Long.MIN_VALUE probes.
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_get(js STRING, idx BIGINT)
-       RETURNS STRING RETURN get_json_object(js, concat('$[', CAST(idx AS STRING), ']'))""",
+       RETURNS STRING RETURN
+         CASE WHEN idx IS NULL OR idx < -2147483648 OR idx > 2147483647 THEN NULL
+              ELSE nullif(get_json_object(js, concat('$[', CAST(
+                     CASE WHEN idx < 0 THEN json_array_length(js) + idx
+                          ELSE idx END AS STRING), ']')), 'null') END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains_str(js STRING, v STRING)
        RETURNS BOOLEAN RETURN array_contains(from_json(js, 'array<string>'), v)""",
     # json_size (JsonFunctions.java): element count of the array/object at
@@ -187,8 +195,14 @@ SQL_FUNCTIONS: list[str] = [
        RETURNS STRING RETURN parse_url(url, 'QUERY')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_fragment(url STRING)
        RETURNS STRING RETURN parse_url(url, 'REF')""",
+    # a key present WITHOUT a value returns '' (UrlFunctions
+    # urlExtractParameter "first matched key is empty" → EMPTY_SLICE);
+    # an absent key returns NULL — Spark's parse_url NULLs both
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_parameter(url STRING, name STRING)
-       RETURNS STRING RETURN parse_url(url, 'QUERY', name)""",
+       RETURNS STRING RETURN
+         coalesce(parse_url(url, 'QUERY', name),
+                  CASE WHEN array_contains(split(parse_url(url, 'QUERY'), '&'), name)
+                       THEN '' END)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_port(url STRING)
        RETURNS BIGINT RETURN CAST(regexp_extract(parse_url(url, 'AUTHORITY'), ':(\\\\d+)$', 1) AS BIGINT)""",
     # --- ArrayFunctions --------------------------------------------------
@@ -308,8 +322,10 @@ SQL_FUNCTIONS: list[str] = [
        RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION nan()
        RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)""",
+    # NULL-propagating (MathFunctions isNaN is RETURN_NULL_ON_NULL;
+    # Spark's isnan(NULL) is false)
     """CREATE OR REPLACE TEMPORARY FUNCTION is_nan(x DOUBLE)
-       RETURNS BOOLEAN RETURN isnan(x)""",
+       RETURNS BOOLEAN RETURN CASE WHEN x IS NULL THEN NULL ELSE isnan(x) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION is_infinite(x DOUBLE)
        RETURNS BOOLEAN RETURN abs(x) = CAST('Infinity' AS DOUBLE)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION is_finite(x DOUBLE)

@@ -725,6 +725,198 @@ def _rewrite_array_literals(sql: str) -> str:
     return re.sub(r"\bMAP\s*\(\s*array\(", "map_from_arrays(array(", sql)
 
 
+_SCALAR_LIT_ITEM_RE = re.compile(
+    r"^(?:(?:DATE|TIME|TIMESTAMP|BIGINT|INTEGER|INT|SMALLINT|TINYINT"
+    r"|DOUBLE|REAL|DECIMAL|CHAR|VARCHAR|BOOLEAN)\s*)?'(?:[^']|'')*'$"
+    r"|^[+-]?\d+(?:\.\d*)?(?:E[+-]?\d+)?$"
+    r"|^(?:TRUE|FALSE)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _array_call_depth(item: str) -> int | None:
+    """Textual nesting depth of an ``array(...)`` constructor literal
+    (array(1) → 1, array(array(1)) → 2); None when the item is neither
+    an array constructor nor a scalar literal (unknown type)."""
+    item = item.strip()
+    m = re.match(r"(?is)^array\s*\((.*)\)$", item)
+    if m:
+        body = m.group(1).strip()
+        if not body:
+            return 1
+        first = _split_top_level(body)[0].strip()
+        d = _array_call_depth(first)
+        return 1 + (d if d is not None else 0)
+    if _SCALAR_LIT_ITEM_RE.match(item):
+        return 0
+    return None
+
+
+def _rewrite_element_array_concat(sql: str) -> str:
+    """Presto ``e || array`` / ``array || e`` appends/prepends the
+    element (TestArrayOperators testElementArrayConcat;
+    ArrayConcatUtils). Spark's ``||`` is same-type concat only, so a
+    mixed chain errors with DATA_DIFF_TYPES. For chains whose items are
+    all provably-typed literals (array constructors or scalar literals)
+    with mixed depths, wrap each shallower item in ``array(...)`` —
+    ``1 || array(2)`` ≡ ``array(1) || array(2)``. Items of unknown type
+    (columns) leave the chain untouched."""
+    mask = _literal_mask(sql)
+    out, i, n = [], 0, len(sql)
+    # collect top-level || chain spans by scanning every || occurrence
+    spans = []  # (start, end, items)
+    k = 0
+    while k < n - 1:
+        if sql[k] == "|" and sql[k + 1] == "|" and not mask[k]:
+            # walk left to the operand start
+            items = []
+            lo = _concat_operand_left(sql, mask, k)
+            hi = k
+            if lo is None:
+                k += 2
+                continue
+            items.append((lo, hi))
+            pos = k
+            while True:
+                rr = _concat_operand_right(sql, mask, pos + 2)
+                if rr is None:
+                    items = None
+                    break
+                items.append((pos + 2, rr))
+                # another || after?
+                p = rr
+                while p < n and sql[p].isspace():
+                    p += 1
+                if p < n - 1 and sql[p] == "|" and sql[p + 1] == "|":
+                    pos = p
+                else:
+                    break
+            if items and len(items) >= 2:
+                spans.append((items[0][0], items[-1][1], items))
+                k = items[-1][1]
+                continue
+        k += 1
+    if not spans:
+        return sql
+    prev = 0
+    for start, end, items in spans:
+        texts = [sql[a:b].strip() for a, b in items]
+        depths = [_array_call_depth(t) for t in texts]
+        out.append(sql[prev:start])
+        if any(d is None for d in depths) or not any(d and d > 0 for d in depths):
+            out.append(sql[start:end])
+        else:
+            dmax = max(d for d in depths if d is not None)
+            if all(d in (dmax, dmax - 1) for d in depths) and any(
+                d == dmax - 1 for d in depths
+            ):
+                out.append(
+                    " || ".join(
+                        t if d == dmax else f"array({t})"
+                        for t, d in zip(texts, depths)
+                    )
+                )
+            else:
+                out.append(sql[start:end])
+        prev = end
+    out.append(sql[prev:])
+    return "".join(out)
+
+
+def _concat_operand_left(sql: str, mask, k: int):
+    """Start index of the || operand ending just before position k, or
+    None when the shape is not a recognizable literal/call operand."""
+    j = k - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j < 0:
+        return None
+    c = sql[j]
+    if c == ")":
+        depth = 0
+        while j >= 0:
+            if sql[j] == ")" and not mask[j]:
+                depth += 1
+            elif sql[j] == "(" and not mask[j]:
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        # include a directly-attached callee name
+        p = j - 1
+        while p >= 0 and (sql[p].isalnum() or sql[p] == "_"):
+            p -= 1
+        return p + 1 if p + 1 < j else j
+    if c == "'":
+        j -= 1
+        while j >= 0:
+            if sql[j] == "'":
+                if j - 1 >= 0 and sql[j - 1] == "'":
+                    j -= 2
+                    continue
+                break
+            j -= 1
+        if j < 0:
+            return None
+        # typed-literal keyword directly before?
+        p = j - 1
+        while p >= 0 and sql[p].isspace():
+            p -= 1
+        q = p
+        while q >= 0 and (sql[q].isalnum() or sql[q] == "_"):
+            q -= 1
+        word = sql[q + 1 : p + 1].upper()
+        if word in (
+            "DATE", "TIME", "TIMESTAMP", "BIGINT", "INTEGER", "INT",
+            "SMALLINT", "TINYINT", "DOUBLE", "REAL", "DECIMAL", "CHAR",
+            "VARCHAR", "BOOLEAN",
+        ):
+            return q + 1
+        return j
+    if c.isalnum() or c in "._":
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "._"):
+            j -= 1
+        return j + 1
+    return None
+
+
+def _concat_operand_right(sql: str, mask, k: int):
+    """End index (exclusive) of the || operand starting at/after k."""
+    n = len(sql)
+    j = k
+    while j < n and sql[j].isspace():
+        j += 1
+    if j >= n:
+        return None
+    m = re.match(
+        r"(?is)(?:DATE|TIME|TIMESTAMP|BIGINT|INTEGER|INT|SMALLINT|TINYINT"
+        r"|DOUBLE|REAL|DECIMAL|CHAR|VARCHAR|BOOLEAN)\s*'",
+        sql[j:],
+    )
+    if m or sql[j] == "'":
+        p = j + (m.end() if m else 1)
+        while p < n:
+            if sql[p] == "'":
+                if p + 1 < n and sql[p + 1] == "'":
+                    p += 2
+                    continue
+                return p + 1
+            p += 1
+        return None
+    cm = re.match(r"[A-Za-z_][A-Za-z0-9_.]*\s*\(", sql[j:])
+    if cm:
+        return _scan_matching_paren(sql, j + cm.end())
+    nm = re.match(r"[+-]?\d+(?:\.\d*)?(?:[Ee][+-]?\d+)?", sql[j:])
+    if nm:
+        return j + nm.end()
+    wm = re.match(r"(?i)[A-Za-z_][A-Za-z0-9_.]*", sql[j:])
+    if wm:
+        return j + wm.end()
+    return None
+
+
 def _rewrite_subscripts(sql: str) -> str:
     """Presto subscript ``x[e]`` is 1-based on arrays and key-lookup on maps
     (SqlBase.g4 subscript; InterpretedFunctionInvoker) — Spark's ``[]`` is
@@ -1224,7 +1416,32 @@ def _rewrite_typed_literals(sql: str) -> str:
             return m.group(0)
         t = " ".join(m.group(1).upper().split())
         lit = m.group(2)
-        if t in ("JSON", "VARCHAR", "CHAR"):
+        if t == "JSON":
+            # a JSON literal canonicalizes: compact spacing, object keys
+            # sorted (JsonFunctions SORTED_MAPPER / "ordered by key is
+            # required in Presto", JsonUtil.java:100) — JSON equality is
+            # string equality over this form
+            import json as _json
+            from decimal import Decimal as _Dec
+
+            try:
+                # _rewrite_literal_backslashes (first pass) doubled the
+                # literal's backslashes for Spark; undo for the parse
+                v = _json.loads(
+                    lit[1:-1].replace("''", "'").replace("\\\\", "\\"),
+                    parse_float=_Dec,
+                )
+                # Spark literals process C escapes: double backslashes
+                return (
+                    "'"
+                    + _render_canonical_json(v)
+                    .replace("\\", "\\\\")
+                    .replace("'", "''")
+                    + "'"
+                )
+            except ValueError:
+                return lit
+        if t in ("VARCHAR", "CHAR"):
             return lit
         if t == "INTEGER":
             t = "INT"
@@ -1649,6 +1866,101 @@ def _rewrite_map_equality(sql: str) -> str:
         i = m.start() + len(rep)
 
 
+_ARRROW_CALL_HEAD_RE = re.compile(r"\b(array|row|struct)\s*\(", re.IGNORECASE)
+_ARRROW_CMP_OP_RE = re.compile(r"\s*(=|!=|<>)\s*")
+
+
+def _array_eq_expr(a: str, b: str, nested: bool) -> str:
+    """Three-valued array equality (ArrayEqualOperator): length mismatch
+    → false, any position false → false, else any position NULL → NULL,
+    else true. ``nested`` compares one extra array level the same way."""
+    lam = "(__l2, __r2) -> (__l2 = __r2)"
+    if nested:
+        inner = (
+            f"CASE WHEN __l IS NULL OR __r IS NULL THEN NULL"
+            f" WHEN size(__l) <> size(__r) THEN false"
+            f" WHEN exists(zip_with(__l, __r, {lam}), __e2 -> __e2 = false)"
+            f" THEN false"
+            f" WHEN exists(zip_with(__l, __r, {lam}), __e2 -> __e2 IS NULL)"
+            f" THEN NULL ELSE true END"
+        )
+    else:
+        inner = "(__l = __r)"
+    z = f"zip_with({a}, {b}, (__l, __r) -> {inner})"
+    return (
+        f"(CASE WHEN size({a}) <> size({b}) THEN false"
+        f" WHEN exists({z}, __e -> __e = false) THEN false"
+        f" WHEN exists({z}, __e -> __e IS NULL) THEN NULL"
+        f" ELSE true END)"
+    )
+
+
+def _rewrite_array_row_equality(sql: str) -> str:
+    """``array(…) = array(…)`` / ``row(…) = row(…)`` (and <>/!=) where
+    BOTH sides are textual constructors AND a NULL element is present:
+    Presto's equality is three-valued over element comparisons
+    (ArrayEqualOperator / RowEqualOperator — a NULL element makes the
+    result NULL unless some position is definitely unequal), while Spark
+    = treats NULL elements as equal values. NULL-free literals keep
+    Spark's native = (same result, simpler plan)."""
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _ARRROW_CALL_HEAD_RE.finditer(sql, i):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        om = _ARRROW_CMP_OP_RE.match(sql, j)
+        if om is None:
+            i = m.end()
+            continue
+        m2 = _ARRROW_CALL_HEAD_RE.match(sql, om.end())
+        kind = m.group(1).lower()
+        kind2 = m2.group(1).lower() if m2 else None
+        norm = {"struct": "row"}
+        if m2 is None or norm.get(kind, kind) != norm.get(kind2, kind2):
+            i = m.end()
+            continue
+        j2 = _scan_matching_paren(sql, m2.end())
+        a, b = sql[m.start() : j], sql[om.end() : j2]
+        if not re.search(r"\bnull\b", a + b, re.IGNORECASE):
+            i = m.end()
+            continue
+        op = om.group(1)
+        if kind == "array":
+            aargs = _split_top_level(sql[m.end() : j - 1])
+            bargs = _split_top_level(sql[m2.end() : j2 - 1])
+            nested = bool(aargs and bargs) and all(
+                re.match(r"(?is)^\s*array\s*\(", x) or
+                re.fullmatch(r"(?is)\s*null\s*", x)
+                for x in aargs + bargs
+            )
+            eq = _array_eq_expr(a, b, nested)
+        else:
+            aargs = _split_top_level(sql[m.end() : j - 1])
+            bargs = _split_top_level(sql[m2.end() : j2 - 1])
+            if len(aargs) != len(bargs):
+                i = m.end()
+                continue
+            eqs = [
+                f"(({x.strip()}) = ({y.strip()}))"
+                for x, y in zip(aargs, bargs)
+            ]
+            falses = " OR ".join(f"{e} = false" for e in eqs)
+            nulls = " OR ".join(f"{e} IS NULL" for e in eqs)
+            eq = (
+                f"(CASE WHEN {falses} THEN false"
+                f" WHEN {nulls} THEN NULL ELSE true END)"
+            )
+        rep = eq if op == "=" else f"(NOT {eq})"
+        sql = sql[: m.start()] + rep + sql[j2:]
+        i = m.start() + len(rep)
+
+
 def _rewrite_map_from_arrays(sql: str) -> str:
     """Presto's 2-arg ``map(array_k, array_v)`` (MapConstructor.java) →
     ``map_from_arrays``. Spark's variadic key-value ``map(k1, v1, ...)``
@@ -1941,7 +2253,8 @@ _JSON_LIT_CAST_RE = re.compile(
     r"((?:BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL|BOOLEAN|VARCHAR"
     r"|DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)"
     r"|ARRAY\s*[(<]\s*(?:BIGINT|INTEGER|INT|SMALLINT|TINYINT|DOUBLE|REAL"
-    r"|BOOLEAN|VARCHAR|DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\))\s*[)>]))\s*\)",
+    r"|BOOLEAN|VARCHAR|JSON|DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\))\s*[)>]))"
+    r"\s*\)",
     re.IGNORECASE,
 )
 
@@ -1962,6 +2275,17 @@ def _json_scalar_to_sql(v, t: str):
     from decimal import ROUND_HALF_UP, Decimal
 
     t = " ".join(t.split()).upper()
+    if t == "JSON":
+        # JSON-typed element: the value re-renders as compact canonical
+        # JSON text (JsonUtil JSON_FACTORY has no spaces); a JSON null
+        # element is the text 'null', not SQL NULL
+        import json as _json
+
+        return (
+            "'"
+            + _json.dumps(v, separators=(",", ":")).replace("'", "''")
+            + "'"
+        )
     if v is None:
         base = t if "(" in t or t != "INT" else "INT"
         return f"CAST(NULL AS {base})"
@@ -2177,6 +2501,74 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
     Marker-then-inline where the inline body contains the source name
     (see _replace_fn_calls: a builder may never emit a same-name call).
     """
+    # bare-NULL argument typing: Presto types NULL per the signature and
+    # RETURN_NULL_ON_NULL yields NULL; Spark rejects the VOID argument.
+    # The CASE-with-typed-ELSE trick derives the result type from the
+    # call over the non-NULL (or emptied) arguments.
+    def _is_bare_null(a: str) -> bool:
+        return bool(re.fullmatch(r"(?is)\s*NULL\s*", a))
+
+    def concat_null(a):
+        if len(a) >= 2 and any(_is_bare_null(x) for x in a) and any(
+            re.match(r"(?is)^\s*(array\s*[\[(])", x) for x in a
+        ):
+            rest = [x for x in a if not _is_bare_null(x)]
+            return (
+                f"CASE WHEN true THEN NULL "
+                f"ELSE concat({', '.join(rest)}) END"
+            )
+        return None
+
+    sql = _replace_fn_calls(sql, "concat", concat_null)
+
+    def map_concat_null(a):
+        if len(a) >= 2 and any(_is_bare_null(x) for x in a):
+            rest = [x for x in a if not _is_bare_null(x)]
+            if rest:
+                return (
+                    f"CASE WHEN true THEN NULL "
+                    f"ELSE map_concat({', '.join(rest)}) END"
+                )
+        return None
+
+    sql = _replace_fn_calls(sql, "map_concat", map_concat_null)
+
+    def except_null(a):
+        if len(a) == 2 and any(_is_bare_null(x) for x in a):
+            fixed = ["array()" if _is_bare_null(x) else x for x in a]
+            return (
+                f"CASE WHEN true THEN NULL "
+                f"ELSE array_except({', '.join(fixed)}) END"
+            )
+        return None
+
+    sql = _replace_fn_calls(sql, "array_except", except_null)
+
+    def position_null(a):
+        if len(a) == 2 and _is_bare_null(a[1]):
+            return "CAST(NULL AS BIGINT)"
+        return None
+
+    sql = _replace_fn_calls(sql, "array_position", position_null)
+
+    sql = _replace_fn_calls(
+        sql,
+        "map_from_entries",
+        lambda a: "CAST(NULL AS MAP<STRING,STRING>)"
+        if len(a) == 1 and _is_bare_null(a[0])
+        else None,
+    )
+    # CASE WHEN null THEN …: Presto types the bare NULL condition
+    # boolean; Spark rejects the VOID literal. Anchored on CASE so a
+    # simple-CASE ``CASE x WHEN NULL`` (value comparison) stays intact.
+    sql = _apply_outside_literals(
+        sql,
+        lambda c: re.sub(
+            r"(?i)\bCASE\s+WHEN\s+NULL\s+THEN\b",
+            "CASE WHEN CAST(NULL AS BOOLEAN) THEN",
+            c,
+        ),
+    )
     # flatten: marker, then inline with the null-filter
     sql = _replace_fn_calls(
         sql, "flatten", lambda a: f"__pflat({a[0]})" if len(a) == 1 else None
@@ -2186,18 +2578,65 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
         "__pflat",
         lambda a: f"flatten(filter({a[0]}, __fe -> __fe IS NOT NULL))",
     )
-    # typeof: marker, then inline the name-mapping CASE
-    sql = _replace_fn_calls(
-        sql, "typeof", lambda a: f"__ptypeof({a[0]})" if len(a) == 1 else None
-    )
+    # typeof: literal folds (TypeOfFunction returns the DECLARED type —
+    # 'cat' is varchar(3), CAST(NULL AS T) is T in Presto spelling),
+    # then marker + inline name-mapping with a parameterized-name
+    # conversion chain (array<int> → array(integer)) in the ELSE arm
+    def typeof_build(a):
+        if len(a) != 1:
+            return None
+        arg = a[0].strip()
+        mm = re.fullmatch(r"'((?:[^']|'')*)'", arg)
+        if mm:
+            n = len(mm.group(1).replace("''", "'"))
+            return f"'varchar({n})'"
+        mm = re.fullmatch(r"(?is)CAST\s*\(\s*NULL\s+AS\s+(.+)\)", arg)
+        if mm and re.fullmatch(r"[A-Za-z0-9_(),\s]+", mm.group(1).strip()):
+            tt = re.sub(r"\s+", "", mm.group(1)).lower()
+            tt = re.sub(r"\bint\b", "integer", tt)
+            return f"'{tt}'"
+        return f"__ptypeof({arg})"
+
+    sql = _replace_fn_calls(sql, "typeof", typeof_build)
     whens = " ".join(
         f"WHEN '{s}' THEN '{p}'" for s, p in _TYPEOF_NAME_MAP
     )
-    sql = _replace_fn_calls(
-        sql,
-        "__ptypeof",
-        lambda a: f"CASE typeof({a[0]}) {whens} ELSE typeof({a[0]}) END",
-    )
+
+    def ptypeof_inline(a):
+        chain = f"typeof({a[0]})"
+        for pat, rep in (
+            ("<", "("),
+            (">", ")"),
+            # SQL-literal spelling: Spark unescapes '\\b' to the regex \b
+            (r"\\bint\\b", "integer"),
+            (r"\\bstring\\b", "varchar"),
+            (r"\\bfloat\\b", "real"),
+            (r"\\bbinary\\b", "varbinary"),
+        ):
+            chain = f"regexp_replace({chain}, '{pat}', '{rep}')"
+        return f"CASE typeof({a[0]}) {whens} ELSE {chain} END"
+
+    sql = _replace_fn_calls(sql, "__ptypeof", ptypeof_inline)
+
+    # array_min/array_max NULL-propagate on a NULL element
+    # (AbstractArrayMinMaxFunction RETURN_NULL_ON_NULL); Spark's skip
+    # nulls. Marker two-pass: a builder may never emit its own name.
+    def arr_extreme(marker):
+        def build(a):
+            if len(a) != 1:
+                return None
+            x = a[0].strip()
+            return (
+                f"CASE WHEN exists(({x}), __ae -> __ae IS NULL) THEN NULL "
+                f"ELSE {marker}(({x})) END"
+            )
+
+        return build
+
+    sql = _replace_fn_calls(sql, "array_min", arr_extreme("__pamin"))
+    sql = _replace_fn_calls(sql, "array_max", arr_extreme("__pamax"))
+    sql = _replace_fn_calls(sql, "__pamin", lambda a: f"array_min({a[0]})")
+    sql = _replace_fn_calls(sql, "__pamax", lambda a: f"array_max({a[0]})")
 
     def from_base(a):
         if len(a) != 2:
@@ -2246,6 +2685,11 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
         if len(a) != 2:
             return None
         x, n_txt = a[0].strip(), a[1].strip()
+        if re.fullmatch(r"(?i)NULL", n_txt) or re.fullmatch(
+            r"(?i)NULL", x
+        ):
+            # truncate(NULL, NULL) → NULL decimal (RETURN_NULL_ON_NULL)
+            return "CAST(NULL AS DECIMAL(1,0))"
         if not re.fullmatch(r"-?\d+", n_txt):
             return None
         n = int(n_txt)
@@ -2436,7 +2880,7 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
         mask = _literal_mask(sql)
         m = _ROW_FIELD_RE.search(sql, i)
         if not m:
-            return sql
+            break
         if mask[m.start()]:
             i = m.end()
             continue
@@ -2449,6 +2893,18 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
             sql[:j] + f".col{int(fm.group(1)) + 1}" + sql[j + fm.end() :]
         )
         i = m.end()
+    # general unnamed-row ordinal access after any call/subscript close
+    # (legacy row field ordinal access, RowType): `).field1`,
+    # `]."field1"`, chained `.field1[2].field0` — every engine-built
+    # unnamed struct is named col1.. (constructor AND cast/from_json)
+    return _apply_outside_literals(
+        sql,
+        lambda c: re.sub(
+            r'(?<=[)\]])\.\s*("?)field(\d+)\1(?!\w)',
+            lambda mm: f".col{int(mm.group(2)) + 1}",
+            c,
+        ),
+    )
 
 
 
@@ -2928,8 +3384,14 @@ def _rewrite_regex_arg_defaults(sql: str) -> str:
     def add_group0(args):
         return [*args, "0"] if len(args) == 2 else None
 
+    def add_empty_replacement(args):
+        # Presto's 2-arg regexp_replace removes matches
+        # (JoniRegexpFunctions regexpReplace(source, pattern))
+        return [*args, "''"] if len(args) == 2 else None
+
     sql = _map_fn_args(sql, "split", fix_split)
     sql = _map_fn_args(sql, "regexp_extract_all", add_group0)
+    sql = _map_fn_args(sql, "regexp_replace", add_empty_replacement)
     return _map_fn_args(sql, "regexp_extract", add_group0)
 
 
@@ -3010,13 +3472,28 @@ def _rewrite_order_by_nulls(sql: str) -> str:
 # integer-LITERAL / integer-LITERAL case is decidable textually → DIV
 # (which, like Presto, truncates toward zero and errors on /0 under ANSI).
 # Column-typed division remains a documented deviation (README).
-_INT_DIV_RE = re.compile(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])")
+# Typed integer literals (INTEGER'37', TINYINT '5') divide integrally
+# too — they lower to CASTs only at the end of the pipeline.
+_TYPED_INT_LIT = r"(?:TINYINT|SMALLINT|INTEGER|INT|BIGINT)\s*'\s*-?\d+\s*'"
+_INT_DIV_RE = re.compile(
+    rf"(?<![\w.])({_TYPED_INT_LIT}|\d+)\s*/\s*({_TYPED_INT_LIT}|\d+)"
+    r"(?![\w.])",
+    re.IGNORECASE,
+)
 
 
 def _rewrite_int_literal_division(sql: str) -> str:
-    return _apply_outside_literals(
-        sql, lambda c: _INT_DIV_RE.sub(r"(\1 DIV \2)", c)
-    )
+    # full-text scan with a mask check at the match start: the typed
+    # literal alternatives CONTAIN string literals, so chunked
+    # outside-literal application could never see them whole
+    mask = _literal_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if mask[m.start()]:
+            return m.group(0)
+        return f"({m.group(1)} DIV {m.group(2)})"
+
+    return _INT_DIV_RE.sub(sub, sql)
 
 
 # operand: a bare (possibly qualified) identifier or an integer literal
@@ -3335,8 +3812,8 @@ def rewrite_double_bigint_cast(sql: str, double_cols: frozenset) -> str:
     Presto's HALF_UP rounding.  Outermost casts only — a nested
     double→bigint cast inside the operand stays truncating (no such
     shape in the corpus; avoids overlapping text edits)."""
-    if not double_cols:
-        return sql
+    # no early-out on empty double_cols: literal operands
+    # (cast(37.7E0 as bigint)) are provably double on their own
     mask = _literal_mask(sql)
     edits: list[tuple[int, int, str]] = []
     last_end = -1
@@ -3362,6 +3839,68 @@ def rewrite_double_bigint_cast(sql: str, double_cols: frozenset) -> str:
     for s, e, rep in reversed(edits):
         sql = sql[:s] + rep + sql[e:]
     return sql
+
+
+_HOF_DBL_HEAD_RE = re.compile(r"\b(transform|filter|apply)\s*\(", re.IGNORECASE)
+
+
+def _all_double_array_literal(e: str) -> bool:
+    """True for ``array(25.6E0, 27.3E0)`` / ``ARRAY[…]`` whose elements
+    are all provably double (exponent literals / double-typed exprs)."""
+    m = re.fullmatch(r"(?is)ARRAY\s*[\[(](.*)[\])]", e.strip())
+    if not m or not m.group(1).strip():
+        return False
+    return all(
+        _provably_double(a, frozenset())
+        or re.fullmatch(r"(?is)\s*NULL\s*", a)
+        for a in _split_top_level(m.group(1))
+    )
+
+
+def rewrite_lambda_double_casts(sql: str) -> str:
+    """Extend the provable-double HALF_UP lowering into HOF lambda
+    scopes: ``transform(ARRAY[25.6E0, …], x -> CAST(x AS BIGINT))`` and
+    ``apply(25.6E0, x -> …)`` round half-up like Presto
+    (MathFunctions doubleToBigint), not truncate."""
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _HOF_DBL_HEAD_RE.finditer(sql, i):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        args = _split_top_level(sql[m.end() : j - 1])
+        if len(args) != 2:
+            i = m.end()
+            continue
+        src, lam = args[0].strip(), args[1]
+        lm = re.match(r"(?s)\s*(\w+)\s*->\s*(.*)$", lam)
+        if lm is None:
+            i = m.end()
+            continue
+        var, body = lm.group(1), lm.group(2)
+        fn = m.group(1).lower()
+        is_dbl = (
+            _provably_double(src, frozenset())
+            if fn == "apply"
+            else _all_double_array_literal(src)
+        )
+        if not is_dbl:
+            i = m.end()
+            continue
+        new_body = rewrite_double_bigint_cast(
+            body, frozenset({var.lower()})
+        )
+        if new_body == body:
+            i = m.end()
+            continue
+        rep = f"{m.group(1)}({src}, {var} -> {new_body})"
+        sql = sql[: m.start()] + rep + sql[j:]
+        i = m.start() + len(rep)
 
 
 def rewrite_double_round_half_up(sql: str, double_cols: frozenset) -> str:
@@ -4200,12 +4739,14 @@ def _presto_type_to_spark(t: str) -> str | None:
             fm = re.match(r"^\s*(\w+)\s+(.+)$", p, re.DOTALL)
             if not fm:
                 # unnamed field (ROW(INTEGER, INTEGER) is legal Presto;
-                # RowType names them field0..) — Spark structs need
-                # names, use Presto's spelling
+                # RowType names them field0..) — name them col1.. to
+                # match Spark's struct() constructor naming, so the
+                # .fieldN → .col{N+1} access rewrite works against BOTH
+                # constructor-built and cast/from_json-built structs
                 ft_only = _presto_type_to_spark(p.strip())
                 if not ft_only:
                     return None
-                fields.append(f"field{i_f}:{ft_only}")
+                fields.append(f"col{i_f + 1}:{ft_only}")
                 continue
             ft = _presto_type_to_spark(fm.group(2))
             if not ft:
@@ -4265,6 +4806,177 @@ def _jvm_json_elem(arg: str) -> str:
     return f"substr({tj}, 6, length({tj}) - 6)"
 
 
+class _JsonNull:
+    """Sentinel: the JSON ``null`` VALUE (renders as the text 'null'),
+    distinct from SQL NULL (a NULL json cell)."""
+
+
+_JSON_NULL = _JsonNull()
+
+
+def _parse_literal_json_value(e: str):
+    """A literal SQL expression → the Python JSON value it denotes
+    (JsonUtil to-JSON coercions over literals only). Raises ValueError
+    for anything non-literal — callers fall back to the runtime path.
+    A top-level SQL NULL parses to None; a top-level ``JSON 'null'``
+    parses to the _JSON_NULL sentinel (Presto: CAST(NULL AS JSON) is
+    SQL NULL, but JSON 'null' is the json null value)."""
+    import json as _json
+    from decimal import Decimal
+
+    e = e.strip()
+    mm = re.fullmatch(r"(?is)JSON\s*('(?:[^']|'')*')", e)
+    if mm:
+        try:
+            v = _json.loads(mm.group(1)[1:-1].replace("''", "'"))
+        except ValueError as exc:
+            raise ValueError(f"bad json literal {e!r}") from exc
+        return _JSON_NULL if v is None else v
+    if re.fullmatch(r"(?i)NULL", e):
+        return None
+    if re.fullmatch(r"(?i)TRUE", e):
+        return True
+    if re.fullmatch(r"(?i)FALSE", e):
+        return False
+    mm = re.fullmatch(r"'((?:[^']|'')*)'", e)
+    if mm:
+        return mm.group(1).replace("''", "'")
+    mm = re.fullmatch(r"(?is)(?:DATE)\s*('(?:[^']|'')*')", e)
+    if mm:  # DATE literals serialize as their ISO text
+        return mm.group(1)[1:-1]
+    mm = re.fullmatch(r"(?is)DECIMAL\s*'([^']*)'", e)
+    if mm:
+        return Decimal(mm.group(1).strip())
+    if re.fullmatch(r"[+-]?\d+", e):
+        return int(e)
+    if re.fullmatch(r"(?i)[+-]?(?:\d+\.?\d*|\.\d+)E[+-]?\d+", e):
+        return float(e)
+    if re.fullmatch(r"[+-]?(?:\d+\.\d*|\.\d+)", e):
+        return Decimal(e)
+    mm = re.fullmatch(r"(?is)(?:ARRAY\s*[\[(]|ROW\s*\()(.*)[\])]", e)
+    if mm:
+        body = mm.group(1).strip()
+        return (
+            [_parse_literal_json_value(a) for a in _split_top_level(body)]
+            if body
+            else []
+        )
+    mm = re.fullmatch(r"(?is)(?:MAP|MAP_FROM_ARRAYS)\s*\((.*)\)", e)
+    if mm:
+        if not mm.group(1).strip():
+            return {}
+        args = _split_top_level(mm.group(1))
+        if len(args) != 2:
+            raise ValueError(f"map arity {e!r}")
+        ks = _parse_literal_json_value(args[0])
+        vs = _parse_literal_json_value(args[1])
+        if not isinstance(ks, list) or not isinstance(vs, list):
+            raise ValueError(f"map args not arrays {e!r}")
+        if len(ks) != len(vs):
+            raise ValueError(f"map length mismatch {e!r}")
+        return dict(zip(ks, vs))
+    mm = re.fullmatch(r"(?is)(?:TRY_)?CAST\s*\((.*)\)", e)
+    if mm:
+        inner = mm.group(1)
+        depth, in_str, as_pos = 0, False, -1
+        for k in range(len(inner) - 3):
+            c = inner[k]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and inner[k : k + 4].upper() == " AS ":
+                as_pos = k
+        if as_pos < 0:
+            raise ValueError(f"cast without AS {e!r}")
+        operand = inner[:as_pos].strip()
+        # structure/NULL pass-throughs only: a scalar CAST can change
+        # the value (string→int coercion) and must not fold blindly
+        if re.fullmatch(r"(?i)NULL", operand):
+            return None
+        if re.match(r"(?is)^(ARRAY\s*\[|ROW\s*\(|MAP\s*\()", operand):
+            return _parse_literal_json_value(operand)
+        raise ValueError(f"non-structural cast {e!r}")
+    raise ValueError(f"non-literal {e!r}")
+
+
+def _unify_decimal_scales(vals):
+    """Presto serializes a decimal array/map-key set at the COMMON type
+    scale (max over the literals): [1.0, 2.12] renders as 1.00, 2.12."""
+    from decimal import Decimal
+
+    decs = [x for x in vals if isinstance(x, Decimal)]
+    if not decs or any(
+        not (isinstance(x, Decimal) or x is None or x is _JSON_NULL)
+        for x in vals
+    ):
+        return vals
+    from decimal import localcontext
+
+    smax = max(-d.as_tuple().exponent for d in decs)
+    q = Decimal(1).scaleb(-max(smax, 0))
+    with localcontext() as ctx:
+        ctx.prec = 100  # default 28 rejects 38-digit Presto decimals
+        return [
+            x.quantize(q) if isinstance(x, Decimal) else x for x in vals
+        ]
+
+
+def _render_canonical_json(v) -> str:
+    """Compact canonical JSON text for a parsed literal value (map keys
+    stringified like Presto's key rendering)."""
+    import json as _json
+    from decimal import Decimal
+
+    if v is None or v is _JSON_NULL:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (int, float)):
+        return _json.dumps(v)
+    if isinstance(v, str):
+        return _json.dumps(v, ensure_ascii=False)
+    if isinstance(v, list):
+        return (
+            "["
+            + ",".join(
+                _render_canonical_json(x) for x in _unify_decimal_scales(v)
+            )
+            + "]"
+        )
+    if isinstance(v, dict):
+        keys = _unify_decimal_scales(list(v.keys()))
+        vals = _unify_decimal_scales(list(v.values()))
+        items = []
+        for k, val in zip(keys, vals):
+            if k is True:
+                ks = "true"
+            elif k is False:
+                ks = "false"
+            else:
+                ks = k if isinstance(k, str) else str(k)
+            items.append(
+                (
+                    ks,
+                    _json.dumps(ks, ensure_ascii=False)
+                    + ":"
+                    + _render_canonical_json(val),
+                )
+            )
+        # Presto's JSON canonical form is ordered-by-key
+        # (JsonFunctions SORTED_MAPPER, ORDER_MAP_ENTRIES_BY_KEYS)
+        return "{" + ",".join(t for _, t in sorted(items)) + "}"
+    raise ValueError(f"unrenderable {v!r}")
+
+
 def _rewrite_cast_to_json(sql: str, scalar_cols: frozenset = frozenset()) -> str:
     """Presto ``CAST(e AS JSON)`` → Presto-canonical JSON text.
 
@@ -4312,6 +5024,39 @@ def _rewrite_cast_to_json(sql: str, scalar_cols: frozenset = frozenset()) -> str
             i = m.end()
             continue
         expr = inner[:as_pos].strip()
+        if re.fullmatch(r"(?i)NULL", expr):
+            # CAST(NULL AS JSON) is the JSON null value — the string
+            # emulation's NULL cell (JsonOperators nullToJson)
+            sql = sql[: m.start()] + "CAST(NULL AS STRING)" + sql[j:]
+            i = m.start() + 1
+            continue
+        try:
+            # literal composite (JSON/ARRAY/MAP/ROW built from literals):
+            # fold to the canonical compact JSON text at rewrite time —
+            # JSON-typed elements embed raw, which the runtime paths
+            # (string-typed emulation) cannot reconstruct
+            parsed = _parse_literal_json_value(expr)
+            if parsed is None:
+                # SQL NULL operand → SQL NULL json cell (the x-to-json
+                # casts are RETURN_NULL_ON_NULL); JSON 'null' keeps the
+                # json null TEXT via the _JSON_NULL sentinel
+                sql = sql[: m.start()] + "CAST(NULL AS STRING)" + sql[j:]
+                i = m.start() + 1
+                continue
+            folded = _render_canonical_json(parsed)
+        except ValueError:
+            folded = None
+        if folded is not None:
+            # Spark string literals process C escapes: double the
+            # backslashes JSON escaping introduced (\" inside strings)
+            repl = (
+                "'"
+                + folded.replace("\\", "\\\\").replace("'", "''")
+                + "'"
+            )
+            sql = sql[: m.start()] + repl + sql[j:]
+            i = m.start() + len(repl)
+            continue
         rm = re.fullmatch(r"(?is)ROW\s*\((.*)\)", expr)
         args = _split_top_level(rm.group(1)) if rm else None
         if args and all(_flat_scalar_row_arg(a, scalar_cols) for a in args):
@@ -4325,6 +5070,32 @@ def _rewrite_cast_to_json(sql: str, scalar_cols: frozenset = frozenset()) -> str
             )
         sql = sql[: m.start()] + repl + sql[j:]
         i = m.start()
+
+
+def _json_parse_expr(expr: str, schema: str) -> str:
+    """``from_json`` spelling for a JSON-string operand and a Spark DDL
+    schema — routing non-string map keys (MAP<TINYINT,...>, MAP<BOOLEAN,
+    ...>: JsonToMapCast.java key coercions) through a string-keyed parse
+    plus transform_keys, since Spark's from_json only accepts STRING
+    keys (INVALID_JSON_MAP_KEY_TYPE)."""
+    km = re.match(r"^map<(.+)>$", schema, re.DOTALL)
+    if km:
+        s, depth = km.group(1), 0
+        for idx, ch in enumerate(s):
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                key, val = s[:idx].strip(), s[idx + 1 :].strip()
+                if key != "string":
+                    return (
+                        f"transform_keys(from_json({expr}, "
+                        f"'map<string,{val}>'), "
+                        f"(__jk, __jv) -> CAST(__jk AS {key}))"
+                    )
+                break
+    return f"from_json({expr}, '{schema}')"
 
 
 def _rewrite_json_casts(sql: str) -> str:
@@ -4364,41 +5135,68 @@ def _rewrite_json_casts(sql: str) -> str:
         if not re.match(r"^(MAP|ARRAY|ROW)\s*[(<]", ttype, re.IGNORECASE):
             i = m.end()
             continue
+        expr = inner[:as_pos]
+        is_ctor = bool(
+            re.match(
+                r"^\s*(?:row|struct|array|map|map_from_arrays"
+                r"|map_from_entries)\s*\(",
+                expr,
+                re.IGNORECASE,
+            )
+            or re.match(r"^\s*cast\s*\(\s*row\s*\(", expr, re.IGNORECASE)
+            or re.match(r"^\s*array\s*\[", expr, re.IGNORECASE)
+        )
         if (
             re.match(r"^(MAP|ARRAY|ROW|STRUCT)\s*<", ttype, re.IGNORECASE)
             and "(" not in ttype
         ):
-            # paren-free angle form is already Spark syntax — leave the
-            # cast untouched (nested angles included: the old
-            # no-nested-content skip let ARRAY<ARRAY<DOUBLE>> through,
-            # where the translation is a fixed point and the rescan from
-            # m.start() span-looped forever — round-8 porter hang).
-            # Mixed spellings like array<row(a bigint)> (h2 L470) DO
-            # carry parens and still translate.
-            i = m.end()
+            # paren-free angle form is MOSTLY Spark syntax already — but
+            # bare VARCHAR/VARBINARY inside it are Presto-only (Spark
+            # demands a length), and a STRING operand can't CAST to a
+            # complex type at all (it needs the from_json route, like
+            # the paren form). Constructors and arbitrary columns keep
+            # the plain CAST with the type tokens normalized in place.
+            # A fixed-point guard below prevents the round-8 span loop.
+            fixed = re.sub(
+                r"(?i)\bVARCHAR\b(?!\s*\()", "STRING",
+                re.sub(r"(?i)\bVARBINARY\b", "BINARY", ttype),
+            )
+            if not is_ctor and re.fullmatch(
+                r"(?is)\s*(?:(?:JSON\s*)?'(?:[^']|'')*'|NULL"
+                r"|CAST\s*\(\s*NULL\s+AS\s+(?:STRING|VARCHAR|JSON)\s*\)"
+                r"|(?:presto_json_canon|to_json|json_format)\s*\(.*)\s*",
+                expr,
+            ):
+                # provably-JSON-string operand (a lowered JSON literal or
+                # a JSON-producing call): parse, like the paren form
+                schema = _presto_type_to_spark(ttype)
+                if schema is not None:
+                    rep = _json_parse_expr(expr, schema)
+                    sql = sql[: m.start()] + rep + sql[j:]
+                    i = m.start() + 1  # rescan inside expr, not this span
+                    continue
+            kw = sql[m.start() : m.end() - 1].rstrip()  # CAST / TRY_CAST
+            rep = f"{kw}({expr} AS {fixed})"
+            if rep == sql[m.start() : j]:  # fixed point: never loop
+                i = j
+                continue
+            sql = sql[: m.start()] + rep + sql[j:]
+            i = m.start() + 1
             continue
         schema = _presto_type_to_spark(ttype)
         if schema is None:
             i = m.end()
             continue
-        expr = inner[:as_pos]
         # ROW target over a row/struct constructor is Presto's NAMED ROW
         # CAST (assigns field names, RowType coercion) — a plain Spark
         # struct cast, not a JSON parse; likewise a MAP/ARRAY target over
         # a map/array constructor is an element-type coercion
         # (CAST(map(ARRAY[],ARRAY[]) AS MAP(BIGINT,VARCHAR))). JSON
         # strings/columns keep the from_json route (JsonToRowCast.java).
-        if re.match(
-            r"^\s*(?:row|struct|array|map|map_from_arrays"
-            r"|map_from_entries)\s*\(",
-            expr,
-            re.IGNORECASE,
-        ) or re.match(
-            r"^\s*cast\s*\(\s*row\s*\(", expr, re.IGNORECASE
-        ):
+        if is_ctor:
             rep = f"CAST({expr} AS {schema})"
         else:
-            rep = f"from_json({expr}, '{schema}')"
+            rep = _json_parse_expr(expr, schema)
         if rep == sql[m.start() : j]:  # fixed point: never re-scan in place
             i = j
             continue
@@ -6258,12 +7056,14 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     are word-boundary regexes and DO respect literal boundaries."""
     sql = _rewrite_literal_backslashes(sql)
     sql = _rewrite_array_literals(sql)
+    sql = _rewrite_element_array_concat(sql)
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_at_time_zone(sql)
     sql = _rewrite_timezone_offset_fns(sql)
     sql = _rewrite_kurtosis(sql)
     sql = _rewrite_ml_functions(sql)
     sql = _rewrite_random_bound(sql)
+    sql = rewrite_lambda_double_casts(sql)
     sql = _rewrite_apply_lambda(sql)
     sql = _rewrite_contains(sql)
     sql = _rewrite_fn_arity_compat(sql)
@@ -6332,6 +7132,7 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     # must follow the cast rewrites: a 2-arg call pattern would otherwise
     # fire on type-position MAP(K, V) inside CAST targets
     sql = _rewrite_map_equality(sql)
+    sql = _rewrite_array_row_equality(sql)
     sql = _rewrite_map_from_arrays(sql)
     sql = _strip_values_row(sql)
     sql = _rewrite_row_constructor(sql)

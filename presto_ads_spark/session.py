@@ -49,6 +49,10 @@ DEFAULT_CONF: dict[str, str] = {
     # Presto errors on division-by-zero / overflow / bad casts; ANSI mode
     # matches (Spark 4 default — pinned as load-bearing).
     "spark.sql.ansi.enabled": "true",
+    # Spark's ${var} substitution would silently EAT ${name} group
+    # references in regexp_replace replacements (Presto/Java Matcher
+    # syntax) — Presto has no variable substitution, turn it off.
+    "spark.sql.variable.substitute": "false",
     # Presto map_union/map_concat keep one value on key clash; Spark errors
     # by default — LAST_WIN (+ sorted entries in our builders) matches and
     # stays deterministic.

@@ -388,14 +388,14 @@ def parse_java_value(s: str):
         return Decimal(str(inner))
     body = _call_body(s, "SqlDecimal.of")
     if body is not None:
-        # SqlDecimal.of("text") / of("text", p, s) / of(unscaledLong, p, s)
+        # SqlDecimal.of("text") / of("unscaled"|unscaledLong, p, s) — the
+        # 3-arg first argument is ALWAYS the unscaled value, string or
+        # long (SqlDecimal.java): of("12345", 5, 2) is 123.45
         a = split_java_args(body)
         first = a[0].strip()
-        if first.startswith('"'):
-            return Decimal(str(parse_java_value(first)))
         if len(a) == 3:
             unscaled = parse_java_value(first)
-            return Decimal(int(unscaled)).scaleb(-int(a[2]))
+            return Decimal(int(str(unscaled))).scaleb(-int(a[2]))
         return Decimal(str(parse_java_value(first)))
     body = _call_body(s, "utf8Slice")
     if body is not None:
@@ -430,14 +430,24 @@ def parse_java_value(s: str):
     if re.fullmatch(r"[0-9a-fA-FxX+\-*().\sLlDdFfEe_]+", expr) and re.search(
         r"[+*]|\d\s*-", expr
     ):
+        # Java FLOAT arithmetic (12.34f + 56.78f) rounds each term and
+        # each op to float32; round the terms and the result — exact for
+        # the single-op sites the corpus carries
+        is_f32 = bool(re.search(r"\d[Ff]\b", expr))
         cleaned = re.sub(r"([0-9a-fA-F.])[LlDdFf]\b", r"\1", expr)
+        if is_f32:
+            cleaned = re.sub(
+                r"\d+\.?\d*(?:[eE][+-]?\d+)?",
+                lambda m: repr(_f32(float(m.group(0)))),
+                cleaned,
+            )
         try:
             v = eval(cleaned, {"__builtins__": {}})  # noqa: S307
         except Exception:
             pass
         else:
             if isinstance(v, (int, float)):
-                return v
+                return _f32(v) if is_f32 and isinstance(v, float) else v
     raise ValueError(f"unparseable java literal {s!r}")
 
 

@@ -181,13 +181,21 @@ def test_frame_strip_spares_column_named_rows():
 
 
 def test_cast_to_json_lowering():
-    # flat ROW of provably-scalar args → the pure-JVM concat form (r7);
-    # no Python canonicalizer in the expression
+    # all-literal ROW folds to the canonical JSON text at rewrite time
+    # (round 9); provably-scalar NON-literal args take the JVM concat form
     out = rewrite("SELECT CAST(ROW(1, 'a') AS JSON)")
+    assert """'[1,"a"]'""" in out and "presto_json_canon" not in out
+    out = rewrite(
+        "SELECT CAST(ROW(a, 'x') AS JSON) FROM t",
+        json_scalar_cols=frozenset({"a"}),
+    )
     assert "concat_ws(','" in out and "presto_json_canon" not in out
     assert "map('ignoreNullFields', 'false')" in out
-    # nested ROW → the typeof-guided canonicalizer fallback
+    # literal nested ROW folds too
     out = rewrite("SELECT CAST(ROW(1, ROW(2, 'b')) AS JSON)")
+    assert """'[1,[2,"b"]]'""" in out
+    # nested ROW with a column → the typeof-guided canonicalizer fallback
+    out = rewrite("SELECT CAST(ROW(a, ROW(2, 'b')) AS JSON) FROM t")
     assert "presto_json_canon(to_json(struct(" in out
     assert "typeof(" in out
     # unknown identifier (possible struct column) → fallback too

@@ -118,7 +118,9 @@ _NONDET_RE = re.compile(
 # parametric-function harness probes, zero-arg-lambda invokers)
 _FIXTURE_FNS_RE = re.compile(
     r"\b(vl|utf8|test_\w+|custom_\w+|generic_\w+|identity\.function"
-    r"|invoke|apply_function|foo)\s*\(|\$internal\$",
+    r"|invoke|apply_function|foo|null_function|regular_convention"
+    r"|block_position_convention|unchecked_to_json|precomputed"
+    r"|add_\w+_function)\s*\(|\$internal\$",
     re.IGNORECASE,
 )
 
@@ -175,6 +177,32 @@ def error_expected_spans(text: str) -> list[tuple[int, int]]:
     return spans
 
 
+def try_fail_spans(text: str) -> list[tuple[int, int]]:
+    """Line spans of ``try { assertFunction(…); fail(…); } catch`` blocks
+    — the reference EXPECTS those asserts to throw (e.g.
+    TestArrayOperators.java:450 "arrays must be of the same type"), so a
+    site inside one pins an error, not a value."""
+    spans = []
+    for m in re.finditer(r"\btry\s*\{", text):
+        depth, i = 1, m.end()
+        while depth and i < len(text):
+            c = text[i]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+            i += 1
+        block = text[m.end() : i]
+        if "fail(" in block and "assert" in block:
+            spans.append(
+                (
+                    text[: m.start()].count("\n") + 1,
+                    text[:i].count("\n") + 2,
+                )
+            )
+    return spans
+
+
 def triage(sql: str, type_text: str, expected_text: str):
     """(category, expected) or a skip-reason string."""
     if _NONDET_RE.search(sql):
@@ -211,6 +239,7 @@ def main() -> None:
     for path, tag in sources:
         text = open(path, encoding="utf-8").read()
         err_spans = error_expected_spans(text)
+        tf_spans = try_fail_spans(text)
         pending = []  # (name, sql, cat, expected, type_text)
         for line, kind, inner in extract_sites(text):
             name = f"{tag}{line}"
@@ -220,6 +249,11 @@ def main() -> None:
             if any(a <= line < b for a, b in err_spans):
                 skips.append(
                     (name, "inside @Test(expectedExceptions) — pins an error")
+                )
+                continue
+            if any(a <= line < b for a, b in tf_spans):
+                skips.append(
+                    (name, "inside try/fail block — pins an error")
                 )
                 continue
             if _FIXTURE_FNS_RE.search(inner):

@@ -74,6 +74,48 @@ def _register_python_udfs(spark: SparkSession) -> None:
     ):
         spark.udf.register(name, _mk_hmac(algo), "binary")
 
+    # xxhash64 / spooky_hash_v2_* (VarbinaryFunctions.java:270-296):
+    # Presto returns the big-endian VARBINARY of the hash over the RAW
+    # BYTES (seed 0) — Spark's native xxhash64 hashes the SQL value with
+    # its own serialization and seed 42, a different function entirely.
+    # Scalar compat surface; the engine's dedup pipelines keep Spark's
+    # native JVM hash internally.
+    from .hashes import inverse_beta_cdf as _inv_beta
+    from .hashes import spooky_v2_128, xxh64
+
+    def _as_bytes(b):
+        return b.encode("utf-8") if isinstance(b, str) else bytes(b)
+
+    spark.udf.register(
+        "presto_xxhash64",
+        lambda b: None if b is None
+        else xxh64(_as_bytes(b)).to_bytes(8, "big"),
+        "binary",
+    )
+    spark.udf.register(
+        "spooky_hash_v2_32",
+        lambda b: None if b is None
+        else (spooky_v2_128(_as_bytes(b))[0] & 0xFFFFFFFF).to_bytes(4, "big"),
+        "binary",
+    )
+    spark.udf.register(
+        "spooky_hash_v2_64",
+        lambda b: None if b is None
+        else spooky_v2_128(_as_bytes(b))[0].to_bytes(8, "big"),
+        "binary",
+    )
+    # MathFunctions.inverseBetaCdf (commons-math BetaDistribution
+    # inverseCumulativeProbability) — Newton/bisection over the
+    # continued-fraction regularized incomplete beta
+    spark.udf.register(
+        "inverse_beta_cdf",
+        # args may arrive as Decimal (unparameterized literals)
+        lambda a, b, p: None
+        if a is None or b is None or p is None
+        else _inv_beta(float(a), float(b), float(p)),
+        "double",
+    )
+
     # Presto CAST(x AS JSON) canonicalizer. Presto serializes ROW values
     # as JSON ARRAYS of their field values while Spark's to_json emits
     # objects (reference: presto-main/.../operator/scalar/JsonOperators +

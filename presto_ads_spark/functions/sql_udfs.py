@@ -338,6 +338,33 @@ SQL_FUNCTIONS: list[str] = [
     # another zone (DesugarAtTimeZone.java rule in the reference).
     """CREATE OR REPLACE TEMPORARY FUNCTION at_timezone(ts TIMESTAMP, tz STRING)
        RETURNS TIMESTAMP RETURN convert_timezone(current_timezone(), tz, ts)""",
+    # --- MathFunctions.java beta_cdf: the reference instantiates
+    # commons-math BetaDistribution, whose cumulativeProbability IS the
+    # static Beta.regularizedBeta — bit-exact via reflect.
+    """CREATE OR REPLACE TEMPORARY FUNCTION beta_cdf(a DOUBLE, b DOUBLE, v DOUBLE)
+       RETURNS DOUBLE RETURN
+         CASE WHEN a <= 0 OR b <= 0 OR v < 0 OR v > 1
+              THEN raise_error('a, b must be > 0, value must be 0 >= v >= 1')
+              ELSE CAST(reflect('org.apache.commons.math3.special.Beta',
+                                'regularizedBeta', v, a, b) AS DOUBLE) END""",
+    # parse_duration (DateTimeFunctions.java): Presto returns INTERVAL
+    # DAY TO SECOND at millisecond precision; modeled as DOUBLE millis,
+    # composable with the to_milliseconds below (the only consumer the
+    # reference tests compose it with).
+    """CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING)
+       RETURNS DOUBLE RETURN
+         CAST(regexp_extract(s, '^\\\\s*([0-9.]+)', 1) AS DOUBLE) *
+         CASE lower(regexp_extract(s, '([a-zA-Z]+)\\\\s*$', 1))
+           WHEN 'ns' THEN 0.000001
+           WHEN 'us' THEN 0.001
+           WHEN 'ms' THEN 1.0
+           WHEN 's' THEN 1000.0
+           WHEN 'm' THEN 60000.0
+           WHEN 'h' THEN 3600000.0
+           WHEN 'd' THEN 86400000.0
+         END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(ms DOUBLE)
+       RETURNS BIGINT RETURN CAST(floor(ms + 0.5) AS BIGINT)""",
     # parse_duration('3.2m') → seconds as double (Presto returns interval;
     # seconds keeps it composable with arithmetic).
     """CREATE OR REPLACE TEMPORARY FUNCTION parse_duration_seconds(s STRING)
@@ -441,42 +468,23 @@ SQL_FUNCTIONS: list[str] = [
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains(js STRING, v STRING)
        RETURNS BOOLEAN RETURN array_contains(from_json(js, 'array<string>'), v)""",
     # --- MathFunctions.java normal_cdf / inverse_normal_cdf --------------
-    # erf via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7); the reference
-    # (MathFunctions.java:624) uses commons-math Erf — agreement to ~7 sig
-    # figs, golden-tested with round(). Repeated t-subexpression is
-    # deduplicated by Catalyst subexpression elimination.
+    # The reference (MathFunctions.java:613,624) calls commons-math
+    # Erf.erf/erfInv — Spark ships commons-math3, so reflect() (a
+    # Catalyst JVM-side static call, no Python boundary) gives BIT-EXACT
+    # parity; reflect returns STRING, and Double round-trips through
+    # Double.toString losslessly.
     """CREATE OR REPLACE TEMPORARY FUNCTION presto_erf(x DOUBLE)
        RETURNS DOUBLE RETURN
-         sign(x) * (1.0 - (1.0 / (1.0 + 0.3275911 * abs(x))) * (0.254829592
-           + (1.0 / (1.0 + 0.3275911 * abs(x))) * (-0.284496736
-           + (1.0 / (1.0 + 0.3275911 * abs(x))) * (1.421413741
-           + (1.0 / (1.0 + 0.3275911 * abs(x))) * (-1.453152027
-           + (1.0 / (1.0 + 0.3275911 * abs(x))) * 1.061405429)))) * exp(-x * x))""",
+         CAST(reflect('org.apache.commons.math3.special.Erf', 'erf', x) AS DOUBLE)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION normal_cdf(mean DOUBLE, sd DOUBLE, v DOUBLE)
-       RETURNS DOUBLE RETURN 0.5 * (1.0 + presto_erf((v - mean) / (sd * 1.4142135623730951)))""",
-    # inverse_normal_cdf = mean + sd*sqrt(2)*erfinv(2p-1) (MathFunctions
-    # .java:613). Acklam's rational approximation of the standard-normal
-    # quantile (|rel err| < 1.15e-9), central region |q| <= 0.425 plus two
-    # tail branches.
-    """CREATE OR REPLACE TEMPORARY FUNCTION acklam_central(q DOUBLE)
        RETURNS DOUBLE RETURN
-         q * (((((-39.69683028665376 * (q*q) + 220.9460984245205) * (q*q) - 275.9285104469687) * (q*q)
-            + 138.3577518672690) * (q*q) - 30.66479806614716) * (q*q) + 2.506628277459239)
-         / (((((-54.47609879822406 * (q*q) + 161.5858368580409) * (q*q) - 155.6989798598866) * (q*q)
-            + 66.80131188771972) * (q*q) - 13.28068155288572) * (q*q) + 1.0)""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION acklam_tail(r DOUBLE)
-       RETURNS DOUBLE RETURN
-         (((((-0.007784894002430293 * r - 0.3223964580411365) * r - 2.400758277161838) * r
-            - 2.549732539343734) * r + 4.374664141464968) * r + 2.938163982698783)
-         / ((((0.007784695709041462 * r + 0.3224671290700398) * r + 2.445134137142996) * r
-            + 3.754408661907416) * r + 1.0)""",
+         0.5 * (1.0 + CAST(reflect('org.apache.commons.math3.special.Erf', 'erf',
+                                   (v - mean) / (sd * 1.4142135623730951)) AS DOUBLE))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION inverse_normal_cdf(mean DOUBLE, sd DOUBLE, p DOUBLE)
        RETURNS DOUBLE RETURN
-         mean + sd * CASE
-           WHEN p < 0.02425 THEN acklam_tail(sqrt(-2.0 * ln(p)))
-           WHEN p > 0.97575 THEN -acklam_tail(sqrt(-2.0 * ln(1.0 - p)))
-           ELSE acklam_central(p - 0.5)
-         END""",
+         mean + sd * 1.4142135623730951 *
+           CAST(reflect('org.apache.commons.math3.special.Erf', 'erfInv',
+                        2 * p - 1) AS DOUBLE)""",
     # --- VarbinaryFunctions.java IEEE-754 codecs --------------------------
     # Raw bit extraction has no Spark expression, but reflect() (a catalyst
     # expression — JVM-side static call, no Python boundary) gives

@@ -76,6 +76,9 @@ FUNCTION_RENAMES: dict[str, str] = {
     "to_hex": "hex",
     "from_hex": "unhex",
     "truncate": "truncate_num",  # registered compat fn (Presto truncate(x))
+    # Presto xxhash64(varbinary) → big-endian VARBINARY of XXH64(bytes,
+    # seed 0); Spark's native xxhash64 is value-serialized with seed 42
+    "xxhash64": "presto_xxhash64",
     # Presto contains(array, elem) (ArrayContains.java); 0.216 has no string
     # contains, so the blanket rename is faithful.
     # contains → exists-equality (not array_contains: Spark demands exact
@@ -2338,7 +2341,18 @@ def _json_scalar_to_sql(v, t: str):
             return f"'{v}'"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
-        return None  # float rendering is Java Double.toString — skip
+        if isinstance(v, float):
+            # Java Double.toString rendering = Spark's double→string
+            # cast (same pre-Ryu JDK algorithm); overflowed literals
+            # normalize to the spellings Spark parses
+            txt = (
+                "Infinity" if v == float("inf")
+                else "-Infinity" if v == float("-inf")
+                else "NaN" if v != v
+                else repr(v)
+            )
+            return f"CAST(CAST('{txt}' AS DOUBLE) AS STRING)"
+        return None
     dm = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
     if dm:
         p, s = int(dm.group(1)), int(dm.group(2))
@@ -2440,6 +2454,76 @@ def _fold_decimal_literal_arith(sql: str) -> str:
         rep = f"CAST('{text}' AS DECIMAL({p},{s}))"
         sql = sql[: m.start()] + rep + sql[m.end() :]
         pos = m.start()
+
+
+_NUM_INT_CAST_RE = re.compile(
+    r"\b(TRY_)?CAST\s*\(\s*"
+    r"(DECIMAL\s*'-?[\d.]+'|REAL\s*'-?[\d.]+(?:[eE][+-]?\d+)?'"
+    r"|-?\d+\.\d+)\s+AS\s+(TINYINT|SMALLINT|INTEGER|INT|BIGINT)\s*\)",
+    re.IGNORECASE,
+)
+
+_REAL_DEC_CAST_RE = re.compile(
+    r"\b(TRY_)?CAST\s*\(\s*REAL\s*'(-?[\d.]+(?:[eE][+-]?\d+)?)'\s+AS\s+"
+    r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _fold_numeric_literal_casts(sql: str) -> str:
+    """Literal numeric → integer/decimal casts fold with Presto's
+    rounding: DECIMAL/REAL/plain-decimal literals to integer types round
+    HALF_UP (DecimalCasts/MathFunctions; Spark truncates), and REAL to
+    DECIMAL goes through the float's SHORTEST decimal rendering
+    (DecimalCasts.realToLongDecimal uses String.valueOf(float))."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    mask = _literal_mask(sql)
+
+    def int_sub(m: re.Match) -> str:
+        if mask[m.start()]:
+            return m.group(0)
+        is_try, lit, t = m.group(1) or "", m.group(2), m.group(3).upper()
+        with localcontext() as ctx:
+            ctx.prec = 100
+            lm = re.match(r"(?is)(DECIMAL|REAL)\s*'(.*)'", lit)
+            if lm and lm.group(1).upper() == "REAL":
+                import numpy as _np
+
+                try:
+                    d = Decimal(repr(float(_np.float32(lm.group(2)))))
+                except (ValueError, OverflowError):
+                    return m.group(0)
+            elif lm:
+                d = Decimal(lm.group(2).strip())
+            else:
+                d = Decimal(lit)
+            n = int(d.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        bound = {
+            "TINYINT": 2**7, "SMALLINT": 2**15,
+            "INT": 2**31, "INTEGER": 2**31, "BIGINT": 2**63,
+        }[t]
+        if not -bound <= n < bound:
+            return m.group(0)  # overflow: both engines raise — leave
+        return f"{m.group(1) or ''}CAST({n} AS {t})"
+
+    sql = _NUM_INT_CAST_RE.sub(int_sub, sql)
+    mask = _literal_mask(sql)
+
+    def dec_sub(m: re.Match) -> str:
+        if mask[m.start()]:
+            return m.group(0)
+        # DecimalCasts.realToLongDecimal parses String.valueOf(float) —
+        # Spark's float→string cast IS Java Float.toString, so route
+        # through it (string→decimal then rounds HALF_UP like Presto)
+        p, s = int(m.group(3)), int(m.group(4))
+        kw = m.group(1) or ""
+        return (
+            f"{kw}CAST(CAST(CAST('{m.group(2)}' AS FLOAT) AS STRING) "
+            f"AS DECIMAL({p},{s}))"
+        )
+
+    return _REAL_DEC_CAST_RE.sub(dec_sub, sql)
 
 
 def _fold_json_literal_casts(sql: str) -> str:
@@ -2786,6 +2870,13 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
     # (DecimalType.createDecimalType()); Spark defaults to (10,0)
     sql = re.sub(
         r"(?i)\bAS\s+DECIMAL\s*\)", "AS DECIMAL(38,0))", sql
+    )
+    # bare CHAR cast target: Presto defaults to char(1)
+    # (CharType.createCharType default); ANSI SQL 'double precision'
+    # target spelling → Spark's DOUBLE
+    sql = re.sub(r"(?i)\bAS\s+CHAR\s*\)", "AS CHAR(1))", sql)
+    sql = re.sub(
+        r"(?i)\bAS\s+DOUBLE\s+PRECISION\s*\)", "AS DOUBLE)", sql
     )
 
     # CAST(e AS VARCHAR(n)) truncates to n code points in Presto
@@ -3721,11 +3812,18 @@ def _provably_double(e: str, double_cols: frozenset) -> bool:
             )
         if fn in ("cast", "try_cast"):
             return bool(
-                re.search(r"\bAS\s+DOUBLE\s*$", inner, re.IGNORECASE)
+                re.search(
+                    r"\bAS\s+(?:DOUBLE|FLOAT|REAL)\s*$",
+                    inner,
+                    re.IGNORECASE,
+                )
             )
         return False
     if _IDENT_FULL_RE.fullmatch(e):
         return e.rsplit(".", 1)[-1].lower() in double_cols
+    # typed REAL/DOUBLE literals are double-family
+    if re.fullmatch(r"(?is)(?:REAL|DOUBLE)\s*'[^']*'", e):
+        return True
     # exponent-form literal is DOUBLE in Presto (plain 1.5 is DECIMAL)
     return bool(re.fullmatch(r"\d+(?:\.\d+)?[eE][+-]?\d+", e))
 
@@ -3747,9 +3845,11 @@ def _top_level_last_as(inner: str) -> int | None:
 
 
 _SIMPLE_DIV_RE = re.compile(
-    r"(?<![\w.'])((?:\d+\.?\d*(?:[eE][+-]?\d+)?)|[A-Za-z_][\w.]*)"
+    r"(?<![\w.'])((?:REAL|DOUBLE)\s*'[^']*'"
+    r"|(?:\d+\.?\d*(?:[eE][+-]?\d+)?)|[A-Za-z_][\w.]*)"
     r"\s*/\s*"
-    r"((?:\d+\.?\d*(?:[eE][+-]?\d+)?)|[A-Za-z_][\w.]*)(?![\w.('])"
+    r"((?:REAL|DOUBLE)\s*'[^']*'"
+    r"|(?:\d+\.?\d*(?:[eE][+-]?\d+)?)|[A-Za-z_][\w.]*)(?![\w.('])"
 )
 
 
@@ -4032,6 +4132,88 @@ _TIME_LIT_RE = re.compile(
 
 def _rewrite_time_literals(sql: str) -> str:
     return _TIME_LIT_RE.sub(r"TIMESTAMP '1970-01-01 \1'", sql)
+
+
+_TIME_VC_RE = re.compile(
+    r"\bCAST\s*\(\s*TIME\s*'([^']*)'\s+AS\s+VARCHAR(?:\s*\(\s*\d+\s*\))?"
+    r"\s*\)",
+    re.IGNORECASE,
+)
+_IVL_VC_RE = re.compile(
+    r"\bCAST\s*\(\s*INTERVAL\s*'([^']*)'\s+"
+    r"(YEAR\s+TO\s+MONTH|DAY\s+TO\s+SECOND|YEAR|MONTH|DAY|HOUR|MINUTE"
+    r"|SECOND)\s+AS\s+VARCHAR(?:\s*\(\s*\d+\s*\))?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _fold_temporal_literal_varchar_casts(sql: str) -> str:
+    """TIME / INTERVAL literal → VARCHAR casts fold to Presto's
+    renderings (TimeOperators.castToSlice 'HH:mm:ss.SSS';
+    IntervalYearMonth/DayTime toString 'Y-M' / 'D HH:MM:SS.mmm' with
+    unit normalization — Spark renders its own INTERVAL syntax and
+    rejects out-of-range components like '124-30')."""
+
+    def time_sub(m: re.Match) -> str:
+        t = m.group(1).strip()
+        tm = re.fullmatch(
+            r"(\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,3}))?)?", t
+        )
+        if not tm:
+            return m.group(0)
+        h, mi = int(tm.group(1)), int(tm.group(2))
+        s = int(tm.group(3) or 0)
+        ms = int((tm.group(4) or "0").ljust(3, "0"))
+        return f"'{h:02d}:{mi:02d}:{s:02d}.{ms:03d}'"
+
+    sql = _TIME_VC_RE.sub(time_sub, sql)
+
+    def ivl_sub(m: re.Match) -> str:
+        body, unit = m.group(1).strip(), " ".join(m.group(2).upper().split())
+        sign = -1 if body.startswith("-") else 1
+        b = body.lstrip("+-")
+        if unit in ("YEAR TO MONTH", "YEAR", "MONTH"):
+            ym = re.fullmatch(r"(\d+)(?:-(\d+))?", b)
+            if not ym:
+                return m.group(0)
+            if unit == "MONTH" and ym.group(2) is None:
+                months = int(ym.group(1))
+            else:
+                months = int(ym.group(1)) * 12 + int(ym.group(2) or 0)
+            months *= sign
+            s = "-" if months < 0 else ""
+            months = abs(months)
+            return f"'{s}{months // 12}-{months % 12}'"
+        dm = re.fullmatch(
+            r"(?:(\d+)\s+)?(\d{1,2})(?::(\d{1,2}))?(?::(\d{1,2})"
+            r"(?:\.(\d{1,3}))?)?",
+            b,
+        )
+        if not dm:
+            return m.group(0)
+        days = int(dm.group(1) or 0)
+        a, bb = int(dm.group(2)), int(dm.group(3) or 0)
+        c = int(dm.group(4) or 0)
+        ms = int((dm.group(5) or "0").ljust(3, "0"))
+        # single-unit literals put the value in the first slot
+        if unit == "DAY" and dm.group(1) is None:
+            days, a = a, 0
+        if unit in ("MINUTE",):
+            a, bb, c = 0, a, bb
+        if unit == "SECOND" and dm.group(3) is None:
+            a, bb, c = 0, 0, a
+        total_ms = sign * (
+            ((days * 24 + a) * 60 + bb) * 60_000 + c * 1000 + ms
+        )
+        s = "-" if total_ms < 0 else ""
+        total_ms = abs(total_ms)
+        d, rem = divmod(total_ms, 86_400_000)
+        hh, rem = divmod(rem, 3_600_000)
+        mm2, rem = divmod(rem, 60_000)
+        ss, mss = divmod(rem, 1000)
+        return f"'{s}{d} {hh:02d}:{mm2:02d}:{ss:02d}.{mss:03d}'"
+
+    return _IVL_VC_RE.sub(ivl_sub, sql)
 
 
 def _rewrite_time_casts(sql: str) -> str:
@@ -7070,6 +7252,7 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_string_compat(sql)
     sql = _fold_json_literal_casts(sql)
     sql = _fold_decimal_literal_arith(sql)
+    sql = _fold_numeric_literal_casts(sql)
     sql = _rewrite_scalar_compat_misc(sql)
     sql = _rewrite_like_escapes(sql)
     sql = _rewrite_group_by_distinct(sql)
@@ -7084,6 +7267,7 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_grouping_multi(sql)
     sql = _rewrite_in_values(sql)
     sql = _rewrite_color_fn_arity(sql)
+    sql = _fold_temporal_literal_varchar_casts(sql)
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_time_casts(sql)
     sql = _rewrite_varbinary_type(sql)

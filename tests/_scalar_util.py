@@ -268,7 +268,9 @@ def parse_java_value(s: str):
             if isinstance(v, str) and len(v) == 1:
                 return ord(v)
             return int(v)
-        if kind in ("double", "float"):
+        if kind == "float":
+            return _f32(float(v))
+        if kind == "double":
             return float(v)
         return v
     if s.startswith("-"):
@@ -282,6 +284,10 @@ def parse_java_value(s: str):
         if suffix in ("f", "F", "d", "D") or "." in body or "e" in body.lower():
             if body.lower().startswith("0x"):
                 return int(body, 16)
+            if suffix in ("f", "F"):
+                # Java float literal: the VALUE is the float32 rounding
+                # ((double) 754.1985f widens to 754.198486328125)
+                return _f32(float(body))
             return float(body)
         if body.lower().startswith("0x"):
             return int(body, 16)

@@ -374,7 +374,12 @@ def test_native_digest_functions(engine):
 
     assert one(engine, "crc32(encode('abc', 'UTF-8'))") == zlib.crc32(b"abc")
     assert one(engine, "bit_count(255, 64)") == 8
-    assert isinstance(one(engine, "xxhash64('abc')"), int)
+    # xxhash64 is Presto's VARBINARY form since round 9: the big-endian
+    # bytes of XXH64(raw bytes, seed 0) — XXH64('') is the well-known
+    # EF46DB3751D8E999 constant
+    assert bytes(
+        one(engine, "xxhash64(CAST('' AS VARBINARY))")
+    ) == bytes.fromhex("EF46DB3751D8E999")
     # Presto sha1 is varbinary → varbinary (rewritten to the presto_sha1 shim)
     assert (
         one(engine, "lower(to_hex(sha1(to_utf8('abc'))))")

@@ -143,11 +143,6 @@ _DEVIATION_SKIPS: tuple[tuple[re.Pattern, str], ...] = (
         "offset-carrying temporal literal — per-value zone not modeled "
         "(README timestamp-with-time-zone deviation)",
     ),
-    (
-        re.compile(r"(?i)\b(beta_cdf|inverse_beta_cdf)\s*\("),
-        "beta distribution functions — no incomplete-beta primitive in "
-        "Spark SQL (documented gap)",
-    ),
 )
 
 # per-case adjudications — engine deviations documented in README

@@ -444,8 +444,12 @@ SQL_FUNCTIONS: list[str] = [
     # --- JoniRegexpFunctions.java regexp_split: split on regex, trailing
     #     empty strings KEPT (Java split with limit -1; Presto :count loop).
     #     Distinct from Presto split(s, delim), whose delimiter is a literal.
+    #     An EMPTY pattern matches at every boundary INCLUDING both ends
+    #     (Joni) — Spark/Java split drop the leading/trailing empties.
     """CREATE OR REPLACE TEMPORARY FUNCTION regexp_split(s STRING, p STRING)
-       RETURNS ARRAY<STRING> RETURN split(s, p, -1)""",
+       RETURNS ARRAY<STRING> RETURN
+         CASE WHEN p = '' THEN concat(array(''), split(s, ''), array(''))
+              ELSE split(s, p, -1) END""",
     # --- DateTimeFunctions.java:1157,1165 timezone_hour / timezone_minute:
     #     offset of the session zone at that instant. date_format 'xx' gives
     #     '+0530' / '-0800'; hour keeps its sign via the leading '+05'.

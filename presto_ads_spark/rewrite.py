@@ -2722,6 +2722,41 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
     sql = _replace_fn_calls(sql, "__pamin", lambda a: f"array_min({a[0]})")
     sql = _replace_fn_calls(sql, "__pamax", lambda a: f"array_max({a[0]})")
 
+    # multimap_from_entries over a literal tuple array: inline the
+    # grouping expression so key/value types are PRESERVED (the generic
+    # temp-fn shim is monomorphic string-typed); constructor tuples are
+    # col1/col2-named structs
+    def multimap_fe(a):
+        if len(a) == 1 and re.match(r"(?is)^\s*array\s*[\[(]", a[0]):
+            e = a[0].strip()
+            keys = f"array_distinct(transform(({e}), __mfe -> __mfe.col1))"
+            return (
+                f"map_from_arrays({keys}, transform({keys}, __mfk -> "
+                f"transform(filter(({e}), __mfe2 -> __mfe2.col1 <=> __mfk),"
+                f" __mfe3 -> __mfe3.col2)))"
+            )
+        return None
+
+    sql = _replace_fn_calls(sql, "multimap_from_entries", multimap_fe)
+
+    # array_intersect iterates the LONGER array in order
+    # (ArrayIntersectFunction.java:46-74 swaps so the set is built from
+    # the shorter side); Spark always iterates the left — swap when
+    # the left is shorter. Marker two-pass (same-name emission).
+    def arr_intersect(a):
+        if len(a) != 2:
+            return None
+        x, y = a[0].strip(), a[1].strip()
+        return (
+            f"CASE WHEN size(({x})) < size(({y})) "
+            f"THEN __paix(({y}), ({x})) ELSE __paix(({x}), ({y})) END"
+        )
+
+    sql = _replace_fn_calls(sql, "array_intersect", arr_intersect)
+    sql = _replace_fn_calls(
+        sql, "__paix", lambda a: f"array_intersect({a[0]}, {a[1]})"
+    )
+
     def from_base(a):
         if len(a) != 2:
             return None
@@ -3456,6 +3491,102 @@ def _escape_regex_literal(lit: str) -> str:
     return "".join(out)
 
 
+def _regex_capture_group_count(pat: str) -> int | None:
+    """Number of CAPTURING groups in a regex literal: plain ``(`` and
+    named ``(?<name>`` count; ``(?:`` ``(?=`` ``(?<=`` etc. don't;
+    escaped parens and character classes are skipped. None when the
+    text can't be scanned confidently."""
+    n, i, in_class = 0, 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            if pat[i + 1 : i + 2] != "?":
+                n += 1
+            elif re.match(r"\?P?<[A-Za-z_]", pat[i + 1 : i + 4] + "   "):
+                n += 1  # named group (not lookbehind (?<= / (?<!)
+            i += 1
+            continue
+        i += 1
+    return n
+
+
+def _rewrite_regexp_replace_lambda(sql: str) -> str:
+    """``regexp_replace(s, pattern, x -> body)``
+    (JoniRegexpReplaceLambdaFunction): each match's CAPTURE GROUPS feed
+    the lambda, whose result replaces the match; a NULL replacement
+    nulls the whole string. Pure-JVM composition: split() yields the
+    unmatched segments, regexp_extract_all(…, g) yields per-match group
+    values, and the user lambda applies via a single-element transform
+    (Spark SQL cannot invoke a bare lambda). Needs a literal pattern to
+    count groups; deviation: a non-participating group arrives as ''
+    not NULL (regexp_extract_all cannot distinguish)."""
+    i = 0
+    pat_re = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in pat_re.finditer(sql, i):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return sql
+        j = _scan_matching_paren(sql, m.end())
+        args = _split_top_level(sql[m.end() : j - 1])
+        if len(args) != 3 or "->" not in args[2]:
+            i = m.end()
+            continue
+        lm = re.match(r"(?s)\s*(\w+)\s*->\s*(.*)$", args[2])
+        pm = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
+        if lm is None or pm is None:
+            i = m.end()
+            continue
+        s, p = args[0].strip(), args[1].strip()
+        # group counting over the user's original text (backslash-doubling
+        # already applied by the first pass — undo for the scan)
+        gc = _regex_capture_group_count(
+            pm.group(1).replace("''", "'").replace("\\\\", "\\")
+        )
+        if gc is None:
+            i = m.end()
+            continue
+        var, body = lm.group(1), lm.group(2)
+        groups = ", ".join(
+            f"element_at(regexp_extract_all(({s}), {p}, {g}), __rri)"
+            for g in range(1, gc + 1)
+        )
+        garr = (
+            f"array({groups})" if gc else "CAST(array() AS ARRAY<STRING>)"
+        )
+        applied = (
+            f"element_at(transform(array({garr}), "
+            f"{var} -> ({body})), 1)"
+        )
+        rep = (
+            f"(CASE WHEN ({s}) IS NULL OR ({p}) IS NULL THEN NULL "
+            f"WHEN size(regexp_extract_all(({s}), {p}, 0)) = 0 THEN ({s}) "
+            f"ELSE aggregate("
+            f"sequence(1, size(regexp_extract_all(({s}), {p}, 0))), "
+            f"CAST(element_at(split(({s}), {p}, -1), 1) AS STRING), "
+            f"(__rra, __rri) -> concat(__rra, {applied}, "
+            f"element_at(split(({s}), {p}, -1), __rri + 1))) END)"
+        )
+        sql = sql[: m.start()] + rep + sql[j:]
+        i = m.start() + len(rep)
+
+
 def _rewrite_regex_arg_defaults(sql: str) -> str:
     """Presto split(s, delim) splits on a LITERAL delimiter
     (StringFunctions.java:split) — Spark's split() is regex-based, a silent
@@ -3941,7 +4072,29 @@ def rewrite_double_bigint_cast(sql: str, double_cols: frozenset) -> str:
     return sql
 
 
-_HOF_DBL_HEAD_RE = re.compile(r"\b(transform|filter|apply)\s*\(", re.IGNORECASE)
+_HOF_DBL_HEAD_RE = re.compile(
+    r"\b(transform|filter|apply|map_zip_with)\s*\(", re.IGNORECASE
+)
+
+
+def _int_literal_map_values(e: str) -> bool:
+    """True for ``map_from_arrays(array(...), array(<all int
+    literals>))`` / the MAP(ARRAY[..],ARRAY[..]) pre-lowered form."""
+    m = re.fullmatch(
+        r"(?is)(?:map_from_arrays|map)\s*\((.*)\)", e.strip()
+    )
+    if not m:
+        return False
+    args = _split_top_level(m.group(1))
+    if len(args) != 2:
+        return False
+    vm = re.fullmatch(r"(?is)ARRAY\s*[\[(](.*)[\])]", args[1].strip())
+    if not vm or not vm.group(1).strip():
+        return False
+    return all(
+        re.fullmatch(r"\s*-?\d+\s*", x)
+        for x in _split_top_level(vm.group(1))
+    )
 
 
 def _all_double_array_literal(e: str) -> bool:
@@ -3974,6 +4127,39 @@ def rewrite_lambda_double_casts(sql: str) -> str:
             return sql
         j = _scan_matching_paren(sql, m.end())
         args = _split_top_level(sql[m.end() : j - 1])
+        fn = m.group(1).lower()
+        if fn == "map_zip_with":
+            # int-literal map values → integral division inside the
+            # 3-var lambda (v1/v2 is Presto integer division there)
+            if len(args) != 3:
+                i = m.end()
+                continue
+            lm = re.match(
+                r"(?s)\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*(\w+)\s*\)"
+                r"\s*->\s*(.*)$",
+                args[2],
+            )
+            if (
+                lm is None
+                or not _int_literal_map_values(args[0])
+                or not _int_literal_map_values(args[1])
+            ):
+                i = m.end()
+                continue
+            v1, v2, body = lm.group(2), lm.group(3), lm.group(4)
+            new_body = rewrite_integral_column_division(
+                body, frozenset({v1.lower(), v2.lower()})
+            )
+            if new_body == body:
+                i = m.end()
+                continue
+            rep = (
+                f"{m.group(1)}({args[0]}, {args[1]}, "
+                f"({lm.group(1)}, {v1}, {v2}) -> {new_body})"
+            )
+            sql = sql[: m.start()] + rep + sql[j:]
+            i = m.start() + len(rep)
+            continue
         if len(args) != 2:
             i = m.end()
             continue
@@ -3983,7 +4169,6 @@ def rewrite_lambda_double_casts(sql: str) -> str:
             i = m.end()
             continue
         var, body = lm.group(1), lm.group(2)
-        fn = m.group(1).lower()
         is_dbl = (
             _provably_double(src, frozenset())
             if fn == "apply"
@@ -7275,6 +7460,9 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_real_decimal_cmp(sql)
     sql = _rewrite_setop_void_nulls(sql)
     sql = _rewrite_regex_arg_defaults(sql)
+    # after the split-delimiter escaping pass: the lambda composition
+    # emits REGEX split() calls that must not be literal-escaped
+    sql = _rewrite_regexp_replace_lambda(sql)
     sql = _expand_presto_aggregates(sql)
     # implicit-lateral comma form ``FROM t, UNNEST(t.arr)`` — the CROSS
     # JOIN spelling lowers to LATERAL VIEW, which binds the left relation

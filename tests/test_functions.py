@@ -1022,3 +1022,36 @@ def test_scalar_corpus_burndown_round8(engine):
     assert one(
         engine, "cast(TIMESTAMP '2001-1-22 03:04:05' as varchar)"
     ) == "2001-01-22 03:04:05.000"
+
+
+def test_scalar_corpus_burndown_round9(engine):
+    """Spot-pins for the round-9 scalar-corpus burn-down families (the
+    emitted corpus covers them in bulk; these survive regeneration)."""
+    # regexp_replace lambda form (JoniRegexpReplaceLambdaFunction)
+    assert one(
+        engine,
+        "regexp_replace('new york', '(\\w)(\\w*)', "
+        "x -> upper(x[1]) || lower(x[2]))",
+    ) == "New York"
+    assert one(engine, "regexp_replace('abc', '(b)', x -> x[1] || x[1])") == "abbc"
+    assert (
+        one(engine, "regexp_replace('s', '(.)', x -> CAST(NULL AS VARCHAR))")
+        is None
+    )
+    # array_intersect iterates the longer side (ArrayIntersectFunction)
+    assert one(
+        engine,
+        "ARRAY_INTERSECT(ARRAY [8.3E0, 1.6E0, 4.1E0, 5.2E0], "
+        "ARRAY [4.0E0, 5.2E0, 8.3E0, 9.7E0, 3.5E0])",
+    ) == [5.2, 8.3]
+    # JSON literals canonicalize compact + key-sorted (SORTED_MAPPER)
+    assert one(engine, "JSON '{\"b\":2, \"a\":1}'") == '{"a":1,"b":2}'
+    assert bool(one(engine, "JSON '{\"a\":1, \"b\":2}' = JSON '{\"b\":2, \"a\":1}'"))
+    # 3VL array equality with NULL elements
+    assert one(engine, "ARRAY [1, 2, null] = ARRAY [1, 2, null]") is None
+    # commons-math parity via reflect
+    assert one(engine, "normal_cdf(0, 1, 1.96)") == 0.9750021048517796
+    # element || array concat
+    assert one(engine, "1 || ARRAY [2]") == [1, 2]
+    # decimal literal -> integer casts round HALF_UP
+    assert one(engine, "CAST(DECIMAL '2.5' AS BIGINT)") == 3

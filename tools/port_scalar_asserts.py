@@ -129,11 +129,6 @@ _FIXTURE_FNS_RE = re.compile(
 # construct has no Spark equivalent
 _DEVIATION_SKIPS: tuple[tuple[re.Pattern, str], ...] = (
     (
-        re.compile(r"(?i)regexp_replace\s*\([^;]*->"),
-        "regexp_replace(s, p, lambda) capture-group rewriter — no Spark "
-        "equivalent (documented gap)",
-    ),
-    (
         re.compile(r"(?i)\bTIME(STAMP)?\s*'[^']*[A-Za-z_]{3,}[^']*'"),
         "zone-carrying TIME/TIMESTAMP literal — per-value zone not "
         "modeled (README timestamp-with-time-zone deviation)",
@@ -142,6 +137,11 @@ _DEVIATION_SKIPS: tuple[tuple[re.Pattern, str], ...] = (
         re.compile(r"(?i)\bTIME(STAMP)?\s*'[^']*[+-]\d{2}:\d{2}'"),
         "offset-carrying temporal literal — per-value zone not modeled "
         "(README timestamp-with-time-zone deviation)",
+    ),
+    (
+        re.compile(r"(?i)\bword_stem\s*\([^()]*,\s*'(?!en')"),
+        "word_stem non-English language — only the English Porter2 "
+        "Snowball stemmer is implemented (README deviation)",
     ),
 )
 

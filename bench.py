@@ -15,6 +15,31 @@ import sys
 import time
 
 
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query timings from the HIGHEST-numbered committed
+    BENCH_r{N}.json next to this script (the spike-guard baseline);
+    empty when none exists."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_path = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = _re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is None:
+        return {}
+    try:
+        with open(best_path, encoding="utf-8") as f:
+            return {
+                k: float(v)
+                for k, v in (json.load(f).get("queries") or {}).items()
+            }
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -40,15 +65,32 @@ def main() -> None:
     # queries. Best-of-3 because best-of-2 still let host noise move
     # unchanged plans >20% round-over-round (r3 verdict item #7).
     timings: dict[str, float] = {}
+
+    def run_once(spec) -> float:
+        t0 = time.perf_counter()
+        spec.spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
     for name, spec in bench_queries.items():
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spec.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            el = round(time.perf_counter() - t0, 3)
-            best = el if best is None else min(best, el)
+        best = min(run_once(spec) for _ in range(3))
         timings[name] = best
         spark.catalog.clearCache()
+
+    # Spike guard (r8 verdict: a single GC/host storm inside one query's
+    # best-of-3 window put a 10.6 s dedup_minhash_lsh into the committed
+    # artifact; the same bench re-read 1.19 s). If a query's best exceeds
+    # 3x its value in the previous round's committed BENCH_r{N}.json,
+    # re-run it once more and take the min; record that the guard fired.
+    spike_retries: list[str] = []
+    prev = _previous_round_timings()
+    for name, spec in bench_queries.items():
+        ref = prev.get(name)
+        if ref and timings[name] > 3.0 * ref:
+            spike_retries.append(name)
+            timings[name] = min(timings[name], run_once(spec))
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     # Host-state context: r4→r5 showed a uniform +32% with zero benched
@@ -78,6 +120,7 @@ def main() -> None:
                     "nproc": nproc,
                     "cpus": os.cpu_count(),
                 },
+                "spike_retries": spike_retries,
             }
         )
     )

@@ -669,3 +669,305 @@ def tpcds_period_growth_compare(spark, sf_dir):
             (F.col("c.total") / F.col("b.total")).alias("g23"),
         )
     )
+
+
+@q(
+    "tpcds_returns_ratio_rank",
+    extended=True,
+    tags=("tpcds", "agg", "window"),
+    doc="q49 shape: worst return ratios by 'channel' — per-brand return "
+    "ratio (returned qty / shipped qty) ranked, top slice returned "
+    "(tpcds/q49.sql return_rank/currency_rank).",
+    oracle="""
+WITH r AS (
+  SELECT p_brand,
+    CAST(SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END)
+         AS DOUBLE) AS ret_qty,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS tot_qty
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, ret_qty, tot_qty,
+  RANK() OVER (ORDER BY ret_qty / tot_qty DESC, p_brand ASC) AS return_rank
+FROM r
+ORDER BY return_rank ASC, p_brand ASC
+LIMIT 25
+""",
+)
+def tpcds_returns_ratio_rank(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    r = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(
+                F.when(F.col("l_returnflag") == "R", dec("l_quantity", 18))
+                .otherwise(F.lit(0).cast("decimal(18,4)")),
+                "ret_qty",
+            ),
+            dsum(dec("l_quantity", 18), "tot_qty"),
+        )
+    )
+    w = Window.orderBy(
+        (F.col("ret_qty") / F.col("tot_qty")).desc(), F.col("p_brand").asc()
+    )
+    return (
+        r.select("p_brand", "ret_qty", "tot_qty", F.rank().over(w).alias("return_rank"))
+        .orderBy(F.col("return_rank").asc(), F.col("p_brand").asc())
+        .limit(25)
+    )
+
+
+@q(
+    "tpcds_stddev_cov_filter",
+    extended=True,
+    tags=("tpcds", "agg"),
+    doc="q17 shape: per-brand mean/sample-stddev battery with a "
+    "coefficient-of-variation HAVING filter "
+    "(tpcds/q17.sql store_sales_quantitycov).",
+    oracle="""
+SELECT p_brand,
+  COUNT(*) AS n,
+  CAST(AVG(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS qty_mean,
+  CAST(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS qty_stdev
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+GROUP BY p_brand
+HAVING STDDEV_SAMP(CAST(l_quantity AS DOUBLE))
+       / AVG(CAST(l_quantity AS DOUBLE)) > 0.5
+ORDER BY p_brand ASC
+""",
+)
+def tpcds_stddev_cov_filter(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    qd = F.col("l_quantity").cast("double")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(qd).cast("double").alias("qty_mean"),
+            F.stddev_samp(qd).cast("double").alias("qty_stdev"),
+        )
+        .filter(F.col("qty_stdev") / F.col("qty_mean") > 0.5)
+        .orderBy(F.col("p_brand").asc())
+    )
+
+
+@q(
+    "tpcds_net_after_returns",
+    extended=True,
+    tags=("tpcds", "agg", "join"),
+    doc="q93 shape: actual sales after returns — shipped lines net of the "
+    "returned quantity, summed per customer, top spenders "
+    "(tpcds/q93.sql sumsales).",
+    oracle="""
+SELECT o_custkey,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(0 AS DECIMAL(18,4))
+           ELSE CAST(l_extendedprice AS DECIMAL(18,4)) END)
+       AS DOUBLE) AS net_sales
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY net_sales DESC, o_custkey ASC
+LIMIT 50
+""",
+)
+def tpcds_net_after_returns(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            dsum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.lit(0).cast("decimal(18,4)"),
+                ).otherwise(dec("l_extendedprice", 18)),
+                "net_sales",
+            )
+        )
+        .orderBy(F.col("net_sales").desc(), F.col("o_custkey").asc())
+        .limit(50)
+    )
+
+
+@q(
+    "tpcds_above_avg_price_parts",
+    extended=True,
+    tags=("tpcds", "subquery", "agg"),
+    doc="q6 shape: items priced over 1.2x their type's average, counted "
+    "per supplier nation, HAVING a minimum count "
+    "(tpcds/q6.sql j.i_current_price > 1.2 * avg(i_current_price)).",
+    oracle="""
+SELECT n_name, COUNT(*) AS cnt
+FROM part, lineitem, supplier, nation
+WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND CAST(p_retailprice AS DOUBLE) > 1.2 * (
+    SELECT AVG(CAST(p2.p_retailprice AS DOUBLE))
+    FROM part p2 WHERE p2.p_type = part.p_type)
+GROUP BY n_name
+HAVING COUNT(*) >= 10
+ORDER BY cnt ASC, n_name ASC
+""",
+)
+def tpcds_above_avg_price_parts(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    type_avg = p.groupBy(F.col("p_type").alias("ta_type")).agg(
+        F.avg(F.col("p_retailprice").cast("double")).alias("ta_avg")
+    )
+    expensive = p.join(
+        F.broadcast(type_avg), p.p_type == type_avg.ta_type
+    ).filter(F.col("p_retailprice").cast("double") > 1.2 * F.col("ta_avg"))
+    return (
+        expensive.join(li, expensive.p_partkey == li.l_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .orderBy(F.col("cnt").asc(), F.col("n_name").asc())
+    )
+
+
+@q(
+    "tpcds_hour_band_ratio",
+    extended=True,
+    tags=("tpcds", "agg"),
+    doc="q90 shape: ratio of activity between two hour bands (am/pm "
+    "count ratio) per event type (tpcds/q90.sql am_pm_ratio).",
+    oracle="""
+SELECT event_type,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 6 AND 11
+           THEN 1 ELSE 0 END) AS BIGINT) AS am_cnt,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 12 AND 17
+           THEN 1 ELSE 0 END) AS BIGINT) AS pm_cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type ASC
+""",
+)
+def tpcds_hour_band_ratio(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    h = F.hour("ts")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.when(h.between(6, 11), 1).otherwise(0))
+            .cast("bigint")
+            .alias("am_cnt"),
+            F.sum(F.when(h.between(12, 17), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pm_cnt"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+@q(
+    "tpcds_spend_quartiles",
+    extended=True,
+    tags=("tpcds", "window", "agg"),
+    doc="q51-family windowed-quantile shape: NTILE(4) quartiles of "
+    "customer spend within each nation, per-quartile spend totals "
+    "(store-sales windowed-quantile family).",
+    oracle="""
+WITH spend AS (
+  SELECT c_nationkey, o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spent
+  FROM orders, customer
+  WHERE o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+), qt AS (
+  SELECT c_nationkey, spent,
+    NTILE(4) OVER (PARTITION BY c_nationkey
+                   ORDER BY spent ASC, o_custkey ASC) AS quartile
+  FROM spend
+)
+SELECT c_nationkey, quartile, COUNT(*) AS n,
+  CAST(SUM(CAST(spent AS DECIMAL(18,4))) AS DOUBLE) AS quartile_spend
+FROM qt
+GROUP BY c_nationkey, quartile
+ORDER BY c_nationkey ASC, quartile ASC
+""",
+)
+def tpcds_spend_quartiles(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(dsum(dec("o_totalprice", 18), "spent"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("spent").asc(), F.col("o_custkey").asc()
+    )
+    qt = spend.select(
+        "c_nationkey", "spent", F.ntile(4).over(w).alias("quartile")
+    )
+    return (
+        qt.groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("spent", 18), "quartile_spend"),
+        )
+        .orderBy(F.col("c_nationkey").asc(), F.col("quartile").asc())
+    )
+
+
+@q(
+    "tpcds_count_battery_exists",
+    extended=True,
+    tags=("tpcds", "subquery", "agg"),
+    doc="q35 shape: customer demographics battery — count/min/max/avg "
+    "per group, gated on EXISTS (has orders) and NOT EXISTS (no "
+    "returned line) membership probes (tpcds/q35.sql).",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n,
+  MIN(CAST(c_acctbal AS DOUBLE)) AS min_bal,
+  MAX(CAST(c_acctbal AS DOUBLE)) AS max_bal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o2, lineitem
+    WHERE o2.o_custkey = c_custkey AND l_orderkey = o2.o_orderkey
+      AND l_returnflag = 'R')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment ASC
+""",
+)
+def tpcds_count_battery_exists(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    has_orders = o.select("o_custkey").distinct()
+    returned_cust = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_returnflag") == "R")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(has_orders, c.c_custkey == has_orders.o_custkey, "left_semi")
+        .join(
+            returned_cust,
+            c.c_custkey == returned_cust.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("c_acctbal").cast("double")).alias("min_bal"),
+            F.max(F.col("c_acctbal").cast("double")).alias("max_bal"),
+        )
+        .orderBy(F.col("c_mktsegment").asc())
+    )

@@ -4019,17 +4019,19 @@ def rewrite_double_div_ieee(sql: str, double_cols: frozenset) -> str:
 def infer_derived_double_aliases(
     sql: str, double_cols: frozenset
 ) -> frozenset:
-    """Statement-local alias names whose defining expression (one
-    derived-table/CTE level) is provably double — widens the
-    CAST(double AS BIGINT) HALF_UP proof set across a subquery alias
-    boundary. Iterated once more so an alias-of-an-alias in the same
-    statement also resolves. Callers subtract catalog names voted
-    non-double (a collision must not round a non-double column)."""
+    """Statement-local alias names whose defining expression is provably
+    double — widens the CAST(double AS BIGINT) HALF_UP proof set across
+    subquery-alias boundaries. Iterated to a FIXPOINT (bounded by the
+    alias count) so nested derived tables and CTE-of-CTE chains resolve
+    at any depth (round 9; previously capped at two levels). Callers
+    subtract catalog names voted non-double (a collision must not round
+    a non-double column)."""
     found: set[str] = set()
-    for _ in range(2):
+    aliases = _derived_select_aliases(sql)
+    for _ in range(max(len(aliases), 1)):
         grew = False
         pool = double_cols | frozenset(found)
-        for expr, alias in _derived_select_aliases(sql):
+        for expr, alias in aliases:
             if alias not in found and _provably_double(expr, pool):
                 found.add(alias)
                 grew = True
@@ -4601,21 +4603,42 @@ def _rewrite_ipaddress(sql: str) -> str:
 
     sql = _IPADDR_LIT_RE.sub(lambda m: _fold(m.group(1)), sql)
 
-    # ip-typed subquery/CTE aliases (one propagation level): a select
-    # item already marker-wrapped (folded literal) or still spelled as a
-    # cast to IPADDRESS makes its alias ip-typed in the outer scope —
-    # identity under re-cast, presto_ip_format under CAST AS VARCHAR
+    # ip-typed subquery/CTE aliases: a select item already
+    # marker-wrapped (folded literal), still spelled as a cast to
+    # IPADDRESS, or a bare re-alias of a known ip alias makes its alias
+    # ip-typed in the outer scope — identity under re-cast,
+    # presto_ip_format under CAST AS VARCHAR. Fixpointed (round 9) so
+    # the marker survives ANY number of alias levels.
     ip_aliases: set[str] = set()
-    for expr, alias in _derived_select_aliases(sql):
-        if expr.startswith("presto_ipaddress("):
-            ip_aliases.add(alias)
-            continue
-        em = _CAST_OPEN_RE.match(expr)
-        if em and _scan_matching_paren(expr, em.end()) == len(expr):
-            inner = expr[em.end() : -1]
-            ap = _top_level_last_as(inner)
-            if ap is not None and inner[ap + 2 :].strip().upper() == "IPADDRESS":
+    _alias_items = _derived_select_aliases(sql)
+    for _ in range(max(len(_alias_items), 1)):
+        grew = False
+        for expr, alias in _alias_items:
+            if alias in ip_aliases:
+                continue
+            if expr.startswith("presto_ipaddress("):
                 ip_aliases.add(alias)
+                grew = True
+                continue
+            if (
+                _IDENT_FULL_RE.fullmatch(expr.strip())
+                and expr.strip().rsplit(".", 1)[-1].lower() in ip_aliases
+            ):
+                ip_aliases.add(alias)
+                grew = True
+                continue
+            em = _CAST_OPEN_RE.match(expr)
+            if em and _scan_matching_paren(expr, em.end()) == len(expr):
+                inner = expr[em.end() : -1]
+                ap = _top_level_last_as(inner)
+                if (
+                    ap is not None
+                    and inner[ap + 2 :].strip().upper() == "IPADDRESS"
+                ):
+                    ip_aliases.add(alias)
+                    grew = True
+        if not grew:
+            break
 
     def _is_ip_ident(e: str) -> bool:
         return bool(
@@ -5639,13 +5662,30 @@ _CHAR_IDENT_RE = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*"
 
 def _char_alias_lengths(sql: str) -> dict[str, int]:
     """alias → declared n for select items shaped ``CAST(e AS CHAR(n))
-    AS alias`` inside derived tables / CTEs (one propagation level)."""
+    AS alias`` inside derived tables / CTEs. Fixpointed so a bare
+    re-aliasing (``SELECT c1 AS c2`` over a char(n) alias) carries the
+    declared length through ANY number of levels (round 9)."""
     out: dict[str, int] = {}
-    for expr, alias in _derived_select_aliases(sql):
-        em = _CAST_OPEN_RE.match(expr)
-        parsed = _parse_char_cast(expr, em) if em else None
-        if parsed is not None and parsed[3] == len(expr):
-            out[alias] = parsed[2]
+    aliases = _derived_select_aliases(sql)
+    for _ in range(max(len(aliases), 1)):
+        grew = False
+        for expr, alias in aliases:
+            if alias in out:
+                continue
+            em = _CAST_OPEN_RE.match(expr)
+            parsed = _parse_char_cast(expr, em) if em else None
+            if parsed is not None and parsed[3] == len(expr):
+                out[alias] = parsed[2]
+                grew = True
+                continue
+            im = re.fullmatch(rf"\s*({_CHAR_IDENT_RE})\s*", expr)
+            if im:
+                n = out.get(im.group(1).rsplit(".", 1)[-1].lower())
+                if n is not None:
+                    out[alias] = n
+                    grew = True
+        if not grew:
+            break
     return out
 
 

@@ -654,5 +654,9 @@ def _map_key(cat, k):
     if isinstance(k, int):
         return k
     if isinstance(k, float):
+        if math.isnan(k):
+            return "__nan__"  # nan != nan; canonical token for lookup
+        if math.isinf(k):
+            return k
         return int(k) if k == int(k) else k
     return k

@@ -363,7 +363,12 @@ SQL_FUNCTIONS: list[str] = [
            WHEN 'h' THEN 3600000.0
            WHEN 'd' THEN 86400000.0
          END""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(ms DOUBLE)
+    # Presto's to_milliseconds takes INTERVAL DAY TO SECOND; our
+    # parse_duration models the interval as DOUBLE millis, and rewrite.py
+    # routes to_milliseconds(parse_duration(...)) here. The plain
+    # to_milliseconds(TIMESTAMP) spelling (epoch millis) is a separate
+    # temp fn — SQL temp functions cannot overload, so two names.
+    """CREATE OR REPLACE TEMPORARY FUNCTION __to_millis_dur(ms DOUBLE)
        RETURNS BIGINT RETURN CAST(floor(ms + 0.5) AS BIGINT)""",
     # parse_duration('3.2m') → seconds as double (Presto returns interval;
     # seconds keeps it composable with arithmetic).
@@ -398,10 +403,17 @@ SQL_FUNCTIONS: list[str] = [
              WHEN 'YB' THEN CAST(1208925819614629174706176 AS DECIMAL(38, 0))
            END) AS DECIMAL(38, 0))""",
     # Presto JSON type is carried as its canonical string form here:
-    # json_parse validates/passes the text through (NULL stays NULL),
-    # json_format is the inverse (JsonFunctions.java json_parse/json_format).
+    # json_parse VALIDATES (JsonFunctions.java json_parse raises
+    # INVALID_FUNCTION_ARGUMENT on malformed text — so TRY(json_parse(x))
+    # NULLs bad rows) and passes the text through (NULL stays NULL);
+    # json_format is the inverse. Validation is JVM-side via Spark 4's
+    # try_parse_json; 'null' is valid JSON whose variant is non-null.
     """CREATE OR REPLACE TEMPORARY FUNCTION json_parse(s STRING)
-       RETURNS STRING RETURN s""",
+       RETURNS STRING RETURN
+         CASE WHEN s IS NULL THEN NULL
+              WHEN try_parse_json(s) IS NULL AND trim(s) <> 'null'
+                THEN raise_error(concat('Cannot convert value to JSON: ', s))
+              ELSE s END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_format(s STRING)
        RETURNS STRING RETURN s""",
     # --- Teradata compat (presto-teradata-functions) ---------------------

@@ -731,13 +731,13 @@ def tpcds_returns_ratio_rank(spark, sf_dir):
     oracle="""
 SELECT p_brand,
   COUNT(*) AS n,
-  CAST(AVG(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS qty_mean,
-  CAST(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS qty_stdev
+  ROUND(CAST(AVG(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 6) AS qty_mean,
+  ROUND(CAST(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 6) AS qty_stdev
 FROM lineitem, part
 WHERE l_partkey = p_partkey
 GROUP BY p_brand
-HAVING STDDEV_SAMP(CAST(l_quantity AS DOUBLE))
-       / AVG(CAST(l_quantity AS DOUBLE)) > 0.5
+HAVING ROUND(CAST(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 6)
+       / ROUND(CAST(AVG(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 6) > 0.5
 ORDER BY p_brand ASC
 """,
 )
@@ -750,8 +750,11 @@ def tpcds_stddev_cov_filter(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg(qd).cast("double").alias("qty_mean"),
-            F.stddev_samp(qd).cast("double").alias("qty_stdev"),
+            # stddev over doubles is accumulation-order dependent across
+            # engines (distributed Welford merge vs single-pass): round
+            # per the repo determinism method (queries/__init__.py)
+            F.round(F.avg(qd).cast("double"), 6).alias("qty_mean"),
+            F.round(F.stddev_samp(qd).cast("double"), 6).alias("qty_stdev"),
         )
         .filter(F.col("qty_stdev") / F.col("qty_mean") > 0.5)
         .orderBy(F.col("p_brand").asc())

@@ -1442,7 +1442,7 @@ def _rewrite_typed_literals(sql: str) -> str:
                     .replace("'", "''")
                     + "'"
                 )
-            except ValueError:
+            except (ValueError, ArithmeticError):
                 return lit
         if t in ("VARCHAR", "CHAR"):
             return lit
@@ -1468,6 +1468,95 @@ _COUNT_STAR_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
 _DQUOTE_IDENT_RE = re.compile(r'"([^"\\`]+)"')
 
 
+_WADL_FNS = (
+    "array_position",
+    "array_remove",
+    "contains",
+    "array_contains",
+    "array_intersect",
+    "array_except",
+    "array_union",
+    "arrays_overlap",
+)
+_WADL_LITERAL_OK = re.compile(r"^[\d\s.,()+\-]*$")
+_WADL_NUM = re.compile(r"(?<![\w.])-?\d+(?:\.\d+)?(?![\w.])")
+_WADL_CMP_RE = re.compile(r"\barray\s*\(", re.IGNORECASE)
+
+
+def _widen_array_decimal_literals(sql: str) -> str:
+    """Presto coerces the operands of array functions and array
+    comparisons to the common DECIMAL supertype (max integer digits +
+    max scale over the operand types); Spark requires the element type
+    of the array and the scalar/second-array element type to MATCH
+    exactly for array_position/array_remove/array_contains/
+    array_intersect/… and for array-to-array comparison operators
+    (TestArrayOperators AO679-682, AO1124-1126, AO1245-1341, AO1467-1488,
+    AO533). For all-literal operand sites, cast every numeric literal to
+    the common decimal type. Runs right after the ARRAY[…] → array(…)
+    constructor rewrite, before any array-function lowering."""
+
+    def widen(args):
+        if len(args) < 2:
+            return None
+        stripped = [re.sub(r"(?i)\barray\b", "", t) for t in args]
+        # literal-only gate: any other alphabetic content (columns,
+        # E-notation doubles, nan(), casts) skips the site
+        if not all(_WADL_LITERAL_OK.fullmatch(s) for s in stripped):
+            return None
+        toks = [m.group(0) for s in args for m in _WADL_NUM.finditer(s)]
+        if not toks:
+            return None
+        shapes = {
+            (len(t.lstrip("-").split(".")[0]), len(t.split(".")[1]) if "." in t else 0)
+            for t in toks
+        }
+        s = max(sc for _, sc in shapes)
+        if s == 0 or len(shapes) == 1:
+            return None  # ints only, or already one common type
+        p = max(ip for ip, _ in shapes) + s
+        if p > 38:
+            return None
+        return [
+            _WADL_NUM.sub(
+                lambda m: f"CAST('{m.group(0)}' AS DECIMAL({p},{s}))", t
+            )
+            for t in args
+        ]
+
+    for fn in _WADL_FNS:
+        sql = _map_fn_args(sql, fn, widen)
+
+    # array(...) <op> array(...) literal comparisons
+    pos = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _WADL_CMP_RE.finditer(sql, pos):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return sql
+        a_end = _scan_matching_paren(sql, m.end())
+        om = re.match(r"\s*(!=|<>|<=|>=|=|<|>)\s*", sql[a_end:])
+        if not om:
+            pos = m.end()
+            continue
+        bm = _WADL_CMP_RE.match(sql, a_end + om.end())
+        if not bm:
+            pos = m.end()
+            continue
+        b_end = _scan_matching_paren(sql, bm.end())
+        a_txt, b_txt = sql[m.start() : a_end], sql[a_end + om.end() : b_end]
+        new = widen([a_txt, b_txt])
+        if new is None:
+            pos = m.end()
+            continue
+        rep = f"{new[0]} {om.group(1)} {new[1]}"
+        sql = sql[: m.start()] + rep + sql[b_end:]
+        pos = m.start() + len(rep)
+
+
 def _rewrite_contains(sql: str) -> str:
     """Presto ``contains(arr, e)`` → ``exists(arr, __ce -> __ce = e)``.
     Spark's array_contains insists struct element types match INCLUDING
@@ -1477,7 +1566,13 @@ def _rewrite_contains(sql: str) -> str:
     def build(args):
         if len(args) != 2:
             return None
-        return f"exists({args[0]}, __ce -> __ce = ({args[1]}))"
+        # a NULL probe yields NULL even over an EMPTY array (AO525;
+        # ArrayContains returns null on null value) — exists() over an
+        # empty array would give false
+        return (
+            f"CASE WHEN ({args[1]}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE exists({args[0]}, __ce -> __ce = ({args[1]})) END"
+        )
 
     return _replace_fn_calls(sql, "contains", build)
 
@@ -1508,6 +1603,10 @@ def _rewrite_try_generic(sql: str) -> str:
             and _scan_matching_paren(e, 1) == len(e.rstrip())
         ):
             e = e[1 : e.rstrip().rindex(")")].strip()
+        # any CAST under the TRY scope may fail and be swallowed
+        # (Presto NULLs every evaluation error) — try_cast is
+        # value-identical when the cast succeeds
+        e = _casts_to_try(e)
         # a whole-body CASE … END (user-written, or shim-emitted — substr
         # guards, to_base/from_base sign splits): lower each THEN/ELSE
         # result arm through the try_* arithmetic so an erroring arm
@@ -1534,6 +1633,19 @@ def _rewrite_try_generic(sql: str) -> str:
                         f" OR size(({ks})) <> size(({vs})) THEN NULL"
                         f" ELSE map_from_arrays(({ks}), ({vs})) END)"
                     )
+        # TRY(json_parse(x)) is the standard bad-row-cleaning idiom: the
+        # shim's raise_error cannot be swallowed, so re-express the
+        # validation as a NULL-yielding guard (JsonFunctions.java
+        # json_parse + TRY → NULL on malformed text)
+        mm = re.match(r"^json_parse\s*\(", e, re.IGNORECASE)
+        if mm:
+            close = _scan_matching_paren(e, mm.end())
+            if close == len(e):
+                x = e[mm.end() : close - 1].strip()
+                return (
+                    f"(CASE WHEN try_parse_json(({x})) IS NOT NULL "
+                    f"OR trim(({x})) = 'null' THEN ({x}) END)"
+                )
         lowered = _lower_try_arith(e)
         if lowered is not None:
             return lowered
@@ -1610,6 +1722,31 @@ def _lower_try_arith(e: str):
 
 _CASE_KW_RE = re.compile(r"\b(CASE|WHEN|THEN|ELSE|END)\b", re.IGNORECASE)
 
+_CAST_TOKEN_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+
+
+def _casts_to_try(e: str) -> str:
+    """Every ``CAST(`` inside ``e`` (outside string literals, not already
+    ``TRY_CAST``) → ``TRY_CAST(``. Used under a TRY() scope: Presto's TRY
+    swallows a failing cast anywhere in the guarded expression
+    (TestConditions/TestTryFunction), and a successful try_cast is
+    value-identical to cast."""
+    mask = _literal_mask(e)
+    out, prev = [], 0
+    for m in _CAST_TOKEN_RE.finditer(e):
+        if mask[m.start()]:
+            continue
+        j = m.start() - 1
+        while j >= 0 and (e[j].isalnum() or e[j] == "_"):
+            j -= 1
+        if e[j + 1 : m.start()].upper().rstrip() == "TRY_":
+            continue
+        out.append(e[prev : m.start()])
+        out.append("TRY_CAST(")
+        prev = m.end()
+    out.append(e[prev:])
+    return "".join(out)
+
 
 def _lower_try_case(e: str):
     """TRY over a whole-body ``CASE … END``: Presto evaluates the CASE
@@ -1650,7 +1787,13 @@ def _lower_try_case(e: str):
         return None
     out, prev, changed = [], 0, False
     for s, t in arms:
-        low = _lower_try_arith(e[s:t])
+        # a failing CAST in a THEN/ELSE arm is swallowed by the outer
+        # TRY (Presto NULLs any evaluation error) — try_cast first, then
+        # the arithmetic lowering over the converted arm
+        arm = _casts_to_try(e[s:t])
+        low = _lower_try_arith(arm)
+        if low is None and arm != e[s:t]:
+            low = arm
         out.append(e[prev:s])
         if low is not None:
             out.append(f" {low} ")
@@ -2374,10 +2517,98 @@ def _json_scalar_to_sql(v, t: str):
     return None
 
 
+_DEC_OPERAND = (
+    r"(?:DECIMAL\s*'(-?[\d.]+)'"
+    r"|CAST\s*\(\s*'(-?[\d.]+)'\s+AS\s+DECIMAL\s*"
+    r"\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\))"
+)
 _DEC_LIT_ARITH_RE = re.compile(
-    r"DECIMAL\s*'(-?[\d.]+)'\s*([+\-*/])\s*DECIMAL\s*'(-?[\d.]+)'",
+    rf"{_DEC_OPERAND}\s*([+\-*/])\s*{_DEC_OPERAND}",
     re.IGNORECASE,
 )
+
+_NEG_DEC_LIT_RE = re.compile(
+    r"-\s*DECIMAL\s*'(-?[\d.]+)'", re.IGNORECASE
+)
+_UNARY_CTX_KW = frozenset(
+    "select when then else and or not between in values case on where "
+    "having by return union all distinct as".split()
+)
+
+
+def _fold_decimal_literal_negation(sql: str) -> str:
+    """Unary ``-DECIMAL 'x'`` → ``DECIMAL '-x'`` (sign flips INTO the
+    literal): negating a 38-digit literal through the arithmetic path
+    re-folds via double and garbles the low digits (DO335-337,
+    TestDecimalOperators). Binary minus (``a - DECIMAL '1'``) is left
+    alone: only operator/keyword/start contexts are unary."""
+    pos = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _NEG_DEC_LIT_RE.finditer(sql, pos):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return sql
+        before = sql[: m.start()].rstrip()
+        prev = before[-1:]
+        unary = not prev or prev in "(,=<>+-*/%["
+        if not unary and (prev.isalpha() or prev == "_"):
+            w = re.search(r"[A-Za-z_]\w*$", before)
+            unary = bool(w) and w.group(0).lower() in _UNARY_CTX_KW
+        if not unary:
+            pos = m.end()
+            continue
+        body = m.group(1)
+        flipped = body[1:] if body.startswith("-") else "-" + body
+        rep = f"DECIMAL '{flipped}'"
+        sql = sql[: m.start()] + rep + sql[m.end() :]
+        pos = m.start() + len(rep)
+
+
+_INT_AFTER_DEC_RE = re.compile(
+    r"(DECIMAL\s*'-?[\d.]+'\s*[+\-*/]\s*)(-?\d+)(?![\w.'])",
+    re.IGNORECASE,
+)
+_INT_BEFORE_DEC_RE = re.compile(
+    r"(?<![\w.'])(\d+)(\s*[+\-*/]\s*DECIMAL\s*')",
+    re.IGNORECASE,
+)
+
+
+def _promote_int_literals_near_decimal(sql: str) -> str:
+    """An integer literal adjacent to a DECIMAL literal through + - * /
+    becomes ``DECIMAL 'n'`` so the literal fold below can keep Presto's
+    exact result scale (DO701/DO706: ``DECIMAL '.19-digits' -
+    bigint-literal`` keeps scale 19 where Spark's 38-cap drops a digit).
+    Value-neutral: in mixed arithmetic Presto coerces the integer to
+    decimal anyway, so retyping the literal never changes semantics —
+    no precedence guard needed (the fold pass has its own)."""
+    for pat, grp_rep in (
+        (_INT_AFTER_DEC_RE, lambda m: f"{m.group(1)}DECIMAL '{m.group(2)}'"),
+        (_INT_BEFORE_DEC_RE, lambda m: f"DECIMAL '{m.group(1)}'{m.group(2)}"),
+    ):
+        for _ in range(10):  # fixpoint: chains like D'a' - 5 + 3
+            pos = 0
+            changed = False
+            while True:
+                mask = _literal_mask(sql)
+                m = None
+                for cand in pat.finditer(sql, pos):
+                    if not mask[cand.start()]:
+                        m = cand
+                        break
+                if m is None:
+                    break
+                rep = grp_rep(m)
+                sql = sql[: m.start()] + rep + sql[m.end() :]
+                pos = m.start() + len(rep)
+                changed = True
+            if not changed:
+                break
+    return sql
 
 
 def _dec_ps(txt: str) -> tuple[int, int]:
@@ -2408,7 +2639,23 @@ def _fold_decimal_literal_arith(sql: str) -> str:
         m = _DEC_LIT_ARITH_RE.search(sql, pos)
         if not m:
             return sql
-        a_txt, op, b_txt = m.groups()
+        # each operand is DECIMAL 'x' (type from the literal text) or the
+        # fold's own output CAST('x' AS DECIMAL(p,s)) (declared type) —
+        # the latter lets folds chain and covers literal-cast division
+        # (DO244: scale must be max(s1,s2), not Spark's adjusted scale)
+        a_txt = m.group(1) if m.group(1) is not None else m.group(2)
+        a_ps = (
+            None
+            if m.group(1) is not None
+            else (int(m.group(3)), int(m.group(4)))
+        )
+        op = m.group(5)
+        b_txt = m.group(6) if m.group(6) is not None else m.group(7)
+        b_ps = (
+            None
+            if m.group(6) is not None
+            else (int(m.group(8)), int(m.group(9)))
+        )
         # precedence guards: inspect the nearest non-space neighbors
         prev = sql[: m.start()].rstrip()[-1:]
         nxt = sql[m.end() :].lstrip()[:1]
@@ -2419,8 +2666,8 @@ def _fold_decimal_literal_arith(sql: str) -> str:
         if op in "+-" and nxt in ("*", "/", "%"):
             pos = m.start() + 1
             continue
-        p1, s1 = _dec_ps(a_txt)
-        p2, s2 = _dec_ps(b_txt)
+        p1, s1 = a_ps if a_ps else _dec_ps(a_txt)
+        p2, s2 = b_ps if b_ps else _dec_ps(b_txt)
         with localcontext() as ctx:
             ctx.prec = 100  # default 28 would round the 38-digit results
             a, b = Decimal(a_txt), Decimal(b_txt)
@@ -2678,6 +2925,11 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
         if mm and re.fullmatch(r"[A-Za-z0-9_(),\s]+", mm.group(1).strip()):
             tt = re.sub(r"\s+", "", mm.group(1)).lower()
             tt = re.sub(r"\bint\b", "integer", tt)
+            # Presto spells default decimal precision/scale explicitly
+            # (TypeOfFunction: DECIMAL → decimal(38,0), DECIMAL(p) →
+            # decimal(p,0); pinned TOF39/40).
+            tt = re.sub(r"\bdecimal\((\d+)\)", r"decimal(\1,0)", tt)
+            tt = re.sub(r"\bdecimal\b(?!\()", "decimal(38,0)", tt)
             return f"'{tt}'"
         return f"__ptypeof({arg})"
 
@@ -2702,16 +2954,29 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
 
     sql = _replace_fn_calls(sql, "__ptypeof", ptypeof_inline)
 
-    # array_min/array_max NULL-propagate on a NULL element
-    # (AbstractArrayMinMaxFunction RETURN_NULL_ON_NULL); Spark's skip
-    # nulls. Marker two-pass: a builder may never emit its own name.
+    # array_min/array_max: Presto returns NaN when ANY element is NaN
+    # (even alongside NULLs — TestArrayOperators:605-639, the comparison
+    # never dislodges NaN), else NULL on a NULL element
+    # (AbstractArrayMinMaxFunction RETURN_NULL_ON_NULL); Spark skips
+    # nulls and orders NaN greatest. The NaN probe must ANALYZE for
+    # every element type (isnan() rejects boolean/array/...), so it is
+    # spelled CAST-to-string + typeof-gate, both total functions.
+    # Marker two-pass: a builder may never emit its own name.
+    _NANP = (
+        "(CAST({e} AS STRING) = 'NaN' AND "
+        "typeof({e}) IN ('double', 'float'))"
+    )
+
     def arr_extreme(marker):
         def build(a):
             if len(a) != 1:
                 return None
             x = a[0].strip()
+            nanp = _NANP.format(e="__ae")
             return (
-                f"CASE WHEN exists(({x}), __ae -> __ae IS NULL) THEN NULL "
+                f"CASE WHEN exists(({x}), __ae -> {nanp}) "
+                f"THEN filter(({x}), __ae -> {nanp})[0] "
+                f"WHEN exists(({x}), __ae -> __ae IS NULL) THEN NULL "
                 f"ELSE {marker}(({x})) END"
             )
 
@@ -2722,22 +2987,119 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
     sql = _replace_fn_calls(sql, "__pamin", lambda a: f"array_min({a[0]})")
     sql = _replace_fn_calls(sql, "__pamax", lambda a: f"array_max({a[0]})")
 
+    # array_remove: Presto removes via the EQUAL operator, under which
+    # NaN = NaN is FALSE (TestArrayOperators:1467-1468 — removing nan()
+    # removes nothing); Spark's equality treats NaN as equal to itself.
+    # Keep an element when it is NULL, NaN, or not Spark-equal to the
+    # target.
+    def arr_remove(a):
+        if len(a) != 2:
+            return None
+        x, t = a[0].strip(), a[1].strip()
+        nanp = _NANP.format(e="__ar")
+        return (
+            f"CASE WHEN ({t}) IS NULL THEN NULL "
+            f"ELSE filter(({x}), __ar -> __ar IS NULL OR {nanp} "
+            f"OR NOT (__ar = ({t}))) END"
+        )
+
+    sql = _replace_fn_calls(sql, "array_remove", arr_remove)
+
+    # to_milliseconds over the parse_duration interval model (Presto:
+    # to_milliseconds(INTERVAL DAY TO SECOND), TestDateTimeFunctionsBase
+    # .java:1117-1121) routes to the DOUBLE-millis shim; the bare
+    # TIMESTAMP spelling keeps the epoch-millis temp fn (golden
+    # datetime_iso_duration).
+    sql = _replace_fn_calls(
+        sql,
+        "to_milliseconds",
+        lambda a: f"__to_millis_dur({a[0]})"
+        if len(a) == 1 and re.search(r"(?i)\bparse_duration\s*\(", a[0])
+        else None,
+    )
+
     # multimap_from_entries over a literal tuple array: inline the
     # grouping expression so key/value types are PRESERVED (the generic
-    # temp-fn shim is monomorphic string-typed); constructor tuples are
-    # col1/col2-named structs
+    # temp-fn shim is monomorphic string-typed). Entry-struct field
+    # names vary (constructor tuples are col1/col2, named_struct rows
+    # are user-named, map_entries yields key/value) — extract
+    # POSITIONALLY by building a one-entry map from each struct
+    # (map_from_entries is positional over any 2-field struct).
     def multimap_fe(a):
-        if len(a) == 1 and re.match(r"(?is)^\s*array\s*[\[(]", a[0]):
-            e = a[0].strip()
-            keys = f"array_distinct(transform(({e}), __mfe -> __mfe.col1))"
+        if len(a) != 1:
+            return None
+        e = a[0].strip()
+        if re.fullmatch(r"(?is)array\s*[\[(]\s*[\])]", e):
+            # multimap_from_entries(ARRAY[]) → {} (pinned MO894)
+            return "map()"
+        if re.match(r"(?is)^\s*array\s*[\[(]", e):
+            norm = (
+                f"transform(({e}), __mfe -> named_struct("
+                f"'k', map_keys(map_from_entries(array(__mfe)))[0], "
+                f"'v', map_values(map_from_entries(array(__mfe)))[0]))"
+            )
+            keys = f"array_distinct(transform({norm}, __mfa -> __mfa.k))"
             return (
                 f"map_from_arrays({keys}, transform({keys}, __mfk -> "
-                f"transform(filter(({e}), __mfe2 -> __mfe2.col1 <=> __mfk),"
-                f" __mfe3 -> __mfe3.col2)))"
+                f"transform(filter({norm}, __mfe2 -> __mfe2.k <=> __mfk),"
+                f" __mfe3 -> __mfe3.v)))"
             )
         return None
 
     sql = _replace_fn_calls(sql, "multimap_from_entries", multimap_fe)
+
+    # json_array_contains dispatches on the PROBE's SQL type
+    # (JsonFunctions.java overloads: a long probe matches only integer
+    # JSON tokens — '[1.0]' ∌ 1; a double probe only float tokens —
+    # '[1]' ∌ 1.0; string/boolean likewise never cross-match, JF78-157).
+    # The generic temp fn compares through strings and cannot see token
+    # types, so literal probes lower to a variant-typed exists() here;
+    # non-literal probes keep the documented string-based shim.
+    def jac(a):
+        if len(a) != 2:
+            return None
+        js, v = a[0].strip(), a[1].strip()
+        if re.fullmatch(r"(?i)null", v):
+            return "CAST(NULL AS BOOLEAN)"
+        if re.fullmatch(r"(?i)true|false", v):
+            gate = (
+                "schema_of_variant(__je) = 'BOOLEAN' "
+                f"AND CAST(__je AS BOOLEAN) = {v}"
+            )
+        elif re.fullmatch(r"-?\d+", v):
+            gate = (
+                "schema_of_variant(__je) = 'BIGINT' "
+                f"AND CAST(__je AS BIGINT) = {v}"
+            )
+        elif re.fullmatch(r"-?(?:\d*\.\d+|\d+)(?:[eE][+-]?\d+)?", v):
+            gate = (
+                "(schema_of_variant(__je) IN ('DOUBLE', 'FLOAT') OR "
+                "startswith(schema_of_variant(__je), 'DECIMAL')) AND "
+                f"CAST(__je AS DOUBLE) = CAST(({v}) AS DOUBLE)"
+            )
+        elif re.fullmatch(r"'(?:[^']|'')*'", v):
+            gate = (
+                "schema_of_variant(__je) = 'STRING' "
+                f"AND CAST(__je AS STRING) = ({v})"
+            )
+        else:
+            return None
+        return (
+            f"exists(from_json(({js}), 'array<variant>'), "
+            f"__je -> coalesce({gate}, false))"
+        )
+
+    sql = _replace_fn_calls(sql, "json_array_contains", jac)
+
+    # map_from_entries(ARRAY[]) → {} (pinned MO848; Spark types a bare
+    # array() as array<string> and rejects it as an entries array)
+    sql = _replace_fn_calls(
+        sql,
+        "map_from_entries",
+        lambda a: "map()"
+        if len(a) == 1 and re.fullmatch(r"(?is)array\s*[\[(]\s*[\])]", a[0].strip())
+        else None,
+    )
 
     # array_intersect iterates the LONGER array in order
     # (ArrayIntersectFunction.java:46-74 swaps so the set is built from
@@ -3614,7 +3976,30 @@ def _rewrite_regex_arg_defaults(sql: str) -> str:
     sql = _map_fn_args(sql, "split", fix_split)
     sql = _map_fn_args(sql, "regexp_extract_all", add_group0)
     sql = _map_fn_args(sql, "regexp_replace", add_empty_replacement)
-    return _map_fn_args(sql, "regexp_extract", add_group0)
+    sql = _map_fn_args(sql, "regexp_extract", add_group0)
+
+    # Presto regexp_extract returns NULL when the pattern does not match
+    # (JoniRegexpFunctions.regexpExtract; TestRegexpFunctions:212-213);
+    # Spark returns ''. A match guard — not nullif(…,'') — since a group
+    # can legitimately match empty. Residual deviation: a matching
+    # pattern whose group g did not PARTICIPATE still yields '' (Spark
+    # cannot observe group participation). Marker two-pass (a builder
+    # may never emit its own name).
+    def extract_null_guard(a):
+        if len(a) != 3:
+            return None
+        s, p, g = (x.strip() for x in a)
+        return (
+            f"CASE WHEN regexp_like(({s}), ({p})) "
+            f"THEN __prext(({s}), ({p}), {g}) ELSE NULL END"
+        )
+
+    sql = _replace_fn_calls(sql, "regexp_extract", extract_null_guard)
+    return _replace_fn_calls(
+        sql,
+        "__prext",
+        lambda a: f"regexp_extract({a[0]}, {a[1]}, {a[2]})",
+    )
 
 
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\s+", re.IGNORECASE)
@@ -5311,9 +5696,14 @@ def _unify_decimal_scales(vals):
     q = Decimal(1).scaleb(-max(smax, 0))
     with localcontext() as ctx:
         ctx.prec = 100  # default 28 rejects 38-digit Presto decimals
-        return [
-            x.quantize(q) if isinstance(x, Decimal) else x for x in vals
-        ]
+        try:
+            return [
+                x.quantize(q) if isinstance(x, Decimal) else x for x in vals
+            ]
+        except ArithmeticError:
+            # out-of-double-range literal (e.g. 9.6E400, JF136): keep the
+            # source rendering rather than overflow
+            return vals
 
 
 def _render_canonical_json(v) -> str:
@@ -7463,6 +7853,7 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     are word-boundary regexes and DO respect literal boundaries."""
     sql = _rewrite_literal_backslashes(sql)
     sql = _rewrite_array_literals(sql)
+    sql = _widen_array_decimal_literals(sql)
     sql = _rewrite_element_array_concat(sql)
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_at_time_zone(sql)
@@ -7476,6 +7867,8 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_fn_arity_compat(sql)
     sql = _rewrite_string_compat(sql)
     sql = _fold_json_literal_casts(sql)
+    sql = _fold_decimal_literal_negation(sql)
+    sql = _promote_int_literals_near_decimal(sql)
     sql = _fold_decimal_literal_arith(sql)
     sql = _fold_numeric_literal_casts(sql)
     sql = _rewrite_scalar_compat_misc(sql)

@@ -248,6 +248,42 @@ def _call_body(s: str, head: str) -> str | None:
     return None
 
 
+def _has_top_level_binop(e: str) -> bool:
+    """True when ``e`` contains a binary + - * outside parens/strings
+    (a '-' counts only after a term character, and never as an exponent
+    sign: 1e-5 is one literal)."""
+    depth, in_str, prev, prev2 = 0, False, "", ""
+    i = 0
+    while i < len(e):
+        c = e[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c in "+*":
+                return True
+            if (
+                c == "-"
+                and prev
+                and (prev.isalnum() or prev in ").]_")
+                and not (prev in "eE" and (prev2.isdigit() or prev2 == "."))
+            ):
+                return True
+        if not c.isspace():
+            prev2, prev = prev, c
+        i += 1
+    return False
+
+
 def parse_java_value(s: str):
     """Java result-literal → Python value.  Raises ValueError for
     non-literal expressions (the porter records those as skips)."""
@@ -273,7 +309,11 @@ def parse_java_value(s: str):
         if kind == "double":
             return float(v)
         return v
-    if s.startswith("-"):
+    if s.startswith("-") and not _has_top_level_binop(s[1:]):
+        # unary minus binds tighter than a binary op: '-17.34f + -22.891f'
+        # is (-17.34f) + (-22.891f), NOT -(17.34f + -22.891f) — the
+        # binop guard routes such expressions to the arithmetic
+        # evaluator below (RO51/RO52)
         v = parse_java_value(s[1:])
         if isinstance(v, (int, float, Decimal)):
             return -v
@@ -434,7 +474,7 @@ def parse_java_value(s: str):
     for name, val in _NAMED_CONSTANTS.items():
         expr = expr.replace(name, repr(val))
     if re.fullmatch(r"[0-9a-fA-FxX+\-*().\sLlDdFfEe_]+", expr) and re.search(
-        r"[+*]|\d\s*-", expr
+        r"[+*]|[\d.fFdDlL)]\s*-", expr
     ):
         # Java FLOAT arithmetic (12.34f + 56.78f) rounds each term and
         # each op to float32; round the terms and the result — exact for
@@ -620,7 +660,15 @@ def values_match(cat, got, want) -> bool:
             return False
         return bytes_to_ip_str(bytes(got)) == str(want)
     if cat == "decimal":
-        return Decimal(str(got)) == Decimal(str(want))
+        g, w = Decimal(str(got)), Decimal(str(want))
+        if g == w:
+            return True
+        # SqlDecimal.equals compares ONLY the unscaled value
+        # (SqlDecimal.java:46): the reference accepts a scale mismatch
+        # between the expected literal and the declared result type
+        # (TestMathFunctions:559 pins "0.01" for a decimal(18,0) mod
+        # whose value is 1) — mirror that
+        return g.as_tuple()[:2] == w.as_tuple()[:2]
     if isinstance(cat, tuple) and cat[0] == "array":
         if not isinstance(got, (list, tuple)):
             return False

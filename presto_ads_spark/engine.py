@@ -214,6 +214,12 @@ class Engine:
 
             register_all(self.spark)
         self._prepared: dict[str, str] = {}
+        # view-output type markers: char(n) lengths and ipaddress column
+        # names persisted across CREATE VIEW statement boundaries so the
+        # rewrite fixpoints keep working over view columns (round 10,
+        # closes the README view-boundary deviation)
+        self._view_char_cols: dict[str, int] = {}
+        self._view_ip_cols: set[str] = set()
         self._int_cols = self._integral_columns()
 
     def _integral_columns(self) -> frozenset:
@@ -274,6 +280,8 @@ class Engine:
         return rewrite(
             rewrite_integral_column_division(text, int_cols),
             json_scalar_cols=self._scalar_cols,
+            char_cols=self._view_char_cols,
+            ip_cols=self._view_ip_cols,
         )
 
     # -- statement entry point -------------------------------------------
@@ -324,10 +332,23 @@ class Engine:
         if m:
             replace, name, body = m.groups()
             name = name.split(".")[-1]
-            return self.spark.sql(
+            df = self.spark.sql(
                 f"CREATE {'OR REPLACE ' if replace else ''}TEMPORARY VIEW"
                 f" {name} AS {self._rewrite(body)}"
             )
+            # persist the view's output type markers (char(n) length,
+            # ipaddress) and re-vote catalog types so later statements
+            # see the view's columns
+            try:
+                chars, ips = rewrite_mod.statement_output_type_markers(
+                    body, self._view_char_cols, self._view_ip_cols
+                )
+                self._view_char_cols.update(chars)
+                self._view_ip_cols |= ips
+                self._int_cols = self._integral_columns()
+            except Exception:  # noqa: BLE001 — markers are best-effort
+                pass
+            return df
         if _NOOP_STMT_RE.match(text):
             return self.spark.range(0).select()
         m = _SYSTEM_RUNTIME_RE.match(text)

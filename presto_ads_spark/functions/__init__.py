@@ -29,11 +29,12 @@ def register_all(spark: SparkSession) -> None:
 
     from .ipaddress_compat import IPADDRESS_SQL_FUNCTIONS, register_ipaddress_udfs
 
-    # geo_convex_hull must exist before st_convex_hull's body resolves
+    # geo_convex_hull must exist before st_convex_hull's body resolves;
+    # __presto_json_parse likewise before json_parse's body
     register_geospatial_python(spark)
+    _register_python_udfs(spark)
     for stmt in SQL_FUNCTIONS + GEOSPATIAL_SQL_FUNCTIONS + IPADDRESS_SQL_FUNCTIONS:
         spark.sql(stmt)
-    _register_python_udfs(spark)
     register_color_udfs(spark)
     register_ipaddress_udfs(spark)
 
@@ -187,6 +188,59 @@ def _register_python_udfs(spark: SparkSession) -> None:
         )
 
     spark.udf.register("presto_json_canon", _presto_json_canon, "string")
+
+    # json_parse canonical text (JsonFunctions.java json_parse re-serializes
+    # through SORTED_MAPPER: compact spacing, object keys sorted — JSON
+    # equality is string equality over this form, JO348). Number lexemes
+    # stay VERBATIM (conservative vs Presto's double round-trip; matches
+    # the rewrite-time literal canonicalizer for same-scale spellings).
+    # Returns NULL on malformed text — the json_parse temp fn raises on
+    # that, TRY(json_parse(x)) passes the NULL through. Compat surface
+    # only, never a hot path.
+    class _RawNum(str):
+        pass
+
+    def _jp_canon(v):
+        if isinstance(v, _RawNum):
+            return str(v)
+        if v is None:
+            return "null"
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        if isinstance(v, str):
+            return _json.dumps(v, ensure_ascii=False)
+        if isinstance(v, list):
+            return "[" + ",".join(_jp_canon(x) for x in v) + "]"
+        # dict: ordered-by-key (SORTED_MAPPER ORDER_MAP_ENTRIES_BY_KEYS)
+        items = sorted((k, _jp_canon(x)) for k, x in v.items())
+        return (
+            "{"
+            + ",".join(
+                _json.dumps(k, ensure_ascii=False) + ":" + t
+                for k, t in items
+            )
+            + "}"
+        )
+
+    def _presto_json_parse(js):
+        if js is None:
+            return None
+        def _no_const(_s):
+            raise ValueError("non-finite JSON literal")
+        try:
+            v = _json.loads(
+                js,
+                parse_float=_RawNum,
+                parse_int=_RawNum,
+                parse_constant=_no_const,
+            )
+        except ValueError:
+            return None
+        return _jp_canon(v)
+
+    spark.udf.register("__presto_json_parse", _presto_json_parse, "string")
 
     # normalize(s[, form]) (StringFunctions.normalize — java.text.Normalizer):
     # Unicode normalization has no Spark builtin; per-row Python UDF —

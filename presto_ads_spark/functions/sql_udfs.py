@@ -198,11 +198,18 @@ SQL_FUNCTIONS: list[str] = [
     # a key present WITHOUT a value returns '' (UrlFunctions
     # urlExtractParameter "first matched key is empty" → EMPTY_SLICE);
     # an absent key returns NULL — Spark's parse_url NULLs both
+    # UrlFunctions.java:124-148: the FIRST query arg whose key matches
+    # wins — a bare key ('?k1&k1=v1' asked for k1) yields '' even when a
+    # later arg carries a value (UF47); parse_url(url,'QUERY',name) would
+    # return the later value.
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_parameter(url STRING, name STRING)
        RETURNS STRING RETURN
-         coalesce(parse_url(url, 'QUERY', name),
-                  CASE WHEN array_contains(split(parse_url(url, 'QUERY'), '&'), name)
-                       THEN '' END)""",
+         CASE WHEN size(filter(split(parse_url(url, 'QUERY'), '&'),
+                               p -> p = name OR startswith(p, concat(name, '=')))) > 0
+              THEN substr(filter(split(parse_url(url, 'QUERY'), '&'),
+                                 p -> p = name OR startswith(p, concat(name, '=')))[0],
+                          length(name) + 2)
+         END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_port(url STRING)
        RETURNS BIGINT RETURN CAST(regexp_extract(parse_url(url, 'AUTHORITY'), ':(\\\\d+)$', 1) AS BIGINT)""",
     # --- ArrayFunctions --------------------------------------------------
@@ -386,34 +393,47 @@ SQL_FUNCTIONS: list[str] = [
          END""",
     # --- DataSizeFunctions.java: parse_presto_data_size('2.3MB') → decimal
     #     bytes (unit table :44-57: B kB MB GB TB PB EB ZB YB, 1024-based).
+    # Integer and fractional parts multiply separately so the product
+    # keeps SCALE 0: a single decimal multiply would carry the quantity's
+    # scale into the result and overflow 38 digits for
+    # '6917529027641081856EB'-scale inputs (DSF46/47). floor distributes
+    # over the split because int_part*unit is exact (Presto
+    # BigDecimal.toBigInteger truncates).
+    """CREATE OR REPLACE TEMPORARY FUNCTION __data_size_unit(s STRING)
+       RETURNS DECIMAL(25, 0) RETURN
+           CASE regexp_extract(s, '([A-Za-z]+)$', 1)
+             WHEN 'B' THEN CAST(1 AS DECIMAL(25, 0))
+             WHEN 'kB' THEN CAST(1024 AS DECIMAL(25, 0))
+             WHEN 'MB' THEN CAST(1048576 AS DECIMAL(25, 0))
+             WHEN 'GB' THEN CAST(1073741824 AS DECIMAL(25, 0))
+             WHEN 'TB' THEN CAST(1099511627776 AS DECIMAL(25, 0))
+             WHEN 'PB' THEN CAST(1125899906842624 AS DECIMAL(25, 0))
+             WHEN 'EB' THEN CAST(1152921504606846976 AS DECIMAL(25, 0))
+             WHEN 'ZB' THEN CAST(1180591620717411303424 AS DECIMAL(25, 0))
+             WHEN 'YB' THEN CAST(1208925819614629174706176 AS DECIMAL(25, 0))
+           END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION parse_presto_data_size(s STRING)
        RETURNS DECIMAL(38, 0) RETURN
-         -- floor: Presto BigDecimal.toBigInteger truncates, Spark cast rounds
-         -- DECIMAL(32,6): '6917529027641081856EB'-scale magnitudes fit
-         CAST(FLOOR(CAST(regexp_extract(s, '^([0-9.]+)', 1) AS DECIMAL(32, 6)) *
-           CASE regexp_extract(s, '([A-Za-z]+)$', 1)
-             WHEN 'B' THEN CAST(1 AS DECIMAL(38, 0))
-             WHEN 'kB' THEN CAST(1024 AS DECIMAL(38, 0))
-             WHEN 'MB' THEN CAST(1048576 AS DECIMAL(38, 0))
-             WHEN 'GB' THEN CAST(1073741824 AS DECIMAL(38, 0))
-             WHEN 'TB' THEN CAST(1099511627776 AS DECIMAL(38, 0))
-             WHEN 'PB' THEN CAST(1125899906842624 AS DECIMAL(38, 0))
-             WHEN 'EB' THEN CAST(1152921504606846976 AS DECIMAL(38, 0))
-             WHEN 'ZB' THEN CAST(1180591620717411303424 AS DECIMAL(38, 0))
-             WHEN 'YB' THEN CAST(1208925819614629174706176 AS DECIMAL(38, 0))
-           END) AS DECIMAL(38, 0))""",
+         CAST(CAST(regexp_extract(s, '^([0-9]+)', 1) AS DECIMAL(38, 0))
+                * __data_size_unit(s)
+              + FLOOR(CAST(concat('0.',
+                    coalesce(nullif(regexp_extract(s, '^[0-9]+\\\\.([0-9]+)', 1), ''), '0'))
+                  AS DECIMAL(26, 25)) * __data_size_unit(s))
+           AS DECIMAL(38, 0))""",
     # Presto JSON type is carried as its canonical string form here:
     # json_parse VALIDATES (JsonFunctions.java json_parse raises
     # INVALID_FUNCTION_ARGUMENT on malformed text — so TRY(json_parse(x))
-    # NULLs bad rows) and passes the text through (NULL stays NULL);
-    # json_format is the inverse. Validation is JVM-side via Spark 4's
-    # try_parse_json; 'null' is valid JSON whose variant is non-null.
+    # NULLs bad rows) and CANONICALIZES (compact spacing, sorted object
+    # keys — JSON equality is string equality over this form, JO348);
+    # json_format is the inverse. __presto_json_parse is the Python
+    # canonicalizer registered in functions/__init__.py (NULL on
+    # malformed).
     """CREATE OR REPLACE TEMPORARY FUNCTION json_parse(s STRING)
        RETURNS STRING RETURN
          CASE WHEN s IS NULL THEN NULL
-              WHEN try_parse_json(s) IS NULL AND trim(s) <> 'null'
+              WHEN __presto_json_parse(s) IS NULL
                 THEN raise_error(concat('Cannot convert value to JSON: ', s))
-              ELSE s END""",
+              ELSE __presto_json_parse(s) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_format(s STRING)
        RETURNS STRING RETURN s""",
     # --- Teradata compat (presto-teradata-functions) ---------------------

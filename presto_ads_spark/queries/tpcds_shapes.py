@@ -974,3 +974,229 @@ def tpcds_count_battery_exists(spark, sf_dir):
         )
         .orderBy(F.col("c_mktsegment").asc())
     )
+
+
+@q(
+    "tpcds_moving_avg_deviation",
+    extended=True,
+    tags=("tpcds", "window", "agg"),
+    doc="q47/q57 shape: monthly sales per nation with the partition "
+    "average and LAG/LEAD neighbors; emit months deviating >10% above "
+    "the nation's average (call-center monthly-deviation family). "
+    "The deviation test multiplies exact-decimal-derived doubles "
+    "(total*n vs 1.1*part_total) — no division, IEEE-identical across "
+    "engines.",
+    oracle="""
+WITH monthly AS (
+  SELECT c_nationkey,
+    EXTRACT(YEAR FROM o_orderdate) AS yr,
+    EXTRACT(MONTH FROM o_orderdate) AS mon,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM orders, customer
+  WHERE o_custkey = c_custkey
+  GROUP BY c_nationkey, EXTRACT(YEAR FROM o_orderdate),
+           EXTRACT(MONTH FROM o_orderdate)
+), win AS (
+  SELECT c_nationkey, yr, mon, total,
+    COUNT(*) OVER (PARTITION BY c_nationkey) AS n_months,
+    SUM(total) OVER (PARTITION BY c_nationkey) AS part_total,
+    LAG(total) OVER (PARTITION BY c_nationkey
+                     ORDER BY yr ASC, mon ASC) AS prev_total,
+    LEAD(total) OVER (PARTITION BY c_nationkey
+                      ORDER BY yr ASC, mon ASC) AS next_total
+  FROM monthly
+)
+SELECT c_nationkey, yr, mon, total, prev_total, next_total
+FROM win
+WHERE total * CAST(n_months AS DOUBLE) > 1.1 * part_total
+ORDER BY c_nationkey ASC, yr ASC, mon ASC
+""",
+)
+def tpcds_moving_avg_deviation(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(dsum(dec("o_totalprice", 18), "total"))
+    )
+    part = Window.partitionBy("c_nationkey")
+    seq = part.orderBy(F.col("yr").asc(), F.col("mon").asc())
+    win = monthly.select(
+        "c_nationkey",
+        "yr",
+        "mon",
+        "total",
+        F.count(F.lit(1)).over(part).alias("n_months"),
+        F.sum("total").over(part).alias("part_total"),
+        F.lag("total").over(seq).alias("prev_total"),
+        F.lead("total").over(seq).alias("next_total"),
+    )
+    return (
+        win.filter(
+            F.col("total") * F.col("n_months").cast("double")
+            > F.lit(1.1) * F.col("part_total")
+        )
+        .select(
+            "c_nationkey", "yr", "mon", "total", "prev_total", "next_total"
+        )
+        .orderBy(
+            F.col("c_nationkey").asc(), F.col("yr").asc(), F.col("mon").asc()
+        )
+    )
+
+
+@q(
+    "tpcds_week_over_week",
+    extended=True,
+    tags=("tpcds", "join", "agg"),
+    doc="q59 shape: period-over-period self-join — each nation-month's "
+    "order total joined to the NEXT month's, ratio emitted "
+    "(store-sales week-over-week family). Ratio rounds to 6 digits per "
+    "the determinism method.",
+    oracle="""
+WITH monthly AS (
+  SELECT c_nationkey,
+    EXTRACT(YEAR FROM o_orderdate) * 12
+      + EXTRACT(MONTH FROM o_orderdate) AS seq,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM orders, customer
+  WHERE o_custkey = c_custkey
+  GROUP BY c_nationkey,
+    EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)
+)
+SELECT a.c_nationkey AS nationkey, a.seq AS seq,
+  a.total AS cur_total, b.total AS next_total,
+  ROUND(b.total / a.total, 6) AS wow_ratio
+FROM monthly a, monthly b
+WHERE a.c_nationkey = b.c_nationkey AND b.seq = a.seq + 1
+ORDER BY nationkey ASC, seq ASC
+""",
+)
+def tpcds_week_over_week(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "seq"
+            ),
+        )
+        .agg(dsum(dec("o_totalprice", 18), "total"))
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("b.seq") == F.col("a.seq") + 1),
+        )
+        .select(
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.seq").alias("seq"),
+            F.col("a.total").alias("cur_total"),
+            F.col("b.total").alias("next_total"),
+            F.round(F.col("b.total") / F.col("a.total"), 6).alias(
+                "wow_ratio"
+            ),
+        )
+        .orderBy(F.col("nationkey").asc(), F.col("seq").asc())
+    )
+
+
+@q(
+    "tpcds_dual_rank_union",
+    extended=True,
+    tags=("tpcds", "window", "setop"),
+    doc="q49 shape: per-part return ratio ranked by ratio AND by "
+    "returned amount; a part surfaces when either rank <= 10, the two "
+    "rank lists UNION-deduped (worst-return-ratios family). Ranks "
+    "order by exact-decimal-derived doubles with full tiebreakers.",
+    oracle="""
+WITH ratios AS (
+  SELECT l_partkey,
+    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_quantity AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS ret_qty,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS all_qty,
+    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_extendedprice AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS ret_amt
+  FROM lineitem
+  GROUP BY l_partkey
+  HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+), ranked AS (
+  SELECT l_partkey, ret_qty, all_qty, ret_amt,
+    RANK() OVER (ORDER BY ret_qty * 1e6 / all_qty DESC,
+                 l_partkey ASC) AS ratio_rank,
+    RANK() OVER (ORDER BY ret_amt DESC, l_partkey ASC) AS amt_rank
+  FROM ratios
+)
+SELECT l_partkey, ratio_rank, amt_rank FROM ranked WHERE ratio_rank <= 10
+UNION
+SELECT l_partkey, ratio_rank, amt_rank FROM ranked WHERE amt_rank <= 10
+ORDER BY l_partkey ASC, ratio_rank ASC, amt_rank ASC
+""",
+)
+def tpcds_dual_rank_union(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ret = F.when(F.col("l_returnflag") == "R", dec("l_quantity", 18)).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    ret_amt = F.when(
+        F.col("l_returnflag") == "R", dec("l_extendedprice", 18)
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    ratios = (
+        li.groupBy("l_partkey")
+        .agg(
+            dsum(ret, "ret_qty"),
+            dsum(dec("l_quantity", 18), "all_qty"),
+            dsum(ret_amt, "ret_amt"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("__nret"),
+        )
+        .filter(F.col("__nret") > 0)
+        .drop("__nret")
+    )
+    ranked = ratios.select(
+        "l_partkey",
+        "ret_qty",
+        "all_qty",
+        "ret_amt",
+        F.rank()
+        .over(
+            Window.orderBy(
+                (F.col("ret_qty") * F.lit(1e6) / F.col("all_qty")).desc(),
+                F.col("l_partkey").asc(),
+            )
+        )
+        .alias("ratio_rank"),
+        F.rank()
+        .over(
+            Window.orderBy(F.col("ret_amt").desc(), F.col("l_partkey").asc())
+        )
+        .alias("amt_rank"),
+    )
+    top_ratio = ranked.filter(F.col("ratio_rank") <= 10).select(
+        "l_partkey", "ratio_rank", "amt_rank"
+    )
+    top_amt = ranked.filter(F.col("amt_rank") <= 10).select(
+        "l_partkey", "ratio_rank", "amt_rank"
+    )
+    return (
+        top_ratio.union(top_amt)
+        .distinct()
+        .orderBy(
+            F.col("l_partkey").asc(),
+            F.col("ratio_rank").asc(),
+            F.col("amt_rank").asc(),
+        )
+    )

@@ -1557,6 +1557,256 @@ def _widen_array_decimal_literals(sql: str) -> str:
         pos = m.start() + len(rep)
 
 
+_LCD_LAMBDA_RE = re.compile(
+    r"^\(?\s*([A-Za-z_]\w*)\s*(?:,\s*([A-Za-z_]\w*)\s*)?\)?\s*->\s*",
+)
+_LCD_SCALAR_FNS = frozenset(
+    {"from_base", "cast", "upper", "lower", "length", "concat_ws", "trim"}
+)
+
+
+def _lcd_depth(e: str, env: dict) -> int | None:
+    """Array-nesting depth of a literal-ish expression under a lambda
+    environment (var → depth). None = unknown."""
+    e = e.strip()
+    while e.startswith("(") and _scan_matching_paren(e, 1) == len(e):
+        e = e[1:-1].strip()
+    if not e:
+        return None
+    if e in env:
+        return env[e]
+    if re.fullmatch(r"(?i)null", e):
+        return 0  # a NULL element never raises the max in a literal array
+    m = re.match(r"(?is)^array\s*[\[(]", e)
+    if m:
+        close = (
+            _scan_matching_paren(e, m.end())
+            if e[m.end() - 1] == "("
+            else None
+        )
+        inner = e[m.end() : close - 1] if close else e[m.end() : -1]
+        if not inner.strip():
+            return 1
+        depths = [
+            _lcd_depth(x, env) for x in _split_top_level(inner)
+        ]
+        if any(d is None for d in depths):
+            return None
+        return 1 + max(depths)
+    fm = re.match(r"^([A-Za-z_]\w*)\s*\(", e)
+    if fm and _scan_matching_paren(e, fm.end()) == len(e):
+        fn = fm.group(1).lower()
+        args = _split_top_level(e[fm.end() : -1])
+        if fn == "transform" and len(args) == 2:
+            lm = _LCD_LAMBDA_RE.match(args[1].strip())
+            src_d = _lcd_depth(args[0], env)
+            if lm and src_d is not None and src_d >= 1:
+                body_d = _lcd_depth(
+                    args[1].strip()[lm.end() :],
+                    {**env, lm.group(1): src_d - 1},
+                )
+                return None if body_d is None else 1 + body_d
+            return None
+        if fn in ("try_cast",) or fn == "cast":
+            # depth from the textual cast target's ARRAY nesting
+            am = re.search(r"(?is)\sAS\s+(.+)$", e[fm.end() : -1])
+            if am:
+                return len(
+                    re.findall(r"(?i)\bARRAY\s*[(<]", am.group(1))
+                )
+            return None
+        if fn in _LCD_SCALAR_FNS:
+            return 0
+        return None
+    if re.fullmatch(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", e):
+        return 0
+    if re.fullmatch(r"'(?:[^']|'')*'", e):
+        return 0
+    return None
+
+
+def _lcd_fix_body(body: str, env: dict) -> str:
+    """Wrap the shallower items of mixed-depth ``||`` chains / concat()
+    calls in array(…) — Presto's element||array append/prepend
+    (ArrayConcatUtils) resolved through the lambda-var depths in env."""
+
+    def fix_items(texts):
+        depths = [_lcd_depth(t, env) for t in texts]
+        if any(d is None for d in depths):
+            return None
+        dmax = max(depths)
+        if dmax < 1 or all(d == dmax for d in depths):
+            return None
+        if not all(d in (dmax, dmax - 1) for d in depths):
+            return None
+        # a NULL element nulls the whole concat in Presto
+        # (ArrayConcatUtils appendElement is RETURN_NULL_ON_NULL,
+        # ATF71) — the wrap must propagate, not produce [null]
+        return [
+            f"IF(({t.strip()}) IS NULL, NULL, array({t.strip()}))"
+            if d == dmax - 1
+            else t
+            for t, d in zip(texts, depths)
+        ]
+
+    def concat_fix(args):
+        return fix_items(args) if len(args) >= 2 else None
+
+    body = _map_fn_args(body, "concat", concat_fix)
+    # top-level || chain
+    parts, mask, depth, start = [], _literal_mask(body), 0, 0
+    k = 0
+    while k < len(body) - 1:
+        c = body[k]
+        if not mask[k]:
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0 and c == "|" and body[k + 1] == "|":
+                parts.append(body[start:k])
+                start = k + 2
+                k += 2
+                continue
+        k += 1
+    if parts:
+        parts.append(body[start:])
+        fixed = fix_items(parts)
+        if fixed is not None:
+            return " || ".join(fixed)
+    return body
+
+
+def _rewrite_lambda_concat_depths(sql: str) -> str:
+    """HOF lambdas over LITERAL constructor inputs: infer each lambda
+    var's array depth from the input (transform element = input depth-1;
+    transform_keys/values over map(array K, array V) bind key/value
+    depths), then resolve Presto's mixed element||array concatenation
+    inside the body (ATF71, MTKF201/218, MTVF206 —
+    TestArrayTransform/TestMapTransform). Also lowers
+    ``CAST(<array-depth-1 var> AS ARRAY(T))`` to an element-wise
+    transform (MTVF198: the JSON-cast shim would misread the var as a
+    JSON string). Columns and non-literal inputs are left untouched."""
+
+    def fix(fname, args):
+        if len(args) != 2:
+            return None
+        src, lam = args[0].strip(), args[1].strip()
+        lm = _LCD_LAMBDA_RE.match(lam)
+        if not lm:
+            return None
+        v1, v2 = lm.group(1), lm.group(2)
+        env = {}
+        if fname == "transform":
+            d = _lcd_depth(src, {})
+            if d is None or d < 1:
+                return None
+            env[v1] = d - 1
+        else:
+            mm = re.match(r"(?is)^map\s*\(", src)
+            if not mm or not v2:
+                return None
+            close = _scan_matching_paren(src, mm.end())
+            if close != len(src):
+                return None
+            margs = _split_top_level(src[mm.end() : close - 1])
+            if len(margs) != 2:
+                return None
+            dk, dv = _lcd_depth(margs[0], {}), _lcd_depth(margs[1], {})
+            if dk is None or dv is None or dk < 1 or dv < 1:
+                return None
+            env[v1], env[v2] = dk - 1, dv - 1
+        body = lam[lm.end() :]
+        # CAST(var AS ARRAY(T)) over a depth-1 var → element-wise cast
+        for var, dep in env.items():
+            if dep == 1:
+                body = re.sub(
+                    rf"(?is)\bCAST\s*\(\s*{var}\s+AS\s+ARRAY\s*"
+                    rf"[(<]\s*(\w+)\s*[)>]\s*\)",
+                    rf"transform({var}, __lcd -> CAST(__lcd AS \1))",
+                    body,
+                )
+        new_body = _lcd_fix_body(body, env)
+        if new_body == lam[lm.end() :]:
+            return None
+        return [src, lam[: lm.end()] + new_body]
+
+    for fname in ("transform", "transform_keys", "transform_values"):
+        sql = _map_fn_args(
+            sql, fname, lambda a, f=fname: fix(f, a)
+        )
+    return sql
+
+
+_INT_FAMILY_RE = re.compile(
+    r"(?i)^\s*(\w+)\s+(TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*$"
+)
+
+
+def _rewrite_reduce_typing(sql: str) -> str:
+    """Two reduce() typing gaps vs Presto (TestArrayReduceFunction):
+
+    1. A small-int initial state over a BIGINT-element literal array —
+       Presto unifies the state type upward, Spark rejects the lambda
+       (ARF98): cast the literal initial state to BIGINT.
+    2. ``s.f / s.g`` over integer-typed ROW-state fields is Presto
+       integer division (ARF68); the field types are textually provable
+       from the ``CAST(ROW(…) AS ROW(name TYPE, …))`` initial state —
+       rewrite to DIV inside the final lambda."""
+
+    def fix(args):
+        if len(args) != 4:
+            return None
+        src, init = args[0].strip(), args[1].strip()
+        out = None
+        if re.match(r"(?is)^array\s*[\[(]", src) and re.fullmatch(
+            r"-?\d+", init
+        ):
+            toks = re.findall(r"(?<![\w.])-?\d+(?![\w.])", src)
+            if (
+                any(abs(int(t)) > 2**31 - 1 for t in toks)
+                and abs(int(init)) <= 2**31 - 1
+            ):
+                out = [src, f"CAST({init} AS BIGINT)", args[2], args[3]]
+        m = re.match(
+            r"(?is)^CAST\s*\(\s*ROW\s*\(.*\)\s+AS\s+ROW\s*\((.*)\)\s*\)$",
+            init,
+        )
+        if m:
+            fields = set()
+            for part in _split_top_level(m.group(1)):
+                fm = _INT_FAMILY_RE.match(part)
+                if fm:
+                    fields.add(fm.group(1).lower())
+            fin = args[3].strip()
+            lm = _LCD_LAMBDA_RE.match(fin)
+            if fields and lm:
+                var = lm.group(1)
+                body = fin[lm.end() :]
+                pat = re.compile(
+                    rf"\b{var}\.(\w+)\s*/\s*{var}\.(\w+)"
+                )
+
+                def sub(mm):
+                    if (
+                        mm.group(1).lower() in fields
+                        and mm.group(2).lower() in fields
+                    ):
+                        return (
+                            f"({var}.{mm.group(1)} DIV {var}.{mm.group(2)})"
+                        )
+                    return mm.group(0)
+
+                nb = pat.sub(sub, body)
+                if nb != body:
+                    base = out or list(args)
+                    base[3] = fin[: lm.end()] + nb
+                    out = base
+        return out
+
+    return _map_fn_args(sql, "reduce", fix)
+
+
 def _rewrite_contains(sql: str) -> str:
     """Presto ``contains(arr, e)`` → ``exists(arr, __ce -> __ce = e)``.
     Spark's array_contains insists struct element types match INCLUDING
@@ -1642,10 +1892,9 @@ def _rewrite_try_generic(sql: str) -> str:
             close = _scan_matching_paren(e, mm.end())
             if close == len(e):
                 x = e[mm.end() : close - 1].strip()
-                return (
-                    f"(CASE WHEN try_parse_json(({x})) IS NOT NULL "
-                    f"OR trim(({x})) = 'null' THEN ({x}) END)"
-                )
+                # the canonicalizer returns NULL on malformed text —
+                # exactly TRY's contract
+                return f"(__presto_json_parse(({x})))"
         lowered = _lower_try_arith(e)
         if lowered is not None:
             return lowered
@@ -1908,39 +2157,65 @@ _MAP_CMP_OP_RE = re.compile(
 )
 
 
-def _map_distinct_expr(a: str, b: str) -> str:
+_MAP_NESTED_RE = re.compile(r"\b(map|map_from_arrays)\s*\(", re.IGNORECASE)
+
+
+def _map_valued_constructor(t: str) -> bool:
+    """True when ``t`` is a textual map constructor whose VALUES are
+    themselves map constructors (map keys cannot be maps in Presto, so
+    a nested constructor implies map-typed values — MO737/739)."""
+    t = t.strip()
+    m = _MAP_CALL_HEAD_RE.match(t)
+    return bool(m) and bool(_MAP_NESTED_RE.search(t[m.end() :]))
+
+
+def _map_distinct_expr(a: str, b: str, depth: int = 0) -> str:
     """IS DISTINCT FROM over maps is a TOTAL comparator
     (MapDistinctFromOperator): NULL values compare null-safely (two
     NULL-valued entries are NOT distinct), unlike `=`'s three-valued
-    result."""
-    k = "__mk"
+    result. Map-typed VALUES recurse (Spark <=> rejects MapType)."""
+    k = f"__mk{depth}"
     av, bv = f"try_element_at({a}, {k})", f"try_element_at({b}, {k})"
+    if _map_valued_constructor(a) or _map_valued_constructor(b):
+        vd = _map_distinct_expr(f"({av})", f"({bv})", depth + 1)
+        tail = f"ELSE exists(map_keys({a}), {k} -> ({vd})) END"
+    else:
+        tail = f"ELSE NOT forall(map_keys({a}), {k} -> {av} <=> {bv}) END"
     return (
         f"CASE WHEN ({a}) IS NULL AND ({b}) IS NULL THEN false "
         f"WHEN ({a}) IS NULL OR ({b}) IS NULL THEN true "
         f"WHEN size({a}) <> size({b}) THEN true "
         f"WHEN NOT forall(map_keys({a}), {k} -> map_contains_key({b}, {k})) "
         f"THEN true "
-        f"ELSE NOT forall(map_keys({a}), {k} -> {av} <=> {bv}) END"
+        f"{tail}"
     )
 
 
-def _map_eq_expr(a: str, b: str) -> str:
+def _map_eq_expr(a: str, b: str, depth: int = 0) -> str:
     """Presto map equality (MapOperators / MapGenericEquality): same key
     set, all values equal; NULL when a value comparison is
     indeterminate and nothing else differs. Spark has no map =, so spell
     the three-valued logic over map_keys/try_element_at (containment is
-    checked before any value access, so ANSI element lookups are safe)."""
-    k = "__mk"
+    checked before any value access, so ANSI element lookups are safe).
+    Map-typed VALUES recurse through this same three-valued form."""
+    k = f"__mk{depth}"
     av, bv = f"try_element_at({a}, {k})", f"try_element_at({b}, {k})"
+    if _map_valued_constructor(a) or _map_valued_constructor(b):
+        veq = _map_eq_expr(f"({av})", f"({bv})", depth + 1)
+        false_pred = f"(({veq}) = false)"
+        null_pred = f"(({veq}) IS NULL)"
+    else:
+        false_pred = (
+            f"({av} IS NOT NULL AND {bv} IS NOT NULL AND {av} <> {bv})"
+        )
+        null_pred = f"({av} IS NULL OR {bv} IS NULL)"
     return (
         f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN CAST(NULL AS BOOLEAN) "
         f"WHEN size({a}) <> size({b}) THEN false "
         f"WHEN NOT forall(map_keys({a}), {k} -> map_contains_key({b}, {k})) "
         f"THEN false "
-        f"WHEN exists(map_keys({a}), {k} -> ({av} IS NOT NULL AND "
-        f"{bv} IS NOT NULL AND {av} <> {bv})) THEN false "
-        f"WHEN exists(map_keys({a}), {k} -> ({av} IS NULL OR {bv} IS NULL)) "
+        f"WHEN exists(map_keys({a}), {k} -> {false_pred}) THEN false "
+        f"WHEN exists(map_keys({a}), {k} -> {null_pred}) "
         f"THEN CAST(NULL AS BOOLEAN) "
         f"ELSE true END"
     )
@@ -2073,7 +2348,16 @@ def _rewrite_array_row_equality(sql: str) -> str:
             continue
         j2 = _scan_matching_paren(sql, m2.end())
         a, b = sql[m.start() : j], sql[om.end() : j2]
-        if not re.search(r"\bnull\b", a + b, re.IGNORECASE):
+        # fire on a NULL element (three-valued semantics differ) or a
+        # map-typed ROW field (Spark struct = rejects MapType members,
+        # RO2511/2512) — NULL-free map-free literals keep Spark's =
+        has_map_field = kind == "row" and bool(
+            _MAP_NESTED_RE.search(a) or _MAP_NESTED_RE.search(b)
+        )
+        if (
+            not re.search(r"\bnull\b", a + b, re.IGNORECASE)
+            and not has_map_field
+        ):
             i = m.end()
             continue
         op = om.group(1)
@@ -2093,7 +2377,10 @@ def _rewrite_array_row_equality(sql: str) -> str:
                 i = m.end()
                 continue
             eqs = [
-                f"(({x.strip()}) = ({y.strip()}))"
+                f"({_map_eq_expr(x.strip(), y.strip())})"
+                if _MAP_CALL_HEAD_RE.match(x.strip())
+                and _MAP_CALL_HEAD_RE.match(y.strip())
+                else f"(({x.strip()}) = ({y.strip()}))"
                 for x, y in zip(aargs, bargs)
             ]
             falses = " OR ".join(f"{e} = false" for e in eqs)
@@ -3884,6 +4171,60 @@ def _regex_capture_group_count(pat: str) -> int | None:
     return n
 
 
+def _regex_groups_never_empty(pat: str) -> set[int]:
+    """1-based indices of PLAIN capturing groups in ``pat`` that
+    provably cannot match the empty string (Python re approximates the
+    Java dialect here): for those, a '' group value at runtime implies
+    the group did not PARTICIPATE in the match → NULL per Joni
+    (RF179-184). Groups that can match empty, or whose body can't be
+    scanned/compiled, are left alone (conservative '')."""
+    out: set[int] = set()
+    n, i, in_class = 0, 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            if pat[i + 1 : i + 2] != "?":
+                n += 1
+                # find the matching close paren (class/escape-aware)
+                d, k, cls = 1, i + 1, False
+                while k < len(pat) and d:
+                    ck = pat[k]
+                    if ck == "\\":
+                        k += 2
+                        continue
+                    if cls:
+                        cls = ck != "]"
+                    elif ck == "[":
+                        cls = True
+                    elif ck == "(":
+                        d += 1
+                    elif ck == ")":
+                        d -= 1
+                    k += 1
+                body = pat[i + 1 : k - 1]
+                try:
+                    if re.fullmatch(f"(?:{body})", "") is None:
+                        out.add(n)
+                except re.error:
+                    pass
+            elif re.match(r"\?P?<[A-Za-z_]", pat[i + 1 : i + 4] + "   "):
+                n += 1
+        i += 1
+    return out
+
+
 def _rewrite_regexp_replace_lambda(sql: str) -> str:
     """``regexp_replace(s, pattern, x -> body)``
     (JoniRegexpReplaceLambdaFunction): each match's CAPTURE GROUPS feed
@@ -3892,8 +4233,11 @@ def _rewrite_regexp_replace_lambda(sql: str) -> str:
     unmatched segments, regexp_extract_all(…, g) yields per-match group
     values, and the user lambda applies via a single-element transform
     (Spark SQL cannot invoke a bare lambda). Needs a literal pattern to
-    count groups; deviation: a non-participating group arrives as ''
-    not NULL (regexp_extract_all cannot distinguish)."""
+    count groups. Groups that provably cannot match empty arrive as
+    NULL when they did not participate (nullif — RF179-184); a pattern
+    that can match EMPTY pads the split segments Java drops at the
+    boundaries (RF169-171). Residual deviation: a non-participating
+    group that can also match empty stays ''."""
     i = 0
     pat_re = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
     while True:
@@ -3911,22 +4255,40 @@ def _rewrite_regexp_replace_lambda(sql: str) -> str:
             i = m.end()
             continue
         lm = re.match(r"(?s)\s*(\w+)\s*->\s*(.*)$", args[2])
+        if lm is not None and re.fullmatch(
+            r"(?is)\s*null\s*", args[1]
+        ):
+            # NULL pattern with a lambda replacement → NULL (RF195;
+            # Spark's regexp_replace is not higher-order)
+            rep = "CAST(NULL AS STRING)"
+            sql = sql[: m.start()] + rep + sql[j:]
+            i = m.start() + len(rep)
+            continue
         pm = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
         if lm is None or pm is None:
             i = m.end()
             continue
         s, p = args[0].strip(), args[1].strip()
-        # group counting over the user's original text (backslash-doubling
+        # group scanning over the user's original text (backslash-doubling
         # already applied by the first pass — undo for the scan)
-        gc = _regex_capture_group_count(
-            pm.group(1).replace("''", "'").replace("\\\\", "\\")
-        )
+        clean_pat = pm.group(1).replace("''", "'").replace("\\\\", "\\")
+        gc = _regex_capture_group_count(clean_pat)
         if gc is None:
             i = m.end()
             continue
+        never_empty = _regex_groups_never_empty(clean_pat)
+        try:
+            pat_matches_empty = (
+                re.fullmatch(f"(?:{clean_pat})", "") is not None
+            )
+        except re.error:
+            pat_matches_empty = False
         var, body = lm.group(1), lm.group(2)
         groups = ", ".join(
-            f"element_at(regexp_extract_all(({s}), {p}, {g}), __rri)"
+            f"nullif(element_at(regexp_extract_all(({s}), {p}, {g}),"
+            f" __rri), '')"
+            if g in never_empty
+            else f"element_at(regexp_extract_all(({s}), {p}, {g}), __rri)"
             for g in range(1, gc + 1)
         )
         garr = (
@@ -3936,14 +4298,24 @@ def _rewrite_regexp_replace_lambda(sql: str) -> str:
             f"element_at(transform(array({garr}), "
             f"{var} -> ({body})), 1)"
         )
+        segs = f"split(({s}), {p}, -1)"
+        if pat_matches_empty:
+            # Java split drops boundary segments at zero-width matches;
+            # Presto keeps them — pad to exactly matches+1 segments
+            nm = f"size(regexp_extract_all(({s}), {p}, 0))"
+            segs = (
+                f"(CASE WHEN size({segs}) = {nm} + 1 THEN {segs} "
+                f"WHEN size({segs}) = {nm} THEN concat(array(''), {segs}) "
+                f"ELSE concat(array(''), {segs}, array('')) END)"
+            )
         rep = (
             f"(CASE WHEN ({s}) IS NULL OR ({p}) IS NULL THEN NULL "
             f"WHEN size(regexp_extract_all(({s}), {p}, 0)) = 0 THEN ({s}) "
             f"ELSE aggregate("
             f"sequence(1, size(regexp_extract_all(({s}), {p}, 0))), "
-            f"CAST(element_at(split(({s}), {p}, -1), 1) AS STRING), "
+            f"CAST(element_at({segs}, 1) AS STRING), "
             f"(__rra, __rri) -> concat(__rra, {applied}, "
-            f"element_at(split(({s}), {p}, -1), __rri + 1))) END)"
+            f"element_at({segs}, __rri + 1))) END)"
         )
         sql = sql[: m.start()] + rep + sql[j:]
         i = m.start() + len(rep)
@@ -4719,6 +5091,76 @@ _IVL_VC_RE = re.compile(
 )
 
 
+_TS_LIT_RE = re.compile(r"(?is)\bTIMESTAMP\s*'([^']*)'")
+
+
+def _render_presto_ts(lit: str) -> str | None:
+    """'2016-01-02 01:02:03[.f]' → Presto's exactly-three-fraction-digit
+    varchar rendering (TimestampOperators.castToSlice)."""
+    m = re.fullmatch(
+        r"\s*(\d{4}-\d{2}-\d{2}) (\d{1,2}):(\d{1,2})(?::(\d{1,2})"
+        r"(?:\.(\d{1,6}))?)?\s*",
+        lit,
+    )
+    if not m:
+        return None
+    frac = (m.group(5) or "0").ljust(3, "0")[:3]
+    return (
+        f"{m.group(1)} {int(m.group(2)):02d}:{int(m.group(3)):02d}:"
+        f"{int(m.group(4) or 0):02d}.{frac}"
+    )
+
+
+def _fold_ts_literals_in_varchar_container_casts(sql: str) -> str:
+    """TIMESTAMP literals inside a CAST whose container target renders
+    them as varchar — ``CAST(MAP(…, ARRAY[TIMESTAMP '…']) AS
+    MAP(bigint, varchar))`` (MO826) — pre-render to Presto's
+    three-fraction-digit form; Spark's container cast drops the '.000'."""
+
+    def build(a):
+        if len(a) != 1:
+            return None
+        e = a[0]
+        depth, in_str, as_pos = 0, False, -1
+        for k, c in enumerate(e):
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c in "([<":
+                depth += 1
+            elif c in ")]>":
+                depth -= 1
+            elif depth == 0 and e[k : k + 4].upper() == " AS ":
+                as_pos = k
+        if as_pos < 0:
+            return None
+        operand, target = e[:as_pos], e[as_pos + 4 :]
+        t = " ".join(target.upper().split())
+        if not re.fullmatch(
+            r"MAP\s*[(<]\s*\w+\s*,\s*VARCHAR\s*[)>]"
+            r"|ARRAY\s*[(<]\s*VARCHAR\s*[)>]",
+            t,
+        ):
+            return None
+        changed = False
+
+        def sub(m):
+            nonlocal changed
+            r = _render_presto_ts(m.group(1))
+            if r is None:
+                return m.group(0)
+            changed = True
+            return f"'{r}'"
+
+        new_op = _TS_LIT_RE.sub(sub, operand)
+        if not changed:
+            return None
+        return f"CAST({new_op} AS {target})"
+
+    return _replace_fn_calls(sql, "cast", build)
+
+
 def _fold_temporal_literal_varchar_casts(sql: str) -> str:
     """TIME / INTERVAL literal → VARCHAR casts fold to Presto's
     renderings (TimeOperators.castToSlice 'HH:mm:ss.SSS';
@@ -4961,40 +5403,15 @@ def _rewrite_real_decimal_cmp(sql: str) -> str:
 _IPADDR_LIT_RE = re.compile(r"\bIPADDRESS\s*'([^']*)'", re.IGNORECASE)
 
 
-def _rewrite_ipaddress(sql: str) -> str:
-    """IPADDRESS type emulation (IpAddressType.java / IpAddressOperators.java;
-    see functions/ipaddress_compat.py for the representation contract).
-
-    Values live as Presto's own 16-byte IPv6-mapped form in a plain BINARY
-    column, so every relational operator (=, ordering, BETWEEN, GROUP BY,
-    JOIN, IS DISTINCT FROM, xxhash64) is native JVM binary semantics. This
-    pass handles the three cast edges:
-
-    1. ``IPADDRESS 'lit'`` and ``CAST('lit' AS IPADDRESS)`` — parsed *at
-       rewrite time* into a 16-byte ``X'…'`` literal (zero runtime cost),
-       wrapped in the Catalyst-inlined ``presto_ipaddress`` identity marker
-       so later passes can recognize ip-typed expressions textually.
-    2. ``CAST(e AS IPADDRESS)`` over non-literals — varbinary-shaped
-       operands route through the JVM ``ip_from_varbinary`` widening, the
-       rest through the Arrow-vectorized parse UDF (TRY_CAST → NULL form).
-    3. ``CAST(<ip-marked> AS VARCHAR|VARBINARY)`` — format UDF / unwrap.
-    """
-    if not re.search(r"\bIPADDRESS\b", sql, re.IGNORECASE):
-        return sql
-    from .functions.ipaddress_compat import ip_to_bytes16
-
-    def _fold(value: str) -> str:
-        return f"presto_ipaddress(X'{ip_to_bytes16(value).hex().upper()}')"
-
-    sql = _IPADDR_LIT_RE.sub(lambda m: _fold(m.group(1)), sql)
-
-    # ip-typed subquery/CTE aliases: a select item already
-    # marker-wrapped (folded literal), still spelled as a cast to
-    # IPADDRESS, or a bare re-alias of a known ip alias makes its alias
-    # ip-typed in the outer scope — identity under re-cast,
-    # presto_ip_format under CAST AS VARCHAR. Fixpointed (round 9) so
-    # the marker survives ANY number of alias levels.
-    ip_aliases: set[str] = set()
+def _ip_alias_scan(sql: str, seed=None) -> set[str]:
+    """ip-typed subquery/CTE aliases: a select item already
+    marker-wrapped (folded literal), still spelled as a cast to
+    IPADDRESS, or a bare re-alias of a known ip alias makes its alias
+    ip-typed in the outer scope — identity under re-cast,
+    presto_ip_format under CAST AS VARCHAR. Fixpointed (round 9) so the
+    marker survives ANY number of alias levels; ``seed`` carries
+    ip-typed VIEW columns across statement boundaries (round 10)."""
+    ip_aliases: set[str] = set(seed or ())
     _alias_items = _derived_select_aliases(sql)
     for _ in range(max(len(_alias_items), 1)):
         grew = False
@@ -5024,6 +5441,61 @@ def _rewrite_ipaddress(sql: str) -> str:
                     grew = True
         if not grew:
             break
+    return ip_aliases
+
+
+def statement_output_type_markers(
+    sql: str, char_seed=None, ip_seed=None
+) -> tuple[dict, set]:
+    """char(n)/ipaddress markers over a statement's OUTPUT columns —
+    Engine persists these at a CREATE VIEW boundary so the fixpoint
+    alias tracking survives into later statements (README Known gaps,
+    round 10). The statement is wrapped as a derived table so its
+    top-level select items enter the alias scans."""
+    body = sql.rstrip().rstrip(";")
+    wrapped = f"SELECT * FROM ({body}) __vtm"
+    chars = _char_alias_lengths(wrapped, char_seed)
+    from .functions.ipaddress_compat import ip_to_bytes16
+
+    folded = _IPADDR_LIT_RE.sub(
+        lambda m: (
+            f"presto_ipaddress(X'{ip_to_bytes16(m.group(1)).hex().upper()}')"
+        ),
+        wrapped,
+    )
+    return chars, _ip_alias_scan(folded, ip_seed)
+
+
+def _rewrite_ipaddress(sql: str, ip_seed=None) -> str:
+    """IPADDRESS type emulation (IpAddressType.java / IpAddressOperators.java;
+    see functions/ipaddress_compat.py for the representation contract).
+
+    Values live as Presto's own 16-byte IPv6-mapped form in a plain BINARY
+    column, so every relational operator (=, ordering, BETWEEN, GROUP BY,
+    JOIN, IS DISTINCT FROM, xxhash64) is native JVM binary semantics. This
+    pass handles the three cast edges:
+
+    1. ``IPADDRESS 'lit'`` and ``CAST('lit' AS IPADDRESS)`` — parsed *at
+       rewrite time* into a 16-byte ``X'…'`` literal (zero runtime cost),
+       wrapped in the Catalyst-inlined ``presto_ipaddress`` identity marker
+       so later passes can recognize ip-typed expressions textually.
+    2. ``CAST(e AS IPADDRESS)`` over non-literals — varbinary-shaped
+       operands route through the JVM ``ip_from_varbinary`` widening, the
+       rest through the Arrow-vectorized parse UDF (TRY_CAST → NULL form).
+    3. ``CAST(<ip-marked> AS VARCHAR|VARBINARY)`` — format UDF / unwrap.
+    """
+    if not re.search(r"\bIPADDRESS\b", sql, re.IGNORECASE) and not (
+        ip_seed and any(n in sql.lower() for n in ip_seed)
+    ):
+        return sql
+    from .functions.ipaddress_compat import ip_to_bytes16
+
+    def _fold(value: str) -> str:
+        return f"presto_ipaddress(X'{ip_to_bytes16(value).hex().upper()}')"
+
+    sql = _IPADDR_LIT_RE.sub(lambda m: _fold(m.group(1)), sql)
+
+    ip_aliases = _ip_alias_scan(sql, ip_seed)
 
     def _is_ip_ident(e: str) -> bool:
         return bool(
@@ -5719,7 +6191,9 @@ def _render_canonical_json(v) -> str:
     if v is False:
         return "false"
     if isinstance(v, Decimal):
-        return str(v)
+        # 'f' format: str(Decimal('0E-16')) is scientific, Presto
+        # renders the plain scaled form 0.0000000000000000 (MO200)
+        return format(v, "f")
     if isinstance(v, (int, float)):
         return _json.dumps(v)
     if isinstance(v, str):
@@ -5741,6 +6215,8 @@ def _render_canonical_json(v) -> str:
                 ks = "true"
             elif k is False:
                 ks = "false"
+            elif isinstance(k, Decimal):
+                ks = format(k, "f")  # plain form, never scientific (MO200)
             else:
                 ks = k if isinstance(k, str) else str(k)
             items.append(
@@ -6050,12 +6526,14 @@ def _derived_select_aliases(sql: str) -> list[tuple[str, str]]:
 _CHAR_IDENT_RE = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*"
 
 
-def _char_alias_lengths(sql: str) -> dict[str, int]:
+def _char_alias_lengths(sql: str, seed=None) -> dict[str, int]:
     """alias → declared n for select items shaped ``CAST(e AS CHAR(n))
     AS alias`` inside derived tables / CTEs. Fixpointed so a bare
     re-aliasing (``SELECT c1 AS c2`` over a char(n) alias) carries the
-    declared length through ANY number of levels (round 9)."""
-    out: dict[str, int] = {}
+    declared length through ANY number of levels (round 9); ``seed``
+    carries char(n) VIEW columns across statement boundaries
+    (round 10)."""
+    out: dict[str, int] = dict(seed or {})
     aliases = _derived_select_aliases(sql)
     for _ in range(max(len(aliases), 1)):
         grew = False
@@ -6343,7 +6821,7 @@ def _char_between_pass(sql: str) -> str:
         i = m.start() + len(rep)
 
 
-def _rewrite_char_casts(sql: str) -> str:
+def _rewrite_char_casts(sql: str, char_seed=None) -> str:
     """Presto ``CAST(e AS CHAR(n))`` pads to length n (Chars.java
     padSpaces; char(n) is a fixed-width type). Spark treats the cast as a
     bare string, so rewrite to ``rpad(CAST(e AS STRING), n, ' ')`` —
@@ -6357,8 +6835,8 @@ def _rewrite_char_casts(sql: str) -> str:
     through ONE derived-table/CTE alias level (_char_alias_lengths), so
     an aliased char compares cross-length too; deeper alias chains keep
     the direct padded comparison (README Known gaps)."""
-    # pass 0: declared lengths of one level of subquery aliases
-    aliases = _char_alias_lengths(sql)
+    # pass 0: declared lengths of subquery aliases (+ view-column seed)
+    aliases = _char_alias_lengths(sql, char_seed)
     # pass 1: adjacent cross-length comparisons → common-length pads
     i = 0
     while True:
@@ -7841,7 +8319,12 @@ def _rewrite_empty_grouping_global(sql: str) -> str:
     return sql + "".join(arm.format(i=i) for i in range(n_empty))
 
 
-def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
+def rewrite(
+    sql: str,
+    json_scalar_cols: frozenset = frozenset(),
+    char_cols: dict | None = None,
+    ip_cols: frozenset | set | None = None,
+) -> str:
     """Rewrite a Presto SQL string into Spark SQL.
 
     ``json_scalar_cols``: catalog columns provably struct-free (engine
@@ -7854,6 +8337,8 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_literal_backslashes(sql)
     sql = _rewrite_array_literals(sql)
     sql = _widen_array_decimal_literals(sql)
+    sql = _rewrite_lambda_concat_depths(sql)
+    sql = _rewrite_reduce_typing(sql)
     sql = _rewrite_element_array_concat(sql)
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_at_time_zone(sql)
@@ -7886,10 +8371,11 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_in_values(sql)
     sql = _rewrite_color_fn_arity(sql)
     sql = _fold_temporal_literal_varchar_casts(sql)
+    sql = _fold_ts_literals_in_varchar_container_casts(sql)
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_time_casts(sql)
     sql = _rewrite_varbinary_type(sql)
-    sql = _rewrite_ipaddress(sql)
+    sql = _rewrite_ipaddress(sql, ip_seed=ip_cols)
     sql = _rewrite_real_decimal_cmp(sql)
     sql = _rewrite_setop_void_nulls(sql)
     sql = _rewrite_regex_arg_defaults(sql)
@@ -7933,7 +8419,7 @@ def rewrite(sql: str, json_scalar_cols: frozenset = frozenset()) -> str:
     sql = _rewrite_try_generic(sql)
     sql = _rewrite_cast_to_json(sql, json_scalar_cols)
     sql = _rewrite_json_casts(sql)
-    sql = _rewrite_char_casts(sql)
+    sql = _rewrite_char_casts(sql, char_seed=char_cols)
     # must follow the cast rewrites: a 2-arg call pattern would otherwise
     # fire on type-position MAP(K, V) inside CAST targets
     sql = _rewrite_map_equality(sql)

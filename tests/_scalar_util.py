@@ -576,6 +576,17 @@ def eval_exprs(engine, exprs: list[str]) -> list:
             row = engine.sql("SELECT " + sel).collect()[0]
         except Exception as e:  # noqa: BLE001 — bisect on any engine error
             if len(idx) == 1:
+                if isinstance(e, TypeError):
+                    # PySpark cannot collect a map with ARRAY keys
+                    # (unhashable dict key); refetch as entry pairs
+                    try:
+                        pairs = engine.sql(
+                            f"SELECT map_entries(({exprs[idx[0]]})) AS c0"
+                        ).collect()[0][0]
+                        out[idx[0]] = MapPairs(pairs)
+                        return
+                    except Exception:  # noqa: BLE001
+                        pass
                 out[idx[0]] = e
                 return
             mid = len(idx) // 2
@@ -590,9 +601,22 @@ def eval_exprs(engine, exprs: list[str]) -> list:
     return out
 
 
+class MapPairs(list):
+    """Map value fetched as map_entries() pairs — used when the map's
+    keys are arrays (PySpark cannot build the Python dict)."""
+
+
 def eval_one(engine, expr: str):
     try:
         return engine.sql(f"SELECT ({expr}) AS c0").collect()[0][0]
+    except TypeError:
+        try:
+            return MapPairs(
+                engine.sql(f"SELECT map_entries(({expr})) AS c0")
+                .collect()[0][0]
+            )
+        except Exception as e:  # noqa: BLE001
+            return e
     except Exception as e:  # noqa: BLE001
         return e
 
@@ -676,6 +700,15 @@ def values_match(cat, got, want) -> bool:
             values_match(cat[1], g, w) for g, w in zip(got, want)
         )
     if isinstance(cat, tuple) and cat[0] == "map":
+        if isinstance(got, MapPairs):
+            if len(got) != len(want):
+                return False
+            gk = {_map_key(cat[1], p[0]): p[1] for p in got}
+            for k, w in want.items():
+                kk = _map_key(cat[1], k)
+                if kk not in gk or not values_match(cat[2], gk[kk], w):
+                    return False
+            return True
         if not isinstance(got, dict) or len(got) != len(want):
             return False
         gk = {_map_key(cat[1], k): v for k, v in got.items()}
@@ -693,6 +726,8 @@ def _map_key(cat, k):
     if isinstance(k, (list, tuple)):
         return tuple(_map_key(None, x) for x in k)
     if cat == "real" and isinstance(k, float):
+        if math.isnan(k):
+            return "__nan__"  # nan != nan; canonical token (MO304)
         return _f32(k)
     if isinstance(k, bool):
         return k

@@ -359,3 +359,42 @@ def test_double_bigint_cast_fixpoint_aliases(engine):
         "SELECT c2 = CAST('x' AS CHAR(4)) AS r FROM "
         "(SELECT c1 AS c2 FROM (SELECT CAST('x' AS CHAR(2)) AS c1) a) b"
     ).collect()[0][0] is True
+
+
+def test_view_boundary_type_markers(engine):
+    """CREATE VIEW persists char(n)/ipaddress/double markers into the
+    engine (statement_output_type_markers, round 10) — the fixpoint
+    alias tracking survives the statement boundary (README Known
+    gaps: both view-boundary deviation lines flipped)."""
+    one = lambda q: engine.sql(q).collect()[0][0]  # noqa: E731
+    engine.sql(
+        "CREATE OR REPLACE VIEW __tv_char AS "
+        "SELECT CAST('x' AS CHAR(2)) AS vc2, 1 AS k"
+    )
+    # char(n) length survives the view: pad-compare at common length
+    assert one(
+        "SELECT vc2 = CAST('x' AS CHAR(5)) AS r FROM __tv_char"
+    ) is True
+    # bare re-alias of the view column keeps the length too
+    assert one(
+        "SELECT w = CAST('x' AS CHAR(7)) AS r FROM "
+        "(SELECT vc2 AS w FROM __tv_char) t"
+    ) is True
+    engine.sql(
+        "CREATE OR REPLACE VIEW __tv_ip AS "
+        "SELECT IPADDRESS '2001:db8::1' AS vip, 1 AS k"
+    )
+    # ip marker survives: CAST AS VARCHAR renders RFC 5952
+    assert one("SELECT CAST(vip AS VARCHAR) AS r FROM __tv_ip") == (
+        "2001:db8::1"
+    )
+    # double vote re-taken after CREATE VIEW: HALF_UP bigint cast
+    engine.sql(
+        "CREATE OR REPLACE VIEW __tv_dbl AS SELECT 2.5E0 AS vd"
+    )
+    assert one("SELECT CAST(vd AS BIGINT) AS r FROM __tv_dbl") == 3
+    # integral vote: view int columns divide integrally (5/2 = 2)
+    engine.sql(
+        "CREATE OR REPLACE VIEW __tv_int AS SELECT 5 AS va, 2 AS vb"
+    )
+    assert one("SELECT va / vb AS r FROM __tv_int") == 2

@@ -1071,6 +1071,43 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
     (
         # multimap_from_entries (MapFunctions): duplicate keys group values
         # in encounter order, first-key order preserved.
+        # json_parse validates + canonicalizes (JsonFunctions.java:
+        # raises on malformed — TRY NULLs it; sorted keys, compact
+        # spacing); regexp_extract returns NULL on no match
+        # (TestRegexpFunctions:213).
+        "json_parse_validation_and_extract_null",
+        "SELECT TRY(json_parse('{bad')) AS bad,"
+        " json_parse('{ \"b\" : 1 , \"a\" : 2 }') AS canon,"
+        " regexp_extract('12345', 'x') AS nomatch,"
+        " regexp_extract('Hello world bye', '\\b[a-z]([a-z]*)', 1) AS grp",
+        [(None, '{"a":2,"b":1}', None, "orld")],
+    ),
+    (
+        # NaN is greatest for array extrema even alongside NULLs
+        # (TestArrayOperators:605-639); array_remove never removes NaN
+        # (:1467); contains(arr, NULL) is NULL even over ARRAY[] (:525).
+        "array_nan_extrema_semantics",
+        "SELECT is_nan(ARRAY_MIN(ARRAY [NULL, NaN(), 1])) AS mn,"
+        " is_nan(ARRAY_MAX(ARRAY [NaN(), NULL, 3.0])) AS mx,"
+        " cardinality(ARRAY_REMOVE(ARRAY [-1.23E0, nan()], nan())) AS keep,"
+        " CONTAINS(ARRAY [], NULL) AS cn",
+        [(True, True, 2, None)],
+    ),
+    (
+        # decimal literals widen to the common supertype across array
+        # operands (TestArrayOperators AO679/AO1126); 38-digit literal
+        # negation is exact (DO335); mixed decimal-int subtraction keeps
+        # Presto's result scale (DO701).
+        "decimal_widening_and_exact_edges",
+        "SELECT ARRAY_POSITION(ARRAY [1.0, 2.0, 3.0, 4.0], 3) AS p,"
+        " CAST(-DECIMAL '12345678901234567890123456789012345678' AS VARCHAR)"
+        " AS neg,"
+        " CAST(DECIMAL '.1234567890123456789' - 1234567890123456789"
+        " AS VARCHAR) AS sub",
+        [(3, "-12345678901234567890123456789012345678",
+          "-1234567890123456788.8765432109876543211")],
+    ),
+    (
         "multimap_from_entries_groups",
         "SELECT to_json(multimap_from_entries(array("
         "named_struct('key', 'a', 'value', '1'),"

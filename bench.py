@@ -15,29 +15,40 @@ import sys
 import time
 
 
-def _previous_round_timings() -> dict[str, float]:
-    """Per-query timings from the HIGHEST-numbered committed
-    BENCH_r{N}.json next to this script (the spike-guard baseline);
-    empty when none exists."""
+def _previous_round_timings(here: str | None = None) -> dict[str, float]:
+    """Spike-guard baseline: per-query MIN across ALL committed
+    BENCH_r{N}.json artifacts next to this script; empty when none exist.
+
+    Min-across-all (r10 verdict, "What's wrong #1") instead of
+    highest-numbered-file: the driver can run the bench twice in one
+    round, and the second run would otherwise read the first run's own
+    BENCH_r{N}.json as its baseline — a spike that landed in run 1 then
+    legitimizes itself. The min over every prior artifact is immune: a
+    same-round spike is strictly higher than the query's established
+    quiet-host value, so it never lowers the baseline.
+    """
     import glob
     import re as _re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best_path = -1, None
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    baseline: dict[str, float] = {}
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = _re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
-        if m and int(m.group(1)) > best_n:
-            best_n, best_path = int(m.group(1)), p
-    if best_path is None:
-        return {}
-    try:
-        with open(best_path, encoding="utf-8") as f:
-            return {
-                k: float(v)
-                for k, v in (json.load(f).get("queries") or {}).items()
-            }
-    except (OSError, ValueError):
-        return {}
+        if not _re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)):
+            continue
+        try:
+            with open(p, encoding="utf-8") as f:
+                queries = json.load(f).get("queries") or {}
+        except (OSError, ValueError):
+            continue
+        for k, v in queries.items():
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            if k not in baseline or v < baseline[k]:
+                baseline[k] = v
+    return baseline
 
 
 def main() -> None:

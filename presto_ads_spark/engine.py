@@ -217,10 +217,35 @@ class Engine:
         # view-output type markers: char(n) lengths and ipaddress column
         # names persisted across CREATE VIEW statement boundaries so the
         # rewrite fixpoints keep working over view columns (round 10,
-        # closes the README view-boundary deviation)
-        self._view_char_cols: dict[str, int] = {}
-        self._view_ip_cols: set[str] = set()
+        # closes the README view-boundary deviation). Keyed PER VIEW and
+        # applied only to statements that reference that view (round 11:
+        # a bare-name global marker padded a same-named varchar column
+        # from an unrelated relation); CREATE OR REPLACE recomputes the
+        # entry, DROP VIEW removes it.
+        self._view_markers: dict[str, tuple[dict[str, int], set[str]]] = {}
         self._int_cols = self._integral_columns()
+
+    def _markers_for(self, text: str) -> tuple[dict[str, int], set[str]]:
+        """Union of char(n)/ipaddress output markers over the views this
+        statement actually references (word-boundary name scan outside
+        string literals). Scoping per referenced view keeps a marker from
+        leaking onto a same-named column of an unrelated relation; the
+        residual ambiguity — a statement that reads BOTH the view and
+        another relation exposing the same column name — is inherent to
+        name-keyed text rewriting and stays conservative."""
+        chars: dict[str, int] = {}
+        ips: set[str] = set()
+        if not self._view_markers:
+            return chars, ips
+        mask = _literal_mask(text)
+        low = text.lower()
+        for view, (vc, vi) in self._view_markers.items():
+            for m in re.finditer(rf"\b{re.escape(view)}\b", low):
+                if not mask[m.start()]:
+                    chars.update(vc)
+                    ips |= vi
+                    break
+        return chars, ips
 
     def _integral_columns(self) -> frozenset:
         """Lowercased names of integral-typed columns across registered
@@ -277,11 +302,12 @@ class Engine:
         )
         text = rewrite_mod.rewrite_double_bigint_cast(text, double_cols)
         text = rewrite_mod.rewrite_double_div_ieee(text, double_cols)
+        char_cols, ip_cols = self._markers_for(text)
         return rewrite(
             rewrite_integral_column_division(text, int_cols),
             json_scalar_cols=self._scalar_cols,
-            char_cols=self._view_char_cols,
-            ip_cols=self._view_ip_cols,
+            char_cols=char_cols,
+            ip_cols=ip_cols,
         )
 
     # -- statement entry point -------------------------------------------
@@ -338,17 +364,27 @@ class Engine:
             )
             # persist the view's output type markers (char(n) length,
             # ipaddress) and re-vote catalog types so later statements
-            # see the view's columns
+            # see the view's columns. Seed with the markers of views the
+            # BODY references (view-over-view); assignment (not update)
+            # makes CREATE OR REPLACE a recompute.
             try:
+                seed_chars, seed_ips = self._markers_for(body)
                 chars, ips = rewrite_mod.statement_output_type_markers(
-                    body, self._view_char_cols, self._view_ip_cols
+                    body, seed_chars, seed_ips
                 )
-                self._view_char_cols.update(chars)
-                self._view_ip_cols |= ips
+                self._view_markers[name.lower()] = (chars, ips)
                 self._int_cols = self._integral_columns()
             except Exception:  # noqa: BLE001 — markers are best-effort
                 pass
             return df
+        dm = re.match(
+            r"^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)",
+            text,
+            re.IGNORECASE,
+        )
+        if dm:
+            # stale markers must not outlive the typed column
+            self._view_markers.pop(dm.group(1).split(".")[-1].lower(), None)
         if _NOOP_STMT_RE.match(text):
             return self.spark.range(0).select()
         m = _SYSTEM_RUNTIME_RE.match(text)

@@ -158,18 +158,39 @@ def _register_python_udfs(spark: SparkSession) -> None:
         if low.startswith("map<"):
             parts = _split_top(s[4:-1])
             return ("map", _parse_ddl(parts[1]))
-        return ("scalar", None)
+        return ("scalar", low)
+
+    import re as _re
+
+    _ISO_TS_RE = _re.compile(
+        r"^(\d{4}-\d{2}-\d{2})T(\d{2}:\d{2}:\d{2})(?:\.(\d+))?"
+        r"(?:Z|[+-]\d{2}:\d{2})?$"
+    )
 
     def _canon_value(v, t):
+        kind, sub = t
         if v is None:
             return None
-        kind, sub = t
         if kind == "struct" and isinstance(v, dict):
             return [_canon_value(x, st) for x, st in zip(v.values(), sub)]
         if kind == "array" and isinstance(v, list):
             return [_canon_value(x, sub) for x in v]
         if kind == "map" and isinstance(v, dict):
             return {k: _canon_value(x, sub) for k, x in v.items()}
+        if (
+            kind == "scalar"
+            and isinstance(v, str)
+            and sub
+            and sub.startswith("timestamp")
+        ):
+            # Presto renders timestamps in JSON as the SQL text
+            # 'yyyy-MM-dd HH:mm:ss.SSS' (TimestampToJsonCast via
+            # printTimestampWithoutTimeZone); Spark's to_json emits
+            # ISO-8601 — re-render
+            m = _ISO_TS_RE.match(v)
+            if m:
+                ms = (m.group(3) or "0").ljust(3, "0")[:3]
+                return f"{m.group(1)} {m.group(2)}.{ms}"
         return v
 
     def _presto_json_canon(js, ddl):
@@ -213,8 +234,14 @@ def _register_python_udfs(spark: SparkSession) -> None:
             return _json.dumps(v, ensure_ascii=False)
         if isinstance(v, list):
             return "[" + ",".join(_jp_canon(x) for x in v) + "]"
-        # dict: ordered-by-key (SORTED_MAPPER ORDER_MAP_ENTRIES_BY_KEYS)
-        items = sorted((k, _jp_canon(x)) for k, x in v.items())
+        # dict: ordered-by-key (SORTED_MAPPER ORDER_MAP_ENTRIES_BY_KEYS —
+        # Jackson sorts by String.compareTo, i.e. UTF-16 code units;
+        # Python's code-point sort differs for supplementary-plane keys,
+        # so sort by the UTF-16-BE encoding)
+        items = sorted(
+            ((k, _jp_canon(x)) for k, x in v.items()),
+            key=lambda kv: kv[0].encode("utf-16-be", "surrogatepass"),
+        )
         return (
             "{"
             + ",".join(
@@ -255,22 +282,36 @@ def _register_python_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("unicode_normalize", _unicode_normalize, "string")
 
-    # word_stem (WordStemFunction.java → Snowball EnglishStemmer): real
-    # Porter2, replacing the round-7 simplified suffix rules (the
-    # scalar-assert corpus flushed the divergences). English only; the
-    # 2-arg language form accepts 'en' and raises otherwise (the
-    # reference ships all Snowball languages — documented gap). Compat
+    # word_stem (WordStemFunction.java → Snowball stemmers): English is
+    # the real Porter2 (stemmer.py); round 11 adds fr/es/pt/it/de from
+    # the published Snowball specs (stemmer_ml.py — the languages the
+    # reference test suite pins). A language outside the reference's
+    # table raises Presto's message; a table language we don't ship
+    # raises a distinct not-implemented (documented gap). Compat
     # surface, not a hot path.
     from .stemmer import porter2_stem
+    from .stemmer_ml import STEMMERS as _ML_STEMMERS
+
+    _REF_STEM_LANGS = frozenset(
+        # WordStemFunction.java STEMMERS table keys
+        "ca da de en es eu fi fr hu hy ir it lt nl no pt ro ru sv tr"
+        .split()
+    )
 
     def _word_stem(w, lang="en"):
         if w is None:
             return None
-        if lang != "en":
+        if lang == "en":
+            return porter2_stem(w)
+        fn = _ML_STEMMERS.get(lang)
+        if fn is not None:
+            return fn(w)
+        if lang in _REF_STEM_LANGS:
             raise ValueError(
-                f"word_stem: only 'en' is implemented (got {lang!r})"
+                f"word_stem: language {lang!r} not implemented "
+                "(reference ships it via Snowball — documented gap)"
             )
-        return porter2_stem(w)
+        raise ValueError(f"Unknown stemmer language: {lang}")
 
     spark.udf.register("word_stem", _word_stem, "string")
 

@@ -25,6 +25,7 @@ _MYSQL_TO_JAVA: dict[str, str] = {
     "%k": "H",
     "%h": "hh",
     "%I": "hh",
+    "%l": "h",
     "%i": "mm",
     "%s": "ss",
     "%S": "ss",

@@ -358,18 +358,23 @@ SQL_FUNCTIONS: list[str] = [
     # DAY TO SECOND at millisecond precision; modeled as DOUBLE millis,
     # composable with the to_milliseconds below (the only consumer the
     # reference tests compose it with).
+    # Presto's interval carries LONG millis (SqlIntervalDayTime), so the
+    # sub-millisecond part rounds half-up at construction
+    # (Duration.roundTo(MILLISECONDS)): parse_duration('1234 ns') = 0,
+    # ('1234.567 ms') = 1235.
     """CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING)
        RETURNS DOUBLE RETURN
-         CAST(regexp_extract(s, '^\\\\s*([0-9.]+)', 1) AS DOUBLE) *
-         CASE lower(regexp_extract(s, '([a-zA-Z]+)\\\\s*$', 1))
-           WHEN 'ns' THEN 0.000001
-           WHEN 'us' THEN 0.001
-           WHEN 'ms' THEN 1.0
-           WHEN 's' THEN 1000.0
-           WHEN 'm' THEN 60000.0
-           WHEN 'h' THEN 3600000.0
-           WHEN 'd' THEN 86400000.0
-         END""",
+         floor(0.5 +
+           CAST(regexp_extract(s, '^\\\\s*([0-9.]+)', 1) AS DOUBLE) *
+           CASE lower(regexp_extract(s, '([a-zA-Z]+)\\\\s*$', 1))
+             WHEN 'ns' THEN 0.000001
+             WHEN 'us' THEN 0.001
+             WHEN 'ms' THEN 1.0
+             WHEN 's' THEN 1000.0
+             WHEN 'm' THEN 60000.0
+             WHEN 'h' THEN 3600000.0
+             WHEN 'd' THEN 86400000.0
+           END)""",
     # Presto's to_milliseconds takes INTERVAL DAY TO SECOND; our
     # parse_duration models the interval as DOUBLE millis, and rewrite.py
     # routes to_milliseconds(parse_duration(...)) here. The plain
@@ -428,12 +433,14 @@ SQL_FUNCTIONS: list[str] = [
     # json_format is the inverse. __presto_json_parse is the Python
     # canonicalizer registered in functions/__init__.py (NULL on
     # malformed).
+    # single UDF invocation per row (coalesce short-circuits: raise_error
+    # only evaluates when the canonicalizer returned NULL = malformed)
     """CREATE OR REPLACE TEMPORARY FUNCTION json_parse(s STRING)
        RETURNS STRING RETURN
          CASE WHEN s IS NULL THEN NULL
-              WHEN __presto_json_parse(s) IS NULL
-                THEN raise_error(concat('Cannot convert value to JSON: ', s))
-              ELSE __presto_json_parse(s) END""",
+              ELSE coalesce(__presto_json_parse(s),
+                raise_error(concat('Cannot convert value to JSON: ', s)))
+              END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_format(s STRING)
        RETURNS STRING RETURN s""",
     # --- Teradata compat (presto-teradata-functions) ---------------------

@@ -4,9 +4,10 @@ the public algorithm specification (snowballstem.org, "The English
 WordStemFunction.java which delegates to
 org.tartarus.snowball.ext.EnglishStemmer.
 
-Only English is implemented; the reference additionally ships the other
-Snowball languages (documented gap — word_stem(w, lang) raises for
-anything but 'en')."""
+French/Spanish/Portuguese/Italian/German live in stemmer_ml.py
+(round 11 — the languages the reference test suite pins); the
+remaining Snowball languages in WordStemFunction's table raise a
+documented not-implemented error."""
 
 from __future__ import annotations
 

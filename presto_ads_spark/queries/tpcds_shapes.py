@@ -1200,3 +1200,595 @@ def tpcds_dual_rank_union(spark, sf_dir):
             F.col("amt_rank").asc(),
         )
     )
+
+
+# --- round-11 batch: families with no prior representative ---------------
+
+
+@q(
+    "tpcds_above_group_avg_returns",
+    extended=True,
+    tags=("tpcds", "subquery", "cte", "agg"),
+    doc="q1 shape: per-customer return totals compared against 1.2x the "
+    "average of their group (tpcds/q1.sql ctr_total_return > 1.2 * "
+    "avg over same store) — CTE + group-average join-back.",
+    oracle="""
+WITH ctr AS (
+  SELECT o_custkey AS cust, o_orderpriority AS grp,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM orders WHERE o_orderstatus = 'F'
+  GROUP BY o_custkey, o_orderpriority
+)
+SELECT cust, grp, total
+FROM ctr c1
+WHERE total > 1.2 * (
+  SELECT CAST(SUM(CAST(total AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+  FROM ctr c2 WHERE c2.grp = c1.grp)
+ORDER BY cust ASC, grp ASC
+LIMIT 100
+""",
+)
+def tpcds_above_group_avg_returns(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    ctr = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderpriority").alias("grp"),
+    ).agg(dsum(dec("o_totalprice", 18), "total"))
+    avg_by_grp = ctr.groupBy("grp").agg(
+        (F.sum(dec("total", 18)).cast("double") / F.count(F.lit(1))).alias(
+            "grp_avg"
+        )
+    )
+    return (
+        ctr.join(F.broadcast(avg_by_grp), "grp")
+        .filter(F.col("total") > 1.2 * F.col("grp_avg"))
+        .select("cust", "grp", "total")
+        .orderBy(F.col("cust").asc(), F.col("grp").asc())
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_exists_or_exists",
+    extended=True,
+    tags=("tpcds", "subquery", "semijoin", "agg"),
+    doc="q10/q69 shape: customers with activity in channel A AND "
+    "(channel B OR channel C) — EXISTS conjoined with an OR of two "
+    "EXISTS (tpcds/q10.sql exists ss / (exists ws or exists cs)), "
+    "counted per demographic group.",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_cust
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND (EXISTS (SELECT 1 FROM orders o2
+               WHERE o2.o_custkey = c.c_custkey
+                 AND o2.o_orderpriority = '5-LOW')
+    OR EXISTS (SELECT 1 FROM orders o3
+               WHERE o3.o_custkey = c.c_custkey
+                 AND o3.o_orderstatus = 'P'))
+GROUP BY c_mktsegment
+""",
+)
+def tpcds_exists_or_exists(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    pending = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    # OR-of-EXISTS = semi join against the union of the two channels
+    either = low.union(pending).distinct()
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .join(either, c.c_custkey == either.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@q(
+    "tpcds_or_predicate_union_zip",
+    extended=True,
+    tags=("tpcds", "join", "agg"),
+    doc="q15 shape: grouped revenue where rows qualify through ANY of "
+    "three OR'd predicates spanning dimension attrs and a measure "
+    "(tpcds/q15.sql substr(ca_zip) in (...) or ca_state in (...) or "
+    "cs_sales_price > 500).",
+    oracle="""
+SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+  AS total_sales
+FROM orders, customer, nation
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  AND (substr(c_name, 1, 12) IN ('Customer#000', 'Customer#001')
+       AND c_custkey % 10 = 3
+    OR n_name IN ('FRANCE', 'GERMANY', 'EGYPT')
+    OR o_totalprice > 400000)
+GROUP BY n_name
+ORDER BY n_name ASC
+""",
+)
+def tpcds_or_predicate_union_zip(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    cond = (
+        (
+            F.substring("c_name", 1, 12).isin(
+                "Customer#000", "Customer#001"
+            )
+            & (F.col("c_custkey") % 10 == 3)
+        )
+        | F.col("n_name").isin("FRANCE", "GERMANY", "EGYPT")
+        | (F.col("o_totalprice") > 400000)
+    )
+    return (
+        joined.filter(cond)
+        .groupBy("n_name")
+        .agg(dsum(dec("o_totalprice", 18), "total_sales"))
+        .orderBy(F.col("n_name").asc())
+    )
+
+
+@q(
+    "tpcds_frequent_items_best_customers",
+    extended=True,
+    tags=("tpcds", "cte", "subquery", "semijoin", "agg"),
+    doc="q23 shape: frequent items (sold on many distinct dates, HAVING "
+    "count > k) semi-joined with best customers (top spenders above a "
+    "fraction of the max), summing only their matching sales "
+    "(tpcds/q23_1.sql frequent_ss_items / best_ss_customer).",
+    oracle="""
+WITH frequent_items AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING COUNT(DISTINCT l_shipdate) > 4
+), spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s
+  FROM orders GROUP BY o_custkey
+), best_customers AS (
+  SELECT o_custkey FROM spend
+  WHERE s > 0.5 * (SELECT MAX(s) FROM spend)
+)
+SELECT COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM lineitem l, orders o
+WHERE l.l_orderkey = o.o_orderkey
+  AND l.l_partkey IN (SELECT l_partkey FROM frequent_items)
+  AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+""",
+)
+def tpcds_frequent_items_best_customers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    frequent = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_shipdate").alias("nd"))
+        .filter(F.col("nd") > 4)
+        .select("l_partkey")
+    )
+    spend = o.groupBy("o_custkey").agg(dsum(dec("o_totalprice", 18), "s"))
+    max_s = spend.agg(F.max("s").alias("m"))
+    best = (
+        spend.join(F.broadcast(max_s))
+        .filter(F.col("s") > 0.5 * F.col("m"))
+        .select("o_custkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(frequent, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(dec("l_extendedprice", 18), "total"),
+        )
+    )
+
+
+@q(
+    "tpcds_three_channel_union_reagg",
+    extended=True,
+    tags=("tpcds", "setop", "agg"),
+    doc="q33/q56/q60 shape: per-item revenue computed independently in "
+    "three channels, UNION ALL'd, then re-aggregated to one total per "
+    "item (tpcds/q33.sql ss/cs/ws union all, group by i_manufact_id).",
+    oracle="""
+WITH ch AS (
+  SELECT l_partkey AS pk,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey
+  UNION ALL
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey
+  UNION ALL
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+)
+SELECT p_brand,
+  CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+FROM ch, part WHERE pk = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand ASC
+""",
+)
+def tpcds_three_channel_union_reagg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+
+    def channel(flag):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy(F.col("l_partkey").alias("pk"))
+            .agg(dsum(dec("l_extendedprice", 18), "rev"))
+        )
+
+    ch = channel("N").union(channel("A")).union(channel("R"))
+    return (
+        ch.join(p, ch.pk == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(dec("rev", 18), "total_rev"))
+        .orderBy(F.col("p_brand").asc())
+    )
+
+
+@q(
+    "tpcds_intersect_three_channels",
+    extended=True,
+    tags=("tpcds", "setop", "agg"),
+    doc="q38 shape: COUNT(*) over the INTERSECT of three per-channel "
+    "distinct customer sets (tpcds/q38.sql select count(*) from "
+    "(ss intersect cs intersect ws)).",
+    oracle="""
+SELECT COUNT(*) AS n_loyal FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+) hot
+""",
+)
+def tpcds_intersect_three_channels(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    ).distinct()
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_custkey"
+    ).distinct()
+    c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return a.intersect(b).intersect(c).agg(
+        F.count(F.lit(1)).alias("n_loyal")
+    )
+
+
+@q(
+    "tpcds_except_channel_count",
+    extended=True,
+    tags=("tpcds", "setop", "agg"),
+    doc="q87 shape: COUNT(*) over an EXCEPT chain — customers in channel "
+    "A but in neither B nor C (tpcds/q87.sql ss except cs except ws).",
+    oracle="""
+SELECT COUNT(*) AS n_only_store FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+) cool
+""",
+)
+def tpcds_except_channel_count(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderstatus") == "P").select("o_custkey").distinct()
+    c = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    ).distinct()
+    return a.subtract(b).subtract(c).agg(
+        F.count(F.lit(1)).alias("n_only_store")
+    )
+
+
+@q(
+    "tpcds_best_worst_items",
+    extended=True,
+    tags=("tpcds", "window", "join"),
+    doc="q44 shape: top-10 best and top-10 worst performing items via "
+    "ascending and descending rank over per-item average revenue, the "
+    "two rank tables joined on rank position (tpcds/q44.sql asceding/"
+    "descending rnk join).",
+    oracle="""
+WITH perf AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      / COUNT(*) AS avg_rev
+  FROM lineitem GROUP BY l_partkey
+), asc_rank AS (
+  SELECT l_partkey, RANK() OVER (ORDER BY avg_rev ASC, l_partkey ASC)
+    AS rnk FROM perf
+), desc_rank AS (
+  SELECT l_partkey, RANK() OVER (ORDER BY avg_rev DESC, l_partkey ASC)
+    AS rnk FROM perf
+)
+SELECT a.rnk AS rnk, a.l_partkey AS worst_item, d.l_partkey AS best_item
+FROM asc_rank a, desc_rank d
+WHERE a.rnk = d.rnk AND a.rnk <= 10
+ORDER BY rnk ASC
+""",
+)
+def tpcds_best_worst_items(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    perf = li.groupBy("l_partkey").agg(
+        (
+            F.sum(dec("l_extendedprice", 18)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_rev")
+    )
+    wa = Window.orderBy(F.col("avg_rev").asc(), F.col("l_partkey").asc())
+    wd = Window.orderBy(F.col("avg_rev").desc(), F.col("l_partkey").asc())
+    asc_rank = perf.select(
+        "l_partkey", F.rank().over(wa).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+    desc_rank = perf.select(
+        "l_partkey", F.rank().over(wd).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+    return (
+        asc_rank.alias("a")
+        .join(desc_rank.alias("d"), "rnk")
+        .select(
+            "rnk",
+            F.col("a.l_partkey").alias("worst_item"),
+            F.col("d.l_partkey").alias("best_item"),
+        )
+        .orderBy(F.col("rnk").asc())
+    )
+
+
+@q(
+    "tpcds_spend_segment_histogram",
+    extended=True,
+    tags=("tpcds", "agg", "cte"),
+    doc="q54 shape: per-customer revenue bucketed into spend segments "
+    "(floor(revenue/N)) and counted per segment — an aggregation over "
+    "an aggregation's computed bucket (tpcds/q54.sql segment = "
+    "cast(revenue/50 as int), count per segment).",
+    oracle="""
+WITH cust_rev AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(FLOOR(revenue / 100000) AS BIGINT) AS segment,
+  COUNT(*) AS num_customers
+FROM cust_rev
+GROUP BY CAST(FLOOR(revenue / 100000) AS BIGINT)
+ORDER BY segment ASC
+""",
+)
+def tpcds_spend_segment_histogram(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cust_rev = o.groupBy("o_custkey").agg(
+        dsum(dec("o_totalprice", 18), "revenue")
+    )
+    seg = F.floor(F.col("revenue") / 100000).cast("bigint").alias("segment")
+    return (
+        cust_rev.groupBy(seg)
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+        .orderBy(F.col("segment").asc())
+    )
+
+
+@q(
+    "tpcds_cross_channel_revenue_band",
+    extended=True,
+    tags=("tpcds", "join", "agg", "cte"),
+    doc="q58 shape: items whose revenue in each of three channels lies "
+    "within ±10% of the three-channel average — three per-channel aggs "
+    "equi-joined on item with band predicates (tpcds/q58.sql ss_items/"
+    "cs_items/ws_items 0.9/1.1 band).",
+    oracle="""
+WITH chn AS (
+  SELECT l_partkey AS pk,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey
+), cha AS (
+  SELECT l_partkey AS pk,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey
+), chr AS (
+  SELECT l_partkey AS pk,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+)
+SELECT chn.pk AS item,
+  chn.rev AS n_rev, cha.rev AS a_rev, chr.rev AS r_rev
+FROM chn, cha, chr
+WHERE chn.pk = cha.pk AND cha.pk = chr.pk
+  AND chn.rev BETWEEN 0.7 * (chn.rev + cha.rev + chr.rev) / 3
+                  AND 1.3 * (chn.rev + cha.rev + chr.rev) / 3
+  AND cha.rev BETWEEN 0.7 * (chn.rev + cha.rev + chr.rev) / 3
+                  AND 1.3 * (chn.rev + cha.rev + chr.rev) / 3
+  AND chr.rev BETWEEN 0.7 * (chn.rev + cha.rev + chr.rev) / 3
+                  AND 1.3 * (chn.rev + cha.rev + chr.rev) / 3
+ORDER BY item ASC
+""",
+)
+def tpcds_cross_channel_revenue_band(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+
+    def channel(flag, alias):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy(F.col("l_partkey").alias("pk"))
+            .agg(dsum(dec("l_extendedprice", 18), "rev"))
+            .alias(alias)
+        )
+
+    chn, cha, chr_ = channel("N", "n"), channel("A", "a"), channel("R", "r")
+    avg3 = (
+        F.col("n.rev") + F.col("a.rev") + F.col("r.rev")
+    ) / 3
+    band = (
+        F.col("n.rev").between(0.7 * avg3, 1.3 * avg3)
+        & F.col("a.rev").between(0.7 * avg3, 1.3 * avg3)
+        & F.col("r.rev").between(0.7 * avg3, 1.3 * avg3)
+    )
+    return (
+        chn.join(cha, F.col("n.pk") == F.col("a.pk"))
+        .join(chr_, F.col("a.pk") == F.col("r.pk"))
+        .filter(band)
+        .select(
+            F.col("n.pk").alias("item"),
+            F.col("n.rev").alias("n_rev"),
+            F.col("a.rev").alias("a_rev"),
+            F.col("r.rev").alias("r_rev"),
+        )
+        .orderBy(F.col("item").asc())
+    )
+
+
+@q(
+    "tpcds_low_revenue_vs_store_avg",
+    extended=True,
+    tags=("tpcds", "join", "agg", "cte"),
+    doc="q65 shape: supplier-item pairs whose revenue is at most 30% of "
+    "that supplier's average item revenue — a per-pair agg joined to a "
+    "per-group average of the same agg (tpcds/q65.sql sb.revenue <= "
+    "0.1 * sc.ave).",
+    oracle="""
+WITH pair_rev AS (
+  SELECT l_suppkey, l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+), supp_avg AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS ave
+  FROM pair_rev GROUP BY l_suppkey
+)
+SELECT s_name, p.l_partkey AS partkey, p.revenue AS revenue
+FROM pair_rev p, supp_avg a, supplier
+WHERE p.l_suppkey = a.l_suppkey AND p.l_suppkey = s_suppkey
+  AND p.revenue <= 0.3 * a.ave
+ORDER BY s_name ASC, partkey ASC
+LIMIT 100
+""",
+)
+def tpcds_low_revenue_vs_store_avg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    pair_rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        dsum(dec("l_extendedprice", 18), "revenue")
+    )
+    supp_avg = pair_rev.groupBy("l_suppkey").agg(
+        (
+            F.sum(dec("revenue", 18)).cast("double") / F.count(F.lit(1))
+        ).alias("ave")
+    )
+    return (
+        pair_rev.join(supp_avg, "l_suppkey")
+        .filter(F.col("revenue") <= 0.3 * F.col("ave"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_name",
+            F.col("l_partkey").alias("partkey"),
+            "revenue",
+        )
+        .orderBy(F.col("s_name").asc(), F.col("partkey").asc())
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_multi_supplier_orders",
+    extended=True,
+    tags=("tpcds", "subquery", "agg", "semijoin"),
+    doc="q95 shape: orders whose lines span at least two distinct "
+    "suppliers (the ws_wh self-join distinct-warehouse pattern of "
+    "tpcds/q95.sql), counted and summed per month.",
+    oracle="""
+WITH multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+)
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM multi)
+GROUP BY substr(CAST(o_orderdate AS VARCHAR), 1, 7)
+ORDER BY month ASC
+""",
+)
+def tpcds_multi_supplier_orders(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(multi, o.o_orderkey == multi.l_orderkey, "left_semi")
+        .groupBy(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice", 18), "total"),
+        )
+        .orderBy(F.col("month").asc())
+    )
+
+
+@q(
+    "tpcds_distinct_dim_or_filter",
+    extended=True,
+    tags=("tpcds", "subquery", "agg"),
+    doc="q41 shape: DISTINCT dimension attribute where a correlated "
+    "count over the same dimension with a deeply OR'd predicate is "
+    "positive (tpcds/q41.sql distinct i_product_name where item count "
+    "> 0 over OR'd color/size/unit combos).",
+    oracle="""
+SELECT DISTINCT p_name
+FROM part p1
+WHERE p_partkey <= 400
+  AND (SELECT COUNT(*) FROM part p2
+       WHERE p2.p_brand = p1.p_brand
+         AND ((p2.p_type LIKE '%BRASS%' AND p2.p_size BETWEEN 1 AND 15)
+           OR (p2.p_type LIKE '%STEEL%' AND p2.p_size BETWEEN 10 AND 30)
+           OR (p2.p_type LIKE '%COPPER%' AND p2.p_size BETWEEN 20 AND 40))
+      ) > 0
+ORDER BY p_name ASC
+LIMIT 100
+""",
+)
+def tpcds_distinct_dim_or_filter(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_type").like("%BRASS%") & F.col("p_size").between(1, 15))
+        | (F.col("p_type").like("%STEEL%") & F.col("p_size").between(10, 30))
+        | (
+            F.col("p_type").like("%COPPER%")
+            & F.col("p_size").between(20, 40)
+        )
+    )
+    brands = p.filter(cond).select("p_brand").distinct()
+    return (
+        p.filter(F.col("p_partkey") <= 400)
+        .join(F.broadcast(brands), "p_brand", "left_semi")
+        .select("p_name")
+        .distinct()
+        .orderBy(F.col("p_name").asc())
+        .limit(100)
+    )

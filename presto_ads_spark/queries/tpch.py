@@ -864,12 +864,19 @@ FROM (
       SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
       FROM customer WHERE c_acctbal > 0.00 AND c_custkey % 7 IN (0, 1, 2, 3)
     )
-    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
 ) custsale
 GROUP BY cntrycode
 """,
 )
 def q22(spark, sf_dir):
+    # anti-join side restricted to URGENT orders: the driver fixture
+    # gives every customer at least one order, so the original "no
+    # orders at all" predicate yields zero rows at every SF — this
+    # keeps the anti-join + scalar-avg-subquery shape on real data
+    # (r10 verdict, "What's wrong #4")
     c = t(spark, sf_dir, "customer").filter((F.col("c_custkey") % 7).isin(0, 1, 2, 3))
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.00)
@@ -877,7 +884,9 @@ def q22(spark, sf_dir):
             (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab")
         )
     )
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))

@@ -609,12 +609,99 @@ def _rewrite_datetime_patterns(sql: str) -> str:
             # java-pattern argument double-translated.
             new_fn = "__spark_to_timestamp" if fn == "date_parse" else "date_format"
             new_args = args[: pat.start()] + "'" + translated.replace("'", "''") + "'"
+            call = f"{new_fn}({new_args})"
+            if (
+                fn == "date_parse"
+                and "%y" in pat.group(1)
+                and "%Y" not in pat.group(1)
+            ):
+                # MySQL two-digit-year pivot (Presto/Joda): 70-99 →
+                # 19xx, 00-69 → 20xx. java.time 'yy' reduces against
+                # base 2000 (everything lands 2000-2099) — shift the
+                # 2070-2099 window back a century.
+                call = (
+                    f"(CASE WHEN year({call}) >= 2070 "
+                    f"THEN {call} - INTERVAL 100 YEAR "
+                    f"ELSE {call} END)"
+                )
             out.append(sql[i : m.start()])
-            out.append(f"{new_fn}({new_args})")
+            out.append(call)
             i = j
         else:
             out.append(sql[i : j])
             i = j
+
+
+def _joda_to_java_pattern(pat: str) -> str:
+    """Joda-Time pattern → java.time (DateTimeFunctions.java
+    format_datetime/parse_datetime use Joda). The letters mostly
+    coincide; the trap is the year family: Joda 'Y' is year-of-era
+    while java.time 'Y' is WEEK-BASED year — map Y→y outside quoted
+    literals. 'ZZ' (Joda ±hh:mm) → 'XXX'."""
+    out, i, in_q = [], 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "'":
+            in_q = not in_q
+            out.append(c)
+            i += 1
+            continue
+        if not in_q and c == "Y":
+            j = i
+            while j < len(pat) and pat[j] == "Y":
+                j += 1
+            out.append("y" * (j - i))
+            i = j
+            continue
+        if not in_q and c == "Z":
+            j = i
+            while j < len(pat) and pat[j] == "Z":
+                j += 1
+            n = j - i
+            out.append("Z" if n == 1 else ("XXX" if n == 2 else "VV"))
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_JODA_FN_RE = re.compile(
+    r"\b(format_datetime|parse_datetime)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_joda_datetime_fns(sql: str) -> str:
+    """``format_datetime(ts, 'joda')`` → ``date_format(ts, <java>)``;
+    ``parse_datetime(s, 'joda')`` → ``__spark_to_timestamp`` (the
+    sentinel keeps the Teradata to_timestamp rename from
+    double-translating the pattern). Literal-pattern forms only."""
+    out, i = [], 0
+    while True:
+        m = _JODA_FN_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        fn = m.group(1).lower()
+        j = _scan_matching_paren(sql, m.end())
+        args = _split_top_level(sql[m.end() : j - 1])
+        pm = (
+            re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[-1])
+            if len(args) == 2
+            else None
+        )
+        if pm is None:
+            out.append(sql[i:j])
+            i = j
+            continue
+        translated = _joda_to_java_pattern(pm.group(1))
+        new_fn = (
+            "date_format" if fn == "format_datetime"
+            else "__spark_to_timestamp"
+        )
+        out.append(sql[i : m.start()])
+        out.append(f"{new_fn}({args[0]}, '{translated}')")
+        i = j
 
 
 def _literal_mask(sql: str) -> list[bool]:
@@ -1228,11 +1315,33 @@ def _rewrite_fn_arity_compat(sql: str) -> str:
         r"\s*(DATE\s*'|CAST\s*\(.*\bAS\s+DATE\s*\)\s*$)",
         re.IGNORECASE | re.DOTALL,
     )
+    diff_units = {
+        "second": "SECOND", "minute": "MINUTE", "hour": "HOUR",
+        "day": "DAY", "week": "WEEK", "month": "MONTH",
+        "quarter": "QUARTER", "year": "YEAR",
+    }
     for fn in ("date_add", "date_diff"):
         def build(args, _fn=fn):
             if len(args) == 3 and re.match(r"\s*'", args[0]):
                 if _fn == "date_add" and date_arg_re.match(args[2]):
                     return f"date_add_unit_date({', '.join(args)})"
+                um = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+                if _fn == "date_diff" and um:
+                    # literal unit: inline the pure expression — a SQL
+                    # temp function cannot capture lambda variables, and
+                    # date_diff legitimately appears inside array_sort
+                    # comparators (TestArrayOperators:894)
+                    u = um.group(1).lower()
+                    a, b = args[1].strip(), args[2].strip()
+                    if u == "millisecond":
+                        return (
+                            f"(timestampdiff(MICROSECOND, {a}, {b})"
+                            f" DIV 1000)"
+                        )
+                    if u in diff_units:
+                        return (
+                            f"timestampdiff({diff_units[u]}, {a}, {b})"
+                        )
                 return f"{_fn}_unit({', '.join(args)})"
             return None
 
@@ -1974,27 +2083,140 @@ _CASE_KW_RE = re.compile(r"\b(CASE|WHEN|THEN|ELSE|END)\b", re.IGNORECASE)
 _CAST_TOKEN_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
 
 
+# Null-propagating scalar functions (RETURN_NULL_ON_NULL in the reference
+# registry): a NULL argument yields a NULL result, so a failing CAST in an
+# argument position propagates through to the TRY result as NULL.
+_TRY_STRICT_FNS = frozenset({
+    "abs", "concat", "upper", "lower", "length", "substr", "substring",
+    "trim", "ltrim", "rtrim", "round", "floor", "ceil", "ceiling",
+    "sqrt", "ln", "log", "log2", "log10", "exp", "power", "pow", "mod",
+    "from_base", "to_base", "date_parse", "date_format", "date_add",
+    "date_diff", "from_unixtime", "to_unixtime", "strpos", "reverse",
+    "replace", "lpad", "rpad", "split_part", "codepoint", "chr",
+    "to_hex", "from_hex", "truncate", "sign", "degrees", "radians",
+    "cbrt", "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+    "bitwise_and", "bitwise_or", "bitwise_xor", "bitwise_not",
+})
+
+_TRY_STRICT_BINOP_RE = re.compile(r"!=|<>|<=|>=|\|\||[=<>+\-*/%]")
+_TRY_NONSTRICT_KW_RE = re.compile(
+    r"\b(AND|OR|NOT|IS|IN|BETWEEN|LIKE|WHEN|THEN|ELSE|END|CASE)\b",
+    re.IGNORECASE,
+)
+
+
+def _case_result_arm_spans(e: str):
+    """(start, end) spans of the OUTER ``CASE … END``'s THEN/ELSE result
+    arms in ``e`` (keyword scan with CASE-nesting depth — nested CASE
+    inside an arm is not hidden by paren masking, so plain regex
+    splitting would mis-pair keywords). None when unbalanced."""
+    masked = _mask_parens_and_literals(e)
+    depth, arms, cur = 0, [], None
+    for m in _CASE_KW_RE.finditer(masked):
+        kw = m.group(1).upper()
+        if kw == "CASE":
+            depth += 1
+        elif kw == "END":
+            depth -= 1
+            if depth == 0 and cur is not None:
+                arms.append((cur, m.start()))
+                cur = None
+        elif depth == 1 and kw in ("THEN", "ELSE"):
+            if cur is not None:
+                arms.append((cur, m.start()))
+            cur = m.end()
+        elif depth == 1 and kw == "WHEN" and cur is not None:
+            arms.append((cur, m.start()))
+            cur = None
+    return arms if depth == 0 else None
+
+
 def _casts_to_try(e: str) -> str:
-    """Every ``CAST(`` inside ``e`` (outside string literals, not already
-    ``TRY_CAST``) → ``TRY_CAST(``. Used under a TRY() scope: Presto's TRY
-    swallows a failing cast anywhere in the guarded expression
-    (TestConditions/TestTryFunction), and a successful try_cast is
-    value-identical to cast."""
-    mask = _literal_mask(e)
-    out, prev = [], 0
-    for m in _CAST_TOKEN_RE.finditer(e):
-        if mask[m.start()]:
-            continue
-        j = m.start() - 1
-        while j >= 0 and (e[j].isalnum() or e[j] == "_"):
-            j -= 1
-        if e[j + 1 : m.start()].upper().rstrip() == "TRY_":
-            continue
-        out.append(e[prev : m.start()])
-        out.append("TRY_CAST(")
-        prev = m.end()
-    out.append(e[prev:])
-    return "".join(out)
+    """``CAST(`` → ``TRY_CAST(`` — but ONLY in positions where a NULL
+    provably propagates to the value of ``e``, so the conversion is
+    faithful to Presto's whole-expression TRY semantics
+    (TestConditions/TestTryFunction). The round-10 blanket conversion
+    made ``TRY(coalesce(CAST('x' AS INTEGER), 5))`` yield 5 where Presto
+    yields NULL (the cast error aborts the coalesce; TRY nulls the whole
+    expression). Propagating contexts, applied recursively:
+
+    - the whole body is a (TRY_)CAST — its operand propagates too;
+    - operands of strict binary operators (arith, comparison, ``||``,
+      DIV) when no top-level non-strict keyword (AND/OR/IS/IN/…) mixes in;
+    - THEN/ELSE result arms of a whole-body CASE (the selected arm's
+      value IS the result; WHEN conditions are NOT converted — a NULL
+      there selects another arm instead of nulling the result);
+    - arguments of whitelisted null-propagating scalar functions.
+
+    A cast anywhere else stays plain CAST: a failure then raises visibly
+    (the documented generic-TRY deviation) instead of silently changing
+    a null-absorbing context's value (coalesce, IS NULL, count …)."""
+    s = e.strip()
+    if not s or "CAST" not in s.upper():
+        return e
+    lead = e[: len(e) - len(e.lstrip())]
+    trail = e[len(e.rstrip()) :]
+
+    def wrap(x: str) -> str:
+        return lead + x + trail
+
+    if s.startswith("(") and _scan_matching_paren(s, 1) == len(s):
+        return wrap("(" + _casts_to_try(s[1:-1]) + ")")
+    masked = _mask_parens_and_literals(s)
+    if "->" in masked:  # top-level lambda arrow: leave alone
+        return e
+    if re.match(r"(?is)^CASE\b", masked) and re.search(
+        r"(?is)\bEND\s*$", masked
+    ):
+        arms = _case_result_arm_spans(s)
+        if not arms:
+            return e
+        out, prev = [], 0
+        for a, b in arms:
+            out.append(s[prev:a])
+            out.append(_casts_to_try(s[a:b]))
+            prev = b
+        out.append(s[prev:])
+        return wrap("".join(out))
+    if not _TRY_NONSTRICT_KW_RE.search(masked):
+        ops = [
+            (m.start(), m.end())
+            for m in _TRY_STRICT_BINOP_RE.finditer(masked)
+        ] + [
+            (m.start(), m.end()) for m in re.finditer(r"\bDIV\b", masked)
+        ]
+        if ops:
+            ops.sort()
+            out, prev = [], 0
+            for a, b in ops:
+                out.append(_casts_to_try(s[prev:a]))
+                out.append(s[a:b])
+                prev = b
+            out.append(_casts_to_try(s[prev:]))
+            return wrap("".join(out))
+    fm = re.match(r"(\w+)\s*\(", s)
+    if fm and _scan_matching_paren(s, fm.end()) == len(s):
+        fn = fm.group(1).lower()
+        inner = s[fm.end() : -1]
+        if fn in ("cast", "try_cast"):
+            am = re.search(r"(?is)\bAS\b", _mask_parens_and_literals(inner))
+            if am is None:
+                return e
+            return wrap(
+                "TRY_CAST("
+                + _casts_to_try(inner[: am.start()])
+                + inner[am.start() :]
+                + ")"
+            )
+        if fn in _TRY_STRICT_FNS:
+            args = _split_top_level(inner)
+            return wrap(
+                fm.group(1)
+                + "("
+                + ", ".join(_casts_to_try(a) for a in args)
+                + ")"
+            )
+    return e
 
 
 def _lower_try_case(e: str):
@@ -2157,7 +2379,10 @@ _MAP_CMP_OP_RE = re.compile(
 )
 
 
-_MAP_NESTED_RE = re.compile(r"\b(map|map_from_arrays)\s*\(", re.IGNORECASE)
+_MAP_NESTED_RE = re.compile(
+    r"\b(map|map_from_arrays|map_from_entries|map_concat)\s*\(",
+    re.IGNORECASE,
+)
 
 
 def _map_valued_constructor(t: str) -> bool:
@@ -4353,17 +4578,28 @@ def _rewrite_regex_arg_defaults(sql: str) -> str:
     # Presto regexp_extract returns NULL when the pattern does not match
     # (JoniRegexpFunctions.regexpExtract; TestRegexpFunctions:212-213);
     # Spark returns ''. A match guard — not nullif(…,'') — since a group
-    # can legitimately match empty. Residual deviation: a matching
-    # pattern whose group g did not PARTICIPATE still yields '' (Spark
-    # cannot observe group participation). Marker two-pass (a builder
-    # may never emit its own name).
+    # can legitimately match empty. For a literal pattern whose group g
+    # provably CANNOT match empty (e.g. the alternation branch groups in
+    # TestRegexpFunctions:212), a '' result implies the group did not
+    # PARTICIPATE in the match → NULL per Joni, exactly as the
+    # regexp_replace-lambda lowering already does (RF179-184/RF212).
+    # Residual deviation: only can-match-empty non-participating groups
+    # still yield '' (no reference assert pins one). Marker two-pass (a
+    # builder may never emit its own name).
     def extract_null_guard(a):
         if len(a) != 3:
             return None
         s, p, g = (x.strip() for x in a)
+        inner = f"__prext(({s}), ({p}), {g})"
+        pm = re.fullmatch(r"'((?:[^']|'')*)'", p)
+        if pm and re.fullmatch(r"\d+", g):
+            # undo the first-pass backslash doubling for the scan
+            clean_pat = pm.group(1).replace("''", "'").replace("\\\\", "\\")
+            if int(g) in _regex_groups_never_empty(clean_pat):
+                inner = f"nullif({inner}, '')"
         return (
             f"CASE WHEN regexp_like(({s}), ({p})) "
-            f"THEN __prext(({s}), ({p}), {g}) ELSE NULL END"
+            f"THEN {inner} ELSE NULL END"
         )
 
     sql = _replace_fn_calls(sql, "regexp_extract", extract_null_guard)
@@ -5074,8 +5310,102 @@ _TIME_LIT_RE = re.compile(
 )
 
 
+_IVL_UNIT_RANGE = (
+    r"(YEAR\s+TO\s+MONTH|DAY\s+TO\s+(?:HOUR|MINUTE|SECOND)"
+    r"|HOUR\s+TO\s+(?:MINUTE|SECOND)|MINUTE\s+TO\s+SECOND"
+    r"|YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
+)
+
+
 def _rewrite_time_literals(sql: str) -> str:
     return _TIME_LIT_RE.sub(r"TIMESTAMP '1970-01-01 \1'", sql)
+
+
+_TIME_ARITH_RE = re.compile(
+    r"\bTIME\s*'([^']*)'\s*([+-])\s*INTERVAL\s*'([^']*)'\s+"
+    + _IVL_UNIT_RANGE,
+    re.IGNORECASE,
+)
+_TIME_ARITH_REV_RE = re.compile(
+    r"\bINTERVAL\s*'([^']*)'\s+" + _IVL_UNIT_RANGE
+    + r"\s*\+\s*TIME\s*'([^']*)'",
+    re.IGNORECASE,
+)
+
+
+def _time_lit_millis(t: str) -> int | None:
+    m = re.fullmatch(
+        r"\s*(\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,3}))?)?\s*", t
+    )
+    if not m:
+        return None
+    return (
+        (int(m.group(1)) * 60 + int(m.group(2))) * 60_000
+        + int(m.group(3) or 0) * 1000
+        + int((m.group(4) or "0").ljust(3, "0"))
+    )
+
+
+def _fold_time_interval_arith(sql: str) -> str:
+    """``TIME ± INTERVAL`` stays a time-of-day: Presto's TimeOperators
+    add the interval's milliseconds MODULO a day with positive wrap
+    (TIME '03:04' + INTERVAL '27' HOUR = 06:04), and a year-month
+    interval leaves the time unchanged (months carry no time-of-day).
+    The epoch-anchored TIMESTAMP emulation would otherwise walk off
+    1970-01-01. Folds literal TIME ± literal INTERVAL (both operand
+    orders); non-literal TIME arithmetic has no fixture surface."""
+
+    def fold(time_txt: str, op: str, ivl_body: str, unit: str):
+        t = _time_lit_millis(time_txt)
+        if t is None:
+            return None
+        iv = _interval_literal_millis(ivl_body, unit)
+        if iv is None:
+            first = " ".join(unit.upper().split()).split()[0]
+            if first in ("YEAR", "MONTH"):
+                iv = 0  # year-month interval: time-of-day unchanged
+            else:
+                return None
+        res = (t + iv if op == "+" else t - iv) % 86_400_000
+        hh, rem = divmod(res, 3_600_000)
+        mm, rem = divmod(rem, 60_000)
+        ss, ms = divmod(rem, 1000)
+        return f"TIME '{hh:02d}:{mm:02d}:{ss:02d}.{ms:03d}'"
+
+    def sub_fwd(m: re.Match) -> str:
+        r = fold(m.group(1), m.group(2), m.group(3), m.group(4))
+        return r if r is not None else m.group(0)
+
+    def sub_rev(m: re.Match) -> str:
+        r = fold(m.group(3), "+", m.group(1), m.group(2))
+        return r if r is not None else m.group(0)
+
+    prev = None
+    while prev != sql:  # chains: TIME + iv + iv
+        prev = sql
+        sql = _TIME_ARITH_RE.sub(sub_fwd, sql)
+        sql = _TIME_ARITH_REV_RE.sub(sub_rev, sql)
+    return sql
+
+
+def _rewrite_array_join_timestamps(sql: str) -> str:
+    """``array_join`` over TIMESTAMP elements: Presto joins each
+    element's VARCHAR cast ('yyyy-MM-dd HH:mm:ss.SSS'); Spark's implicit
+    element cast drops the fraction. Pre-render elements when the array
+    argument visibly carries TIMESTAMP values."""
+
+    def fix(args):
+        if len(args) not in (2, 3):
+            return None
+        if not re.search(r"(?i)\bTIMESTAMP\s*'", args[0]):
+            return None
+        arr = (
+            f"transform({args[0]}, __aj -> "
+            f"date_format(__aj, 'yyyy-MM-dd HH:mm:ss.SSS'))"
+        )
+        return [arr, *args[1:]]
+
+    return _map_fn_args(sql, "array_join", fix)
 
 
 _TIME_VC_RE = re.compile(
@@ -5084,11 +5414,55 @@ _TIME_VC_RE = re.compile(
     re.IGNORECASE,
 )
 _IVL_VC_RE = re.compile(
-    r"\bCAST\s*\(\s*INTERVAL\s*'([^']*)'\s+"
-    r"(YEAR\s+TO\s+MONTH|DAY\s+TO\s+SECOND|YEAR|MONTH|DAY|HOUR|MINUTE"
-    r"|SECOND)\s+AS\s+VARCHAR(?:\s*\(\s*\d+\s*\))?\s*\)",
+    r"\bCAST\s*\(\s*INTERVAL\s*'([^']*)'\s+" + _IVL_UNIT_RANGE +
+    r"\s+AS\s+VARCHAR(?:\s*\(\s*\d+\s*\))?\s*\)",
     re.IGNORECASE,
 )
+_IVL_LIT_RE = re.compile(
+    r"\bINTERVAL\s*'([^']*)'\s+" + _IVL_UNIT_RANGE, re.IGNORECASE
+)
+
+
+def _interval_literal_millis(body: str, unit: str) -> int | None:
+    """Presto day-time interval literal text + unit range → total
+    milliseconds (IntervalLiteral/SqlIntervalDayTime parsing: the text's
+    fields bind to units starting at the range's FIRST unit, missing
+    lower fields are zero — INTERVAL '12' DAY TO MINUTE is 12 days,
+    INTERVAL '10:45' HOUR TO SECOND is 10h45m). None when the text
+    doesn't parse or the unit is year-month."""
+    unit = " ".join(unit.upper().split())
+    first = unit.split()[0]
+    if first in ("YEAR", "MONTH"):
+        return None
+    sign = -1 if body.strip().startswith("-") else 1
+    b = body.strip().lstrip("+-").strip()
+    order = ["DAY", "HOUR", "MINUTE", "SECOND"]
+    idx = order.index(first)
+    vals = {"DAY": 0, "HOUR": 0, "MINUTE": 0, "SECOND": 0}
+    ms = 0
+    parts = [p for p in re.split(r"[ :]+", b) if p]
+    for p in parts:
+        if idx >= len(order):
+            return None
+        u = order[idx]
+        if "." in p:
+            if u != "SECOND":
+                return None
+            whole, frac = p.split(".", 1)
+            if not whole.isdigit() or not frac.isdigit():
+                return None
+            vals[u] = int(whole)
+            ms = int(frac.ljust(3, "0")[:3])
+        elif p.isdigit():
+            vals[u] = int(p)
+        else:
+            return None
+        idx += 1
+    return sign * (
+        ((vals["DAY"] * 24 + vals["HOUR"]) * 60 + vals["MINUTE"]) * 60_000
+        + vals["SECOND"] * 1000
+        + ms
+    )
 
 
 _TS_LIT_RE = re.compile(r"(?is)\bTIMESTAMP\s*'([^']*)'")
@@ -5198,36 +5572,55 @@ def _fold_temporal_literal_varchar_casts(sql: str) -> str:
             s = "-" if months < 0 else ""
             months = abs(months)
             return f"'{s}{months // 12}-{months % 12}'"
-        dm = re.fullmatch(
-            r"(?:(\d+)\s+)?(\d{1,2})(?::(\d{1,2}))?(?::(\d{1,2})"
-            r"(?:\.(\d{1,3}))?)?",
-            b,
-        )
-        if not dm:
+        total_ms = _interval_literal_millis(body, unit)
+        if total_ms is None:
             return m.group(0)
-        days = int(dm.group(1) or 0)
-        a, bb = int(dm.group(2)), int(dm.group(3) or 0)
-        c = int(dm.group(4) or 0)
-        ms = int((dm.group(5) or "0").ljust(3, "0"))
-        # single-unit literals put the value in the first slot
-        if unit == "DAY" and dm.group(1) is None:
-            days, a = a, 0
-        if unit in ("MINUTE",):
-            a, bb, c = 0, a, bb
-        if unit == "SECOND" and dm.group(3) is None:
-            a, bb, c = 0, 0, a
-        total_ms = sign * (
-            ((days * 24 + a) * 60 + bb) * 60_000 + c * 1000 + ms
-        )
-        s = "-" if total_ms < 0 else ""
-        total_ms = abs(total_ms)
-        d, rem = divmod(total_ms, 86_400_000)
-        hh, rem = divmod(rem, 3_600_000)
-        mm2, rem = divmod(rem, 60_000)
-        ss, mss = divmod(rem, 1000)
-        return f"'{s}{d} {hh:02d}:{mm2:02d}:{ss:02d}.{mss:03d}'"
+        return f"'{_render_presto_interval_dts(total_ms)}'"
 
     return _IVL_VC_RE.sub(ivl_sub, sql)
+
+
+def _render_presto_interval_dts(total_ms: int) -> str:
+    """IntervalDayTime.formatMillis: '%s%d %02d:%02d:%02d.%03d'."""
+    s = "-" if total_ms < 0 else ""
+    total_ms = abs(total_ms)
+    d, rem = divmod(total_ms, 86_400_000)
+    hh, rem = divmod(rem, 3_600_000)
+    mm2, rem = divmod(rem, 60_000)
+    ss, mss = divmod(rem, 1000)
+    return f"{s}{d} {hh:02d}:{mm2:02d}:{ss:02d}.{mss:03d}"
+
+
+def _normalize_interval_literals(sql: str) -> str:
+    """Presto's partial-field interval range literals — ``INTERVAL '12'
+    DAY TO MINUTE``, ``INTERVAL '10:45' HOUR TO SECOND`` — are rejected
+    by Spark's parser (it demands every field of the range). Normalize
+    any day-time range literal to the canonical full-field
+    ``INTERVAL 'D HH:MM:SS.mmm' DAY TO SECOND`` (exact same value;
+    single-unit forms Spark accepts pass through untouched)."""
+
+    def sub(m: re.Match) -> str:
+        unit = " ".join(m.group(2).upper().split())
+        if " TO " not in unit:
+            return m.group(0)
+        ms = _interval_literal_millis(m.group(1), unit)
+        if ms is None:
+            return m.group(0)
+        return (
+            f"INTERVAL '{_render_presto_interval_dts(ms)}' DAY TO SECOND"
+        )
+
+    # literal-mask aware: INTERVAL inside a string must not rewrite
+    out, pos = [], 0
+    mask = _literal_mask(sql)
+    for m in _IVL_LIT_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(sub(m))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _rewrite_time_casts(sql: str) -> str:
@@ -5964,9 +6357,9 @@ def _presto_type_to_spark(t: str) -> str | None:
     kind, inner = m.group(1).upper(), m.group(2)
     parts, depth, buf = [], 0, []
     for ch in inner:
-        if ch == "(":
+        if ch in "(<":  # nested angle form splits like the paren form
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(buf))
@@ -6007,7 +6400,11 @@ _CAST_OPEN_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
 
 
 _JSON_ROW_REJECT_RE = re.compile(
-    r"\b(ROW|STRUCT|NAMED_STRUCT)\s*\(|\bSELECT\b", re.IGNORECASE
+    # TIMESTAMP operands also fall back: to_json renders them ISO-8601,
+    # but Presto's JSON cast uses the SQL text form — the typeof-guided
+    # canonicalizer re-renders (functions/__init__.py _canon_value)
+    r"\b(ROW|STRUCT|NAMED_STRUCT)\s*\(|\bSELECT\b|\bTIMESTAMP\b",
+    re.IGNORECASE,
 )
 _JSON_ARG_TOKEN_RE = re.compile(r"(?:[A-Za-z_][A-Za-z0-9_]*\.)*([A-Za-z_][A-Za-z0-9_]*)")
 _JSON_ARG_KEYWORDS = frozenset(
@@ -6328,12 +6725,46 @@ def _rewrite_cast_to_json(sql: str, scalar_cols: frozenset = frozenset()) -> str
         i = m.start()
 
 
+def _json_scalar_coercion(t: str, v: str) -> str | None:
+    """Presto's JSON-value → scalar coercions (JsonToMapCast /
+    JsonUtil.java): true/false map to 1/0 for numeric targets, numbers
+    to booleans by ≠ 0, decimal text rounds HALF-UP into integer
+    targets, and 'NaN'/'Infinity' parse for floating targets. Input
+    ``v`` is the value's raw JSON lexeme parsed as STRING."""
+    t = t.lower()
+    if t == "boolean":
+        return (
+            f"CASE WHEN {v} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN {v} = 'true' THEN true WHEN {v} = 'false' THEN false "
+            f"ELSE CAST({v} AS DOUBLE) <> 0.0D END"
+        )
+    if t in ("tinyint", "smallint", "int", "integer", "bigint"):
+        tt = "int" if t == "integer" else t
+        return (
+            f"CASE WHEN {v} IS NULL THEN CAST(NULL AS {tt}) "
+            f"WHEN {v} = 'true' THEN CAST(1 AS {tt}) "
+            f"WHEN {v} = 'false' THEN CAST(0 AS {tt}) "
+            f"ELSE CAST(round(CAST({v} AS DECIMAL(38,8))) AS {tt}) END"
+        )
+    if t in ("float", "real", "double") or t.startswith("decimal"):
+        tt = "float" if t == "real" else t
+        return (
+            f"CASE WHEN {v} IS NULL THEN CAST(NULL AS {tt}) "
+            f"WHEN {v} = 'true' THEN CAST(1 AS {tt}) "
+            f"WHEN {v} = 'false' THEN CAST(0 AS {tt}) "
+            f"ELSE CAST({v} AS {tt}) END"
+        )
+    return None
+
+
 def _json_parse_expr(expr: str, schema: str) -> str:
     """``from_json`` spelling for a JSON-string operand and a Spark DDL
     schema — routing non-string map keys (MAP<TINYINT,...>, MAP<BOOLEAN,
     ...>: JsonToMapCast.java key coercions) through a string-keyed parse
     plus transform_keys, since Spark's from_json only accepts STRING
-    keys (INVALID_JSON_MAP_KEY_TYPE)."""
+    keys (INVALID_JSON_MAP_KEY_TYPE); scalar map VALUES likewise parse
+    as raw text and coerce per Presto's JSON rules (mixed true/12.7/"12"
+    inputs — from_json's strict typing would null the whole map)."""
     km = re.match(r"^map<(.+)>$", schema, re.DOTALL)
     if km:
         s, depth = km.group(1), 0
@@ -6344,13 +6775,30 @@ def _json_parse_expr(expr: str, schema: str) -> str:
                 depth -= 1
             elif ch == "," and depth == 0:
                 key, val = s[:idx].strip(), s[idx + 1 :].strip()
-                if key != "string":
-                    return (
-                        f"transform_keys(from_json({expr}, "
-                        f"'map<string,{val}>'), "
-                        f"(__jk, __jv) -> CAST(__jk AS {key}))"
+                coerce = _json_scalar_coercion(val, "__jv")
+                if coerce is not None:
+                    # strict parse first — it reads numeric lexemes at
+                    # full precision (the string-valued parse routes
+                    # numbers through double, corrupting wide decimals,
+                    # MO481); the coercion path only engages when mixed
+                    # true/"12"/12.7 values null the strict parse
+                    strict = f"from_json({expr}, 'map<string,{val}>')"
+                    base = (
+                        f"coalesce({strict}, "
+                        f"transform_values(from_json({expr}, "
+                        f"'map<string,string>'), (__jk0, __jv) -> "
+                        f"{coerce}))"
                     )
-                break
+                elif key != "string":
+                    base = f"from_json({expr}, 'map<string,{val}>')"
+                else:
+                    break
+                if key != "string":
+                    base = (
+                        f"transform_keys({base}, "
+                        f"(__jk, __jv2) -> CAST(__jk AS {key}))"
+                    )
+                return base
     return f"from_json({expr}, '{schema}')"
 
 
@@ -8370,8 +8818,14 @@ def rewrite(
     sql = _rewrite_grouping_multi(sql)
     sql = _rewrite_in_values(sql)
     sql = _rewrite_color_fn_arity(sql)
+    sql = _rewrite_array_join_timestamps(sql)
+    sql = _fold_time_interval_arith(sql)
     sql = _fold_temporal_literal_varchar_casts(sql)
     sql = _fold_ts_literals_in_varchar_container_casts(sql)
+    # after the varchar fold (which needs the original unit spelling for
+    # its own regex, though both handle every range) and the TIME fold;
+    # before Spark's parser sees any partial-field range literal
+    sql = _normalize_interval_literals(sql)
     sql = _rewrite_time_literals(sql)
     sql = _rewrite_time_casts(sql)
     sql = _rewrite_varbinary_type(sql)
@@ -8449,6 +8903,19 @@ def rewrite(
     )
     sql = _rewrite_order_by_nulls(sql)
     sql = _rewrite_datetime_patterns(sql)
+    sql = _rewrite_joda_datetime_fns(sql)
+    # Presto extract-field aliases (DateTimeFunctions extract grammar):
+    # Spark spells them differently, and Presto DOW is ISO (Monday=1)
+    sql = re.sub(
+        r"(?i)\bextract\s*\(\s*(day_of_week|dow|day_of_month"
+        r"|day_of_year|doy|year_of_week|yow)\s+FROM\b",
+        lambda m: "extract(" + {
+            "day_of_week": "DAYOFWEEK_ISO", "dow": "DAYOFWEEK_ISO",
+            "day_of_month": "DAY", "day_of_year": "DOY", "doy": "DOY",
+            "year_of_week": "YEAROFWEEK", "yow": "YEAROFWEEK",
+        }[m.group(1).lower()] + " FROM",
+        sql,
+    )
     sql = _rewrite_typed_literals(sql)
     return _apply_outside_literals(
         sql,

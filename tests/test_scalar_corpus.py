@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests._scalar_util import eval_exprs, values_match
+from tests._scalar_util import eval_exprs, eval_sql, values_match
 
 try:
     from tests.scalar_corpus import CASES, SKIPPED  # noqa: F401
@@ -38,7 +38,7 @@ def scalar_engine(spark):
 @pytest.mark.parametrize("start", range(0, len(CASES), BATCH))
 def test_scalar_corpus_batch(scalar_engine, start):
     chunk = CASES[start : start + BATCH]
-    results = eval_exprs(scalar_engine, [c["sql"] for c in chunk])
+    results = eval_exprs(scalar_engine, [eval_sql(c["sql"], c["cat"]) for c in chunk])
     bad = []
     for c, got in zip(chunk, results):
         if isinstance(got, Exception):
@@ -46,7 +46,7 @@ def test_scalar_corpus_batch(scalar_engine, start):
                 f"{c['name']}: {c['sql'][:120]} -> ENGINE ERROR "
                 f"{type(got).__name__}: {str(got)[:160]}"
             )
-        elif not values_match(c["cat"], got, c["expected"]):
+        elif not values_match(c["cat"], got, c["expected"], c["name"]):
             bad.append(
                 f"{c['name']}: {c['sql'][:120]} -> {got!r} "
                 f"want {c['expected']!r}"

@@ -45,16 +45,24 @@ SQL_FUNCTIONS: list[str] = [
              lpad(hex((n & 63) + 128), 2, '0')), 'UTF-8')
          END""",
     # split_to_map(s, entryDelim, kvDelim) (SplitToMapFunction.java).
+    # Empty input is the EMPTY map (the reference's splitter finds no
+    # entries; Spark's str_to_map('') gives {'': null}).
     """CREATE OR REPLACE TEMPORARY FUNCTION split_to_map(s STRING, ed STRING, kd STRING)
-       RETURNS MAP<STRING, STRING> RETURN str_to_map(s, ed, kd)""",
+       RETURNS MAP<STRING, STRING> RETURN
+         map_filter(str_to_map(s, ed, kd),
+                    (k, v) -> NOT (s = '' AND k = ''))""",
     # split_to_multimap (SplitToMultimapFunction): duplicate keys keep all
-    # values, grouped into arrays.
+    # values, grouped into arrays; empty input → empty map.
     """CREATE OR REPLACE TEMPORARY FUNCTION split_to_multimap(s STRING, ed STRING, kd STRING)
        RETURNS MAP<STRING, ARRAY<STRING>> RETURN
          map_from_arrays(
-           array_distinct(transform(split(s, ed), e -> split_part(e, kd, 1))),
+           array_distinct(transform(
+             filter(split(s, ed), e0 -> NOT (s = '' AND e0 = '')),
+             e -> split_part(e, kd, 1))),
            transform(
-             array_distinct(transform(split(s, ed), e -> split_part(e, kd, 1))),
+             array_distinct(transform(
+               filter(split(s, ed), e0 -> NOT (s = '' AND e0 = '')),
+               e -> split_part(e, kd, 1))),
              k -> transform(
                filter(split(s, ed), e -> split_part(e, kd, 1) = k),
                e -> substr(e, instr(e, kd) + length(kd)))))""",

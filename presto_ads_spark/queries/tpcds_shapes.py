@@ -1792,3 +1792,356 @@ def tpcds_distinct_dim_or_filter(spark, sf_dir):
         .orderBy(F.col("p_name").asc())
         .limit(100)
     )
+
+
+@q(
+    "tpcds_ship_lag_buckets",
+    extended=True,
+    tags=("tpcds", "agg", "join"),
+    doc="q50/q62/q99 shape: conditional-count buckets over the lag "
+    "between order and ship dates — SUM(CASE lag <= 30 / 60 / 90 / "
+    "120 / more) per group (tpcds/q50.sql '30 days' ... '>120 days').",
+    oracle="""
+SELECT o_orderpriority,
+  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+      THEN 1 ELSE 0 END) AS d30,
+  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+        AND date_diff('day', o_orderdate, l_shipdate) <= 60
+      THEN 1 ELSE 0 END) AS d60,
+  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+        AND date_diff('day', o_orderdate, l_shipdate) <= 90
+      THEN 1 ELSE 0 END) AS d90,
+  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+      THEN 1 ELSE 0 END) AS d_more
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority ASC
+""",
+)
+def tpcds_ship_lag_buckets(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def bucket(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(alias)
+
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            bucket(lag <= 30, "d30"),
+            bucket((lag > 30) & (lag <= 60), "d60"),
+            bucket((lag > 60) & (lag <= 90), "d90"),
+            bucket(lag > 90, "d_more"),
+        )
+        .orderBy(F.col("o_orderpriority").asc())
+    )
+
+
+@q(
+    "tpcds_channel_overlap_full_outer",
+    extended=True,
+    tags=("tpcds", "join", "setop", "agg"),
+    doc="q97 shape: store-only / catalog-only / both customer-item "
+    "overlap counts via FULL OUTER join of two per-channel distinct "
+    "pair sets (tpcds/q97.sql ssci full outer join csci).",
+    oracle="""
+WITH ss AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+  FROM orders, lineitem
+  WHERE o_orderkey = l_orderkey AND l_returnflag = 'N'
+), cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+  FROM orders, lineitem
+  WHERE o_orderkey = l_orderkey AND l_returnflag = 'A'
+)
+SELECT
+  SUM(CASE WHEN ss.cust IS NOT NULL AND cs.cust IS NULL
+      THEN 1 ELSE 0 END) AS store_only,
+  SUM(CASE WHEN ss.cust IS NULL AND cs.cust IS NOT NULL
+      THEN 1 ELSE 0 END) AS catalog_only,
+  SUM(CASE WHEN ss.cust IS NOT NULL AND cs.cust IS NOT NULL
+      THEN 1 ELSE 0 END) AS store_and_catalog
+FROM ss FULL OUTER JOIN cs
+  ON ss.cust = cs.cust AND ss.item = cs.item
+""",
+)
+def tpcds_channel_overlap_full_outer(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def channel(flag):
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .filter(F.col("l_returnflag") == flag)
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.col("l_partkey").alias("item"),
+            )
+            .distinct()
+        )
+
+    ss, cs = channel("N").alias("ss"), channel("A").alias("cs")
+    joined = ss.join(
+        cs,
+        (F.col("ss.cust") == F.col("cs.cust"))
+        & (F.col("ss.item") == F.col("cs.item")),
+        "full_outer",
+    )
+    return joined.agg(
+        F.sum(
+            F.when(
+                F.col("ss.cust").isNotNull() & F.col("cs.cust").isNull(), 1
+            ).otherwise(0)
+        ).alias("store_only"),
+        F.sum(
+            F.when(
+                F.col("ss.cust").isNull() & F.col("cs.cust").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("catalog_only"),
+        F.sum(
+            F.when(
+                F.col("ss.cust").isNotNull() & F.col("cs.cust").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("store_and_catalog"),
+    )
+
+
+@q(
+    "tpcds_excess_discount",
+    extended=True,
+    tags=("tpcds", "subquery", "agg", "join"),
+    doc="q92 shape: sum of discounts exceeding 1.3x the item's average "
+    "discount — correlated scalar-average subquery re-expressed as a "
+    "per-item aggregate join (tpcds/q92.sql ws_ext_discount_amt > 1.3 "
+    "* avg).",
+    oracle="""
+WITH item_avg AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      AS avg_disc
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+  AS excess_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem l, item_avg a
+WHERE l.l_partkey = a.l_partkey AND l.l_discount > 1.3 * a.avg_disc
+""",
+)
+def tpcds_excess_discount(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    item_avg = li.groupBy("l_partkey").agg(
+        (
+            F.sum(dec("l_discount", 18, 6)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc")
+    )
+    return (
+        li.join(item_avg, "l_partkey")
+        .filter(F.col("l_discount") > 1.3 * F.col("avg_disc"))
+        .agg(
+            dsum(dec("l_extendedprice", 18), "excess_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "tpcds_null_channel_union",
+    extended=True,
+    tags=("tpcds", "setop", "agg"),
+    doc="q76 shape: UNION ALL of channels where each branch labels "
+    "itself and carries a NULL for the column another channel "
+    "populates, grouped over the union (tpcds/q76.sql 'store' / "
+    "'web' / 'catalog' branches with null columns).",
+    oracle="""
+SELECT channel, col_name, COUNT(*) AS sales_cnt,
+  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sales_amt
+FROM (
+  SELECT 'flagged' AS channel, l_returnflag AS col_name,
+    l_extendedprice AS price
+  FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'pending', CAST(NULL AS VARCHAR), l_extendedprice
+  FROM lineitem WHERE l_linestatus = 'O'
+  UNION ALL
+  SELECT 'bulk', l_returnflag, l_extendedprice
+  FROM lineitem WHERE l_quantity >= 45
+) ch
+GROUP BY channel, col_name
+ORDER BY channel ASC, col_name ASC NULLS FIRST
+""",
+)
+def tpcds_null_channel_union(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.lit("flagged").alias("channel"),
+        F.col("l_returnflag").alias("col_name"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    b = li.filter(F.col("l_linestatus") == "O").select(
+        F.lit("pending").alias("channel"),
+        F.lit(None).cast("string").alias("col_name"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    c = li.filter(F.col("l_quantity") >= 45).select(
+        F.lit("bulk").alias("channel"),
+        F.col("l_returnflag").alias("col_name"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return (
+        a.union(b)
+        .union(c)
+        .groupBy("channel", "col_name")
+        .agg(
+            F.count(F.lit(1)).alias("sales_cnt"),
+            dsum(dec("price", 18), "sales_amt"),
+        )
+        .orderBy(
+            F.col("channel").asc(), F.col("col_name").asc_nulls_first()
+        )
+    )
+
+
+@q(
+    "tpcds_monthly_pivot",
+    extended=True,
+    tags=("tpcds", "agg"),
+    doc="q66 shape: 12-way conditional-sum month pivot per group — "
+    "SUM(CASE month = m THEN amount END) columns (tpcds/q66.sql "
+    "jan_sales ... dec_sales).",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 1 AND 3
+    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS q1_sales,
+  CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 4 AND 6
+    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS q2_sales,
+  CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 7 AND 9
+    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS q3_sales,
+  CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 10 AND 12
+    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS q4_sales
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority ASC
+""",
+)
+def tpcds_monthly_pivot(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    mo = F.month("o_orderdate")
+
+    def qtr(lo, hi, alias):
+        return (
+            F.sum(
+                F.when(mo.between(lo, hi), dec("o_totalprice", 18))
+            )
+            .cast("double")
+            .alias(alias)
+        )
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            qtr(1, 3, "q1_sales"),
+            qtr(4, 6, "q2_sales"),
+            qtr(7, 9, "q3_sales"),
+            qtr(10, 12, "q4_sales"),
+        )
+        .orderBy(F.col("o_orderpriority").asc())
+    )
+
+
+@q(
+    "tpcds_demand_exceeds_stock",
+    extended=True,
+    tags=("tpcds", "join", "agg"),
+    doc="q72 shape: order lines whose quantity exceeds the item's "
+    "historical median-ish threshold (an inequality join against a "
+    "per-item aggregate — tpcds/q72.sql inv_quantity_on_hand < "
+    "cs_quantity).",
+    oracle="""
+WITH stock AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      AS typical_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, COUNT(*) AS n_over
+FROM lineitem l, stock s, part
+WHERE l.l_partkey = s.l_partkey AND l.l_partkey = p_partkey
+  AND l.l_quantity > 1.5 * s.typical_qty
+GROUP BY p_brand
+ORDER BY n_over DESC, p_brand ASC
+LIMIT 50
+""",
+)
+def tpcds_demand_exceeds_stock(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    stock = li.groupBy("l_partkey").agg(
+        (
+            F.sum(dec("l_quantity", 18)).cast("double") / F.count(F.lit(1))
+        ).alias("typical_qty")
+    )
+    return (
+        li.join(stock, "l_partkey")
+        .filter(F.col("l_quantity") > 1.5 * F.col("typical_qty"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_over"))
+        .orderBy(F.col("n_over").desc(), F.col("p_brand").asc())
+        .limit(50)
+    )
+
+
+@q(
+    "tpcds_zip_or_insubquery",
+    extended=True,
+    tags=("tpcds", "subquery", "join", "agg"),
+    doc="q45 shape: grouped revenue where the row qualifies by a "
+    "substring bucket OR membership in an item subquery "
+    "(tpcds/q45.sql substr(ca_zip) in (...) or i_item_id in "
+    "(select i_item_id ...)).",
+    oracle="""
+SELECT n_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders, customer, nation
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  AND (substr(c_name, 10, 2) IN ('10', '15', '20', '25')
+    OR c_custkey IN (SELECT o_custkey FROM orders
+                     WHERE o_totalprice > 450000))
+GROUP BY n_name
+ORDER BY n_name ASC
+""",
+)
+def tpcds_zip_or_insubquery(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    big_spenders = (
+        o.filter(F.col("o_totalprice") > 450000)
+        .select("o_custkey")
+        .distinct()
+        .withColumnRenamed("o_custkey", "big_cust")
+    )
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(big_spenders),
+            F.col("c_custkey") == F.col("big_cust"),
+            "left",
+        )
+    )
+    cond = F.substring("c_name", 10, 2).isin("10", "15", "20", "25") | (
+        F.col("big_cust").isNotNull()
+    )
+    return (
+        joined.filter(cond)
+        .groupBy("n_name")
+        .agg(dsum(dec("o_totalprice", 18), "total"))
+        .orderBy(F.col("n_name").asc())
+    )

@@ -3285,6 +3285,44 @@ def _fold_numeric_literal_casts(sql: str) -> str:
     return _REAL_DEC_CAST_RE.sub(dec_sub, sql)
 
 
+def _fold_row_of_json_cast(sql: str) -> str:
+    """``CAST(row(json 'a', json 'b', …) AS ROW(…))`` — a row of JSON
+    literals casting to a typed row coerces per field
+    (RowToRowCast/JsonOperators). Fold the constructor into the
+    equivalent positional JSON ARRAY literal so the JSON→ROW lowering
+    (get_json_object field builder) handles it. Must run BEFORE
+    _fold_json_literal_casts strips the JSON markers."""
+    i = 0
+    pat = re.compile(r"\b(?:TRY_)?CAST\s*\(\s*row\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            return sql
+        row_open = sql.rindex("(", m.start(), m.end())
+        j1 = _scan_matching_paren(sql, row_open + 1)
+        args = _split_top_level(sql[row_open + 1 : j1 - 1])
+        lits = []
+        for a in args:
+            am = re.fullmatch(r"(?is)\s*JSON\s*'((?:[^']|'')*)'\s*", a)
+            if not am:
+                lits = None
+                break
+            lits.append(am.group(1).replace("''", "'"))
+        rest = sql[j1:]
+        rm = re.match(r"\s+AS\s+ROW\s*\(", rest, re.IGNORECASE)
+        if lits is None or rm is None:
+            i = m.end()
+            continue
+        json_text = "[" + ",".join(lits) + "]"
+        repl = "JSON '" + json_text.replace("'", "''") + "'"
+        head = sql[:row_open].rstrip()
+        if not head.lower().endswith("row"):
+            i = m.end()
+            continue
+        sql = head[:-3] + repl + rest
+        i = m.start() + 1
+
+
 def _fold_json_literal_casts(sql: str) -> str:
     """``CAST(JSON '<literal>' AS <scalar|array-of-scalar>)`` folds at
     rewrite time per JsonOperators/JsonUtil coercions — Spark's
@@ -6757,6 +6795,133 @@ def _json_scalar_coercion(t: str, v: str) -> str | None:
     return None
 
 
+def _split_presto_type_args(inner: str) -> list[str]:
+    """Depth-0 comma split over a Presto/angle type argument list."""
+    parts, depth, buf = [], 0, []
+    for ch in inner:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _json_row_cast_expr(expr: str, ttype: str) -> str | None:
+    """``CAST(json AS ROW(f1 T1, …))`` (JsonToRowCast.java): a JSON
+    ARRAY binds fields POSITIONALLY, a JSON OBJECT binds by field name,
+    JSON null → SQL NULL row, and each field value applies Presto's
+    JSON coercions. Spark's from_json cannot parse a JSON array into a
+    struct (and nulls mixed-typed fields), so each field extracts its
+    raw lexeme via get_json_object (number text survives at full
+    precision) and coerces. JSON-typed fields keep the literal 'null'
+    TEXT (the json null value); every other type maps it to SQL NULL.
+    Returns None when ``ttype`` is not a ROW(...) form."""
+    m = re.match(r"^ROW\s*\((.*)\)$", ttype.strip(), re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    if re.fullmatch(r"(?is)[\s(]*NULL[\s)]*", expr):
+        return "NULL"  # CAST(NULL AS ROW(…)) is SQL NULL
+    parts = []
+    e = f"({expr})"
+    arr_form = f"startswith(ltrim({e}), '[')"
+    for i, f in enumerate(_split_presto_type_args(m.group(1))):
+        f = f.strip()
+        fm = re.match(r"^(\w+)\s+(.+)$", f, re.DOTALL)
+        if fm and _presto_type_to_spark(fm.group(2)) is not None:
+            fname, ptype = fm.group(1), fm.group(2).strip()
+        else:
+            fname, ptype = f"col{i + 1}", f
+        spark_t = _presto_type_to_spark(ptype)
+        if spark_t is None:
+            return None
+        txt = (
+            f"(CASE WHEN {arr_form} "
+            f"THEN get_json_object({e}, '$[{i}]') "
+            f"ELSE get_json_object({e}, '$.{fname}') END)"
+        )
+        base = ptype.upper().split("(")[0].strip()
+        nn = f"nullif({txt}, 'null')"
+        if base == "JSON":
+            # json null VALUE keeps its text form. Object form:
+            # get_json_object cannot distinguish an explicit null value
+            # from a missing key, so check key presence — present+NULL
+            # text ⇒ the json null value; absent ⇒ SQL NULL
+            val = (
+                f"(CASE WHEN {arr_form} "
+                f"THEN get_json_object({e}, '$[{i}]') "
+                f"WHEN array_contains(json_object_keys({e}), '{fname}') "
+                f"THEN coalesce(get_json_object({e}, '$.{fname}'), 'null') "
+                f"ELSE NULL END)"
+            )
+        elif base in ("VARCHAR", "CHAR"):
+            val = nn
+        elif spark_t.startswith(("struct<",)):
+            val = _json_row_cast_expr(nn, ptype) or f"from_json({nn}, '{spark_t}')"
+        elif spark_t.startswith(("array<", "map<")):
+            val = _json_parse_expr(nn, spark_t)
+        else:
+            coerce = _json_scalar_coercion(spark_t, nn)
+            val = coerce if coerce is not None else f"CAST({nn} AS {spark_t})"
+        parts.append(f"'{fname}', {val}")
+    built = f"named_struct({', '.join(parts)})"
+    return (
+        f"(CASE WHEN {e} IS NULL OR trim({e}) = 'null' THEN NULL "
+        f"ELSE {built} END)"
+    )
+
+
+def _json_composite_parse(expr: str, ttype: str, schema: str) -> str:
+    """JSON-text operand → the Presto type ``ttype`` (Spark DDL
+    ``schema``): ROW targets (and ARRAY/MAP of ROW) go through the
+    get_json_object field builder — positional-array binding and
+    per-field coercion that from_json cannot express; everything else
+    takes the from_json route."""
+    row_rep = _json_row_cast_expr(expr, ttype)
+    if row_rep is not None:
+        return row_rep
+    t = ttype.strip()
+    am = re.match(r"^ARRAY\s*[(<](.*)[)>]$", t, re.IGNORECASE | re.DOTALL)
+    if am and re.match(r"^ROW\s*\(", am.group(1).strip(), re.IGNORECASE):
+        rb = _json_row_cast_expr("__je", am.group(1).strip())
+        if rb is not None:
+            e = f"({expr})"
+            return (
+                f"(CASE WHEN {e} IS NULL OR trim({e}) = 'null' THEN NULL "
+                f"ELSE transform(from_json({e}, 'array<string>'), "
+                f"__je -> {rb}) END)"
+            )
+    mm = re.match(r"^MAP\s*[(<](.*)[)>]$", t, re.IGNORECASE | re.DOTALL)
+    if mm:
+        kv = _split_presto_type_args(mm.group(1))
+        if len(kv) == 2 and re.match(
+            r"^ROW\s*\(", kv[1].strip(), re.IGNORECASE
+        ):
+            rb = _json_row_cast_expr("__jv", kv[1].strip())
+            key = _presto_type_to_spark(kv[0].strip())
+            if rb is not None and key is not None:
+                e = f"({expr})"
+                base = (
+                    f"transform_values(from_json({e}, "
+                    f"'map<string,string>'), (__jk0, __jv) -> {rb})"
+                )
+                if key != "string":
+                    base = (
+                        f"transform_keys({base}, "
+                        f"(__jk, __jv2) -> CAST(__jk AS {key}))"
+                    )
+                return (
+                    f"(CASE WHEN {e} IS NULL OR trim({e}) = 'null' "
+                    f"THEN NULL ELSE {base} END)"
+                )
+    return _json_parse_expr(expr, schema)
+
+
 def _json_parse_expr(expr: str, schema: str) -> str:
     """``from_json`` spelling for a JSON-string operand and a Spark DDL
     schema — routing non-string map keys (MAP<TINYINT,...>, MAP<BOOLEAN,
@@ -6875,7 +7040,7 @@ def _rewrite_json_casts(sql: str) -> str:
                 # a JSON-producing call): parse, like the paren form
                 schema = _presto_type_to_spark(ttype)
                 if schema is not None:
-                    rep = _json_parse_expr(expr, schema)
+                    rep = _json_composite_parse(expr, ttype, schema)
                     sql = sql[: m.start()] + rep + sql[j:]
                     i = m.start() + 1  # rescan inside expr, not this span
                     continue
@@ -6900,7 +7065,7 @@ def _rewrite_json_casts(sql: str) -> str:
         if is_ctor:
             rep = f"CAST({expr} AS {schema})"
         else:
-            rep = _json_parse_expr(expr, schema)
+            rep = _json_composite_parse(expr, ttype, schema)
         if rep == sql[m.start() : j]:  # fixed point: never re-scan in place
             i = j
             continue
@@ -8799,6 +8964,7 @@ def rewrite(
     sql = _rewrite_contains(sql)
     sql = _rewrite_fn_arity_compat(sql)
     sql = _rewrite_string_compat(sql)
+    sql = _fold_row_of_json_cast(sql)
     sql = _fold_json_literal_casts(sql)
     sql = _fold_decimal_literal_negation(sql)
     sql = _promote_int_literals_near_decimal(sql)

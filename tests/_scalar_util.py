@@ -899,6 +899,42 @@ def type_category(t: str):
             if k is not None and v is not None:
                 return ("map", k, v)
         return None
+    # ROW types (round 11): engine cells arrive as pyspark Row tuples,
+    # compared positionally — RowType.anonymous(ImmutableList.of(T…)),
+    # RowType.from(ImmutableList.of(RowType.field("name", T)…)), and the
+    # per-test-file helpers entryType(K,V) (TestMapOperators: a 2-field
+    # anonymous row) / zipReturnType(T…) (TestZipFunction: array of
+    # anonymous rows).
+    m = re.match(r"^RowType\.anonymous\s*\(\s*ImmutableList\.of\s*\((.*)\)\s*\)$", t, re.DOTALL)
+    if m:
+        subs = [type_category(x) for x in split_java_args(m.group(1))]
+        return None if any(s is None for s in subs) else ("row", subs)
+    m = re.match(r"^RowType\.from\s*\(\s*ImmutableList\.of\s*\((.*)\)\s*\)$", t, re.DOTALL)
+    if m:
+        subs = []
+        for f in split_java_args(m.group(1)):
+            fm = re.match(
+                r'^RowType\.field\s*\(\s*"[^"]*"\s*,\s*(.*)\)$',
+                f.strip(),
+                re.DOTALL,
+            )
+            if not fm:
+                return None
+            subs.append(type_category(fm.group(1)))
+        return None if any(s is None for s in subs) else ("row", subs)
+    m = re.match(r"^entryType\s*\((.*)\)$", t, re.DOTALL)
+    if m:
+        # TestMapOperators helper: ArrayType(RowType.anonymous(of(K,V)))
+        subs = [type_category(x) for x in split_java_args(m.group(1))]
+        if len(subs) == 2 and all(s is not None for s in subs):
+            return ("array", ("row", subs))
+        return None
+    m = re.match(r"^zipReturnType\s*\((.*)\)$", t, re.DOTALL)
+    if m:
+        subs = [type_category(x) for x in split_java_args(m.group(1))]
+        if subs and all(s is not None for s in subs):
+            return ("array", ("row", subs))
+        return None
     return None
 
 
@@ -1004,6 +1040,11 @@ def values_match(cat, got, want, name=None) -> bool:
         return got is None and want is None
     if cat == "unknown":
         return False  # want wasn't None but type UNKNOWN ⇒ mismatch
+    if cat in ("int", "double", "real", "bool", "decimal") and (
+        isinstance(got, (list, tuple, dict))
+        or isinstance(want, (list, tuple, dict))
+    ):
+        return False  # shape mismatch (nested value vs scalar category)
     if cat == "int":
         return isinstance(got, (int, Decimal)) and int(got) == int(want)
     if cat == "bool":
@@ -1068,6 +1109,15 @@ def values_match(cat, got, want, name=None) -> bool:
         if name in UNSCALED_DECIMAL_OK:
             return g.as_tuple()[:2] == w.as_tuple()[:2]
         return False
+    if isinstance(cat, tuple) and cat[0] == "row":
+        # engine cell is a pyspark Row (a tuple); expected is the parsed
+        # ImmutableList — positional field comparison
+        if not isinstance(got, (list, tuple)):
+            return False
+        return len(got) == len(cat[1]) == len(want) and all(
+            values_match(c, g, w, name)
+            for c, g, w in zip(cat[1], got, want)
+        )
     if isinstance(cat, tuple) and cat[0] == "array":
         if not isinstance(got, (list, tuple)):
             return False

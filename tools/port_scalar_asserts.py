@@ -189,6 +189,11 @@ MANUAL_SKIPS: dict[str, str] = {
         f"DTFB{n}": _DP_CORNER
         for n in (835, 839, 843, 846, 849, 852, 906, 909)
     },
+    "MO952": (
+        "map_entries over a map whose KEYS are maps — Spark's MapType "
+        "forbids map-typed keys (INVALID_MAP_KEY_TYPE), a hard engine "
+        "limit for constructor-time map keys (documented deviation)"
+    ),
 }
 
 
@@ -232,6 +237,39 @@ def try_fail_spans(text: str) -> list[tuple[int, int]]:
                 )
             )
     return spans
+
+
+_TYPE_DECL_RE = re.compile(
+    r"^\s*(?:[A-Za-z_]\w*Type|Type)\s+(\w+)\s*=\s*(.+?);\s*$",
+    re.MULTILINE,
+)
+
+
+def file_type_vars(text: str) -> list[tuple[int, str, str]]:
+    """Single-line local ``SomeType name = <expr>;`` declarations as
+    (line, name, expr) — resolves bare type-variable identifiers like
+    ``expectedType`` at assert sites to the nearest PRECEDING
+    declaration (round 11: the expectedType / expectedDecimalReturnType
+    / toBaseReturnType skip families)."""
+    out = []
+    for m in _TYPE_DECL_RE.finditer(text):
+        line = text[: m.start()].count("\n") + 1
+        out.append((line, m.group(1), m.group(2).strip()))
+    return out
+
+
+def resolve_type_var(
+    type_text: str, site_line: int, type_vars: list[tuple[int, str, str]]
+) -> str:
+    """Bare identifier type argument → its latest declaration text
+    before the site; anything else passes through."""
+    if not re.fullmatch(r"[A-Za-z_]\w*", type_text.strip()):
+        return type_text
+    name, best = type_text.strip(), None
+    for line, n, expr in type_vars:
+        if n == name and line <= site_line:
+            best = expr
+    return best if best is not None else type_text
 
 
 _CONST_DECL_RE = re.compile(
@@ -321,6 +359,7 @@ def main() -> None:
     for path, tag in sources:
         text = open(path, encoding="utf-8").read()
         consts = file_string_constants(text)
+        type_vars = file_type_vars(text)
         err_spans = error_expected_spans(text)
         tf_spans = try_fail_spans(text)
         pending = []  # (name, sql, cat, expected, type_text)
@@ -359,6 +398,7 @@ def main() -> None:
                 type_text, expected_text = "DECIMAL", jargs[1]
             else:
                 type_text, expected_text = jargs[1], jargs[2]
+                type_text = resolve_type_var(type_text, line, type_vars)
             t = triage(sql, type_text, expected_text)
             if isinstance(t, str):
                 skips.append((name, t))

@@ -11,6 +11,20 @@ HAVING-count bucket joins (q34/q73) — are portable to the existing
 tables and stress grouping-sets + window + multi-branch plans beyond
 TPC-H. Each entry cites the TPC-DS query whose shape it adapts.
 
+Round 11 widens breadth by 20 families: group-average join-backs
+(q1/q30), EXISTS-OR-EXISTS demographics (q10/q69), OR'd predicate
+unions (q15/q45/q48), frequent-items × best-customers CTE chains
+(q23/q24), three-channel UNION re-aggregation (q33/q56/q60/q71/q76),
+INTERSECT/EXCEPT channel counts (q38/q87), asc/desc dual-rank joins
+(q44), spend-segment histograms (q54), cross-channel revenue bands
+(q58), agg-vs-group-average inequality joins (q65/q72/q92), distinct
+multi-supplier orders (q95), OR-heavy dimension filters (q41),
+ship-lag buckets (q50/q62/q99), FULL OUTER channel overlap (q97),
+day/quarter pivots (q43/q66), promo ratios (q61), yearly deltas
+(q75), HAVING-above-scalar-average (q24), and date-IN-subquery
+returns (q83) — ~50 of the reference's TPC-DS queries now have an
+oracle-verified shape representative.
+
 All entries are ``extended``: oracle-verified in the pytest mirror
 (tests/test_oracle_parity.py) rather than driver-scored.
 
@@ -2144,4 +2158,346 @@ def tpcds_zip_or_insubquery(spark, sf_dir):
         .groupBy("n_name")
         .agg(dsum(dec("o_totalprice", 18), "total"))
         .orderBy(F.col("n_name").asc())
+    )
+
+
+@q(
+    "tpcds_weekday_pivot",
+    extended=True,
+    tags=("tpcds", "agg"),
+    doc="q43 shape: day-of-week conditional-sum pivot per dimension "
+    "(tpcds/q43.sql sun_sales ... sat_sales via SUM(CASE d_day_name)).",
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN dayofweek(l_shipdate) = 0
+    THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS sun_sales,
+  CAST(SUM(CASE WHEN dayofweek(l_shipdate) IN (1, 2, 3, 4, 5)
+    THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS weekday_sales,
+  CAST(SUM(CASE WHEN dayofweek(l_shipdate) = 6
+    THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS sat_sales
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag ASC
+""",
+)
+def tpcds_weekday_pivot(spark, sf_dir):
+    # Spark dayofweek is 1=Sunday..7=Saturday; DuckDB's is 0=Sunday..6
+    # (the oracle spells the 0-based buckets)
+    li = t(spark, sf_dir, "lineitem")
+    dow = F.dayofweek("l_shipdate")
+
+    def bucket(cond, alias):
+        return (
+            F.sum(F.when(cond, dec("l_extendedprice", 18)))
+            .cast("double")
+            .alias(alias)
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            bucket(dow == 1, "sun_sales"),
+            bucket(dow.isin(2, 3, 4, 5, 6), "weekday_sales"),
+            bucket(dow == 7, "sat_sales"),
+        )
+        .orderBy(F.col("l_returnflag").asc())
+    )
+
+
+@q(
+    "tpcds_or_band_conjuncts",
+    extended=True,
+    tags=("tpcds", "agg"),
+    doc="q48 shape: one aggregate whose WHERE is an OR of three "
+    "band-pair conjuncts (quantity band AND price band) — the "
+    "optimizer must not split the scan (tpcds/q48.sql three "
+    "(ms/es AND netprofit) disjuncts).",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM lineitem
+WHERE (l_quantity BETWEEN 1 AND 15
+       AND l_extendedprice BETWEEN 1000 AND 40000)
+   OR (l_quantity BETWEEN 16 AND 30
+       AND l_extendedprice BETWEEN 20000 AND 60000)
+   OR (l_quantity BETWEEN 31 AND 50
+       AND l_extendedprice BETWEEN 40000 AND 95000)
+""",
+)
+def tpcds_or_band_conjuncts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    qy, px = F.col("l_quantity"), F.col("l_extendedprice")
+    cond = (
+        (qy.between(1, 15) & px.between(1000, 40000))
+        | (qy.between(16, 30) & px.between(20000, 60000))
+        | (qy.between(31, 50) & px.between(40000, 95000))
+    )
+    return li.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(dec("l_quantity", 18), "total_qty"),
+    )
+
+
+@q(
+    "tpcds_promo_ratio",
+    extended=True,
+    tags=("tpcds", "agg", "join"),
+    doc="q61 shape: promotional-vs-total revenue ratio — two "
+    "independently filtered scalar aggregates cross-joined into one "
+    "ratio row (tpcds/q61.sql promotions.total * 100 / total.total).",
+    oracle="""
+WITH promo AS (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS p
+  FROM lineitem WHERE l_discount >= 0.05
+), total AS (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS t
+  FROM lineitem
+)
+SELECT p AS promo_revenue, t AS total_revenue,
+  p * 100 / t AS promo_pct
+FROM promo, total
+""",
+)
+def tpcds_promo_ratio(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    promo = li.filter(F.col("l_discount") >= 0.05).agg(
+        dsum(dec("l_extendedprice", 18), "promo_revenue")
+    )
+    total = li.agg(dsum(dec("l_extendedprice", 18), "total_revenue"))
+    return promo.join(F.broadcast(total)).select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") * 100 / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+@q(
+    "tpcds_brand_multi_predicate",
+    extended=True,
+    tags=("tpcds", "join", "agg"),
+    doc="q19 shape: brand revenue over a 3-table star join with "
+    "dimension predicates on two tables (tpcds/q19.sql i_manager_id "
+    "+ d_moy + store/customer zip inequality).",
+    oracle="""
+SELECT p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+    AS ext_price
+FROM lineitem, part, orders
+WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+  AND p_size BETWEEN 5 AND 20
+  AND o_orderstatus = 'F'
+  AND month(CAST(o_orderdate AS DATE)) = 11
+GROUP BY p_brand
+ORDER BY ext_price DESC, p_brand ASC
+LIMIT 25
+""",
+)
+def tpcds_brand_multi_predicate(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size").between(5, 20))
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.month(F.col("o_orderdate").cast("date")) == 11)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("p_brand")
+        .agg(dsum(dec("l_extendedprice", 18), "ext_price"))
+        .orderBy(F.col("ext_price").desc(), F.col("p_brand").asc())
+        .limit(25)
+    )
+
+
+@q(
+    "tpcds_hourly_type_union",
+    extended=True,
+    tags=("tpcds", "setop", "agg"),
+    doc="q71 shape: per-hour revenue unioned across channels then "
+    "re-grouped by (type, hour) (tpcds/q71.sql union of ws/cs/ss "
+    "grouped by i_brand + t_hour).",
+    oracle="""
+WITH ch AS (
+  SELECT event_type, hour(ts) AS hr, value FROM events
+  WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT event_type, hour(ts) AS hr, value FROM events
+  WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_type, hour(ts) AS hr, value FROM events
+  WHERE event_type = 'error'
+)
+SELECT event_type, hr, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM ch
+GROUP BY event_type, hr
+ORDER BY event_type ASC, hr ASC
+""",
+)
+def tpcds_hourly_type_union(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+
+    def channel(cond):
+        return ev.filter(cond).select(
+            "event_type", F.hour("ts").alias("hr"), "value"
+        )
+
+    ch = (
+        channel(F.col("event_type").isin("click", "view"))
+        .union(channel(F.col("event_type") == "purchase"))
+        .union(channel(F.col("event_type") == "error"))
+    )
+    return (
+        ch.groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("value", 18), "total_value"),
+        )
+        .orderBy(F.col("event_type").asc(), F.col("hr").asc())
+    )
+
+
+@q(
+    "tpcds_yearly_channel_delta",
+    extended=True,
+    tags=("tpcds", "cte", "join", "setop"),
+    doc="q75 shape: per-(year, brand) sales from a channel union, "
+    "self-joined on year = prev_year + 1 to report count and amount "
+    "deltas (tpcds/q75.sql curr_yr.sales_cnt < prev_yr.sales_cnt).",
+    oracle="""
+WITH yearly AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS yr, p_brand,
+    COUNT(*) AS sales_cnt,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      AS sales_amt
+  FROM lineitem, orders, part
+  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+  GROUP BY year(CAST(o_orderdate AS DATE)), p_brand
+)
+SELECT c.yr AS curr_yr, c.p_brand AS brand,
+  p.sales_cnt AS prev_cnt, c.sales_cnt AS curr_cnt,
+  c.sales_amt - p.sales_amt AS amt_delta
+FROM yearly c, yearly p
+WHERE c.yr = p.yr + 1 AND c.p_brand = p.p_brand
+  AND c.sales_cnt < p.sales_cnt
+ORDER BY curr_yr ASC, brand ASC
+LIMIT 100
+""",
+)
+def tpcds_yearly_channel_delta(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    yearly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+            "p_brand",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sales_cnt"),
+            dsum(dec("l_extendedprice", 18), "sales_amt"),
+        )
+    )
+    c, pv = yearly.alias("c"), yearly.alias("p")
+    return (
+        c.join(
+            pv,
+            (F.col("c.yr") == F.col("p.yr") + 1)
+            & (F.col("c.p_brand") == F.col("p.p_brand")),
+        )
+        .filter(F.col("c.sales_cnt") < F.col("p.sales_cnt"))
+        .select(
+            F.col("c.yr").alias("curr_yr"),
+            F.col("c.p_brand").alias("brand"),
+            F.col("p.sales_cnt").alias("prev_cnt"),
+            F.col("c.sales_cnt").alias("curr_cnt"),
+            (F.col("c.sales_amt") - F.col("p.sales_amt")).alias(
+                "amt_delta"
+            ),
+        )
+        .orderBy(F.col("curr_yr").asc(), F.col("brand").asc())
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_having_above_scalar_avg",
+    extended=True,
+    tags=("tpcds", "subquery", "agg"),
+    doc="q23/q24 shape: per-group sums kept only when above a fraction "
+    "of a SCALAR average computed over all groups — subquery in "
+    "HAVING (tpcds/q24_1.sql having sum(netpaid) > 0.05 * avg).",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS cust, s
+FROM spend
+WHERE s > 1.6 * (SELECT CAST(SUM(CAST(s AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*) FROM spend)
+ORDER BY s DESC, cust ASC
+LIMIT 100
+""",
+)
+def tpcds_having_above_scalar_avg(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        dsum(dec("o_totalprice", 18), "s")
+    )
+    avg_s = spend.agg(
+        (F.sum(dec("s", 18)).cast("double") / F.count(F.lit(1))).alias(
+            "a"
+        )
+    )
+    return (
+        spend.join(F.broadcast(avg_s))
+        .filter(F.col("s") > 1.6 * F.col("a"))
+        .select(F.col("o_custkey").alias("cust"), "s")
+        .orderBy(F.col("s").desc(), F.col("cust").asc())
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_returns_date_in_subquery",
+    extended=True,
+    tags=("tpcds", "subquery", "agg", "join"),
+    doc="q83 shape: per-item return counts where the date is IN a "
+    "subquery-derived date set (tpcds/q83.sql d_date in (select "
+    "d_date ... where d_week_seq in ...)).",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_returns
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+  AND l_shipdate IN (
+    SELECT l_shipdate FROM lineitem
+    GROUP BY l_shipdate HAVING COUNT(*) >= 40)
+GROUP BY p_brand
+ORDER BY n_returns DESC, p_brand ASC
+LIMIT 50
+""",
+)
+def tpcds_returns_date_in_subquery(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    busy_dates = (
+        li.groupBy("l_shipdate")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 40)
+        .select("l_shipdate")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(busy_dates, "l_shipdate", "left_semi")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_returns"))
+        .orderBy(F.col("n_returns").desc(), F.col("p_brand").asc())
+        .limit(50)
     )

@@ -162,6 +162,42 @@ for _ln in (190, 191, 1281, 1768, 1774, 1781, 1787, 2254, 2257, 2260, 2263, 2278
     MANUAL_SKIPS[f"L{_ln}"] = (
         "covered by a hand-instantiated G-case (java template/expression site; see generated_sites)"
     )
+# round-11 G-cases for java-built sites
+for _k in ("D825", "S139", "S167", "S169"):
+    MANUAL_SKIPS[_k] = (
+        "covered by a hand-instantiated G-case (java template/expression "
+        "site; see generated_sites)"
+    )
+# remaining java-built sites with per-site reasons
+MANUAL_SKIPS.update({
+    "L4311": "mod(1000, orderkey) inside the 5000-value IN list raises "
+             "division-by-zero on the driver fixture (orderkey starts at "
+             "0) — runnable only on dbgen data (orderkey >= 1); the "
+             "plain IN-list shapes are G-cases 4308/4309",
+    "L4312": "mod(1000, orderkey) inside the 5000-value NOT IN list — "
+             "same fixture limit as L4311",
+    "S140": "information_schema LIKE patterns over java schema vars — "
+            "the stable-subset pin is G-case 139",
+    "S141": "information_schema LIKE patterns over java schema vars — "
+            "the stable-subset pin is G-case 139",
+    "S142": "information_schema catalog filter over java vars — the "
+            "engine has no catalog dimension (single Spark catalog)",
+    "S170": "information_schema LIKE patterns over java schema vars — "
+            "the stable-subset pin is G-case 169",
+    "S171": "information_schema LIKE patterns over java schema vars — "
+            "the stable-subset pin is G-case 169",
+    "S172": "information_schema catalog filter over java vars — the "
+            "engine has no catalog dimension (single Spark catalog)",
+    "D626": "SELECT * FROM a session-created DDL fixture table (the "
+            "write battery covers the surface)",
+    "TSF32": "current_user oracle reads the java session fixture — the "
+             "engine pins current_user in tests/test_engine.py",
+    "TSF44": "current_path oracle reads the java session fixture — "
+             "session path is a no-op namespace here (engine test)",
+    "TSF52": "current_path oracle reads the java session fixture — "
+             "session path is a no-op namespace here (engine test)",
+})
+
 # $internal$ statistics aggregates (FunctionRegistry's hidden namespace,
 # used only by ANALYZE stats collection; absent from SHOW FUNCTIONS in
 # the reference too) — not part of the user-facing surface.
@@ -184,6 +220,13 @@ _AVG_XJOIN = (
     "orders) s) j ON o1.orderkey BETWEEN j.a - 10 AND j.a + 10"
 )
 MANUAL_ORACLES: dict[str, dict] = {
+    # round-11 info-schema G-cases: the actual SQL mentions 'orders' (a
+    # string literal), which the table-referencing heuristic would use
+    # to null the explicit oracle — but DuckDB's information_schema
+    # differs from the engine's, so the hand VALUES oracle must stick
+    "G139": {"oracle": "VALUES ('orders')"},
+    "G167": {"oracle": "VALUES ('default')"},
+    "G169": {"oracle": "VALUES ('orders', 'orderkey')"},
     # A158 testGroupByMap: DuckDB map[key] returns a LIST, so the actual
     # cannot be its own oracle; the reference's explicit oracle is
     # data-independent (same tables both sides)
@@ -351,7 +394,26 @@ def generated_sites() -> list[tuple[str, int, str, str | None]]:
         "   (VALUES (CAST(1 AS DECIMAL(18,0)), 2)) x (a, b) {join} "
         "   (VALUES (CAST(0 AS DECIMAL(18,0)), SMALLINT '3')) y (a, b) "
     )
+    conj_500 = " AND ".join(["1 = 1"] * 500)
     return [
+        # D825: 500-conjunct boolean chain (deep expression tree)
+        ("G", 825, f"SELECT {conj_500}", "SELECT true"),
+        # S139/S167/S169: information_schema pins over the session
+        # catalog's stable subset (the h2 fixture views; temp views
+        # report schema 'default')
+        ("G", 139,
+         "SELECT table_name FROM information_schema.tables "
+         "WHERE table_schema = 'default' AND table_name = 'orders'",
+         "VALUES 'orders'"),
+        ("G", 167,
+         "SELECT table_schema FROM information_schema.columns "
+         "WHERE table_name = 'orders' GROUP BY table_schema",
+         "VALUES 'default'"),
+        ("G", 169,
+         "SELECT table_name, column_name FROM information_schema.columns "
+         "WHERE table_schema = 'default' AND table_name = 'orders' "
+         "AND column_name = 'orderkey'",
+         "VALUES ('orders', 'orderkey')"),
         ("G", 4308,
          f"SELECT orderkey FROM orders WHERE orderkey IN ({long_values})",
          None),
@@ -776,7 +838,13 @@ def main() -> None:
         if f"{prefix}{line}" in MANUAL_SKIPS:
             skipped.append((line, MANUAL_SKIPS[f"{prefix}{line}"]))
             continue
-        reason = triage_skip(actual) or (oracle and triage_skip(oracle))
+        # hand-instantiated G-cases are pre-vetted — triage only
+        # extracted sites (the info-schema G-cases pin a stable subset)
+        reason = None
+        if name != "generated":
+            reason = triage_skip(actual) or (
+                oracle and triage_skip(oracle)
+            )
         if reason:
             skipped.append((line, reason))
             continue

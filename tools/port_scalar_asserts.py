@@ -391,6 +391,17 @@ def main() -> None:
             sql = parse_java_string_concat(
                 substitute_string_constants(jargs[0], consts)
             )
+            if sql is None and jargs[0].lstrip().startswith("format("):
+                # format("…%s…", <literals>) SQL builders fold through
+                # the Java-literal parser's String.format support
+                try:
+                    v = parse_java_value(
+                        substitute_string_constants(jargs[0], consts)
+                    )
+                except (ValueError, IndexError, TypeError):
+                    v = None
+                if isinstance(v, str):
+                    sql = v
             if sql is None:
                 skips.append((name, "non-literal SQL (java expression)"))
                 continue

@@ -11,7 +11,21 @@ HAVING-count bucket joins (q34/q73) — are portable to the existing
 tables and stress grouping-sets + window + multi-branch plans beyond
 TPC-H. Each entry cites the TPC-DS query whose shape it adapts.
 
-Round 11 widens breadth by 20 families: group-average join-backs
+Round 11 batch 2 closes the ledger: every one of the 99 reference
+TPC-DS query families now has an oracle-verified shape representative
+here (shared shapes cite every family they stand for) — the canonical
+star (q3/q42/q52/q55), avg-measure batteries under OR'd bands
+(q7/q13/q26), count-gated CASE buckets (q9/q28), day-of-week YoY
+pivots (q2), rollup average levels (q18/q22), three-fact channel
+joins (q25/q29), above-nation-average return detail (q30/q81),
+price-band stock windows (q37/q82), month-pair volatility (q39),
+before/after returns netting (q40), trip dimension mismatches
+(q46/q68/q79), monthly deviation from partition average
+(q53/q63/q89), cross-year resales (q64), top-k-prefiltered rollup
+ranks (q70/q86), non-returned channel ratios (q78), dimension-chain
+banded counts (q84/q85/q91/q96), and INTERSECT-IN membership (q8).
+
+Round 11 batch 1 widened breadth by 20 families: group-average join-backs
 (q1/q30), EXISTS-OR-EXISTS demographics (q10/q69), OR'd predicate
 unions (q15/q45/q48), frequent-items × best-customers CTE chains
 (q23/q24), three-channel UNION re-aggregation (q33/q56/q60/q71/q76),
@@ -39,7 +53,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import q
-from ._util import dec, dsum, t
+from ._util import dec, dsum, t, ts
 
 
 @q(
@@ -141,7 +155,7 @@ def tpcds_rank_over_rollup(spark, sf_dir):
     "tpcds_channel_union_rollup",
     extended=True,
     tags=("tpcds", "setop", "agg"),
-    doc="q5/q77 shape: per-channel profit statements via multi-branch "
+    doc="q5/q77/q80 shape: per-channel profit statements via multi-branch "
     "UNION ALL (sales / returns / orders as channels), then one grouped "
     "rollup over the union (tpcds/q77.sql channel UNION ALL).",
     oracle="""
@@ -194,7 +208,7 @@ def tpcds_channel_union_rollup(spark, sf_dir):
     "tpcds_revenue_share_window",
     extended=True,
     tags=("tpcds", "window"),
-    doc="q12/q98 shape: per-item revenue and its share of the item-class "
+    doc="q12/q20/q98 shape: per-item revenue and its share of the item-class "
     "total via SUM() OVER (PARTITION BY class) ratio "
     "(tpcds/q98.sql revenueratio).",
     oracle="""
@@ -253,7 +267,7 @@ def tpcds_revenue_share_window(spark, sf_dir):
     "tpcds_yoy_ratio",
     extended=True,
     tags=("tpcds", "join", "cte"),
-    doc="q11/q4 shape: year-over-year customer spend from a yearly-total "
+    doc="q11/q4/q74 shape: year-over-year customer spend from a yearly-total "
     "CTE self-joined across two years, with a growth-ratio filter "
     "(tpcds/q11.sql year_total self-join).",
     oracle="""
@@ -1928,7 +1942,7 @@ def tpcds_channel_overlap_full_outer(spark, sf_dir):
     "tpcds_excess_discount",
     extended=True,
     tags=("tpcds", "subquery", "agg", "join"),
-    doc="q92 shape: sum of discounts exceeding 1.3x the item's average "
+    doc="q92/q32 shape: sum of discounts exceeding 1.3x the item's average "
     "discount — correlated scalar-average subquery re-expressed as a "
     "per-item aggregate join (tpcds/q92.sql ws_ext_discount_amt > 1.3 "
     "* avg).",
@@ -2500,4 +2514,1103 @@ def tpcds_returns_date_in_subquery(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_returns"))
         .orderBy(F.col("n_returns").desc(), F.col("p_brand").asc())
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 2: the remaining 39 reference families. With these, every
+# one of the 99 TPC-DS query families in
+# presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds/ has an
+# oracle-verified shape representative (shared shapes cite every family
+# they stand for).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpcds_star_brand_year",
+    extended=True,
+    tags=("tpcds", "agg", "join"),
+    doc="q3/q42/q52/q55 shape: the canonical star — fact x date x item "
+    "with one dimension filter each, revenue per (year, brand), ORDER BY "
+    "year, revenue DESC, brand + LIMIT (tpcds/q3.sql "
+    "sum(ss_ext_sales_price) GROUP BY d_year, brand_id; q42/q52/q55 are "
+    "the same plan with the filter moved between dimensions).",
+    oracle="""
+SELECT year(CAST(o_orderdate AS DATE)) AS o_year, p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_agg
+FROM lineitem, orders, part
+WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+  AND EXTRACT(month FROM o_orderdate) = 11 AND p_size < 15
+GROUP BY 1, 2
+ORDER BY o_year ASC, sum_agg DESC, p_brand ASC
+LIMIT 100
+""",
+)
+def tpcds_star_brand_year(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.month("o_orderdate") == 11)
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+            F.col("p_brand"),
+        )
+        .agg(dsum(dec("l_extendedprice", 18), "sum_agg"))
+        .orderBy(
+            F.col("o_year").asc(),
+            F.col("sum_agg").desc(),
+            F.col("p_brand").asc(),
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_avg_measure_battery",
+    extended=True,
+    tags=("tpcds", "agg"),
+    doc="q7/q26 shape: AVG over four fact measures per item under "
+    "dimension predicates; the WHERE carries q13's OR of band-pair "
+    "conjuncts (tpcds/q7.sql avg(ss_quantity)..avg(ss_coupon_amt); "
+    "q13 avgs under OR'd marital/price bands). Averages are exact "
+    "decimal SUM / COUNT surfaced as DOUBLE (accumulation-order "
+    "independent on both engines).",
+    oracle="""
+SELECT p_brand,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)
+    AS avg_disc,
+  CAST(SUM(CAST(l_tax AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_tax
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((l_quantity BETWEEN 1 AND 15
+        AND l_extendedprice BETWEEN 100 AND 20000)
+    OR (l_quantity BETWEEN 16 AND 30
+        AND l_extendedprice BETWEEN 20000 AND 40000)
+    OR (l_quantity BETWEEN 31 AND 50
+        AND l_extendedprice BETWEEN 40000 AND 80000))
+GROUP BY p_brand
+ORDER BY p_brand ASC
+""",
+)
+def tpcds_avg_measure_battery(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    qty, ep = F.col("l_quantity"), F.col("l_extendedprice")
+    bands = (
+        (qty.between(1, 15) & ep.between(100, 20000))
+        | (qty.between(16, 30) & ep.between(20000, 40000))
+        | (qty.between(31, 50) & ep.between(40000, 80000))
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.filter(bands)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            n.alias("n"),
+            (F.sum(dec("l_quantity", 18)).cast("double") / n).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice", 18)).cast("double") / n).alias(
+                "avg_price"
+            ),
+            (F.sum(dec("l_discount", 18, 8)).cast("double") / n).alias(
+                "avg_disc"
+            ),
+            (F.sum(dec("l_tax", 18, 8)).cast("double") / n).alias("avg_tax"),
+        )
+        .orderBy(F.col("p_brand").asc())
+    )
+
+
+@q(
+    "tpcds_case_count_avg_bands",
+    extended=True,
+    tags=("tpcds", "agg"),
+    doc="q9/q28 shape: five quantity bands over one fact scan, each "
+    "yielding a count-gated CASE pick between two averages plus a "
+    "per-band distinct count, cross-assembled into a single row "
+    "(tpcds/q9.sql CASE WHEN count > k THEN avg1 ELSE avg2 buckets; "
+    "q28 avg/count(distinct) per list-price band).",
+    oracle="""
+SELECT
+  CASE WHEN b1_n > 400 THEN b1_price ELSE b1_disc END AS bucket1,
+  CASE WHEN b2_n > 400 THEN b2_price ELSE b2_disc END AS bucket2,
+  CASE WHEN b3_n > 400 THEN b3_price ELSE b3_disc END AS bucket3,
+  CASE WHEN b4_n > 400 THEN b4_price ELSE b4_disc END AS bucket4,
+  CASE WHEN b5_n > 400 THEN b5_price ELSE b5_disc END AS bucket5,
+  b1_nd, b2_nd, b3_nd, b4_nd, b5_nd
+FROM (
+  SELECT
+    COUNT(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 END) AS b1_n,
+    COUNT(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 END) AS b2_n,
+    COUNT(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 END) AS b3_n,
+    COUNT(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 END) AS b4_n,
+    COUNT(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN 1 END) AS b5_n,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 10
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 END), 0)
+      AS b1_price,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 11 AND 20
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 END), 0)
+      AS b2_price,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 21 AND 30
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 END), 0)
+      AS b3_price,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 31 AND 40
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 END), 0)
+      AS b4_price,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 41 AND 50
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN 1 END), 0)
+      AS b5_price,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 10
+             THEN CAST(l_discount AS DECIMAL(18,8)) END) AS DOUBLE) * 1000
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 END), 0)
+      AS b1_disc,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 11 AND 20
+             THEN CAST(l_discount AS DECIMAL(18,8)) END) AS DOUBLE) * 1000
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 END), 0)
+      AS b2_disc,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 21 AND 30
+             THEN CAST(l_discount AS DECIMAL(18,8)) END) AS DOUBLE) * 1000
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 END), 0)
+      AS b3_disc,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 31 AND 40
+             THEN CAST(l_discount AS DECIMAL(18,8)) END) AS DOUBLE) * 1000
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 END), 0)
+      AS b4_disc,
+    CAST(SUM(CASE WHEN l_quantity BETWEEN 41 AND 50
+             THEN CAST(l_discount AS DECIMAL(18,8)) END) AS DOUBLE) * 1000
+      / NULLIF(COUNT(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN 1 END), 0)
+      AS b5_disc,
+    COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 1 AND 10
+          THEN l_extendedprice END) AS b1_nd,
+    COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 11 AND 20
+          THEN l_extendedprice END) AS b2_nd,
+    COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 21 AND 30
+          THEN l_extendedprice END) AS b3_nd,
+    COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 31 AND 40
+          THEN l_extendedprice END) AS b4_nd,
+    COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 41 AND 50
+          THEN l_extendedprice END) AS b5_nd
+  FROM lineitem
+) b
+""",
+)
+def tpcds_case_count_avg_bands(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    bandspec = [(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)]
+    aggs = []
+    for i, (lo, hi) in enumerate(bandspec, 1):
+        inb = qty.between(lo, hi)
+        n = F.count(F.when(inb, 1))
+        aggs.append(n.alias(f"b{i}_n"))
+        aggs.append(
+            (
+                F.sum(F.when(inb, dec("l_extendedprice", 18))).cast("double")
+                / F.nullif(n, F.lit(0))
+            ).alias(f"b{i}_price")
+        )
+        aggs.append(
+            (
+                F.sum(F.when(inb, dec("l_discount", 18, 8))).cast("double")
+                * 1000
+                / F.nullif(n, F.lit(0))
+            ).alias(f"b{i}_disc")
+        )
+        aggs.append(
+            F.count_distinct(F.when(inb, F.col("l_extendedprice"))).alias(
+                f"b{i}_nd"
+            )
+        )
+    b = li.agg(*aggs)
+    out = [
+        F.when(F.col(f"b{i}_n") > 400, F.col(f"b{i}_price"))
+        .otherwise(F.col(f"b{i}_disc"))
+        .alias(f"bucket{i}")
+        for i in range(1, 6)
+    ] + [F.col(f"b{i}_nd") for i in range(1, 6)]
+    return b.select(*out)
+
+
+@q(
+    "tpcds_dow_pivot_yoy_ratio",
+    extended=True,
+    tags=("tpcds", "agg", "join", "cte"),
+    doc="q2 shape: day-of-week conditional-sum pivot per year, "
+    "self-joined on year = year + 1 to emit the per-day YoY ratios "
+    "(tpcds/q2.sql sun_sales..sat_sales, wswscs year join on "
+    "d_week_seq1 = d_week_seq2 - 53). DuckDB dow is 0=Sunday; Spark "
+    "dayofweek() is 1=Sunday, shifted by -1 to align.",
+    oracle="""
+WITH wk AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+    CAST(SUM(CASE WHEN EXTRACT(dow FROM o_orderdate) = 0
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      AS sun_sales,
+    CAST(SUM(CASE WHEN EXTRACT(dow FROM o_orderdate) = 1
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      AS mon_sales,
+    CAST(SUM(CASE WHEN EXTRACT(dow FROM o_orderdate) = 2
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      AS tue_sales,
+    CAST(SUM(CASE WHEN EXTRACT(dow FROM o_orderdate) = 3
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      AS wed_sales,
+    CAST(SUM(CASE WHEN EXTRACT(dow FROM o_orderdate) = 4
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      AS thu_sales,
+    CAST(SUM(CASE WHEN EXTRACT(dow FROM o_orderdate) = 5
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      AS fri_sales,
+    CAST(SUM(CASE WHEN EXTRACT(dow FROM o_orderdate) = 6
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+      AS sat_sales
+  FROM orders GROUP BY 1
+)
+SELECT a.yr AS yr,
+  a.sun_sales / b.sun_sales AS sun_r, a.mon_sales / b.mon_sales AS mon_r,
+  a.tue_sales / b.tue_sales AS tue_r, a.wed_sales / b.wed_sales AS wed_r,
+  a.thu_sales / b.thu_sales AS thu_r, a.fri_sales / b.fri_sales AS fri_r,
+  a.sat_sales / b.sat_sales AS sat_r
+FROM wk a JOIN wk b ON b.yr = a.yr + 1
+ORDER BY yr ASC
+""",
+)
+def tpcds_dow_pivot_yoy_ratio(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    dow = F.dayofweek("o_orderdate") - 1  # align to DuckDB 0=Sunday
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    wk = o.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    ).agg(
+        *[
+            F.sum(F.when(dow == i, dec("o_totalprice", 18)))
+            .cast("double")
+            .alias(f"{nm}_sales")
+            for i, nm in enumerate(names)
+        ]
+    )
+    a, b = wk.alias("a"), wk.alias("b")
+    return (
+        a.join(b, F.col("b.yr") == F.col("a.yr") + 1)
+        .select(
+            F.col("a.yr").alias("yr"),
+            *[
+                (F.col(f"a.{nm}_sales") / F.col(f"b.{nm}_sales")).alias(
+                    f"{nm}_r"
+                )
+                for nm in names
+            ],
+        )
+        .orderBy(F.col("yr").asc())
+    )
+
+
+@q(
+    "tpcds_rollup_avg_levels",
+    extended=True,
+    tags=("tpcds", "agg", "groupid"),
+    doc="q18/q22 shape: 3-level ROLLUP with multiple exact AVG measures "
+    "per aggregation level (tpcds/q18.sql agg1..agg7 GROUP BY ROLLUP "
+    "(i_item_id, ca_country, ca_state, ca_county); q22 avg qty-on-hand "
+    "over a 4-level inventory rollup).",
+    oracle="""
+SELECT n_name, c_mktsegment, o_orderpriority,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    AS avg_price,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    AS avg_bal
+FROM orders, customer, nation
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment, o_orderpriority)
+ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST,
+         o_orderpriority ASC NULLS FIRST
+LIMIT 150
+""",
+)
+def tpcds_rollup_avg_levels(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    cnt = F.count(F.lit(1))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment", "o_orderpriority")
+        .agg(
+            cnt.alias("n"),
+            (F.sum(dec("o_totalprice", 18)).cast("double") / cnt).alias(
+                "avg_price"
+            ),
+            (F.sum(dec("c_acctbal", 18)).cast("double") / cnt).alias(
+                "avg_bal"
+            ),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+        .limit(150)
+    )
+
+
+@q(
+    "tpcds_three_fact_agg_join",
+    extended=True,
+    tags=("tpcds", "agg", "join"),
+    doc="q25/q29 shape: the same (item, supplier) key observed in three "
+    "fact 'channels' (sold / returned / re-sold), one net per channel "
+    "(tpcds/q25.sql store_sales x store_returns x catalog_sales joined "
+    "on customer+item). Spark-first deviation from the reference plan: "
+    "each channel is aggregated BEFORE the 3-way join (aggregate-then-"
+    "join), so the join carries one row per key per channel instead of "
+    "a fact-x-fact blowup — same result, bounded shuffle at 100 TB.",
+    oracle="""
+WITH sold AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS amt
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2
+), ret AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS amt
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+), resold AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS amt
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2
+)
+SELECT s.pk AS pk, s.sk AS sk,
+  CAST(s.amt AS DOUBLE) AS sold_amt,
+  CAST(r.amt AS DOUBLE) AS ret_amt,
+  CAST(c.amt AS DOUBLE) AS resold_amt
+FROM sold s
+JOIN ret r ON s.pk = r.pk AND s.sk = r.sk
+JOIN resold c ON s.pk = c.pk AND s.sk = c.sk
+ORDER BY sold_amt DESC, pk ASC, sk ASC
+LIMIT 100
+""",
+)
+def tpcds_three_fact_agg_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+
+    def chan(flag):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy(
+                F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+            )
+            .agg(F.sum(dec("l_extendedprice", 18)).alias("amt"))
+        )
+
+    s, r, c = chan("N").alias("s"), chan("R").alias("r"), chan("A").alias("c")
+    on = ["pk", "sk"]
+    return (
+        s.join(r, on)
+        .join(c, on)
+        .select(
+            "pk",
+            "sk",
+            F.col("s.amt").cast("double").alias("sold_amt"),
+            F.col("r.amt").cast("double").alias("ret_amt"),
+            F.col("c.amt").cast("double").alias("resold_amt"),
+        )
+        .orderBy(
+            F.col("sold_amt").desc(), F.col("pk").asc(), F.col("sk").asc()
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_returns_above_nation_avg_detail",
+    extended=True,
+    tags=("tpcds", "agg", "join", "subquery"),
+    doc="q30/q81 shape: customers whose return total exceeds 1.2x their "
+    "nation's average return total, joined back to the customer "
+    "dimension for detail columns (tpcds/q30.sql ctr_total_return > "
+    "1.2 * avg(ctr_total_return) ... select c_customer_id, c_first_name "
+    "...; q81 is the catalog-returns twin).",
+    oracle="""
+WITH ctr AS (
+  SELECT c_custkey AS ck, c_nationkey AS nk,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS total_return
+  FROM lineitem, orders, customer
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_returnflag = 'R'
+  GROUP BY 1, 2
+), nat AS (
+  SELECT nk, CAST(SUM(total_return) AS DOUBLE) / COUNT(*) AS avg_ret
+  FROM ctr GROUP BY nk
+)
+SELECT c.c_name AS c_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+  CAST(ctr.total_return AS DOUBLE) AS total_return
+FROM ctr, nat, customer c
+WHERE ctr.nk = nat.nk
+  AND CAST(ctr.total_return AS DOUBLE) > 1.2 * nat.avg_ret
+  AND ctr.ck = c.c_custkey
+ORDER BY total_return DESC, c_name ASC
+LIMIT 100
+""",
+)
+def tpcds_returns_above_nation_avg_detail(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    ctr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+        )
+        .agg(F.sum(dec("l_extendedprice", 18)).alias("total_return"))
+    )
+    nat = ctr.groupBy("nk").agg(
+        (F.sum("total_return").cast("double") / F.count(F.lit(1))).alias(
+            "avg_ret"
+        )
+    )
+    return (
+        ctr.join(F.broadcast(nat), "nk")
+        .filter(F.col("total_return").cast("double") > 1.2 * F.col("avg_ret"))
+        .join(c, F.col("ck") == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("total_return").cast("double").alias("total_return"),
+        )
+        .orderBy(F.col("total_return").desc(), F.col("c_name").asc())
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_price_band_stock_items",
+    extended=True,
+    tags=("tpcds", "semijoin", "agg"),
+    doc="q37/q82 shape: DISTINCT item attributes for items in a retail "
+    "price band whose stock movement inside a date window lies in a "
+    "quantity band (tpcds/q82.sql i_current_price BETWEEN .. AND "
+    "inv_quantity_on_hand BETWEEN 100 AND 500 over a d_date window).",
+    oracle="""
+SELECT DISTINCT p_name, CAST(p_retailprice AS DOUBLE) AS price
+FROM part
+WHERE p_retailprice BETWEEN 400 AND 800
+  AND p_partkey IN (
+    SELECT l_partkey FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+                         AND TIMESTAMP '1994-06-30 00:00:00'
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) BETWEEN 100 AND 500)
+ORDER BY p_name ASC
+LIMIT 100
+""",
+)
+def tpcds_price_band_stock_items(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").between(400, 800)
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            ts("1994-01-01"), ts("1994-06-30")
+        )
+    )
+    in_band = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(dec("l_quantity", 18)).alias("qoh"))
+        .filter(F.col("qoh").between(100, 500))
+        .select("l_partkey")
+    )
+    return (
+        p.join(in_band, p.p_partkey == F.col("l_partkey"), "left_semi")
+        .select(
+            "p_name", F.col("p_retailprice").cast("double").alias("price")
+        )
+        .distinct()
+        .orderBy(F.col("p_name").asc())
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_inv_cov_month_pair",
+    extended=True,
+    tags=("tpcds", "agg", "join", "window"),
+    doc="q39 shape: per (warehouse, item, month) mean/stddev with a "
+    "coefficient-of-variation filter, self-joined across two "
+    "consecutive months so only keys volatile in BOTH survive "
+    "(tpcds/q39.sql inv1 x inv2 ON w_warehouse_sk, i_item_sk, "
+    "d_moy = d_moy + 1, cov >= 1.5). Stats rounded to 1e-6 per the "
+    "repo determinism method before the threshold compare.",
+    oracle="""
+WITH s AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk,
+    EXTRACT(month FROM l_shipdate) AS m,
+    ROUND(CAST(AVG(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 6) AS mean,
+    ROUND(CAST(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 6)
+      AS sdev
+  FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) = 1994
+    AND EXTRACT(month FROM l_shipdate) IN (1, 2)
+  GROUP BY 1, 2, 3
+)
+SELECT a.sk AS sk, a.pk AS pk,
+  a.mean AS mean1, a.sdev AS sdev1, b.mean AS mean2, b.sdev AS sdev2
+FROM s a JOIN s b ON a.sk = b.sk AND a.pk = b.pk
+WHERE a.m = 1 AND b.m = 2
+  AND a.sdev / a.mean > 1.0 AND b.sdev / b.mean > 1.0
+ORDER BY sk ASC, pk ASC
+""",
+)
+def tpcds_inv_cov_month_pair(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1994) & F.month("l_shipdate").isin(1, 2)
+    )
+    qd = F.col("l_quantity").cast("double")
+    s = li.groupBy(
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_partkey").alias("pk"),
+        F.month("l_shipdate").alias("m"),
+    ).agg(
+        F.round(F.avg(qd).cast("double"), 6).alias("mean"),
+        F.round(F.stddev_samp(qd).cast("double"), 6).alias("sdev"),
+    )
+    a = s.filter((F.col("m") == 1) & (F.col("sdev") / F.col("mean") > 1.0))
+    b = s.filter((F.col("m") == 2) & (F.col("sdev") / F.col("mean") > 1.0))
+    return (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.sk") == F.col("b.sk"))
+            & (F.col("a.pk") == F.col("b.pk")),
+        )
+        .select(
+            F.col("a.sk").alias("sk"),
+            F.col("a.pk").alias("pk"),
+            F.col("a.mean").alias("mean1"),
+            F.col("a.sdev").alias("sdev1"),
+            F.col("b.mean").alias("mean2"),
+            F.col("b.sdev").alias("sdev2"),
+        )
+        .orderBy(F.col("sk").asc(), F.col("pk").asc())
+    )
+
+
+@q(
+    "tpcds_before_after_returns_net",
+    extended=True,
+    tags=("tpcds", "agg", "join"),
+    doc="q40 shape: per-item sales net of matched returns, pivoted "
+    "before/after a pivot date (tpcds/q40.sql cs_sales_price - "
+    "coalesce(cr_refunded_cash, 0), sales_before/sales_after around "
+    "d_date cast). The returns side is pre-aggregated per (order, "
+    "item) before the LEFT join — one row per key, no fact-x-fact "
+    "blowup.",
+    oracle="""
+WITH r AS (
+  SELECT l_orderkey AS ok, l_partkey AS pk,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS ret_amt
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+)
+SELECT p_brand,
+  CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1994-07-01 00:00:00'
+           THEN v END) AS DOUBLE) AS sales_before,
+  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1994-07-01 00:00:00'
+           THEN v END) AS DOUBLE) AS sales_after
+FROM (
+  SELECT l.l_shipdate, l.l_partkey,
+    CAST(l.l_extendedprice AS DECIMAL(18,4))
+      - COALESCE(r.ret_amt, CAST(0 AS DECIMAL(18,4))) AS v
+  FROM lineitem l
+  LEFT JOIN r ON l.l_orderkey = r.ok AND l.l_partkey = r.pk
+  WHERE l.l_returnflag <> 'R'
+) x, part
+WHERE l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand ASC
+""",
+)
+def tpcds_before_after_returns_net(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .agg(F.sum(dec("l_extendedprice", 18)).alias("ret_amt"))
+    )
+    pivot = ts("1994-07-01")
+    v = dec("l_extendedprice", 18) - F.coalesce(
+        F.col("ret_amt"), F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(
+            r,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("l_partkey") == F.col("pk")),
+            "left",
+        )
+        .select("l_shipdate", "l_partkey", v.alias("v"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < pivot, F.col("v")))
+            .cast("double")
+            .alias("sales_before"),
+            F.sum(F.when(F.col("l_shipdate") >= pivot, F.col("v")))
+            .cast("double")
+            .alias("sales_after"),
+        )
+        .orderBy(F.col("p_brand").asc())
+    )
+
+
+@q(
+    "tpcds_trip_dim_mismatch",
+    extended=True,
+    tags=("tpcds", "agg", "join"),
+    doc="q46/q68/q79 shape: per-(customer, order) trip amounts where a "
+    "line dimension disagrees with the customer dimension (the "
+    "bought-city <> current-city filter), joined back for the customer "
+    "name, ordered detail slice (tpcds/q46.sql ca_city <> bought_city; "
+    "q68/q79 same skeleton with extended amounts).",
+    oracle="""
+SELECT c_name, o_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS amt,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(l_discount AS DECIMAL(12,8))) AS DOUBLE) AS disc_amt
+FROM lineitem, orders, customer, supplier
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND s_nationkey <> c_nationkey
+GROUP BY c_name, o_orderkey
+ORDER BY amt DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def tpcds_trip_dim_mismatch(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(
+            dsum(dec("l_extendedprice", 18), "amt"),
+            dsum(
+                dec("l_extendedprice") * dec("l_discount", 12, 8), "disc_amt"
+            ),
+        )
+        .orderBy(F.col("amt").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_monthly_dev_from_brand_avg",
+    extended=True,
+    tags=("tpcds", "agg", "window"),
+    doc="q53/q63/q89 shape: monthly brand sales vs the brand's "
+    "full-partition average via SUM()/COUNT() OVER (PARTITION BY "
+    "brand), keeping months deviating more than 10% "
+    "(tpcds/q89.sql case when avg_monthly_sales <> 0 then "
+    "abs(sum_sales - avg_monthly_sales) / avg_monthly_sales end > 0.1).",
+    oracle="""
+SELECT * FROM (
+  SELECT p_brand, m, CAST(s AS DOUBLE) AS monthly,
+    CAST(SUM(s) OVER (PARTITION BY p_brand) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM (
+    SELECT p_brand, EXTRACT(month FROM l_shipdate) AS m,
+      SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey AND EXTRACT(year FROM l_shipdate) = 1994
+    GROUP BY 1, 2
+  ) mth
+) x
+WHERE CASE WHEN brand_avg > 0
+      THEN ABS(monthly - brand_avg) / brand_avg END > 0.1
+""",
+)
+def tpcds_monthly_dev_from_brand_avg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1994)
+    p = t(spark, sf_dir, "part")
+    mth = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.month("l_shipdate").alias("m"))
+        .agg(F.sum(dec("l_extendedprice", 18)).alias("s"))
+    )
+    w = Window.partitionBy("p_brand")
+    x = mth.select(
+        "p_brand",
+        "m",
+        F.col("s").cast("double").alias("monthly"),
+        (
+            F.sum("s").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("brand_avg"),
+    )
+    return x.filter(
+        F.when(
+            F.col("brand_avg") > 0,
+            F.abs(F.col("monthly") - F.col("brand_avg")) / F.col("brand_avg"),
+        )
+        > 0.1
+    )
+
+
+@q(
+    "tpcds_cross_year_resale",
+    extended=True,
+    tags=("tpcds", "agg", "join", "cte"),
+    doc="q64 shape: the same (item, customer) pair observed in two "
+    "consecutive years with the later total no higher than the earlier "
+    "(tpcds/q64.sql cs1 x cs2 ON item+store, cs2.syear = cs1.syear + 1, "
+    "cs2.cnt <= cs1.cnt).",
+    oracle="""
+WITH y AS (
+  SELECT l_partkey AS pk, o_custkey AS ck,
+    year(CAST(o_orderdate AS DATE)) AS yr,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS tot, COUNT(*) AS cnt
+  FROM lineitem, orders WHERE l_orderkey = o_orderkey
+  GROUP BY 1, 2, 3
+)
+SELECT a.pk AS pk, a.ck AS ck, a.yr AS yr1,
+  CAST(a.tot AS DOUBLE) AS tot1, a.cnt AS cnt1,
+  CAST(b.tot AS DOUBLE) AS tot2, b.cnt AS cnt2
+FROM y a JOIN y b
+  ON a.pk = b.pk AND a.ck = b.ck AND b.yr = a.yr + 1
+WHERE b.tot <= a.tot
+ORDER BY tot1 DESC, pk ASC, ck ASC, yr1 ASC
+LIMIT 100
+""",
+)
+def tpcds_cross_year_resale(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    y = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.col("o_custkey").alias("ck"),
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", 18)).alias("tot"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    a, b = y.alias("a"), y.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .filter(F.col("b.tot") <= F.col("a.tot"))
+        .select(
+            F.col("a.pk").alias("pk"),
+            F.col("a.ck").alias("ck"),
+            F.col("a.yr").alias("yr1"),
+            F.col("a.tot").cast("double").alias("tot1"),
+            F.col("a.cnt").alias("cnt1"),
+            F.col("b.tot").cast("double").alias("tot2"),
+            F.col("b.cnt").alias("cnt2"),
+        )
+        .orderBy(
+            F.col("tot1").desc(),
+            F.col("pk").asc(),
+            F.col("ck").asc(),
+            F.col("yr1").asc(),
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_topk_prefilter_rollup_rank",
+    extended=True,
+    tags=("tpcds", "agg", "groupid", "window", "subquery"),
+    doc="q70/q86 shape: restrict the rollup to the top-5 first-level "
+    "groups chosen by a windowed-rank subquery, then RANK within each "
+    "aggregation level (tpcds/q70.sql s_state IN (SELECT s_state FROM "
+    "(... ranking <= 5)), rank_within_parent over lochierarchy; q86 is "
+    "the web twin without the prefilter).",
+    oracle="""
+WITH top_n AS (
+  SELECT n_name FROM (
+    SELECT n_name,
+      RANK() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,4))) DESC,
+                            n_name ASC) AS r
+    FROM orders, customer, nation
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    GROUP BY n_name
+  ) ranked WHERE r <= 5
+), m AS (
+  SELECT
+    CAST(GROUPING(n_name) + GROUPING(c_mktsegment) AS BIGINT)
+      AS lochierarchy,
+    n_name, c_mktsegment,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND n_name IN (SELECT n_name FROM top_n)
+  GROUP BY ROLLUP (n_name, c_mktsegment)
+)
+SELECT lochierarchy, n_name, c_mktsegment, total_price,
+  RANK() OVER (PARTITION BY lochierarchy
+               ORDER BY total_price DESC, n_name ASC NULLS FIRST,
+                        c_mktsegment ASC NULLS FIRST) AS rank_within_parent
+FROM m
+""",
+)
+def tpcds_topk_prefilter_rollup_rank(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    rw = Window.orderBy(F.col("tot").desc(), F.col("n_name").asc())
+    top_n = (
+        joined.groupBy("n_name")
+        .agg(F.sum(dec("o_totalprice", 18)).alias("tot"))
+        .select("n_name", F.rank().over(rw).alias("r"))
+        .filter(F.col("r") <= 5)
+        .select("n_name")
+    )
+    m = (
+        joined.join(F.broadcast(top_n), "n_name", "left_semi")
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            (F.grouping("n_name") + F.grouping("c_mktsegment"))
+            .cast("bigint")
+            .alias("lochierarchy"),
+            dsum(dec("o_totalprice", 18), "total_price"),
+        )
+    )
+    w = Window.partitionBy("lochierarchy").orderBy(
+        F.col("total_price").desc(),
+        F.col("n_name").asc_nulls_first(),
+        F.col("c_mktsegment").asc_nulls_first(),
+    )
+    return m.select(
+        "lochierarchy",
+        "n_name",
+        "c_mktsegment",
+        "total_price",
+        F.rank().over(w).alias("rank_within_parent"),
+    )
+
+
+@q(
+    "tpcds_nonreturned_channel_ratio",
+    extended=True,
+    tags=("tpcds", "agg", "join", "semijoin"),
+    doc="q78 shape: per-(year, customer) channel totals over lines with "
+    "NO matching return (ws LEFT JOIN wr ... WHERE wr_order_number IS "
+    "NULL), both channels required non-null (tpcds/q78.sql coalesce-"
+    "ratio ordering over ws/cs/ss CTEs). The null-filtered LEFT join "
+    "is expressed as a left ANTI join against the distinct returned "
+    "keys — same semantics, one distinct + one anti shuffle.",
+    oracle="""
+WITH nr AS (
+  SELECT l.l_suppkey, l.l_extendedprice, o.o_custkey,
+    year(CAST(o.o_orderdate AS DATE)) AS yr
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS rpk
+    FROM lineitem WHERE l_returnflag = 'R'
+  ) r ON l.l_orderkey = r.ok AND l.l_partkey = r.rpk
+  WHERE r.ok IS NULL
+)
+SELECT yr, o_custkey,
+  CAST(SUM(CASE WHEN l_suppkey % 2 = 0
+           THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+    AS web_amt,
+  CAST(SUM(CASE WHEN l_suppkey % 2 = 1
+           THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+    AS store_amt
+FROM nr
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN l_suppkey % 2 = 0
+           THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) IS NOT NULL
+   AND SUM(CASE WHEN l_suppkey % 2 = 1
+           THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) IS NOT NULL
+ORDER BY web_amt DESC, yr ASC, o_custkey ASC
+LIMIT 100
+""",
+)
+def tpcds_nonreturned_channel_ratio(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("rpk")
+        )
+        .distinct()
+    )
+    nr = li.join(
+        returned,
+        (li.l_orderkey == F.col("ok")) & (li.l_partkey == F.col("rpk")),
+        "left_anti",
+    ).join(o, li.l_orderkey == o.o_orderkey)
+    web = F.sum(
+        F.when(F.col("l_suppkey") % 2 == 0, dec("l_extendedprice", 18))
+    )
+    store = F.sum(
+        F.when(F.col("l_suppkey") % 2 == 1, dec("l_extendedprice", 18))
+    )
+    return (
+        nr.groupBy(
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+            F.col("o_custkey"),
+        )
+        .agg(
+            web.cast("double").alias("web_amt"),
+            store.cast("double").alias("store_amt"),
+        )
+        .filter(
+            F.col("web_amt").isNotNull() & F.col("store_amt").isNotNull()
+        )
+        .orderBy(
+            F.col("web_amt").desc(), F.col("yr").asc(), F.col("o_custkey").asc()
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_dim_chain_banded_counts",
+    extended=True,
+    tags=("tpcds", "agg", "join"),
+    doc="q84/q85/q91/q96 shape: returns routed through a multi-hop "
+    "dimension chain with OR'd value bands on a dimension attribute, "
+    "grouped counts plus a concatenated identifier column "
+    "(tpcds/q85.sql cd_marital_status bands OR'd; q84 "
+    "coalesce(c_last_name,'')||', '||... customername; q91 returns by "
+    "call center; q96 the plain filtered COUNT(*)).",
+    oracle="""
+SELECT n_name, o_orderpriority,
+  concat(n_name, ':', o_orderpriority) AS ident,
+  COUNT(*) AS cnt,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS ret_amt
+FROM lineitem, orders, customer, nation
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+  AND ((c_acctbal BETWEEN 0 AND 2000)
+    OR (c_acctbal BETWEEN 4000 AND 6000)
+    OR (c_acctbal BETWEEN 8000 AND 10000))
+GROUP BY n_name, o_orderpriority
+ORDER BY cnt DESC, n_name ASC, o_orderpriority ASC
+LIMIT 100
+""",
+)
+def tpcds_dim_chain_banded_counts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal")
+    c = t(spark, sf_dir, "customer").filter(
+        bal.between(0, 2000)
+        | bal.between(4000, 6000)
+        | bal.between(8000, 10000)
+    )
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(dec("l_extendedprice", 18), "ret_amt"),
+        )
+        .select(
+            "n_name",
+            "o_orderpriority",
+            F.concat_ws(":", "n_name", "o_orderpriority").alias("ident"),
+            "cnt",
+            "ret_amt",
+        )
+        .orderBy(
+            F.col("cnt").desc(),
+            F.col("n_name").asc(),
+            F.col("o_orderpriority").asc(),
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_intersect_in_membership",
+    extended=True,
+    tags=("tpcds", "agg", "semijoin", "setop"),
+    doc="q8 shape: revenue restricted by IN over the INTERSECT of two "
+    "independently-derived dimension sets (tpcds/q8.sql substr(zip) IN "
+    "(zip list INTERSECT preferred-customer zips HAVING count > 10)).",
+    oracle="""
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS net_sales
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND s_nationkey IN (
+    SELECT c_nationkey FROM customer
+    GROUP BY c_nationkey HAVING COUNT(*) > 20
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+    GROUP BY c_nationkey HAVING COUNT(*) > 5
+  )
+GROUP BY n_name
+ORDER BY n_name ASC
+""",
+)
+def tpcds_intersect_in_membership(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    set_a = (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cc"))
+        .filter(F.col("cc") > 20)
+        .select("c_nationkey")
+    )
+    set_b = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cc"))
+        .filter(F.col("cc") > 5)
+        .select("c_nationkey")
+    )
+    nations = set_a.intersect(set_b)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(nations),
+            F.col("s_nationkey") == F.col("c_nationkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(dec("l_extendedprice", 18), "net_sales"))
+        .orderBy(F.col("n_name").asc())
     )

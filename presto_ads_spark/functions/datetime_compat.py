@@ -37,9 +37,19 @@ _MYSQL_TO_JAVA: dict[str, str] = {
     "%W": "EEEE",
     "%j": "DDD",
     "%T": "HH:mm:ss",
-    "%v": "ww",
+    "%r": "hh:mm:ss a",
     "%%": "%",
 }
+
+# Presto raises INVALID_FUNCTION_ARGUMENT for these (DateTimeFunctions
+# .java:1265-1271); leaving the call untranslated makes Spark raise its
+# own pattern error — both engines error, close enough.
+_MYSQL_ERROR_TOKENS = frozenset({"%w", "%U", "%u", "%V", "%X", "%D"})
+# ISO week number / week-year: Spark 3+ bans the java.time week-based
+# letters (w/W/Y), so these can't be expressed as a pattern — the
+# rewrite layer splices weekofyear()/extract(YEAROFWEEK) expressions
+# instead (_rewrite_datetime_patterns %v/%x surgery).
+_MYSQL_WEEK_TOKENS = frozenset({"%v", "%x"})
 
 
 def translate_mysql_pattern(pattern: str) -> str:
@@ -47,7 +57,8 @@ def translate_mysql_pattern(pattern: str) -> str:
     field tokens whose pattern letters would merge (e.g. ``%j%j`` →
     ``DDDDDD``): java.time cannot express two adjacent identical fields,
     so silent corruption is replaced by an explicit error. (Real-world
-    patterns always delimit fields.)"""
+    patterns always delimit fields.)  An unknown ``%<x>`` token is the
+    literal character x (DateTimeFunctions.java:1276 default case)."""
     out: list[str] = []
     i = 0
     literal: list[str] = []
@@ -64,8 +75,13 @@ def translate_mysql_pattern(pattern: str) -> str:
     while i < len(pattern):
         if pattern[i] == "%" and i + 1 < len(pattern):
             tok = pattern[i : i + 2]
-            if tok not in _MYSQL_TO_JAVA:
+            if tok in _MYSQL_ERROR_TOKENS or tok in _MYSQL_WEEK_TOKENS:
                 raise ValueError(f"unsupported MySQL datetime token: {tok}")
+            if tok not in _MYSQL_TO_JAVA:
+                # %<x> → the literal character x (Presto default case)
+                literal.append(tok[1])
+                i += 2
+                continue
             flush_literal()
             java = _MYSQL_TO_JAVA[tok]
             if out and not literal and out[-1] and out[-1][-1] == java[0]:

@@ -133,6 +133,34 @@ SQL_FUNCTIONS: list[str] = [
     # --- MathFunctions.java ---------------------------------------------
     """CREATE OR REPLACE TEMPORARY FUNCTION truncate_num(x DOUBLE)
        RETURNS DOUBLE RETURN CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END""",
+    # Presto ln/log2/log10 are java.lang.Math semantics: 0 → -Infinity,
+    # negative → NaN (MathFunctions.java ln/log2/log10). Spark's return
+    # NULL for any non-positive input. NULL/NaN args fall to the ELSE
+    # (Spark ln(NaN) = NaN, ln(NULL) = NULL — both faithful).
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_ln(x DOUBLE)
+       RETURNS DOUBLE RETURN
+         CASE WHEN x > 0D THEN ln(x)
+              WHEN x = 0D THEN CAST('-Infinity' AS DOUBLE)
+              WHEN x < 0D THEN CAST('NaN' AS DOUBLE)
+              ELSE ln(x) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_log2(x DOUBLE)
+       RETURNS DOUBLE RETURN
+         CASE WHEN x > 0D THEN log2(x)
+              WHEN x = 0D THEN CAST('-Infinity' AS DOUBLE)
+              WHEN x < 0D THEN CAST('NaN' AS DOUBLE)
+              ELSE log2(x) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_log10(x DOUBLE)
+       RETURNS DOUBLE RETURN
+         CASE WHEN x > 0D THEN log10(x)
+              WHEN x = 0D THEN CAST('-Infinity' AS DOUBLE)
+              WHEN x < 0D THEN CAST('NaN' AS DOUBLE)
+              ELSE log10(x) END""",
+    # Presto log(x, b) = Math.log(x) / Math.log(b) — ARGUMENT ORDER IS
+    # (value, base), the reverse of Spark's log(base, value)
+    # (MathFunctions.java log(double, double)); IEEE division carries
+    # the -Infinity/NaN edges through exactly.
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_logb(x DOUBLE, b DOUBLE)
+       RETURNS DOUBLE RETURN presto_ln(x) / presto_ln(b)""",
     # conv() is unsigned-64-bit — a '-'-prefixed input wraps around, so
     # negatives route through DECIMAL(20,0) negation (MIN_VALUE-safe)
     """CREATE OR REPLACE TEMPORARY FUNCTION from_base(s STRING, b INT)
@@ -242,6 +270,15 @@ SQL_FUNCTIONS: list[str] = [
        RETURNS INT RETURN CAST(extract(YEAROFWEEK FROM ts) AS INT)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION week_of_year(ts TIMESTAMP)
        RETURNS INT RETURN weekofyear(ts)""",
+    # DateTimeFunctions.java day_of_month / millisecond @ScalarFunction
+    # aliases (Spark has dayofmonth but no day_of_month spelling; no
+    # millisecond at all)
+    """CREATE OR REPLACE TEMPORARY FUNCTION day_of_month(ts TIMESTAMP)
+       RETURNS INT RETURN day(ts)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION week(ts TIMESTAMP)
+       RETURNS INT RETURN weekofyear(ts)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION millisecond(ts TIMESTAMP)
+       RETURNS BIGINT RETURN CAST(date_format(ts, 'SSS') AS BIGINT)""",
     # Presto date_add('unit', n, ts) → timestampadd; unit names align.
     # n is BIGINT (Presto's signature); the rewrite routes DATE-typed
     # third arguments to date_add_unit_date below, which returns DATE
@@ -271,6 +308,15 @@ SQL_FUNCTIONS: list[str] = [
            WHEN 'quarter' THEN add_months(d, CAST(n * 3 AS INT))
            WHEN 'year' THEN add_months(d, CAST(n * 12 AS INT))
          END""",
+    # TIME overload: Presto date_add on a TIME wraps within the day
+    # (DateTimeFunctions.java date_add @SqlType(TIME) modulo
+    # MILLISECONDS_IN_DAY); the engine's TIME emulation is an
+    # epoch-anchored NTZ timestamp, so wrap the result back onto
+    # 1970-01-01 via pmod over day micros.
+    """CREATE OR REPLACE TEMPORARY FUNCTION date_add_unit_time(unit STRING, n BIGINT, ts TIMESTAMP)
+       RETURNS TIMESTAMP RETURN
+         timestamp_micros(pmod(unix_micros(date_add_unit(unit, n, ts)),
+                               86400000000))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION date_diff_unit(unit STRING, a TIMESTAMP, b TIMESTAMP)
        RETURNS BIGINT RETURN
          CASE lower(unit)

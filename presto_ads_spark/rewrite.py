@@ -70,12 +70,24 @@ FUNCTION_RENAMES: dict[str, str] = {
     "to_timestamp": "teradata_to_timestamp",
     "from_iso8601_timestamp": "to_timestamp",
     "__spark_to_timestamp": "to_timestamp",
+    # engine-internal java-pattern emissions (timestamp→varchar render,
+    # TIME casts): the sentinel keeps _rewrite_datetime_patterns from
+    # re-translating the pattern as MySQL
+    "__spark_date_format": "date_format",
     "from_iso8601_date": "to_date",
     "to_base64": "base64",
     "from_base64": "unbase64",
     "to_hex": "hex",
     "from_hex": "unhex",
     "truncate": "truncate_num",  # registered compat fn (Presto truncate(x))
+    # java.lang.Math log semantics: 0 → -Infinity, negative → NaN (Spark's
+    # ln/log2/log10 return NULL for non-positive); Presto's 2-arg log is
+    # log(VALUE, BASE) — the REVERSE of Spark's log(base, value)
+    # (MathFunctions.java:260-301) — so all four route through compat fns.
+    "ln": "presto_ln",
+    "log2": "presto_log2",
+    "log10": "presto_log10",
+    "log": "presto_logb",
     # Presto xxhash64(varbinary) → big-endian VARBINARY of XXH64(bytes,
     # seed 0); Spark's native xxhash64 is value-serialized with seed 42
     "xxhash64": "presto_xxhash64",
@@ -596,7 +608,48 @@ def _rewrite_datetime_patterns(sql: str) -> str:
             j += 1
         args = sql[m.end() : j - 1]
         pat = re.search(r"'([^']*)'\s*$", args)
-        if pat and "%" in pat.group(1):
+        if (
+            fn == "date_format"
+            and pat
+            and re.search(r"%[vx]", pat.group(1))
+        ):
+            # ISO week (%v) / week-year (%x): Spark 3+ bans the
+            # java.time week-based pattern letters, so splice
+            # weekofyear()/extract(YEAROFWEEK) expressions between the
+            # translated pattern segments (DateTimeFunctions.java:1250,
+            # 1253 — weekOfWeekyear/weekyear)
+            ts_arg = args[: pat.start()].rstrip().rstrip(",").strip()
+            pieces, ok = [], True
+            for seg in re.split(r"(%[vx])", pat.group(1)):
+                if seg == "%v":
+                    pieces.append(
+                        f"lpad(CAST(weekofyear({ts_arg}) AS STRING),"
+                        f" 2, '0')"
+                    )
+                elif seg == "%x":
+                    pieces.append(
+                        f"lpad(CAST(extract(YEAROFWEEK FROM {ts_arg})"
+                        f" AS STRING), 4, '0')"
+                    )
+                elif seg:
+                    try:
+                        tseg = translate_mysql_pattern(seg)
+                    except ValueError:
+                        ok = False
+                        break
+                    esc = tseg.replace("'", "''")
+                    pieces.append(f"date_format({ts_arg}, '{esc}')")
+            if ok and pieces:
+                call = (
+                    pieces[0]
+                    if len(pieces) == 1
+                    else f"concat({', '.join(pieces)})"
+                )
+                out.append(sql[i : m.start()])
+                out.append(call)
+                i = j
+                continue
+        if pat and ("%" in pat.group(1) or fn == "date_format"):
             try:
                 translated = translate_mysql_pattern(pat.group(1))
             except ValueError:
@@ -1168,6 +1221,56 @@ def _replace_fn_calls(sql: str, fname: str, builder) -> str:
         pos = m.start()
 
 
+def _rewrite_sign_typed(sql: str) -> str:
+    """Presto ``sign()`` preserves its argument type — the
+    MathFunctions.java overloads return tinyint/smallint/integer/bigint/
+    real for those argument types and DECIMAL(1,0) for decimals
+    (DecimalOperators signDecimal); Spark's ``signum`` is always DOUBLE.
+    Syntactically-typed arguments (typed literals, CAST targets, bare
+    int/decimal literals) are wrapped in a cast back to the Presto
+    return type.  DOUBLE args stay native (already faithful); an
+    untyped column-ref argument also stays native-double — documented
+    gap (catalog-typed columns in the fixtures are int/double only,
+    and the reference pins only literal-typed sign calls)."""
+
+    def build(args):
+        if len(args) != 1:
+            return None
+        a = args[0].strip()
+        target = None
+        m = re.match(
+            r"(?i)^(TINYINT|SMALLINT|INTEGER|INT|BIGINT|REAL)\s*'", a
+        )
+        if m:
+            target = m.group(1).upper()
+        elif re.match(r"(?i)^DECIMAL\s*'", a):
+            target = "DECIMAL(1,0)"
+        else:
+            cm = re.match(r"(?i)^(?:TRY_)?CAST\s*\(", a)
+            if cm and _scan_matching_paren(a, cm.end()) == len(a):
+                tm = re.search(
+                    r"(?i)\bAS\s+(TINYINT|SMALLINT|INTEGER|INT|BIGINT"
+                    r"|REAL|FLOAT|DECIMAL\s*\([^)]*\)|DECIMAL)\s*\)$",
+                    a,
+                )
+                if tm:
+                    t = tm.group(1).upper()
+                    target = "DECIMAL(1,0)" if t.startswith("DECIMAL") else t
+            elif re.fullmatch(r"-?\d+", a):
+                target = "INT" if -(2**31) <= int(a) < 2**31 else "BIGINT"
+            elif re.fullmatch(r"-?\d+\.\d*", a):
+                target = "DECIMAL(1,0)"
+        if target is None:
+            return None
+        if target == "INTEGER":
+            target = "INT"
+        if target == "REAL":
+            target = "FLOAT"
+        return f"CAST(SIGNUM({a}) AS {target})"
+
+    return _replace_fn_calls(sql, "sign", build)
+
+
 def _rewrite_kurtosis(sql: str) -> str:
     """Presto ``kurtosis`` is the *unbiased sample* excess kurtosis
     (reference AggregationUtils.java updateCentralMomentsState consumers:
@@ -1325,6 +1428,12 @@ def _rewrite_fn_arity_compat(sql: str) -> str:
             if len(args) == 3 and re.match(r"\s*'", args[0]):
                 if _fn == "date_add" and date_arg_re.match(args[2]):
                     return f"date_add_unit_date({', '.join(args)})"
+                if _fn == "date_add" and re.match(
+                    r"\s*TIME\s*'", args[2], re.IGNORECASE
+                ):
+                    # TIME-typed third arg: Presto wraps within the day
+                    # (DateTimeFunctions.java modulo MILLISECONDS_IN_DAY)
+                    return f"date_add_unit_time({', '.join(args)})"
                 um = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
                 if _fn == "date_diff" and um:
                     # literal unit: inline the pure expression — a SQL
@@ -3909,7 +4018,7 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
     sql = re.sub(
         r"(?i)\b(?:TRY_)?CAST\s*\(\s*(TIMESTAMP\s*'[^']*')\s+AS\s+"
         r"VARCHAR\s*\)",
-        r"date_format(\1, 'yyyy-MM-dd HH:mm:ss.SSS')",
+        r"__spark_date_format(\1, 'yyyy-MM-dd HH:mm:ss.SSS')",
         sql,
     )
     # row(...).fieldN → row(...).col{N+1}
@@ -5439,7 +5548,7 @@ def _rewrite_array_join_timestamps(sql: str) -> str:
             return None
         arr = (
             f"transform({args[0]}, __aj -> "
-            f"date_format(__aj, 'yyyy-MM-dd HH:mm:ss.SSS'))"
+            f"__spark_date_format(__aj, 'yyyy-MM-dd HH:mm:ss.SSS'))"
         )
         return [arr, *args[1:]]
 
@@ -5688,7 +5797,7 @@ def _rewrite_time_casts(sql: str) -> str:
         sql = (
             sql[: m.start()]
             + f"{kw}(concat('1970-01-01 ', "
-            + f"date_format({expr}, 'HH:mm:ss.SSS')) AS TIMESTAMP)"
+            + f"__spark_date_format({expr}, 'HH:mm:ss.SSS')) AS TIMESTAMP)"
             + sql[j:]
         )
         i = m.start()
@@ -8950,6 +9059,7 @@ def rewrite(
     sql = _rewrite_literal_backslashes(sql)
     sql = _rewrite_array_literals(sql)
     sql = _widen_array_decimal_literals(sql)
+    sql = _rewrite_sign_typed(sql)
     sql = _rewrite_lambda_concat_depths(sql)
     sql = _rewrite_reduce_typing(sql)
     sql = _rewrite_element_array_concat(sql)

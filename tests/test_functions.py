@@ -132,8 +132,14 @@ def test_datetime_pattern_translation():
     assert translate_mysql_pattern("%Y-%m-%d") == "yyyy-MM-dd"
     assert translate_mysql_pattern("%H:%i:%s") == "HH:mm:ss"
     assert translate_mysql_pattern("%Y年%m月") == "yyyy'年'MM'月'"
+    # unknown %<x> is the literal character x (DateTimeFunctions.java
+    # default case); %V/%X/%w/%D raise like Presto INVALID_FUNCTION_ARGUMENT
+    assert translate_mysql_pattern("%Q") == "'Q'"
+    assert translate_mysql_pattern("%r") == "hh:mm:ss a"
     with pytest.raises(ValueError):
-        translate_mysql_pattern("%Q")
+        translate_mysql_pattern("%V")
+    with pytest.raises(ValueError):
+        translate_mysql_pattern("%v")  # ISO week: rewrite-layer surgery
 
 
 def test_date_parse_roundtrip(engine, spark):

@@ -278,7 +278,9 @@ GOLDEN: list[tuple[str, str, list[tuple]]] = [
         "math_constants_classify",
         "SELECT degrees(pi()) AS deg, is_nan(nan()) AS n, is_infinite(infinity()) AS inf,"
         " is_finite(1.0) AS fin, sign(-5) AS sg",
-        [(180.0, True, True, True, -1.0)],
+        # sign(INTEGER) returns INTEGER in Presto (MathFunctions.java
+        # sign(integer) overload) — typed-sign rewrite landed round 11
+        [(180.0, True, True, True, -1)],
     ),
     (
         "math_bases_bucket",

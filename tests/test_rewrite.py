@@ -108,10 +108,18 @@ def test_date_format_nested_args():
     assert out == "SELECT date_format(date_trunc('month', ts), 'yyyy-MM') FROM t"
 
 
-def test_date_format_java_pattern_untouched():
-    # no % tokens → assume it's already a java pattern; leave alone
+def test_date_format_plain_chars_are_literals():
+    # MySQL semantics: non-% characters are LITERALS, even letters —
+    # date_format(ts, 'foo') renders the string "foo"
+    # (DateTimeFunctions.java appendLiteral default; DTFB755). Round 11
+    # replaced the old leave-alone-if-no-% heuristic: Presto's
+    # date_format is always MySQL-dialect, so letters must be quoted
+    # for java.time. Engine-internal java-pattern emissions route
+    # through the __spark_date_format sentinel instead.
     out = rewrite("SELECT date_format(ts, 'yyyy-MM') FROM t")
-    assert out == "SELECT date_format(ts, 'yyyy-MM') FROM t"
+    assert out == "SELECT date_format(ts, '''yyyy-MM''') FROM t"
+    out = rewrite("SELECT date_format(ts, '%x %v') FROM t")
+    assert "YEAROFWEEK" in out and "weekofyear(ts)" in out
 
 
 def test_bare_varchar_cast():

@@ -131,8 +131,15 @@ SQL_FUNCTIONS: list[str] = [
     """CREATE OR REPLACE TEMPORARY FUNCTION presto_to_unixtime(ts TIMESTAMP)
        RETURNS DOUBLE RETURN CAST(unix_micros(ts) AS DOUBLE) / 1000000.0""",
     # --- MathFunctions.java ---------------------------------------------
+    # Presto truncate(double) is Math.floor/ceil keeping DOUBLE; Spark's
+    # floor(double) returns BIGINT and SATURATES at 2^63 (truncate of
+    # Double.MAX_VALUE read 9.2e18, MF250). |x| >= 2^53 has no
+    # representable fraction (also covers ±Infinity); NaN → NaN.
     """CREATE OR REPLACE TEMPORARY FUNCTION truncate_num(x DOUBLE)
-       RETURNS DOUBLE RETURN CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END""",
+       RETURNS DOUBLE RETURN
+         CASE WHEN isnan(x) OR abs(x) >= 9007199254740992D THEN x
+              WHEN x >= 0 THEN CAST(floor(x) AS DOUBLE)
+              ELSE CAST(ceil(x) AS DOUBLE) END""",
     # Presto ln/log2/log10 are java.lang.Math semantics: 0 → -Infinity,
     # negative → NaN (MathFunctions.java ln/log2/log10). Spark's return
     # NULL for any non-positive input. NULL/NaN args fall to the ELSE

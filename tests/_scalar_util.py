@@ -177,6 +177,7 @@ _LIST_HEADS = (
     "ImmutableList.of",
     "Arrays.asList",
     "asList",
+    "list",  # TestZipFunction.java:133 local varargs helper
     "Lists.newArrayList",
     "newArrayList",
 )

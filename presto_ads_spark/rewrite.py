@@ -18,6 +18,7 @@ single-quoted string literals, and every rewrite has a unit test.
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Callable
 
@@ -3475,6 +3476,66 @@ def _fold_json_literal_casts(sql: str) -> str:
     return _JSON_LIT_CAST_RE.sub(sub, sql)
 
 
+def _rewrite_to_iso8601_date(sql: str) -> str:
+    """``to_iso8601`` with a syntactically DATE-typed argument renders
+    date-only (DateTimeFunctions.java toISO8601FromDate,
+    createVarcharType(16) — '2001-08-22'); the TIMESTAMP overload keeps
+    the temp-function full rendering. __spark_date_format sentinel: the
+    pattern is java-style, not MySQL."""
+
+    def build(args):
+        if len(args) != 1:
+            return None
+        a = args[0].strip()
+        if re.match(r"(?i)^DATE\s*'", a) or re.search(
+            r"(?i)\bAS\s+DATE\s*\)\s*$", a
+        ):
+            return f"__spark_date_format({a}, 'yyyy-MM-dd')"
+        return None
+
+    return _replace_fn_calls(sql, "to_iso8601", build)
+
+
+_FLOAT_MOD_LIT_RE = re.compile(
+    r"(?i)\b(REAL|DOUBLE)\s*'(-?[\d.]+(?:E-?\d+)?|NaN|-?Infinity)'\s*%\s*"
+    r"(REAL|DOUBLE)\s*'(-?[\d.]+(?:E-?\d+)?|NaN|-?Infinity)'"
+)
+
+
+def _rewrite_float_mod_literals(sql: str) -> str:
+    """Typed-literal float ``%``: Presto is IEEE fmod (x % 0 = NaN,
+    RealOperators.modulus); ANSI Spark raises REMAINDER_BY_ZERO even
+    for floats, so literal forms fold at rewrite time (non-literal
+    float %-by-zero remains the documented ANSI-error deviation)."""
+
+    def fold(m: re.Match) -> str:
+        import struct
+
+        def f32(v: float) -> float:
+            return struct.unpack("f", struct.pack("f", v))[0]
+
+        t1, x, t2, y = m.groups()
+        both_real = t1.upper() == "REAL" and t2.upper() == "REAL"
+        out_t = "FLOAT" if both_real else "DOUBLE"
+        a, b = float(x), float(y)
+        if both_real:  # Java float % float computes in float32
+            a, b = f32(a), f32(b)
+        v = (
+            math.fmod(a, b)
+            if b == b and b != 0
+            else float("nan")
+        )
+        if both_real:
+            v = f32(v)
+        if v != v:
+            return f"CAST('NaN' AS {out_t})"
+        if v in (float("inf"), float("-inf")):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS {out_t})"
+        return f"CAST('{v!r}' AS {out_t})"
+
+    return _FLOAT_MOD_LIT_RE.sub(fold, sql)
+
+
 def _rewrite_scalar_compat_misc(sql: str) -> str:
     """Scalar-surface deviations flushed by the assert corpus (round 8):
 
@@ -4009,6 +4070,57 @@ def _rewrite_scalar_compat_misc(sql: str) -> str:
         r"(?i)\bextract\s*\(\s*(second|minute|hour|day|month|year)\s+FROM\s+"
         r"INTERVAL\s*'(-?\d+)'\s+(second|minute|hour|day|month|year)\s*\)",
         _fold_interval_extract,
+        sql,
+    )
+
+    # field-function spelling over literal day-time intervals:
+    # millisecond/second/minute/hour/day(INTERVAL 'n[.fff]' UNIT) —
+    # DateTimeFunctions.java millisecondFromInterval:747 …
+    # hourFromInterval:895 (ms%1000, s%60, m%60, h%24, total days);
+    # Spark has no interval overloads for these, literal forms fold.
+    def _fold_interval_field(m: re.Match) -> str:
+        from decimal import Decimal as _D
+
+        field, n, unit = (
+            m.group(1).lower(), _D(m.group(2)), m.group(3).lower()
+        )
+        unit_ms = {
+            "second": 1000, "minute": 60_000, "hour": 3_600_000,
+            "day": 86_400_000,
+        }[unit]
+        total = int(n * unit_ms)
+        sign = -1 if total < 0 else 1
+        t = abs(total)
+        v = {
+            "millisecond": t % 1000,
+            "second": (t // 1000) % 60,
+            "minute": (t // 60_000) % 60,
+            "hour": (t // 3_600_000) % 24,
+            "day": t // 86_400_000,
+        }[field]
+        return f"CAST({sign * v} AS BIGINT)"
+
+    sql = re.sub(
+        r"(?i)\b(millisecond|second|minute|hour|day)\s*\(\s*"
+        r"INTERVAL\s*'(-?\d+(?:\.\d+)?)'\s+"
+        r"(second|minute|hour|day)\s*\)",
+        _fold_interval_field,
+        sql,
+    )
+    def _fold_interval_field_ym(m: re.Match) -> str:
+        field, n, unit = (
+            m.group(1).lower(), int(m.group(2)), m.group(3).lower()
+        )
+        total = n * (1 if unit == "month" else 12)
+        sign = -1 if total < 0 else 1
+        t = abs(total)
+        v = {"month": t % 12, "year": t // 12}[field]
+        return f"CAST({sign * v} AS BIGINT)"
+
+    sql = re.sub(
+        r"(?i)\b(month|year)\s*\(\s*INTERVAL\s*'(-?\d+)'\s+"
+        r"(month|year)\s*\)",
+        _fold_interval_field_ym,
         sql,
     )
     # CAST(TIMESTAMP 'lit' AS VARCHAR): Presto renders timestamps with
@@ -9081,6 +9193,8 @@ def rewrite(
     sql = _fold_decimal_literal_arith(sql)
     sql = _fold_numeric_literal_casts(sql)
     sql = _rewrite_scalar_compat_misc(sql)
+    sql = _rewrite_to_iso8601_date(sql)
+    sql = _rewrite_float_mod_literals(sql)
     sql = _rewrite_like_escapes(sql)
     sql = _rewrite_group_by_distinct(sql)
     sql = _rewrite_plain_grouping(sql)

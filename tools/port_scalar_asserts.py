@@ -919,6 +919,14 @@ def _joda_eval(expr: str, env: dict):
     src = expr.strip()
     # non-legacy instantiation: the ternary selector is constant false
     src = re.sub(r"\bisLegacyTimestamp\s*\(\s*session\s*\)", "False", src)
+    # constant-selector ternaries over simple operands (identifiers /
+    # literals), anywhere in the expression
+    src = re.sub(
+        r"\bFalse\s*\?\s*[\w.'\" ]+?\s*:\s*([\w.]+)", r"\1", src
+    )
+    src = re.sub(
+        r"\bTrue\s*\?\s*([\w.]+)\s*:\s*[\w.'\" ]+", r"\1", src
+    )
     tm = re.match(r"^(.*?)\?(.*):(.*)$", src, re.S)
     if tm and "?" not in tm.group(2):
         cond = tm.group(1).strip()
@@ -928,6 +936,14 @@ def _joda_eval(expr: str, env: dict):
             src = tm.group(2).strip()
     src = re.sub(r"\bnew\s+(\w+)\s*\(", r"__new_\1(", src)
     src = re.sub(r"\b(\d[\d_]*)[Ll]\b", r"\1", src)
+    # f-suffixed literals: the float32-rounded VALUE (Java float literal
+    # semantics); d-suffix is a plain double
+    src = _NUM_SUFFIX_RE.sub(
+        lambda m: repr(_jv_f32(float(m.group(1))))
+        if m.group(2) in "fF"
+        else m.group(1),
+        src,
+    )
     src = _CAST_TYPE_STRIP_RE.sub("", src)
     node = _ast.parse(src, mode="eval").body
 
@@ -972,7 +988,16 @@ def _joda_eval(expr: str, env: dict):
                 if isinstance(a, int) and isinstance(b, int):
                     q = abs(a) // abs(b)
                     return q if (a < 0) == (b < 0) else -q
-                return a / b
+                with _np.errstate(all="ignore"):
+                    return float(_np.float64(a) / _np.float64(b))
+            if isinstance(n.op, _ast.Mod):
+                if isinstance(a, int) and isinstance(b, int):
+                    q = abs(a) // abs(b)
+                    q = q if (a < 0) == (b < 0) else -q
+                    return a - q * b
+                if float(b) == 0 or b != b:
+                    return float("nan")
+                return _math.fmod(float(a), float(b))
             raise ValueError("binop")
         if isinstance(n, _ast.Call):
             return call(n)
@@ -994,6 +1019,27 @@ def _joda_eval(expr: str, env: dict):
             if isinstance(arg, list):
                 return str(sep).join(str(x) for x in arg)
             raise ValueError("Joiner.join arg")
+        # LocalTime.of(h, m, s[, nanos]) / Duration.ofMillis(n)
+        if (
+            isinstance(n.func, _ast.Attribute)
+            and isinstance(n.func.value, _ast.Name)
+            and n.func.value.id == "LocalTime"
+            and n.func.attr == "of"
+        ):
+            a = [int(ev(x)) for x in n.args]
+            if len(a) == 4:
+                return _dtm.time(a[0], a[1], a[2], a[3] // 1000)
+            if len(a) == 3:
+                return _dtm.time(a[0], a[1], a[2])
+            raise ValueError("LocalTime.of arity")
+        if (
+            isinstance(n.func, _ast.Attribute)
+            and isinstance(n.func.value, _ast.Name)
+            and n.func.value.id == "Duration"
+            and n.func.attr == "ofMillis"
+        ):
+            (x,) = [ev(a) for a in n.args]
+            return _JDuration(int(x))
         # Double.toString(x) → Java double rendering
         if (
             isinstance(n.func, _ast.Attribute)
@@ -1142,6 +1188,12 @@ def _joda_eval(expr: str, env: dict):
     def method(recv, meth, args):
         if recv is _SESSION and meth == "toConnectorSession":
             return _SESSION
+        if isinstance(recv, _JDuration):
+            if meth == "getSeconds":  # java.time.Duration floor seconds
+                return recv.millis // 1000
+            if meth == "getNano":
+                return (recv.millis % 1000) * 1_000_000
+            raise ValueError(f"Duration.{meth}")
         if isinstance(recv, _Between):
             if meth in ("get", "getDays", "getWeeks", "getMonths",
                         "getYears", "getHours", "getMinutes",
@@ -1159,6 +1211,7 @@ def _joda_eval(expr: str, env: dict):
                 "getMillisOfSecond": recv.microsecond // 1000,
                 "getDayOfWeek": recv.isoweekday(),
                 "getDayOfYear": recv.timetuple().tm_yday,
+                "getWeekOfWeekyear": recv.isocalendar()[1],
             }
             if meth in g:
                 return g[meth]
@@ -1264,6 +1317,15 @@ def _joda_eval(expr: str, env: dict):
     return out
 
 
+class _JDuration:
+    """java.time.Duration carried as millis (Duration.ofMillis)."""
+
+    __slots__ = ("millis",)
+
+    def __init__(self, millis: int):
+        self.millis = millis
+
+
 class _Between:
     """Wrapper for Joda Days/Months/… and field-property objects — the
     Java sites immediately call .get()/.getDays() on them."""
@@ -1312,7 +1374,7 @@ class JodaCtx:
 
     def __init__(self, text: str):
         self.text = text
-        self.consts: dict = {}
+        self.consts: dict = dict(file_string_constants(text))
         for m in re.finditer(
             r"static\s+final\s+(DateTime|LocalTime|OffsetTime|Duration)\s+"
             r"(\w+)\s*=\s*([^;]+);",
@@ -1320,20 +1382,7 @@ class JodaCtx:
         ):
             jt, name, rhs = m.groups()
             try:
-                if jt == "LocalTime":
-                    lm = re.match(
-                        r"LocalTime\.of\s*\(\s*(\d+),\s*(\d+),\s*(\d+),"
-                        r"\s*([\d_]+)\s*\)",
-                        rhs.strip(),
-                    )
-                    if lm:
-                        h, mi, s, nanos = (
-                            int(x.replace("_", "")) for x in lm.groups()
-                        )
-                        self.consts[name] = _dtm.time(h, mi, s, nanos // 1000)
-                    continue
-                if jt == "DateTime":
-                    self.consts[name] = _joda_eval(rhs, self.consts)
+                self.consts[name] = _joda_eval(rhs, self.consts)
             except (ValueError, SyntaxError, KeyError):
                 continue
         # non-legacy instantiation: TIMESTAMP := NEW_TIMESTAMP

@@ -4861,6 +4861,31 @@ def _rewrite_regex_arg_defaults(sql: str) -> str:
             f"THEN {inner} ELSE NULL END"
         )
 
+    # the same never-empty → NULL mapping per ELEMENT for the _all form
+    # (TestRegexpFunctions:226 — REGEXP_EXTRACT_ALL group 2 of the
+    # unmatched alternation branch yields [null])
+    def extract_all_null_guard(a):
+        if len(a) != 3:
+            return None
+        s, p, g = (x.strip() for x in a)
+        pm = re.fullmatch(r"'((?:[^']|'')*)'", p)
+        if pm and re.fullmatch(r"\d+", g):
+            clean_pat = pm.group(1).replace("''", "'").replace("\\\\", "\\")
+            if int(g) in _regex_groups_never_empty(clean_pat):
+                return (
+                    f"transform(__prextall(({s}), ({p}), {g}), "
+                    f"__rx -> nullif(__rx, ''))"
+                )
+        return None
+
+    sql = _replace_fn_calls(
+        sql, "regexp_extract_all", extract_all_null_guard
+    )
+    sql = _replace_fn_calls(
+        sql,
+        "__prextall",
+        lambda a: f"regexp_extract_all({a[0]}, {a[1]}, {a[2]})",
+    )
     sql = _replace_fn_calls(sql, "regexp_extract", extract_null_guard)
     return _replace_fn_calls(
         sql,

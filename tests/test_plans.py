@@ -207,3 +207,33 @@ def test_lsh_bucket_cap_broadcast_anti_join(spark):
         "LeftAnti" in p and "Broadcast" in p
     )
     assert "SortMergeJoin LeftAnti" not in p
+
+
+def test_tpcds_star_brand_year_pushdown_broadcast(spark):
+    """Round-11 batch-2 canonical star (q3/q42/q52/q55 shape): the part
+    dimension filter (p_size < 15) pushes to ITS scan, part broadcasts,
+    and the result is TakeOrderedAndProject (no global sort)."""
+    df = REGISTRY["tpcds_star_brand_year"].spark_fn(spark, SF_DIR)
+    plans.assert_pushed_filters(df, "p_size")
+    plans.assert_broadcast_join(df, expect=1)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_tpcds_topk_prefilter_rollup_single_expand(spark):
+    """q70/q86 shape: the rollup over the top-5-prefiltered fact is ONE
+    Expand; nation broadcasts on both the rank subquery and the main
+    branch; no row-at-a-time Python anywhere."""
+    df = REGISTRY["tpcds_topk_prefilter_rollup_rank"].spark_fn(spark, SF_DIR)
+    assert plans.expand_count(df) == 1
+    plans.assert_no_python_udf(df)
+
+
+def test_tpcds_three_fact_agg_join_aggregates_first(spark):
+    """q25/q29 shape: each channel aggregates BEFORE the 3-way join —
+    the plan carries three partial/final HashAggregate pairs feeding the
+    joins, never a fact-x-fact join of raw lineitem rows (the join keys'
+    exchanges read from aggregated children)."""
+    df = REGISTRY["tpcds_three_fact_agg_join"].spark_fn(spark, SF_DIR)
+    p = plans.formatted_plan(df)
+    assert p.count("HashAggregate") >= 6  # 3 channels x partial+final
+    plans.assert_no_python_udf(df)

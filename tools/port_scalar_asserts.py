@@ -934,8 +934,21 @@ def _joda_eval(expr: str, env: dict):
             src = tm.group(3).strip()
         elif cond == "True":
             src = tm.group(2).strip()
-    src = re.sub(r"\bnew\s+(\w+)\s*\(", r"__new_\1(", src)
+    src = re.sub(r"\bnew\s+(\w+)(?:<[^>]*>)?\s*\(", r"__new_\1(", src)
+    src = re.sub(r"\bnull\b", "None", src)
+    src = _HEXFLOAT_RE.sub(lambda m: repr(float.fromhex(m.group(1))), src)
     src = re.sub(r"\b(\d[\d_]*)[Ll]\b", r"\1", src)
+    # (double)/(long)/(int) casts strip (values already carry the right
+    # Python type); (float) re-rounds through __F32C
+    prev = None
+    while prev != src:
+        prev = src
+        src = re.sub(
+            r"\(\s*float\s*\)\s*(-?\s*(?:[A-Za-z_][\w.]*\s*\([^()]*\)"
+            r"|[A-Za-z_][\w.]*|[0-9][\w.]*|\([^()]*\)))",
+            r"__F32C(\1)",
+            src,
+        )
     # f-suffixed literals: the float32-rounded VALUE (Java float literal
     # semantics); d-suffix is a plain double
     src = _NUM_SUFFIX_RE.sub(
@@ -1004,6 +1017,31 @@ def _joda_eval(expr: str, env: dict):
         raise ValueError(f"node {type(n).__name__}")
 
     def call(n):
+        # container heads: ImmutableList.of / Arrays.asList /
+        # ImmutableMap.of / ImmutableSet.of
+        if isinstance(n.func, _ast.Attribute) and isinstance(
+            n.func.value, _ast.Name
+        ):
+            head = f"{n.func.value.id}.{n.func.attr}"
+            if head in ("ImmutableList.of", "Arrays.asList"):
+                return [ev(a) for a in n.args]
+            if head == "ImmutableMap.of":
+                vals = [ev(a) for a in n.args]
+                return dict(zip(vals[::2], vals[1::2]))
+            if head == "ImmutableSet.of":
+                return set(ev(a) for a in n.args)
+            if head == "ImmutableMap.builder":
+                return {}
+            if n.func.value.id == "Math" and n.func.attr in (
+                "nextUp", "nextDown"
+            ):
+                (x,) = [ev(a) for a in n.args]
+                to = (
+                    float("inf")
+                    if n.func.attr == "nextUp"
+                    else float("-inf")
+                )
+                return float(_np.nextafter(_np.float64(float(x)), to))
         # Joiner.on(sep).join(list)
         if (
             isinstance(n.func, _ast.Attribute)
@@ -1145,6 +1183,17 @@ def _joda_eval(expr: str, env: dict):
             if fn == "nCopies" and len(args) == 2:
                 k, v = args
                 return [v] * int(k)
+            if fn in ("asList", "list"):
+                return args
+            if fn == "builder":  # static-import ImmutableMap.builder()
+                return {}
+            if fn == "__F32C":
+                (x,) = args
+                return _jv_f32(float(x))
+            if fn == "__new_HashMap" and not args:
+                return {}
+            if fn in ("__new_ArrayList", "__new_LinkedList") and not args:
+                return []
             raise ValueError(f"call {fn}")
         raise ValueError("call form")
 
@@ -1307,6 +1356,17 @@ def _joda_eval(expr: str, env: dict):
             raise ValueError(f"LocalTime.{meth}")
         if isinstance(recv, str) and meth == "getBytes":
             return recv.encode("utf-8")  # getBytes(UTF_8)
+        if isinstance(recv, dict):
+            if meth == "put" and len(args) == 2:  # builder().put(k, v)…
+                k = tuple(args[0]) if isinstance(args[0], list) else args[0]
+                recv[k] = args[1]
+                return recv
+            if meth == "build" and not args:
+                return recv
+            raise ValueError(f"Map.{meth}")
+        if isinstance(recv, list) and meth == "add" and len(args) == 1:
+            recv.append(args[0])
+            return recv
         if isinstance(recv, _Between) is False and meth == "get":
             raise ValueError("bare get")
         raise ValueError(f"method on {type(recv).__name__}")
@@ -1339,7 +1399,7 @@ class _Between:
         return self.n
 
 
-_CAST_TYPE_STRIP_RE = re.compile(r"\(\s*(?:long|int)\s*\)\s*")
+_CAST_TYPE_STRIP_RE = re.compile(r"\(\s*(?:long|int|double)\s*\)\s*")
 _JODA_MISS = object()
 _JAVA_NAMED = {
     "Double.MAX_VALUE": 1.7976931348623157e308,
@@ -1364,6 +1424,9 @@ _JODA_LOCAL_DECL_RE = re.compile(
 )
 _JODA_REASSIGN_RE = re.compile(r"^\s*(\w+)\s*=\s*([^;=][^;]*);\s*$",
                                re.MULTILINE)
+_JODA_MUT_RE = re.compile(
+    r"^\s*(\w+)\.(put|add)\s*\(([^;]*)\)\s*;\s*$", re.MULTILINE
+)
 
 
 class JodaCtx:
@@ -1372,9 +1435,21 @@ class JodaCtx:
     result.withDayOfMonth(20);`` chains — TestDateTimeFunctionsBase
     date_trunc tests)."""
 
-    def __init__(self, text: str):
+    def __init__(self, text: str, base_dir: str | None = None):
         self.text = text
-        self.consts: dict = dict(file_string_constants(text))
+        self.consts: dict = {}
+        # a subclass inherits the Base suite's protected constants
+        # (TestDateTimeFunctions extends TestDateTimeFunctionsBase)
+        em = re.search(r"\bclass\s+\w+\s+extends\s+(Test\w+)", text)
+        if em and base_dir:
+            base_path = os.path.join(base_dir, em.group(1) + ".java")
+            if os.path.isfile(base_path):
+                try:
+                    base = JodaCtx(open(base_path, encoding="utf-8").read())
+                    self.consts.update(base.consts)
+                except Exception:  # noqa: BLE001 — best-effort
+                    pass
+        self.consts.update(file_string_constants(text))
         for m in re.finditer(
             r"static\s+final\s+(DateTime|LocalTime|OffsetTime|Duration)\s+"
             r"(\w+)\s*=\s*([^;]+);",
@@ -1393,27 +1468,54 @@ class JodaCtx:
             self.consts.setdefault(
                 k, _jv_f32(jv.v) if jv.t == "f" else jv.v
             )
-        # ordered local declarations + reassignments for replay
+        # ordered local declarations + reassignments + container
+        # mutations (``m.put(k, v);`` / ``l.add(x);``) for replay
         decls = [
-            (m.start(), m.group(2), m.group(3))
+            (m.start(), "=", m.group(2), m.group(3))
             for m in _JODA_LOCAL_DECL_RE.finditer(text)
         ]
-        names = {d[1] for d in decls}
+        names = {d[2] for d in decls}
         reassigns = [
-            (m.start(), m.group(1), m.group(2))
+            (m.start(), "=", m.group(1), m.group(2))
             for m in _JODA_REASSIGN_RE.finditer(text)
             if m.group(1) in names
         ]
-        self.assigns = sorted(
-            decls + reassigns, key=lambda x: x[0]
-        )
+        muts = [
+            (m.start(), m.group(2), m.group(1), m.group(3))
+            for m in _JODA_MUT_RE.finditer(text)
+            if m.group(1) in names
+        ]
+        self.assigns = sorted(decls + reassigns + muts, key=lambda x: x[0])
 
     def env_at(self, pos: int) -> dict:
         env = dict(self.consts)
         poisoned: set[str] = set()
-        for apos, name, rhs in self.assigns:
+        for apos, kind, name, rhs in self.assigns:
             if apos >= pos:
                 break
+            if kind in ("put", "add"):
+                if name not in env:
+                    continue
+                from _scalar_util import split_java_args
+
+                try:
+                    vals = [
+                        _joda_eval(a, env) for a in split_java_args(rhs)
+                    ]
+                    if kind == "put" and isinstance(env[name], dict):
+                        k = (
+                            tuple(vals[0])
+                            if isinstance(vals[0], list)
+                            else vals[0]
+                        )
+                        env[name][k] = vals[1]
+                    elif kind == "add" and isinstance(env[name], list):
+                        env[name].append(vals[0])
+                except (ValueError, SyntaxError, KeyError, TypeError,
+                        ZeroDivisionError, OverflowError):
+                    poisoned.add(name)
+                    env.pop(name, None)
+                continue
             try:
                 env[name] = _joda_eval(rhs, env)
                 poisoned.discard(name)
@@ -1528,7 +1630,7 @@ def main() -> None:
             for lm in re.finditer(r"localeAssertions\s*\.\s*assert", text)
         }
         try:
-            jctx = JodaCtx(text)
+            jctx = JodaCtx(text, base_dir=os.path.dirname(path))
         except Exception:  # noqa: BLE001 — joda replay is best-effort
             jctx = None
         # the *Legacy suites run legacy_timestamp=true — the Joda

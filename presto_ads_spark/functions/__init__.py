@@ -117,6 +117,66 @@ def _register_python_udfs(spark: SparkSession) -> None:
         "double",
     )
 
+    # UrlFunctions.java parseUrl → java.net.URI: Presto returns the
+    # EMPTY STRING for an absent component of a PARSEABLE URI
+    # (nullToEmpty over URI getters) and NULL only when parsing fails
+    # (URISyntaxException); opaque URIs (mailto:…) have null
+    # host/path/query but a real scheme; a RELATIVE reference ('foo')
+    # has path 'foo' and empty scheme. Spark's parse_url (Hive regex)
+    # conflates absent-component and invalid-URI as NULL and can't see
+    # relative references at all, so this is a faithful mini
+    # java.net.URI in Python — pure scalar compat surface, never a hot
+    # path (the llm/ pipelines use JVM parse_url/regexp directly).
+    import re as _ure
+
+    _URI_BAD_CHARS = _ure.compile(r'[ <>"{}|\\^`\x00-\x1f\x7f]')
+    _URI_SPLIT = _ure.compile(
+        r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(//[^/?#]*)?([^?#]*)"
+        r"(?:\?([^#]*))?(?:#(.*))?$",
+        _ure.DOTALL,
+    )
+
+    def _presto_url_part(url, part):
+        if url is None or part is None:
+            return None
+        if _URI_BAD_CHARS.search(url):
+            return None  # URISyntaxException → Presto NULL
+        m = _URI_SPLIT.match(url)
+        if not m:
+            return None
+        scheme, auth, path, query, frag = m.groups()
+        opaque = scheme is not None and auth is None and bool(path) and (
+            not path.startswith("/")
+        )
+        host = userinfo = None
+        port = None
+        if auth is not None:
+            a = auth[2:]
+            if "@" in a:
+                userinfo, _, a = a.partition("@")
+            hm = _ure.fullmatch(r"(.*?)(?::(\d+))?", a)
+            host = hm.group(1)
+            if hm.group(2):
+                port = hm.group(2)
+        if opaque:
+            path = None
+            query = None  # scheme-specific part is opaque
+        if part == "protocol":
+            return scheme or ""
+        if part == "host":
+            return host or ""
+        if part == "path":
+            return path or ""
+        if part == "query":
+            return query if query is not None else ""
+        if part == "fragment":
+            return frag if frag is not None else ""
+        if part == "port":
+            return port  # NULL when absent (URI.getPort() == -1)
+        return None
+
+    spark.udf.register("__presto_url_part", _presto_url_part, "string")
+
     # Presto CAST(x AS JSON) canonicalizer. Presto serializes ROW values
     # as JSON ARRAYS of their field values while Spark's to_json emits
     # objects (reference: presto-main/.../operator/scalar/JsonOperators +

@@ -228,16 +228,23 @@ SQL_FUNCTIONS: list[str] = [
            ELSE 0
          END""",
     # --- UrlFunctions.java:55-77 ----------------------------------------
+    # Presto parseUrl = java.net.URI: a parseable URI's absent component
+    # is the EMPTY STRING (nullToEmpty over the getters), NULL only on
+    # URISyntaxException; opaque URIs (mailto:…) null out host/path/
+    # query; relative references keep their path. Spark's Hive-regex
+    # parse_url conflates all of those as NULL, so the components route
+    # through the __presto_url_part Python mini-URI (compat surface,
+    # never a hot path — functions/__init__.py).
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_protocol(url STRING)
-       RETURNS STRING RETURN parse_url(url, 'PROTOCOL')""",
+       RETURNS STRING RETURN __presto_url_part(url, 'protocol')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_host(url STRING)
-       RETURNS STRING RETURN parse_url(url, 'HOST')""",
+       RETURNS STRING RETURN __presto_url_part(url, 'host')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_path(url STRING)
-       RETURNS STRING RETURN parse_url(url, 'PATH')""",
+       RETURNS STRING RETURN __presto_url_part(url, 'path')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(url STRING)
-       RETURNS STRING RETURN parse_url(url, 'QUERY')""",
+       RETURNS STRING RETURN __presto_url_part(url, 'query')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_fragment(url STRING)
-       RETURNS STRING RETURN parse_url(url, 'REF')""",
+       RETURNS STRING RETURN __presto_url_part(url, 'fragment')""",
     # a key present WITHOUT a value returns '' (UrlFunctions
     # urlExtractParameter "first matched key is empty" → EMPTY_SLICE);
     # an absent key returns NULL — Spark's parse_url NULLs both
@@ -247,14 +254,14 @@ SQL_FUNCTIONS: list[str] = [
     # return the later value.
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_parameter(url STRING, name STRING)
        RETURNS STRING RETURN
-         CASE WHEN size(filter(split(parse_url(url, 'QUERY'), '&'),
+         CASE WHEN size(filter(split(__presto_url_part(url, 'query'), '&'),
                                p -> p = name OR startswith(p, concat(name, '=')))) > 0
-              THEN substr(filter(split(parse_url(url, 'QUERY'), '&'),
+              THEN substr(filter(split(__presto_url_part(url, 'query'), '&'),
                                  p -> p = name OR startswith(p, concat(name, '=')))[0],
                           length(name) + 2)
          END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_port(url STRING)
-       RETURNS BIGINT RETURN CAST(regexp_extract(parse_url(url, 'AUTHORITY'), ':(\\\\d+)$', 1) AS BIGINT)""",
+       RETURNS BIGINT RETURN CAST(__presto_url_part(url, 'port') AS BIGINT)""",
     # --- ArrayFunctions --------------------------------------------------
     # array_ngrams (Presto ArrayNgramsFunction): n-grams of an array.
     """CREATE OR REPLACE TEMPORARY FUNCTION array_ngrams(arr ARRAY<STRING>, n INT)

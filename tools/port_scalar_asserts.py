@@ -1580,6 +1580,225 @@ def build_sql_with_joda(expr: str, jenv: dict) -> str:
     return "".join(out)
 
 
+# ---------------------------------------------------------------------------
+# data-driven helper-method inlining (round 11): ``private void
+# validateUrlExtract(String url, …) { assertFunction(…); }`` invoked
+# with literal arguments (TestUrlFunctions.java:90/27-35) — each
+# invocation binds the parameters and replays the body (sequential
+# assignments included); ``if (param == null) {A} else {B}`` resolves
+# under the binding, the untaken branch is blanked (newlines kept so
+# site line numbers stay true).
+# ---------------------------------------------------------------------------
+
+_HELPER_DEF_RE = re.compile(
+    r"private\s+(?:static\s+)?void\s+(\w+)\s*\(([^)]*)\)\s*(?:\n\s*)?\{"
+)
+_IF_NULL_RE = re.compile(
+    r"if\s*\(\s*(\w+)\s*(==|!=)\s*null\s*\)\s*\{"
+)
+
+
+def _resolve_null_branches(body: str, env: dict) -> str | None:
+    """Blank the untaken branch of each ``if (p == null) {} else {}``
+    whose selector is a bound parameter; None when a condition can't be
+    decided (the caller then skips the invocation)."""
+
+    def blank(seg: str) -> str:
+        return "".join(c if c == "\n" else " " for c in seg)
+
+    out = body
+    while True:
+        m = _IF_NULL_RE.search(out)
+        if not m:
+            return out
+        name, op = m.group(1), m.group(2)
+        if name not in env:
+            return None
+        then_start = m.end() - 1
+        then_end = _matching_brace(out, then_start)
+        em = re.match(r"\s*else\s*\{", out[then_end:])
+        else_span = None
+        if em:
+            es = then_end + em.end() - 1
+            else_span = (es, _matching_brace(out, es))
+        cond = (env[name] is None) == (op == "==")
+        pieces = [out[: m.start()], blank(out[m.start() : then_start + 1])]
+        if cond:
+            pieces.append(out[then_start + 1 : then_end - 1])
+        else:
+            pieces.append(blank(out[then_start + 1 : then_end - 1]))
+        pieces.append(" ")  # the closing brace of the then-block
+        if else_span:
+            es, ee = else_span
+            pieces.append(blank(out[then_end:es + 1]))
+            if cond:
+                pieces.append(blank(out[es + 1 : ee - 1]))
+            else:
+                pieces.append(out[es + 1 : ee - 1])
+            pieces.append(" ")
+            pieces.append(out[ee:])
+        else:
+            pieces.append(out[then_end:])
+        out = "".join(pieces)
+
+
+def helper_inlined_sites(text: str, tag: str, jctx):
+    """Yield (name, def_line, jargs, env) for assert sites inside
+    private void helpers, one per literal-argument invocation; plus the
+    set of source lines consumed (the helper bodies' own sites)."""
+    from _scalar_util import split_java_args
+
+    out, consumed = [], set()
+    helpers = []
+    for m in _HELPER_DEF_RE.finditer(text):
+        body_start = m.end() - 1
+        body_end = _matching_brace(text, body_start)
+        body = text[body_start + 1 : body_end - 1]
+        if "assertFunction" not in body:
+            continue
+        params = []
+        ok = True
+        for ptxt in split_java_args(m.group(2)) if m.group(2).strip() else []:
+            pm = re.fullmatch(r"\s*([\w<>\[\], ]+?)\s+(\w+)\s*", ptxt)
+            if not pm:
+                ok = False
+                break
+            params.append(pm.group(2))
+        if not ok:
+            continue
+        helpers.append(
+            (m.group(1), params, m.start(), body_start, body_end, body)
+        )
+    emitted_lines: set[int] = set()
+    body_lines: set[int] = set()
+    for hname, params, def_start, body_start, body_end, body in helpers:
+        for am in _ASSERT_RE.finditer(text, body_start, body_end):
+            line0 = text[: am.start()].count("\n") + 1
+            consumed.add(line0)
+            body_lines.add(line0)
+        inv_re = re.compile(rf"\b{hname}\s*\(")
+        k = 0
+        for im in inv_re.finditer(text):
+            if def_start <= im.start() < body_end:
+                continue
+            j = _scan_matching_paren_text(text, im.end())
+            if j is None or text[j:j + 1].strip(" \n")[:1] != ";":
+                continue
+            inv_args = split_java_args(text[im.end() : j - 1])
+            if len(inv_args) != len(params):
+                continue
+            base_env = dict(jctx.consts) if jctx else {}
+            env = dict(base_env)
+            try:
+                for pname, atext in zip(params, inv_args):
+                    env[pname] = _joda_eval(atext, base_env)
+            except (ValueError, SyntaxError, KeyError, TypeError):
+                continue
+            resolved = _resolve_null_branches(body, env)
+            if resolved is None:
+                continue
+            # sequential replay of body statements: assignments +
+            # mutations interleaved with assert sites
+            events = []
+            for sm in _JODA_LOCAL_DECL_RE.finditer(resolved):
+                events.append((sm.start(), "=", sm.group(2), sm.group(3)))
+            names = set(params) | {e[2] for e in events}
+            for sm in _JODA_REASSIGN_RE.finditer(resolved):
+                if sm.group(1) in names:
+                    events.append((sm.start(), "=", sm.group(1), sm.group(2)))
+            for sm in _JODA_MUT_RE.finditer(resolved):
+                if sm.group(1) in names:
+                    events.append(
+                        (sm.start(), sm.group(2), sm.group(1), sm.group(3))
+                    )
+            sites = []
+            for am in _ASSERT_RE.finditer(resolved):
+                depth, i2, in_str, esc = 1, am.end(), False, False
+                while depth and i2 < len(resolved):
+                    c = resolved[i2]
+                    if in_str:
+                        if esc:
+                            esc = False
+                        elif c == "\\":
+                            esc = True
+                        elif c == '"':
+                            in_str = False
+                    elif c == '"':
+                        in_str = True
+                    elif c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                    i2 += 1
+                sites.append(
+                    (am.start(), am.group(1), resolved[am.end() : i2 - 1])
+                )
+            stream = sorted(
+                [(e[0], ("evt", e[1], e[2], e[3])) for e in events]
+                + [(p, ("site", kind, inner)) for p, kind, inner in sites],
+                key=lambda x: x[0],
+            )
+            for pos, item in stream:
+                if item[0] == "evt":
+                    _, kind2, nm, rhs = item
+                    try:
+                        if kind2 == "=":
+                            env[nm] = _joda_eval(rhs, env)
+                        elif kind2 in ("put", "add") and nm in env:
+                            vals = [
+                                _joda_eval(a, env)
+                                for a in split_java_args(rhs)
+                            ]
+                            if kind2 == "put":
+                                env[nm][vals[0]] = vals[1]
+                            else:
+                                env[nm].append(vals[0])
+                    except (ValueError, SyntaxError, KeyError, TypeError):
+                        env.pop(nm, None)
+                    continue
+                _, kind2, inner = item
+                jargs = split_java_args(inner)
+                if kind2 == "Function" and len(jargs) == 3:
+                    site_line = (
+                        text[: body_start].count("\n")
+                        + 1
+                        + resolved[:pos].count("\n")
+                    )
+                    emitted_lines.add(site_line)
+                    out.append(
+                        (f"{tag}{site_line}H{k}", site_line, jargs,
+                         dict(env))
+                    )
+            k += 1
+    uninlined = body_lines - emitted_lines
+    return out, consumed, uninlined
+
+
+def _scan_matching_paren_text(text: str, open_after: int) -> int | None:
+    depth, i, in_str, in_chr, esc = 1, open_after, False, False, False
+    while depth and i < len(text):
+        c = text[i]
+        if in_str or in_chr:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif in_str and c == '"':
+                in_str = False
+            elif in_chr and c == "'":
+                in_chr = False
+        elif c == '"':
+            in_str = True
+        elif c == "'":
+            in_chr = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return i if depth == 0 else None
+
+
 def triage(sql: str, type_text: str, expected_text: str):
     """(category, expected) or a skip-reason string."""
     if _NONDET_RE.search(sql):
@@ -1696,6 +1915,66 @@ def main() -> None:
                     )
                     continue
             pending.append((gname, gsql, gcat, gexp, gtype))
+        try:
+            helper_sites, helper_consumed, helper_uninlined = (
+                helper_inlined_sites(text, tag, jctx)
+            )
+        except (ValueError, SyntaxError, RecursionError):
+            helper_sites, helper_consumed, helper_uninlined = [], set(), set()
+        for uline in sorted(helper_uninlined):
+            skips.append(
+                (f"{tag}{uline}",
+                 "helper-method site — no literal-argument invocation "
+                 "inlined (non-literal or loop-built call args)")
+            )
+        for hname2, hline, hargs, henv in helper_sites:
+            try:
+                hsql = build_sql_with_joda(
+                    substitute_string_constants(hargs[0], consts), henv
+                )
+            except (ValueError, SyntaxError, KeyError, TypeError):
+                continue  # the line-level skip below records the family
+            if _NONDET_RE.search(hsql):
+                continue
+            hdev = next(
+                (r for p2, r in _DEVIATION_SKIPS if p2.search(hsql)), None
+            )
+            if hdev:
+                skips.append((hname2, hdev))
+                continue
+            htype = hargs[1].strip()
+            # parameter-dependent type args: url.length() → the int
+            htype = re.sub(
+                r"\b(\w+)\.length\(\)",
+                lambda m2: str(len(henv[m2.group(1)]))
+                if isinstance(henv.get(m2.group(1)), str)
+                else m2.group(0),
+                htype,
+            )
+            hcat = type_category(resolve_type_var(htype, hline, type_vars))
+            if hcat is None:
+                skips.append(
+                    (hname2,
+                     f"unsupported result type for value comparison: "
+                     f"{htype}")
+                )
+                continue
+            try:
+                hexp = _joda_eval(hargs[2], henv)
+            except (ValueError, SyntaxError, KeyError, TypeError):
+                try:
+                    hexp = parse_java_value(
+                        substitute_string_constants(hargs[2], consts)
+                    )
+                except (ValueError, IndexError, TypeError, KeyError) as e:
+                    skips.append(
+                        (hname2, f"non-literal expected value ({e})")
+                    )
+                    continue
+            if isinstance(hexp, _dtm.datetime) and hexp.tzinfo:
+                hexp = hexp.astimezone(_dtm.timezone.utc).replace(tzinfo=None)
+            pending.append((hname2, hsql, hcat, hexp, htype))
+        consumed_lines |= helper_consumed
         for line, kind, inner in extract_sites(text):
             if line in consumed_lines:
                 continue  # represented by its unrolled G-cases above

@@ -177,6 +177,50 @@ def _register_python_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("__presto_url_part", _presto_url_part, "string")
 
+    # CAST(JSON AS MAP(K, JSON)) / ARRAY(JSON): the VALUES stay JSON
+    # TEXT fragments ('"e"', 'null', '{"a":"b"}' — JsonToMapCast with a
+    # JSON value type keeps the fragment verbatim); from_json/
+    # get_json_object unquote scalars and drop JSON nulls, losing the
+    # '"null"' vs null distinction. Canonical-form fragments via json —
+    # compat surface, never a hot path.
+    import json as _fj
+
+    def _frag(v):
+        return _fj.dumps(
+            v, separators=(",", ":"), ensure_ascii=False, sort_keys=True
+        )
+
+    def _json_fragment_map(js):
+        if js is None:
+            return None
+        try:
+            obj = _fj.loads(js)
+        except ValueError:
+            return None
+        if not isinstance(obj, dict):
+            return None
+        return {k: _frag(v) for k, v in obj.items()}
+
+    def _json_fragment_array(js):
+        if js is None:
+            return None
+        try:
+            arr = _fj.loads(js)
+        except ValueError:
+            return None
+        if not isinstance(arr, list):
+            return None
+        return [_frag(v) for v in arr]
+
+    spark.udf.register(
+        "__presto_json_fragment_map", _json_fragment_map,
+        "map<string,string>",
+    )
+    spark.udf.register(
+        "__presto_json_fragment_array", _json_fragment_array,
+        "array<string>",
+    )
+
     # Presto CAST(x AS JSON) canonicalizer. Presto serializes ROW values
     # as JSON ARRAYS of their field values while Spark's to_json emits
     # objects (reference: presto-main/.../operator/scalar/JsonOperators +

@@ -5887,6 +5887,23 @@ def _normalize_interval_literals(sql: str) -> str:
         unit = " ".join(m.group(2).upper().split())
         if " TO " not in unit:
             return m.group(0)
+        if unit == "YEAR TO MONTH":
+            # Presto allows a partial-field ('124' = years only) or
+            # overflowed-month ('124-30') literal; normalize to total
+            # months rendered y-m (IntervalYearMonth parse = y*12 + m)
+            ym = re.fullmatch(
+                r"\s*([+-]?)(\d+)(?:-(\d+))?\s*", m.group(1)
+            )
+            if not ym:
+                return m.group(0)
+            sign, y, mo = ym.group(1), int(ym.group(2)), int(
+                ym.group(3) or 0
+            )
+            total = y * 12 + mo
+            return (
+                f"INTERVAL '{sign}{total // 12}-{total % 12}'"
+                f" YEAR TO MONTH"
+            )
         ms = _interval_literal_millis(m.group(1), unit)
         if ms is None:
             return m.group(0)
@@ -7142,9 +7159,32 @@ def _json_composite_parse(expr: str, ttype: str, schema: str) -> str:
                 f"ELSE transform(from_json({e}, 'array<string>'), "
                 f"__je -> {rb}) END)"
             )
+    am2 = re.match(r"^ARRAY\s*[(<](.*)[)>]$", t, re.IGNORECASE | re.DOTALL)
+    if am2 and am2.group(1).strip().upper() == "JSON":
+        # ARRAY(JSON): elements stay JSON TEXT fragments
+        e = f"({expr})"
+        return (
+            f"(CASE WHEN {e} IS NULL OR trim({e}) = 'null' THEN NULL "
+            f"ELSE __presto_json_fragment_array({e}) END)"
+        )
     mm = re.match(r"^MAP\s*[(<](.*)[)>]$", t, re.IGNORECASE | re.DOTALL)
     if mm:
         kv = _split_presto_type_args(mm.group(1))
+        if len(kv) == 2 and kv[1].strip().upper() == "JSON":
+            # MAP(K, JSON): values stay JSON TEXT fragments
+            # (JsonToMapCast with JSON value type — MO380)
+            key = _presto_type_to_spark(kv[0].strip())
+            e = f"({expr})"
+            base = f"__presto_json_fragment_map({e})"
+            if key is not None and key != "string":
+                base = (
+                    f"transform_keys({base}, "
+                    f"(__jk, __jv2) -> CAST(__jk AS {key}))"
+                )
+            return (
+                f"(CASE WHEN {e} IS NULL OR trim({e}) = 'null' THEN NULL "
+                f"ELSE {base} END)"
+            )
         if len(kv) == 2 and re.match(
             r"^ROW\s*\(", kv[1].strip(), re.IGNORECASE
         ):

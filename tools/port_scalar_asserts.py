@@ -644,6 +644,10 @@ _SCALAR_CONST_RE = re.compile(
 _FOREACH_RE = re.compile(
     r"for\s*\(\s*(double|float|int|long)\s+(\w+)\s*:\s*(\w+)\s*\)\s*\{"
 )
+_FOREACH_STR_INLINE_RE = re.compile(
+    r"for\s*\(\s*String\s+(\w+)\s*:\s*new\s+String\s*\[\]\s*"
+    r"\{([^{}]*)\}\s*\)\s*\{"
+)
 _LOCAL_DECL_RE = re.compile(
     r"^\s*(Float|Double|Integer|Long|float|double|int|long)\s+"
     r"(\w+)\s*=\s*([^;]+);\s*$",
@@ -740,24 +744,62 @@ def unrolled_sites(text: str, tag: str):
     out, consumed = [], set()
 
     def walk(seg_start: int, seg_end: int, bindings: list):
+        from _scalar_util import unescape_java
+
         i = seg_start
         while i < seg_end:
-            m = _FOREACH_RE.search(text, i, seg_end)
+            m1 = _FOREACH_RE.search(text, i, seg_end)
+            m2 = _FOREACH_STR_INLINE_RE.search(text, i, seg_end)
+            m = min(
+                (x for x in (m1, m2) if x),
+                key=lambda x: x.start(),
+                default=None,
+            )
             if not m:
                 return
-            jt, var, arr = m.group(1), m.group(2), m.group(3)
+            vals: list | None = None
+            if m is m1:
+                jt, var, arr = m.group(1), m.group(2), m.group(3)
+                if arr in arrays:
+                    t_decl = _JTYPE_TAG[jt]
+                    vals = [
+                        _JV(float(v.v), "d") if t_decl == "d"
+                        else _JV(_jv_f32(v.v), "f") if t_decl == "f"
+                        else _JV(int(v.v), "i")
+                        for v in arrays[arr][1]
+                    ]
+            else:
+                var = m.group(1)
+                from _scalar_util import split_java_args as _sja
+
+                vals = []
+                for etext in _sja(m.group(2)):
+                    sm = re.fullmatch(
+                        r'\s*"((?:[^"\\]|\\.)*)"\s*', etext
+                    )
+                    if not sm:
+                        vals = None
+                        break
+                    vals.append(_JV(unescape_java(sm.group(1)), "s"))
             body_start = m.end() - 1
             body_end = _matching_brace(text, body_start)
-            if arr in arrays:
-                walk(m.end(), body_end - 1, bindings + [(var, jt, arr)])
-                _emit(m.end(), body_end - 1, bindings + [(var, jt, arr)])
+            if vals:
+                walk(m.end(), body_end - 1, bindings + [(var, vals)])
+                _emit(m.end(), body_end - 1, bindings + [(var, vals)])
             i = body_end
 
     def _emit(body_start: int, body_end: int, bindings: list):
         body = text[body_start:body_end]
         # nested loops are emitted at their own recursion level; here
         # only handle sites NOT inside a deeper for-each
-        inner = _FOREACH_RE.search(body)
+        inner = min(
+            (x for x in (
+                _FOREACH_RE.search(body),
+                _FOREACH_STR_INLINE_RE.search(body),
+            ) if x),
+            key=lambda x: x.start(),
+            default=None,
+        )
         inner_span = None
         if inner:
             s = body_start + inner.start()
@@ -768,16 +810,7 @@ def unrolled_sites(text: str, tag: str):
             for m in _LOCAL_DECL_RE.finditer(body)
         ]
         combos = [{}]
-        for var, jt, arr in bindings:
-            t_decl = _JTYPE_TAG[jt]
-            vals = []
-            for v in arrays[arr][1]:
-                if t_decl == "d":
-                    vals.append(_JV(float(v.v), "d"))
-                elif t_decl == "f":
-                    vals.append(_JV(_jv_f32(v.v), "f"))
-                else:
-                    vals.append(_JV(int(v.v), "i"))
+        for var, vals in bindings:
             combos = [
                 {**c, var: val} for c in combos for val in vals
             ]
@@ -935,7 +968,10 @@ def _joda_eval(expr: str, env: dict):
         elif cond == "True":
             src = tm.group(2).strip()
     src = re.sub(r"\bnew\s+(\w+)(?:<[^>]*>)?\s*\(", r"__new_\1(", src)
-    src = re.sub(r"\bnull\b", "None", src)
+    # java keyword literals → Python, OUTSIDE double-quoted strings
+    src = _sub_outside_dquotes(r"\bnull\b", "None", src)
+    src = _sub_outside_dquotes(r"\btrue\b", "True", src)
+    src = _sub_outside_dquotes(r"\bfalse\b", "False", src)
     src = _HEXFLOAT_RE.sub(lambda m: repr(float.fromhex(m.group(1))), src)
     src = re.sub(r"\b(\d[\d_]*)[Ll]\b", r"\1", src)
     # (double)/(long)/(int) casts strip (values already carry the right
@@ -958,7 +994,12 @@ def _joda_eval(expr: str, env: dict):
         src,
     )
     src = _CAST_TYPE_STRIP_RE.sub("", src)
-    node = _ast.parse(src, mode="eval").body
+    try:
+        node = _ast.parse(src, mode="eval").body
+    except SyntaxError:
+        # multiline builder chains (leading-dot continuations) parse
+        # fine once parenthesized
+        node = _ast.parse("(" + src + ")", mode="eval").body
 
     def ev(n):
         if isinstance(n, _ast.Constant):
@@ -1025,6 +1066,15 @@ def _joda_eval(expr: str, env: dict):
             head = f"{n.func.value.id}.{n.func.attr}"
             if head in ("ImmutableList.of", "Arrays.asList"):
                 return [ev(a) for a in n.args]
+            if head == "Collections.nCopies":
+                k, v = [ev(a) for a in n.args]
+                return [v] * int(k)
+            if head == "Collections.singletonList":
+                return [ev(n.args[0])]
+            if head == "Collections.emptyList":
+                return []
+            if head == "Collections.emptyMap":
+                return {}
             if head == "ImmutableMap.of":
                 vals = [ev(a) for a in n.args]
                 return dict(zip(vals[::2], vals[1::2]))
@@ -1140,6 +1190,21 @@ def _joda_eval(expr: str, env: dict):
                 if isinstance(b, bytes):
                     return b
                 raise ValueError("SqlVarbinary arg")
+            if fn == "__new_SqlIntervalDayTime":
+                a = [int(ev(x)) for x in args_nodes]
+                if len(a) == 1:  # millis
+                    return a[0]
+                if len(a) == 5:  # (d, h, m, s, ms)
+                    d, h, mi, s, ms = a
+                    return (((d * 24 + h) * 60 + mi) * 60 + s) * 1000 + ms
+                raise ValueError("SqlIntervalDayTime arity")
+            if fn == "__new_SqlIntervalYearMonth":
+                a = [int(ev(x)) for x in args_nodes]
+                if len(a) == 1:  # months
+                    return a[0]
+                if len(a) == 2:  # (years, months)
+                    return a[0] * 12 + a[1]
+                raise ValueError("SqlIntervalYearMonth arity")
             args = [ev(x) for x in args_nodes]
             if fn in ("sqlTimestampOf",):
                 if len(args) == 2 and isinstance(args[0], _dtm.datetime):
@@ -1185,6 +1250,9 @@ def _joda_eval(expr: str, env: dict):
                 return [v] * int(k)
             if fn in ("asList", "list"):
                 return args
+            if fn == "asMap" and len(args) == 2:
+                ks, vs = args
+                return dict(zip(ks, vs))
             if fn == "builder":  # static-import ImmutableMap.builder()
                 return {}
             if fn == "__F32C":
@@ -1356,6 +1424,10 @@ def _joda_eval(expr: str, env: dict):
             raise ValueError(f"LocalTime.{meth}")
         if isinstance(recv, str) and meth == "getBytes":
             return recv.encode("utf-8")  # getBytes(UTF_8)
+        if isinstance(recv, str) and meth == "replace" and len(args) == 2:
+            return recv.replace(str(args[0]), str(args[1]))
+        if isinstance(recv, int) and meth in ("getMillis", "getMonths"):
+            return recv  # SqlIntervalDayTime/YearMonth carried as int
         if isinstance(recv, dict):
             if meth == "put" and len(args) == 2:  # builder().put(k, v)…
                 k = tuple(args[0]) if isinstance(args[0], list) else args[0]
@@ -1375,6 +1447,16 @@ def _joda_eval(expr: str, env: dict):
     if isinstance(out, _Between):  # .get() on a field property
         return out.n
     return out
+
+
+class _OpaqueArg:
+    """An unevaluable helper-invocation argument kept as source text —
+    usable only in TYPE position (e.g. INTERVAL_DAY_TIME)."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.text = text
 
 
 class _JDuration:
@@ -1401,6 +1483,31 @@ class _Between:
 
 _CAST_TYPE_STRIP_RE = re.compile(r"\(\s*(?:long|int|double)\s*\)\s*")
 _JODA_MISS = object()
+
+
+def _sub_outside_dquotes(pattern: str, repl: str, src: str) -> str:
+    """re.sub applied only to segments outside double-quoted Java
+    string literals."""
+    out, i, n = [], 0, len(src)
+    seg_start = 0
+    while i < n:
+        if src[i] == '"':
+            out.append(re.sub(pattern, repl, src[seg_start:i]))
+            j = i + 1
+            while j < n:
+                if src[j] == "\\":
+                    j += 2
+                    continue
+                if src[j] == '"':
+                    j += 1
+                    break
+                j += 1
+            out.append(src[i:j])
+            i = seg_start = j
+        else:
+            i += 1
+    out.append(re.sub(pattern, repl, src[seg_start:]))
+    return "".join(out)
 _JAVA_NAMED = {
     "Double.MAX_VALUE": 1.7976931348623157e308,
     "Double.MIN_VALUE": 4.9e-324,
@@ -1689,11 +1796,13 @@ def helper_inlined_sites(text: str, tag: str, jctx):
                 continue
             base_env = dict(jctx.consts) if jctx else {}
             env = dict(base_env)
-            try:
-                for pname, atext in zip(params, inv_args):
+            for pname, atext in zip(params, inv_args):
+                try:
                     env[pname] = _joda_eval(atext, base_env)
-            except (ValueError, SyntaxError, KeyError, TypeError):
-                continue
+                except (ValueError, SyntaxError, KeyError, TypeError):
+                    # unevaluable arg (e.g. a Type constant) — usable
+                    # only in type position, by its source text
+                    env[pname] = _OpaqueArg(atext.strip())
             resolved = _resolve_null_branches(body, env)
             if resolved is None:
                 continue
@@ -1943,6 +2052,8 @@ def main() -> None:
                 skips.append((hname2, hdev))
                 continue
             htype = hargs[1].strip()
+            if isinstance(henv.get(htype), _OpaqueArg):
+                htype = henv[htype].text  # type param → invocation text
             # parameter-dependent type args: url.length() → the int
             htype = re.sub(
                 r"\b(\w+)\.length\(\)",
@@ -1961,6 +2072,8 @@ def main() -> None:
                 continue
             try:
                 hexp = _joda_eval(hargs[2], henv)
+                if isinstance(hexp, _OpaqueArg):
+                    raise ValueError("opaque expected")
             except (ValueError, SyntaxError, KeyError, TypeError):
                 try:
                     hexp = parse_java_value(

@@ -1778,11 +1778,21 @@ def helper_inlined_sites(text: str, tag: str, jctx):
         )
     emitted_lines: set[int] = set()
     body_lines: set[int] = set()
+    zone_lines: set[int] = set()
     for hname, params, def_start, body_start, body_end, body in helpers:
+        zone_param = "FunctionAssertions(" in body
         for am in _ASSERT_RE.finditer(text, body_start, body_end):
             line0 = text[: am.start()].count("\n") + 1
             consumed.add(line0)
-            body_lines.add(line0)
+            if zone_param:
+                zone_lines.add(line0)
+            else:
+                body_lines.add(line0)
+        if zone_param:
+            # the helper constructs its own session-parameterized
+            # FunctionAssertions (zone/locale-scoped) — results depend
+            # on that session, not the engine's
+            continue
         inv_re = re.compile(rf"\b{hname}\s*\(")
         k = 0
         for im in inv_re.finditer(text):
@@ -1880,7 +1890,7 @@ def helper_inlined_sites(text: str, tag: str, jctx):
                     )
             k += 1
     uninlined = body_lines - emitted_lines
-    return out, consumed, uninlined
+    return out, consumed, uninlined, zone_lines
 
 
 def _scan_matching_paren_text(text: str, open_after: int) -> int | None:
@@ -2025,16 +2035,23 @@ def main() -> None:
                     continue
             pending.append((gname, gsql, gcat, gexp, gtype))
         try:
-            helper_sites, helper_consumed, helper_uninlined = (
-                helper_inlined_sites(text, tag, jctx)
-            )
+            (helper_sites, helper_consumed, helper_uninlined,
+             helper_zone) = helper_inlined_sites(text, tag, jctx)
         except (ValueError, SyntaxError, RecursionError):
-            helper_sites, helper_consumed, helper_uninlined = [], set(), set()
+            helper_sites, helper_consumed = [], set()
+            helper_uninlined, helper_zone = set(), set()
         for uline in sorted(helper_uninlined):
             skips.append(
                 (f"{tag}{uline}",
                  "helper-method site — no literal-argument invocation "
                  "inlined (non-literal or loop-built call args)")
+            )
+        for zline in sorted(helper_zone):
+            skips.append(
+                (f"{tag}{zline}",
+                 "session-parameterized FunctionAssertions helper "
+                 "(zone/locale-scoped session) — engine sessions are "
+                 "UTC-anchored")
             )
         for hname2, hline, hargs, henv in helper_sites:
             try:

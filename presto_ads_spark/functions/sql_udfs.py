@@ -614,8 +614,14 @@ SQL_FUNCTIONS: list[str] = [
          CAST(reflect('java.lang.Float', 'intBitsToFloat', from_big_endian_32(b)) AS FLOAT)""",
     # --- VarbinaryFunctions.java:89-112 base64url (RFC 4648 §5: +/ → -_,
     #     padding kept, matching Base64.getUrlEncoder/getUrlDecoder).
+    # Spark's base64 MIME-chunks outputs past 76 chars (CRLF inserts);
+    # Presto's to_base64 is continuous (VarbinaryFunctions.java:83
+    # Base64.getEncoder) — strip the fold characters (VF118/139).
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_to_base64(b BINARY)
+       RETURNS STRING RETURN
+         replace(replace(base64(b), chr(13), ''), chr(10), '')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION to_base64url(b BINARY)
-       RETURNS STRING RETURN translate(base64(b), '+/', '-_')""",
+       RETURNS STRING RETURN translate(presto_to_base64(b), '+/', '-_')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION from_base64url(s STRING)
        RETURNS BINARY RETURN unbase64(translate(s, '-_', '+/'))""",
     # --- MapFunctions multimap_from_entries (monomorphic string form, like

@@ -76,7 +76,8 @@ FUNCTION_RENAMES: dict[str, str] = {
     # re-translating the pattern as MySQL
     "__spark_date_format": "date_format",
     "from_iso8601_date": "to_date",
-    "to_base64": "base64",
+    # Spark base64 MIME-folds past 76 chars; Presto is continuous
+    "to_base64": "presto_to_base64",
     "from_base64": "unbase64",
     "to_hex": "hex",
     "from_hex": "unhex",

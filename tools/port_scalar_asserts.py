@@ -524,6 +524,12 @@ def java_expr_eval(expr: str, env: dict[str, _JV]) -> _JV:
             raise ValueError("unary")
         if isinstance(n, _ast.BinOp):
             return binop(n.op, ev(n.left), ev(n.right))
+        if isinstance(n, _ast.Subscript):  # String[] element access
+            recv = ev(n.value)
+            idx = ev(n.slice)
+            if recv.t == "L" and idx.t == "i":
+                return _JV(recv.v[idx.v], "s")
+            raise ValueError("subscript")
         if isinstance(n, _ast.Call):
             # Math.<fn>(args)
             if (
@@ -648,8 +654,14 @@ _FOREACH_STR_INLINE_RE = re.compile(
     r"for\s*\(\s*String\s+(\w+)\s*:\s*new\s+String\s*\[\]\s*"
     r"\{([^{}]*)\}\s*\)\s*\{"
 )
+_FOREACH_STRARR_RE = re.compile(
+    r"for\s*\(\s*String\s*\[\]\s*(\w+)\s*:\s*(\w+)\s*\)\s*\{"
+)
+_STRARR_DECL_RE = re.compile(
+    r"(?:final\s+)?String\s*\[\]\s*\[\]\s*(\w+)\s*=\s*\{"
+)
 _LOCAL_DECL_RE = re.compile(
-    r"^\s*(Float|Double|Integer|Long|float|double|int|long)\s+"
+    r"^\s*(Float|Double|Integer|Long|float|double|int|long|String)\s+"
     r"(\w+)\s*=\s*([^;]+);\s*$",
     re.MULTILINE,
 )
@@ -741,6 +753,32 @@ def unrolled_sites(text: str, tag: str):
 
     arrays = file_numeric_arrays(text)
     base_env = file_numeric_env(text)
+    # method-local String[][] pair tables ({"out", "in"} rows —
+    # TestUrlFunctions url_encode/decode)
+    str2_arrays: dict[str, list] = {}
+    for sm in _STRARR_DECL_RE.finditer(text):
+        open_idx = sm.end() - 1
+        try:
+            close_idx = _matching_brace(text, open_idx)
+        except ValueError:
+            continue
+        body2 = text[open_idx + 1 : close_idx - 1]
+        rows, ok2 = [], True
+        for rm in re.finditer(r"\{([^{}]*)\}", body2):
+            row = []
+            for etext in split_java_args(rm.group(1)):
+                qm = re.fullmatch(r'\s*"((?:[^"\\]|\\.)*)"\s*', etext)
+                if not qm:
+                    ok2 = False
+                    break
+                from _scalar_util import unescape_java
+
+                row.append(unescape_java(qm.group(1)))
+            if not ok2:
+                break
+            rows.append(row)
+        if ok2 and rows:
+            str2_arrays[sm.group(1)] = rows
     out, consumed = [], set()
 
     def walk(seg_start: int, seg_end: int, bindings: list):
@@ -750,15 +788,22 @@ def unrolled_sites(text: str, tag: str):
         while i < seg_end:
             m1 = _FOREACH_RE.search(text, i, seg_end)
             m2 = _FOREACH_STR_INLINE_RE.search(text, i, seg_end)
+            m3 = _FOREACH_STRARR_RE.search(text, i, seg_end)
             m = min(
-                (x for x in (m1, m2) if x),
+                (x for x in (m1, m2, m3) if x),
                 key=lambda x: x.start(),
                 default=None,
             )
             if not m:
                 return
             vals: list | None = None
-            if m is m1:
+            if m is m3:
+                var, arr = m.group(1), m.group(2)
+                if arr in str2_arrays:
+                    vals = [
+                        _JV(row, "L") for row in str2_arrays[arr]
+                    ]
+            elif m is m1:
                 jt, var, arr = m.group(1), m.group(2), m.group(3)
                 if arr in arrays:
                     t_decl = _JTYPE_TAG[jt]
@@ -1017,6 +1062,10 @@ def _joda_eval(expr: str, env: dict):
                 return _dtm.timezone.utc
             if n.id == "UTF_8":
                 return _SESSION  # opaque charset arg (getBytes ignores)
+            if n.id == "ALL_BYTES":
+                # TestVarbinaryFunctions.java:45 instance initializer:
+                # new byte[256] filled 0..255
+                return bytes(range(256))
             if n.id == "MILLI_OF_SECOND":
                 return _MILLI_OF_SECOND
             raise ValueError(f"unknown name {n.id}")
@@ -1092,6 +1141,16 @@ def _joda_eval(expr: str, env: dict):
                     else float("-inf")
                 )
                 return float(_np.nextafter(_np.float64(float(x)), to))
+        # base16().encode(bytes) — guava BaseEncoding, UPPERCASE hex
+        if (
+            isinstance(n.func, _ast.Attribute)
+            and n.func.attr == "encode"
+            and isinstance(n.func.value, _ast.Call)
+            and isinstance(n.func.value.func, _ast.Name)
+            and n.func.value.func.id == "base16"
+        ):
+            (b,) = [ev(a) for a in n.args]
+            return bytes(b).hex().upper()
         # Joiner.on(sep).join(list)
         if (
             isinstance(n.func, _ast.Attribute)
@@ -1245,6 +1304,16 @@ def _joda_eval(expr: str, env: dict):
             if fn == "repeat" and len(args) == 2:
                 s, k = args
                 return str(s) * int(str(k).replace("_", ""))
+            if fn in ("encodeBase64", "encodeBase64Url") and len(args) == 1:
+                import base64 as _b64
+
+                (b,) = args
+                enc = (
+                    _b64.urlsafe_b64encode
+                    if fn == "encodeBase64Url"
+                    else _b64.b64encode
+                )
+                return enc(bytes(b)).decode("ascii")
             if fn == "nCopies" and len(args) == 2:
                 k, v = args
                 return [v] * int(k)
@@ -2014,6 +2083,27 @@ def main() -> None:
                 skips.append((gname, dev))
                 continue
             gtype = resolve_type_var(gargs[1], gline, type_vars)
+            cvm = re.fullmatch(
+                r"\s*createVarcharType\s*\((.+)\)\s*", gtype, re.DOTALL
+            )
+            if cvm and not re.fullmatch(r"\s*\d+\s*", cvm.group(1)):
+                # loop-variable-dependent length: input.length() * 12
+                try:
+                    lv = java_expr_eval(
+                        re.sub(
+                            r"\b(\w+)\.length\(\)",
+                            lambda mm: str(len(genv[mm.group(1)].v))
+                            if mm.group(1) in genv
+                            and genv[mm.group(1)].t == "s"
+                            else mm.group(0),
+                            cvm.group(1),
+                        ),
+                        genv,
+                    )
+                    if lv.t == "i":
+                        gtype = f"createVarcharType({lv.v})"
+                except (ValueError, SyntaxError, KeyError, TypeError):
+                    pass
             gcat = type_category(gtype)
             if gcat is None:
                 skips.append(

@@ -157,7 +157,10 @@ def _register_python_udfs(spark: SparkSession) -> None:
             hm = _ure.fullmatch(r"(.*?)(?::(\d+))?", a)
             host = hm.group(1)
             if hm.group(2):
-                port = hm.group(2)
+                # java.net.URI parses the port as int: beyond-int-range
+                # digits → URISyntaxException path → getPort() == -1 →
+                # Presto url_extract_port NULL
+                port = hm.group(2) if int(hm.group(2)) <= 2**31 - 1 else None
         if opaque:
             path = None
             query = None  # scheme-specific part is opaque

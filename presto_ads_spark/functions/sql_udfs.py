@@ -164,10 +164,17 @@ SQL_FUNCTIONS: list[str] = [
               ELSE log10(x) END""",
     # Presto log(x, b) = Math.log(x) / Math.log(b) — ARGUMENT ORDER IS
     # (value, base), the reverse of Spark's log(base, value)
-    # (MathFunctions.java log(double, double)); IEEE division carries
-    # the -Infinity/NaN edges through exactly.
+    # (MathFunctions.java log(double, double)). Spark's Divide is NOT
+    # IEEE for doubles under ANSI mode — ln(b) = 0 (base 1) would raise
+    # DIVIDE_BY_ZERO — so the zero denominator is spelled out: Java
+    # ln(x)/0.0 = ±Infinity by ln(x) sign, NaN when ln(x) is 0/NaN.
     """CREATE OR REPLACE TEMPORARY FUNCTION presto_logb(x DOUBLE, b DOUBLE)
-       RETURNS DOUBLE RETURN presto_ln(x) / presto_ln(b)""",
+       RETURNS DOUBLE RETURN
+         CASE WHEN presto_ln(b) = 0D THEN
+                CASE WHEN presto_ln(x) > 0D THEN CAST('Infinity' AS DOUBLE)
+                     WHEN presto_ln(x) < 0D THEN CAST('-Infinity' AS DOUBLE)
+                     ELSE CAST('NaN' AS DOUBLE) END
+              ELSE presto_ln(x) / presto_ln(b) END""",
     # conv() is unsigned-64-bit — a '-'-prefixed input wraps around, so
     # negatives route through DECIMAL(20,0) negation (MIN_VALUE-safe)
     """CREATE OR REPLACE TEMPORARY FUNCTION from_base(s STRING, b INT)

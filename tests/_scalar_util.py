@@ -725,7 +725,12 @@ def _java_const_eval(expr: str):
     def _jmod(a, b):
         if isinstance(a, int) and isinstance(b, int):
             return a - _jdiv(a, b) * b
-        return math.fmod(a, b)
+        # Java float %: non-finite dividend or zero/NaN divisor = NaN;
+        # Python math.fmod(inf, y) raises instead
+        fa, fb = float(a), float(b)
+        if fa != fa or abs(fa) == math.inf or fb != fb or fb == 0:
+            return float("nan")
+        return math.fmod(fa, fb)
 
     def ev(n):
         if isinstance(n, ast.Constant) and isinstance(

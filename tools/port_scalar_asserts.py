@@ -495,7 +495,13 @@ def java_expr_eval(expr: str, env: dict[str, _JV]) -> _JV:
             with _np.errstate(all="ignore"):
                 r = float(_np.float64(x) / _np.float64(y))
         elif isinstance(op, _ast.Mod):
-            r = _math.fmod(x, y) if y == y and y != 0 else float("nan")
+            # guard the dividend too: fmod(inf, y) raises in Python;
+            # Java non-finite % anything = NaN
+            r = (
+                _math.fmod(x, y)
+                if x == x and abs(x) != _math.inf and y == y and y != 0
+                else float("nan")
+            )
         else:
             raise ValueError("float binop")
         return _JV(_jv_f32(r) if t == "f" else r, t)
@@ -1098,9 +1104,12 @@ def _joda_eval(expr: str, env: dict):
                     q = abs(a) // abs(b)
                     q = q if (a < 0) == (b < 0) else -q
                     return a - q * b
-                if float(b) == 0 or b != b:
+                # Java: non-finite dividend % anything = NaN (fmod(inf,·)
+                # raises in Python), % 0 / % NaN = NaN
+                fa = float(a)
+                if float(b) == 0 or b != b or fa != fa or abs(fa) == _math.inf:
                     return float("nan")
-                return _math.fmod(float(a), float(b))
+                return _math.fmod(fa, float(b))
             raise ValueError("binop")
         if isinstance(n, _ast.Call):
             return call(n)

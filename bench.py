@@ -51,9 +51,32 @@ def _previous_round_timings(here: str | None = None) -> dict[str, float]:
     return baseline
 
 
+def _wait_for_quiet_host(
+    threshold: float = 2.5, max_wait_sec: int = 300, poll_sec: int = 15
+) -> float:
+    """Pre-bench load gate (r11 verdict "What's wrong #2"): two
+    consecutive committed artifacts were uniformly ~1.3x inflated by
+    background load — invisible to the per-query 3x spike guard by
+    construction. If the 1-min loadavg exceeds ``threshold``, sleep-poll
+    (bounded) before measuring; returns the loadavg measurement
+    started at."""
+    waited = 0
+    while waited < max_wait_sec:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return -1.0
+        if load1 <= threshold:
+            return round(load1, 2)
+        time.sleep(poll_sec)
+        waited += poll_sec
+    return round(os.getloadavg()[0], 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    start_load1 = _wait_for_quiet_host()
 
     from presto_ads_spark.queries import load_all
     from presto_ads_spark.session import get_spark
@@ -128,6 +151,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host": {
                     "loadavg": [load1, load5, load15],
+                    "loadavg1_at_start": start_load1,
                     "nproc": nproc,
                     "cpus": os.cpu_count(),
                 },

@@ -36,6 +36,9 @@ SESSION_PROPERTY_MAP: dict[str, str] = {
 _SET_SESSION_RE = re.compile(
     r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE | re.DOTALL
 )
+_RESET_SESSION_RE = re.compile(
+    r"^\s*RESET\s+SESSION\s+(\w+)\s*$", re.IGNORECASE
+)
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(CATALOGS|SESSION)\s*$", re.IGNORECASE)
 _SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*$", re.IGNORECASE)
 
@@ -214,6 +217,12 @@ class Engine:
 
             register_all(self.spark)
         self._prepared: dict[str, str] = {}
+        # Presto session time zone (client-set in the reference; exposed
+        # here as SET SESSION time_zone_id). Read by the TSWTZ layer for
+        # zone-less coercions; the engine's established NTZ model stays
+        # UTC-anchored regardless (README timestamp deviation).
+        self.session_zone: str = "UTC"
+        self.session_locale: str = "en"
         # view-output type markers: char(n) lengths and ipaddress column
         # names persisted across CREATE VIEW statement boundaries so the
         # rewrite fixpoints keep working over view columns (round 10,
@@ -308,6 +317,8 @@ class Engine:
             json_scalar_cols=self._scalar_cols,
             char_cols=char_cols,
             ip_cols=ip_cols,
+            session_zone=self.session_zone,
+            session_locale=self.session_locale,
         )
 
     # -- statement entry point -------------------------------------------
@@ -315,6 +326,9 @@ class Engine:
         m = _SET_SESSION_RE.match(text)
         if m:
             return self.set_session(m.group(1), m.group(2).strip().strip("'"))
+        m = _RESET_SESSION_RE.match(text)
+        if m:
+            return self.reset_session(m.group(1))
         m = _SHOW_RE.match(text)
         if m:
             return self._show(m.group(1).upper())
@@ -554,6 +568,16 @@ class Engine:
 
     # -- session management ----------------------------------------------
     def set_session(self, name: str, value: str) -> DataFrame:
+        if name.lower() in ("time_zone_id", "time_zone", "timezone_id"):
+            # session zone for the TSWTZ layer (Presto sets this via the
+            # client protocol; SET SESSION is the engine's knob)
+            self.session_zone = value
+            return self.spark.range(0).select()
+        if name.lower() == "locale":
+            # session locale for datetime name rendering/parsing
+            # (rewrite.py _rewrite_locale_datetime)
+            self.session_locale = value
+            return self.spark.range(0).select()
         if name.lower() == "join_distribution_type":
             # Presto: PARTITIONED disables broadcast; AUTOMATIC/BROADCAST use it.
             thr = "-1" if value.upper() == "PARTITIONED" else "10485760"
@@ -561,6 +585,15 @@ class Engine:
         elif name.lower() in SESSION_PROPERTY_MAP:
             self.spark.conf.set(SESSION_PROPERTY_MAP[name.lower()], value)
         # Unknown properties are accepted and ignored (documented gap).
+        return self.spark.range(0).select()
+
+    def reset_session(self, name: str) -> DataFrame:
+        if name.lower() in ("time_zone_id", "time_zone", "timezone_id"):
+            self.session_zone = "UTC"
+        elif name.lower() == "locale":
+            self.session_locale = "en"
+        elif name.lower() in SESSION_PROPERTY_MAP:
+            self.spark.conf.unset(SESSION_PROPERTY_MAP[name.lower()])
         return self.spark.range(0).select()
 
     # -- system / information_schema connectors (reference:

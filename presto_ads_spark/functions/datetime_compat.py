@@ -115,3 +115,25 @@ def format_datetime(col: Column | str, joda_pattern: str) -> Column:
 
 def parse_datetime(col: Column | str, joda_pattern: str) -> Column:
     return F.to_timestamp(col, joda_pattern)
+
+
+# --- session-locale datetime names (round 12) ------------------------------
+# Presto formats/parses month, weekday and halfday NAMES with the SESSION
+# locale (FunctionAssertions setLocale; DateTimeFunctions passes
+# session.getLocale() into the Joda/MySQL formatters). Spark's formatters
+# are locale-fixed, so non-English sessions lower the name-producing
+# tokens to JVM lookups over these CLDR name tables (public CLDR data);
+# rewrite.py _rewrite_locale_datetime does the pattern surgery.
+LOCALE_DATETIME_NAMES: dict[str, dict] = {
+    "ko": {
+        # Monday-first (Spark weekday() is 0=Monday)
+        "wd_short": ["월", "화", "수", "목", "금", "토", "일"],
+        "wd_full": ["월요일", "화요일", "수요일", "목요일", "금요일",
+                    "토요일", "일요일"],
+        # CLDR Korean month names are numeral+월 for both widths
+        "mon_short": [f"{i}월" for i in range(1, 13)],
+        "mon_full": [f"{i}월" for i in range(1, 13)],
+        "am": "오전",
+        "pm": "오후",
+    },
+}

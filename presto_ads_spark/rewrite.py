@@ -4315,6 +4315,1042 @@ def _rewrite_timezone_offset_fns(sql: str) -> str:
     return sql
 
 
+# --- session-locale datetime names (round 12) ------------------------------
+# Presto renders/parses month, weekday and halfday NAMES with the session
+# locale (DateTimeFunctions passes session.getLocale() into the Joda /
+# MySQL formatters). Spark's formatters are locale-fixed, so under a
+# non-English session locale the name-producing tokens lower to JVM
+# lookups over CLDR name tables (functions/datetime_compat.py
+# LOCALE_DATETIME_NAMES) and parse-side inputs translate their halfday
+# words to AM/PM before the established parse path.
+
+_LOCALE_DT_PROBE_RE = re.compile(
+    r"(?i)\b(date_format|format_datetime|date_parse|parse_datetime)\s*\("
+)
+
+
+def _rewrite_locale_datetime(sql: str, locale: str) -> str:
+    if (locale or "en").split("_")[0].split("-")[0].lower() == "en" or \
+            not _LOCALE_DT_PROBE_RE.search(sql):
+        return sql
+    from .functions.datetime_compat import LOCALE_DATETIME_NAMES
+
+    names = LOCALE_DATETIME_NAMES.get(
+        locale.split("_")[0].split("-")[0].lower()
+    )
+    if not names:  # unknown locale: English fallback (documented gap)
+        return sql
+
+    def arr(lst):
+        return "array(" + ", ".join(f"'{x}'" for x in lst) + ")"
+
+    def wd(x, full):
+        key = "wd_full" if full else "wd_short"
+        return f"element_at({arr(names[key])}, weekday({x}) + 1)"
+
+    def mon(x, full):
+        key = "mon_full" if full else "mon_short"
+        return f"element_at({arr(names[key])}, month({x}))"
+
+    def ampm(x):
+        return (
+            f"(CASE WHEN hour({x}) < 12 THEN '{names['am']}'"
+            f" ELSE '{names['pm']}' END)"
+        )
+
+    def _emit(x, segs):
+        parts = []
+        for kind, v in segs:
+            if kind == "fmt" and v:
+                parts.append(
+                    f"__dtlocf({x}, '{v}')"
+                )
+            elif kind == "expr":
+                parts.append(v)
+            elif kind == "fmtj" and v:
+                parts.append(f"__dtlocj({x}, '{v}')")
+        if not parts:
+            return "''"
+        return parts[0] if len(parts) == 1 else \
+            "concat(" + ", ".join(parts) + ")"
+
+    def mysql_build(a):
+        if len(a) != 2:
+            return None
+        pm = re.fullmatch(r"'((?:[^']|'')*)'", a[1].strip())
+        if not pm or not re.search(r"%[aWpbMr]", pm.group(1)):
+            return None
+        x = a[0].strip()
+        segs, buf, i = [], "", 0
+        pat = pm.group(1)
+        while i < len(pat):
+            if pat[i] == "%" and i + 1 < len(pat):
+                tok = pat[i:i + 2]
+                rep = {
+                    "%a": lambda: wd(x, False),
+                    "%W": lambda: wd(x, True),
+                    "%p": lambda: ampm(x),
+                    "%b": lambda: mon(x, False),
+                    "%M": lambda: mon(x, True),
+                }.get(tok)
+                if rep is not None:
+                    if buf:
+                        segs.append(("fmt", buf))
+                        buf = ""
+                    segs.append(("expr", rep()))
+                elif tok == "%r":
+                    if buf:
+                        segs.append(("fmt", buf))
+                        buf = ""
+                    segs.append(("fmt", "%h:%i:%s "))
+                    segs.append(("expr", ampm(x)))
+                else:
+                    buf += tok
+                i += 2
+            else:
+                buf += pat[i]
+                i += 1
+        if buf:
+            segs.append(("fmt", buf))
+        return _emit(x, segs)
+
+    def joda_build(a):
+        if len(a) != 2:
+            return None
+        pm = re.fullmatch(r"'((?:[^']|'')*)'", a[1].strip())
+        if not pm or not re.search(r"E|a|M{3,}", pm.group(1)):
+            return None
+        x = a[0].strip()
+        segs, buf, i = [], "", 0
+        pat = pm.group(1)
+        while i < len(pat):
+            c = pat[i]
+            if c == "'":
+                j = pat.find("'", i + 1)
+                if j < 0:
+                    return None
+                buf += pat[i:j + 1]
+                i = j + 1
+                continue
+            if c.isalpha():
+                j = i
+                while j < len(pat) and pat[j] == c:
+                    j += 1
+                run = j - i
+                rep = None
+                if c == "E":
+                    rep = wd(x, run >= 4)
+                elif c == "a":
+                    rep = ampm(x)
+                elif c == "M" and run >= 3:
+                    rep = mon(x, run >= 4)
+                if rep is not None:
+                    if buf:
+                        segs.append(("fmtj", buf))
+                        buf = ""
+                    segs.append(("expr", rep))
+                else:
+                    buf += pat[i:j]
+                i = j
+                continue
+            buf += c
+            i += 1
+        if buf:
+            segs.append(("fmtj", buf))
+        return _emit(x, segs)
+
+    def parse_build(mysql):
+        # halfday words in the input translate to AM/PM, then the
+        # established parse path (incl. the TSWTZ literal fold) applies
+        def build(a):
+            if len(a) != 2:
+                return None
+            pm = re.fullmatch(r"'((?:[^']|'')*)'", a[1].strip())
+            if not pm:
+                return None
+            pat = pm.group(1)
+            if mysql and "%p" not in pat:
+                return None
+            if not mysql and not re.search(r"(?<!')a", pat):
+                return None
+            s = a[0].strip()
+            sm = re.fullmatch(r"'((?:[^']|'')*)'", s)
+            head = "__dtlocp" if mysql else "__dtlocq"
+            if sm:  # literal input: translate at rewrite time
+                txt = sm.group(1).replace(names["am"], "AM").replace(
+                    names["pm"], "PM"
+                )
+                return f"{head}('{txt}', {a[1].strip()})"
+            return (
+                f"{head}(replace(replace({s}, '{names['am']}', 'AM'),"
+                f" '{names['pm']}', 'PM'), {a[1].strip()})"
+            )
+
+        return build
+
+    sql = _replace_fn_calls(sql, "date_format", mysql_build)
+    sql = _replace_fn_calls(sql, "format_datetime", joda_build)
+    sql = _replace_fn_calls(sql, "date_parse", parse_build(True))
+    sql = _replace_fn_calls(sql, "parse_datetime", parse_build(False))
+    sql = re.sub(r"\b__dtlocf\s*\(", "date_format(", sql)
+    sql = re.sub(r"\b__dtlocj\s*\(", "format_datetime(", sql)
+    sql = re.sub(r"\b__dtlocp\s*\(", "date_parse(", sql)
+    sql = re.sub(r"\b__dtlocq\s*\(", "parse_datetime(", sql)
+    return sql
+
+
+# --- TIMESTAMP / TIME WITH TIME ZONE emulation -----------------------------
+# Presto packs (millis, zoneKey) per VALUE (DateTimeEncoding.java,
+# TimestampWithTimeZoneType.java). The engine models both types as
+# ``named_struct('millis', BIGINT, 'zone', STRING)`` following the
+# ipaddress pattern: zone-carrying literals fold at rewrite time into the
+# ``__tstz(millis, 'zone')`` / ``__ttz(millis, 'zone')`` textual markers
+# (expanded to named_struct at the end of rewrite()), and every
+# function / cast / operator over a marked value lowers to inline Spark
+# SQL on the struct fields — JVM-side, codegen-friendly, column-capable.
+# Zone-LESS temporal values stay in the engine's established NTZ model;
+# mixed comparisons interpret the NTZ side at the session zone
+# (Presto's implicit timestamp → timestamp-with-time-zone coercion).
+
+_TSTZ_PROBE_RE = re.compile(
+    r"(?i)WITH\s+TIME\s+ZONE|__tstz|__ttz|"
+    r"\b(?:TIMESTAMP|TIME)\s*'[^']*(?:[+-]\d{1,2}:\d{2}"
+    r"|\s[A-Za-z][A-Za-z_]*(?:/[A-Za-z0-9_+\-]+)+|\sUTC|\sGMT)\s*'|"
+    # zone-carrying producers without a temporal-literal keyword
+    r"\bfrom_unixtime\s*\([^()]*,|\bfrom_iso8601_timestamp\s*\(|"
+    r"\bparse_datetime\s*\("
+)
+_TSTZ_TEMP_LIT_RE = re.compile(
+    r"\b(TIMESTAMP|TIME)\s*'((?:[^']|'')*)'", re.IGNORECASE
+)
+_TSTZ_MARK_RE = re.compile(r"\b(__tstz|__ttz)\s*\(")
+# extraction functions that read the VALUE's zone: lower to the same
+# Presto spelling over the local civil timestamp (later passes finish)
+_TSTZ_EXTRACT_FNS = (
+    "millisecond", "second", "minute", "hour", "day_of_month", "day",
+    "day_of_week", "dow", "day_of_year", "doy", "week_of_year", "week",
+    "year_of_week", "yow", "month", "quarter", "year", "last_day_of_month",
+)
+_CMP_OPS = ("<=", ">=", "<>", "!=", "=", "<", ">")
+
+
+def _tstz_local(m: str, z: str) -> str:
+    """Local civil timestamp (NTZ) of instant ``m`` in zone ``z``."""
+    return f"from_utc_timestamp(timestamp_millis({m}), {z})"
+
+
+def _tstz_repack(local_expr: str, z: str, head: str = "__tstz") -> str:
+    """Local civil timestamp back to an instant in zone ``z``."""
+    return f"{head}(unix_millis(to_utc_timestamp({local_expr}, {z})), {z})"
+
+
+def _tstz_offmin(m: str, z: str) -> str:
+    """Signed UTC-offset minutes of zone ``z`` at instant ``m``
+    (BIGINT-typed — DIV needs integral operands)."""
+    off = f"(unix_millis({_tstz_local(m, z)}) - ({m}))"
+    return f"(CAST(sign({off}) AS BIGINT) * (abs({off}) DIV 60000))"
+
+
+def _tstz_render(m: str, z: str, head: str = "__tstz") -> str:
+    """Presto rendering: ``2001-01-22 03:04:05.321 +07:09`` (TSWTZ) /
+    ``03:04:05.321 +07:09`` (TWTZ) — TimestampWithTimeZoneType
+    .getObjectValue → SqlTimestampWithTimeZone.toString()."""
+    fmt = "HH:mm:ss.SSS" if head == "__ttz" else "yyyy-MM-dd HH:mm:ss.SSS"
+    # __spark_date_format: Spark-native pattern, protected from the
+    # MySQL-%-pattern pass (renamed back at the end of rewrite())
+    return (
+        f"concat(__spark_date_format({_tstz_local(m, z)}, '{fmt}'),"
+        f" ' ', {z})"
+    )
+
+
+def _tstz_unmark(e: str):
+    """``__tstz(M, Z)`` (possibly parenthesized) → (head, M, Z), else
+    None."""
+    e = e.strip()
+    while e.startswith("(") and _scan_matching_paren(e, 1) == len(e):
+        e = e[1:-1].strip()
+    m = _TSTZ_MARK_RE.match(e)
+    if not m:
+        return None
+    if _scan_matching_paren(e, m.end()) != len(e):
+        return None
+    parts = _split_top_level(e[m.end():-1])
+    if len(parts) != 2:
+        return None
+    return m.group(1), parts[0].strip(), parts[1].strip()
+
+
+def _tstz_ntz_to_millis(expr: str, session_zone: str) -> str:
+    """Millis of a zone-less temporal expression interpreted at the
+    session zone (Presto's timestamp → TSWTZ coercion)."""
+    return f"unix_millis(to_utc_timestamp({expr}, '{session_zone}'))"
+
+
+def _tstz_side_millis(expr: str, session_zone: str) -> str | None:
+    """Comparison-side expression → millis text (marked side unpacks;
+    zone-less side coerces at the session zone); None = not convertible
+    (caller leaves the construct alone)."""
+    um = _tstz_unmark(expr)
+    if um:
+        return f"({um[1]})"
+    e = expr.strip()
+    if re.fullmatch(r"(?is)(TIMESTAMP|TIME|DATE)\s*'(?:[^']|'')*'", e) or \
+            re.fullmatch(r"(?is)(TRY_)?CAST\s*\(.*\)", e):
+        return _tstz_ntz_to_millis(e, session_zone)
+    return None
+
+
+def _tstz_primary_fwd(sql: str, i: int) -> int | None:
+    """End index of the primary expression starting at ``i`` (marker
+    call, temporal literal, function call, or parenthesized expr)."""
+    m = re.match(
+        r"(?is)(?:TIMESTAMP|TIME|DATE)\s*'(?:[^']|'')*'", sql[i:]
+    )
+    if m:
+        return i + m.end()
+    m = re.match(r"[A-Za-z_][\w.]*\s*\(", sql[i:])
+    if m:
+        return _scan_matching_paren(sql, i + m.end())
+    if sql[i] == "(":
+        return _scan_matching_paren(sql, i + 1)
+    return None
+
+
+def _tstz_primary_bwd(sql: str, j: int) -> int | None:
+    """Start index of the primary expression ENDING at ``j`` (exclusive):
+    temporal literal, call, or parenthesized expr."""
+    k = j - 1
+    while k >= 0 and sql[k].isspace():
+        k -= 1
+    if k < 0:
+        return None
+    if sql[k] == "'":
+        q = sql.rfind("'", 0, k)
+        while q > 0 and sql[q - 1] == "'":
+            q = sql.rfind("'", 0, q - 1)
+        if q < 0:
+            return None
+        hm = re.search(
+            r"(?is)\b(TIMESTAMP|TIME|DATE)\s*$", sql[:q]
+        )
+        if hm:
+            return hm.start(1)
+        return None
+    if sql[k] == ")":
+        depth, p = 1, k - 1
+        in_s = False
+        while p >= 0:
+            c = sql[p]
+            if c == "'":
+                in_s = not in_s
+            elif not in_s:
+                if c == ")":
+                    depth += 1
+                elif c == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            p -= 1
+        if depth != 0:
+            return None
+        hm = re.search(r"[A-Za-z_][\w.]*\s*$", sql[:p])
+        return hm.start() if hm else p
+    return None
+
+
+def _tstz_interval_kind(text: str) -> str | None:
+    """Interval tail after ``± `` → 'ym' (calendar add in the value's
+    zone), 'dts' (plain millis add — IntervalDayTime is fixed millis,
+    DateTimeOperators.add…IntervalDayTime), or None."""
+    m = re.match(
+        r"(?is)INTERVAL\s*'(?:[^']|'')*'\s+"
+        r"(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
+        r"(\s+TO\s+(?:MONTH|HOUR|MINUTE|SECOND))?",
+        text,
+    )
+    if not m:
+        return None
+    return "ym" if m.group(1).upper() in ("YEAR", "MONTH") else "dts"
+
+
+def _rewrite_tstz(sql: str, session_zone: str = "UTC") -> str:
+    """Fold zone-carrying temporal literals and lower the full operator
+    surface over the marked values (see section comment). Conservative:
+    activates only where a per-value zone actually appears, so the
+    established NTZ model (and every green pin over it) is untouched."""
+    if not _TSTZ_PROBE_RE.search(sql):
+        return sql
+    from .functions.tstz_compat import parse_tstz_literal, parse_ttz_literal
+
+    # 1. zone-carrying literals → markers (mask-aware manual scan; a
+    # masked bogus match steps one char, same as _rewrite_typed_literals)
+    mask = _literal_mask(sql)
+    out, pos = [], 0
+    while True:
+        m = _TSTZ_TEMP_LIT_RE.search(sql, pos)
+        if not m:
+            break
+        if mask[m.start()]:
+            out.append(sql[pos:m.start() + 1])
+            pos = m.start() + 1
+            continue
+        body = m.group(2).replace("''", "'")
+        parsed = (
+            parse_tstz_literal(body)
+            if m.group(1).upper() == "TIMESTAMP"
+            else parse_ttz_literal(body)
+        )
+        out.append(sql[pos:m.start()])
+        if parsed is None:
+            out.append(m.group(0))
+        else:
+            head = "__tstz" if m.group(1).upper() == "TIMESTAMP" else "__ttz"
+            out.append(f"{head}({parsed[0]}L, '{parsed[1]}')")
+        pos = m.end()
+    out.append(sql[pos:])
+    sql = "".join(out)
+
+    # 2 + 3. casts and lowerings to a fixpoint (lowerings may nest)
+    for _ in range(16):
+        new = _tstz_lower_once(sql, session_zone)
+        if new == sql:
+            return sql
+        sql = new
+    return sql
+
+
+def _tstz_lower_once(sql: str, session_zone: str) -> str:
+    from .functions.tstz_compat import parse_tstz_literal, parse_ttz_literal
+
+    # -- CAST(... AS ... WITH TIME ZONE) and casts OF marked values -----
+    i = 0
+    while True:
+        m = _CAST_OPEN_RE.search(sql, i)
+        if not m:
+            break
+        j = _scan_matching_paren(sql, m.end())
+        inner = sql[m.end():j - 1]
+        as_pos = _top_level_last_as(inner)
+        if as_pos is None:
+            i = m.end()
+            continue
+        target = " ".join(inner[as_pos + 2:].strip().upper().split())
+        expr = inner[:as_pos].strip()
+        um = _tstz_unmark(expr)
+        rep = None
+        if target in ("TIMESTAMP WITH TIME ZONE", "TIME WITH TIME ZONE"):
+            want = "__tstz" if target.startswith("TIMESTAMP") else "__ttz"
+            sm = re.fullmatch(r"'((?:[^']|'')*)'", expr)
+            if um:
+                h, M, Z = um
+                if h == want:
+                    rep = f"{want}({M}, {Z})"
+                elif want == "__ttz":
+                    # TSWTZ → TWTZ: local time-of-day on the epoch day,
+                    # zone preserved (TestTimestampWithTimeZoneBase:258)
+                    local = _tstz_local(M, Z)
+                    rep = _tstz_repack(
+                        f"timestamp_millis(pmod(unix_millis({local}),"
+                        f" 86400000))",
+                        Z,
+                        "__ttz",
+                    )
+                else:
+                    # TWTZ → TSWTZ on the epoch day, zone preserved
+                    rep = f"__tstz({M}, {Z})"
+            elif sm:
+                body = sm.group(1).replace("''", "'")
+                parsed = (
+                    parse_tstz_literal(body, default_zone=session_zone)
+                    if want == "__tstz"
+                    else parse_ttz_literal(body, default_zone=session_zone)
+                )
+                if parsed is not None:
+                    rep = f"{want}({parsed[0]}L, '{parsed[1]}')"
+            if rep is None:
+                # zone-less temporal/arbitrary expr → session zone
+                rep = (
+                    f"{want}({_tstz_ntz_to_millis(expr, session_zone)},"
+                    f" '{session_zone}')"
+                )
+        elif um:
+            h, M, Z = um
+            local = _tstz_local(M, Z)
+            if re.fullmatch(r"VARCHAR(\(\d+\))?|STRING", target):
+                rep = _tstz_render(M, Z, h)
+            elif target == "TIMESTAMP":
+                # non-legacy semantics: local civil datetime in the
+                # VALUE's zone (TestTimestampWithTimeZone:61-71)
+                rep = local
+            elif target == "DATE":
+                rep = f"CAST({local} AS DATE)"
+            elif target == "TIME":
+                # engine TIME model: NTZ timestamp on the epoch day
+                rep = (
+                    f"timestamp_millis(pmod(unix_millis({local}),"
+                    f" 86400000))"
+                )
+        if rep is None:
+            i = m.end()
+            continue
+        sql = sql[:m.start()] + rep + sql[j:]
+        i = m.start() + len(rep)
+
+    # -- functions over marked values -----------------------------------
+    def ext_build(fn):
+        def build(a):
+            if len(a) != 1:
+                return None
+            um = _tstz_unmark(a[0])
+            if not um:
+                return None
+            h, M, Z = um
+            # marker two-pass: the builder must not emit its own name
+            return f"__tstzfn_{fn}({_tstz_local(M, Z)})"
+
+        return build
+
+    for fn in _TSTZ_EXTRACT_FNS:
+        sql = _replace_fn_calls(sql, fn, ext_build(fn))
+    sql = re.sub(r"\b__tstzfn_(\w+)\s*\(", lambda m: m.group(1) + "(", sql)
+
+    def date_build(a):
+        if len(a) != 1:
+            return None
+        um = _tstz_unmark(a[0])
+        if not um:
+            return None
+        _h, M, Z = um
+        return f"CAST({_tstz_local(M, Z)} AS DATE)"
+
+    sql = _replace_fn_calls(sql, "date", date_build)
+
+    def extract_build(a):
+        # extract(FIELD FROM <marked>) — field read in the value's zone;
+        # timezone_* fields read the zone itself (SqlBase.g4 extract)
+        if len(a) != 1:
+            return None
+        fm = re.match(r"(?is)(\w+)\s+FROM\s+(.+)$", a[0].strip())
+        if not fm:
+            return None
+        um = _tstz_unmark(fm.group(2))
+        if not um:
+            return None
+        _h, M, Z = um
+        field = fm.group(1).lower()
+        if field in ("timezone_hour", "timezone_minute"):
+            offmin = _tstz_offmin(M, Z)
+            div = "DIV 60" if field == "timezone_hour" else "% 60"
+            return (
+                f"CAST(sign({offmin}) * (abs({offmin}) {div}) AS BIGINT)"
+            )
+        field = {"dow": "day_of_week", "doy": "day_of_year"}.get(
+            field, field
+        )
+        if field not in _TSTZ_EXTRACT_FNS:
+            return None
+        return f"__tstzfn_{field}({_tstz_local(M, Z)})"
+
+    sql = _replace_fn_calls(sql, "extract", extract_build)
+    sql = re.sub(r"\b__tstzfn_(\w+)\s*\(", lambda m: m.group(1) + "(", sql)
+
+    def iso_ts_build(a):
+        # from_iso8601_timestamp: per-value zone from the text, else the
+        # session zone (DateTimeFunctions.fromISO8601Timestamp) —
+        # literal folds here; non-literals keep the legacy NTZ path
+        if len(a) != 1:
+            return None
+        sm = re.fullmatch(r"'((?:[^']|'')*)'", a[0].strip())
+        if not sm:
+            return None
+        from .functions.tstz_compat import parse_tstz_literal
+
+        parsed = parse_tstz_literal(
+            sm.group(1).replace("''", "'"), default_zone=session_zone
+        )
+        if parsed is None:
+            return None
+        return f"__tstz({parsed[0]}L, '{parsed[1]}')"
+
+    sql = _replace_fn_calls(sql, "from_iso8601_timestamp", iso_ts_build)
+
+    def parse_dt_build(a):
+        # parse_datetime returns TSWTZ (zone from the parsed text via
+        # Z-pattern tokens, else the session zone); literal args fold
+        # through the minimal Joda parser, everything else stays on the
+        # established NTZ path
+        if len(a) != 2:
+            return None
+        sm = re.fullmatch(r"'((?:[^']|'')*)'", a[0].strip())
+        pm = re.fullmatch(r"'((?:[^']|'')*)'", a[1].strip())
+        if not sm or not pm:
+            return None
+        from .functions.tstz_compat import parse_joda_datetime
+
+        parsed = parse_joda_datetime(
+            sm.group(1).replace("''", "'"),
+            pm.group(1).replace("''", "'"),
+            session_zone,
+        )
+        if parsed is None:
+            return None
+        return f"__tstz({parsed[0]}L, '{parsed[1]}')"
+
+    sql = _replace_fn_calls(sql, "parse_datetime", parse_dt_build)
+
+    def tz_field(which):
+        def build(a):
+            if len(a) != 1:
+                return None
+            um = _tstz_unmark(a[0])
+            if not um:
+                return None
+            _h, M, Z = um
+            offmin = _tstz_offmin(M, Z)
+            if which == "hour":
+                return (
+                    f"CAST(sign({offmin}) * (abs({offmin}) DIV 60)"
+                    f" AS BIGINT)"
+                )
+            return (
+                f"CAST(sign({offmin}) * (abs({offmin}) % 60) AS BIGINT)"
+            )
+
+        return build
+
+    sql = _replace_fn_calls(sql, "timezone_hour", tz_field("hour"))
+    sql = _replace_fn_calls(sql, "timezone_minute", tz_field("minute"))
+
+    def at_tz_build(a):
+        if len(a) != 2:
+            return None
+        um = _tstz_unmark(a[0])
+        if not um:
+            return None
+        h, M, _old = um
+        return f"{h}({M}, {a[1].strip()})"
+
+    sql = _replace_fn_calls(sql, "at_timezone", at_tz_build)
+
+    def to_unixtime_build(a):
+        if len(a) != 1:
+            return None
+        um = _tstz_unmark(a[0])
+        if not um:
+            return None
+        return f"(CAST({um[1]} AS DOUBLE) / 1000.0)"
+
+    sql = _replace_fn_calls(sql, "to_unixtime", to_unixtime_build)
+
+    def from_unixtime_build(a):
+        # zone-carrying forms return TSWTZ (DateTimeFunctions.java
+        # fromUnixTime(unixtime, zoneId) / (unixtime, hours, minutes));
+        # the 1-arg form stays on the established NTZ path
+        if len(a) == 2:
+            zm = re.fullmatch(r"'((?:[^']|'')*)'", a[1].strip())
+            if not zm:
+                return None
+            zone = zm.group(1)
+            mo = re.fullmatch(r"([+-])(\d{1,2}):(\d{2})", zone)
+            if mo:
+                zone = f"{mo.group(1)}{int(mo.group(2)):02d}:{mo.group(3)}"
+            return (
+                f"__tstz(CAST(round(({a[0]}) * 1000) AS BIGINT),"
+                f" '{zone}')"
+            )
+        if len(a) == 3:
+            try:
+                h, mi = int(a[1]), int(a[2])
+            except ValueError:
+                return None
+            # getTimeZoneKeyForOffset(hoursOffset * 60 + minutesOffset)
+            total = h * 60 + mi
+            zone = f"{'-' if total < 0 else '+'}" \
+                   f"{abs(total) // 60:02d}:{abs(total) % 60:02d}"
+            return (
+                f"__tstz(CAST(round(({a[0]}) * 1000) AS BIGINT),"
+                f" '{zone}')"
+            )
+        return None
+
+    sql = _replace_fn_calls(sql, "from_unixtime", from_unixtime_build)
+
+    def to_iso_build(a):
+        if len(a) != 1:
+            return None
+        um = _tstz_unmark(a[0])
+        if not um:
+            return None
+        _h, M, Z = um
+        offmin = _tstz_offmin(M, Z)
+        off_txt = (
+            f"concat(CASE WHEN {offmin} < 0 THEN '-' ELSE '+' END, "
+            f"lpad(CAST(abs({offmin}) DIV 60 AS STRING), 2, '0'), ':', "
+            f"lpad(CAST(abs({offmin}) % 60 AS STRING), 2, '0'))"
+        )
+        return (
+            f"concat(__spark_date_format({_tstz_local(M, Z)}, "
+            f"\"yyyy-MM-dd'T'HH:mm:ss.SSS\"), {off_txt})"
+        )
+
+    sql = _replace_fn_calls(sql, "to_iso8601", to_iso_build)
+
+    def two_arg_local(fn):
+        # date_format / format_datetime: format the local civil
+        # timestamp (later passes lower the pattern dialects); a Joda
+        # trailing Z-run in a literal format_datetime pattern renders
+        # the zone (Z = ±HHmm, ZZ = ±HH:MM, ZZZ+ = zone id)
+        def build(a):
+            if len(a) != 2:
+                return None
+            um = _tstz_unmark(a[0])
+            if not um:
+                return None
+            _h, M, Z = um
+            local = _tstz_local(M, Z)
+            pat = a[1].strip()
+            pm = re.fullmatch(r"'((?:[^']|'')*)'", pat)
+            zm = re.search(r"(Z+)$", pm.group(1)) if (
+                fn == "format_datetime" and pm
+            ) else None
+            if zm:
+                head = pm.group(1)[:zm.start()]
+                if len(zm.group(1)) >= 3:
+                    ztxt = Z  # zone id (a quoted literal for folds)
+                else:
+                    offmin = _tstz_offmin(M, Z)
+                    colon = "':', " if len(zm.group(1)) == 2 else ""
+                    ztxt = (
+                        f"concat(CASE WHEN {offmin} < 0 THEN '-' "
+                        f"ELSE '+' END, "
+                        f"lpad(CAST(abs({offmin}) DIV 60 AS STRING),"
+                        f" 2, '0'), {colon}"
+                        f"lpad(CAST(abs({offmin}) % 60 AS STRING),"
+                        f" 2, '0'))"
+                    )
+                return (
+                    f"concat(__tstzfn_{fn}({local}, '{head}'), {ztxt})"
+                )
+            return f"__tstzfn_{fn}({local}, {pat})"
+
+        return build
+
+    for fn in ("date_format", "format_datetime"):
+        sql = _replace_fn_calls(sql, fn, two_arg_local(fn))
+    sql = re.sub(r"\b__tstzfn_(\w+)\s*\(", lambda m: m.group(1) + "(", sql)
+
+    def date_trunc_build(a):
+        if len(a) != 2:
+            return None
+        um = _tstz_unmark(a[1])
+        if not um:
+            return None
+        h, M, Z = um
+        unit = a[0].strip()
+        return _tstz_repack(
+            f"date_trunc({unit}, {_tstz_local(M, Z)})", Z, h
+        )
+
+    sql = _replace_fn_calls(sql, "date_trunc", date_trunc_build)
+
+    def gl_build(which):
+        # keep the result a PURE marker (downstream render/compare
+        # lowerings recognize only markers): pick the extreme millis,
+        # then recover that value's zone by a CASE over the candidates
+        def build(a):
+            ums = [_tstz_unmark(x) for x in a]
+            if len(a) < 2 or not all(ums):
+                return None
+            ms = [f"({u[1]})" for u in ums]
+            head = ums[0][0]
+            pick = f"__tstzgl_{which}({', '.join(ms)})"
+            whens = " ".join(
+                f"WHEN {m} THEN {u[2]}" for m, u in zip(ms[:-1], ums[:-1])
+            )
+            zone = f"CASE {pick} {whens} ELSE {ums[-1][2]} END"
+            return f"{head}({pick}, {zone})"
+
+        return build
+
+    sql = _replace_fn_calls(sql, "greatest", gl_build("greatest"))
+    sql = _replace_fn_calls(sql, "least", gl_build("least"))
+    sql = re.sub(r"\b__tstzgl_(\w+)\s*\(", lambda m: m.group(1) + "(", sql)
+
+    def date_add_build(a):
+        if len(a) != 3:
+            return None
+        um = _tstz_unmark(a[2])
+        if not um:
+            return None
+        h, M, Z = um
+        unit = a[0].strip().strip("'").lower()
+        n = a[1].strip()
+        ms = {
+            "millisecond": 1, "second": 1000, "minute": 60000,
+            "hour": 3600000,
+        }.get(unit)
+        if ms is not None:
+            return f"{h}(({M}) + ({n}) * {ms}, {Z})"
+        return _tstz_repack(
+            f"date_add('{unit}', {n}, {_tstz_local(M, Z)})", Z, h
+        )
+
+    sql = _replace_fn_calls(sql, "date_add", date_add_build)
+
+    def date_diff_build(a):
+        if len(a) != 3:
+            return None
+        um1 = _tstz_unmark(a[1])
+        um2 = _tstz_unmark(a[2])
+        if not um1 and not um2:
+            return None
+        # unpack in the LEFT value's chronology (DateTimeFunctions
+        # .diffTimestampWithTimeZone uses unpackChronology(left))
+        z = (um1 or um2)[2]
+        m1 = f"({um1[1]})" if um1 else _tstz_ntz_to_millis(
+            a[1].strip(), session_zone
+        )
+        m2 = f"({um2[1]})" if um2 else _tstz_ntz_to_millis(
+            a[2].strip(), session_zone
+        )
+        l1 = _tstz_local(m1, z)
+        l2 = _tstz_local(m2, z)
+        return f"date_diff({a[0].strip()}, __tstz_l({l1}), __tstz_l({l2}))"
+
+    sql = _replace_fn_calls(sql, "date_diff", date_diff_build)
+    # __tstz_l is a transparent wrapper that keeps date_diff_build from
+    # re-matching its own output in the same fixpoint round
+    sql = re.sub(r"\b__tstz_l\s*\(", "(", sql)
+
+    # -- operators -------------------------------------------------------
+    sql = _tstz_operators(sql, session_zone)
+    return sql
+
+
+_TSTZ_ARR_OPEN_RE = re.compile(r"\b(?:array|row)\s*\(", re.IGNORECASE)
+
+
+def _tstz_to_millis_text(s: str) -> str:
+    """Replace every marker call in ``s`` by its bare millis expr."""
+    while True:
+        m = _TSTZ_MARK_RE.search(s)
+        if not m:
+            return s
+        j = _scan_matching_paren(s, m.end())
+        um = _tstz_unmark(s[m.start():j])
+        if not um:
+            return s
+        s = s[:m.start()] + f"({um[1]})" + s[j:]
+
+
+def _tstz_operators(sql: str, session_zone: str) -> str:
+    """Comparisons / BETWEEN / ± INTERVAL / subtraction over marked
+    values — instant (millis) semantics, per the operator classes
+    (TimestampWithTimeZoneOperators.java)."""
+    # array-of-TSWTZ equality: element comparison is on the instant, so
+    # both array constructors normalize to millis (zone dropped — it
+    # only matters for rendering, which an equality result never does).
+    # The ARRAY[...] literal has already lowered to array(...) by the
+    # time this pass runs (_rewrite_array_literals is first).
+    i = 0
+    while True:
+        m = _TSTZ_ARR_OPEN_RE.search(sql, i)
+        if not m:
+            break
+        a_end = _scan_matching_paren(sql, m.end())
+        a_txt = sql[m.start():a_end]
+        i = m.end()
+        if "__tstz" not in a_txt and "__ttz" not in a_txt:
+            continue
+        om = re.match(r"\s*(=|!=|<>)\s*", sql[a_end:])
+        if not om:
+            continue
+        b_start = a_end + om.end()
+        bm = _TSTZ_ARR_OPEN_RE.match(sql, b_start)
+        if not bm:
+            continue
+        b_end = _scan_matching_paren(sql, bm.end())
+        rep = (
+            _tstz_to_millis_text(a_txt)
+            + om.group(0)
+            + _tstz_to_millis_text(sql[b_start:b_end])
+        )
+        sql = sql[:m.start()] + rep + sql[b_end:]
+        i = m.start() + len(rep)
+    changed = True
+    while changed:
+        changed = False
+        for m in _TSTZ_MARK_RE.finditer(sql):
+            start = m.start()
+            end = _scan_matching_paren(sql, m.end())
+            um = _tstz_unmark(sql[start:end])
+            if not um:
+                continue
+            h, M, Z = um
+            after = sql[end:]
+            aw = len(after) - len(after.lstrip())
+            rest = after[aw:]
+
+            # ± INTERVAL
+            pm = re.match(r"([+-])\s*", rest)
+            if pm and _tstz_interval_kind(rest[pm.end():]):
+                kind = _tstz_interval_kind(rest[pm.end():])
+                im = re.match(
+                    r"(?is)INTERVAL\s*'(?:[^']|'')*'\s+"
+                    r"(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
+                    r"(\s+TO\s+(?:MONTH|HOUR|MINUTE|SECOND))?",
+                    rest[pm.end():],
+                )
+                ivl = rest[pm.end():pm.end() + im.end()]
+                sign = pm.group(1)
+                if kind == "dts":
+                    rep = (
+                        f"{h}(({M}) {sign} "
+                        f"unix_millis(timestamp_millis(0) + {ivl}), {Z})"
+                    )
+                else:
+                    rep = _tstz_repack(
+                        f"({_tstz_local(M, Z)} {sign} {ivl})", Z, h
+                    )
+                cut = end + aw + pm.end() + im.end()
+                sql = sql[:start] + rep + sql[cut:]
+                changed = True
+                break
+
+            # marked - marked → day-time interval; marked CMP side
+            for op in ("-",) + _CMP_OPS:
+                if not rest.startswith(op):
+                    continue
+                # '-' only when followed by another temporal primary
+                ro = rest[len(op):]
+                ro_off = len(ro) - len(ro.lstrip())
+                rhs_start = end + aw + len(op) + ro_off
+                rhs_end = _tstz_primary_fwd(sql, rhs_start)
+                if rhs_end is None:
+                    break
+                rhs = sql[rhs_start:rhs_end]
+                rm = _tstz_side_millis(rhs, session_zone)
+                if rm is None or (op == "-" and not _tstz_unmark(rhs)):
+                    break
+                lm = f"({M})"
+                if op == "-":
+                    rep = (
+                        f"make_dt_interval(0, 0, 0, "
+                        f"({lm} - {rm}) / 1000.0)"
+                    )
+                else:
+                    rep = f"({lm} {op} {rm})"
+                sql = sql[:start] + rep + sql[rhs_end:]
+                changed = True
+                break
+            if changed:
+                break
+
+            # [NOT] BETWEEN with a marked subject
+            bm = re.match(r"(?is)(NOT\s+)?BETWEEN\s+", rest)
+            if bm:
+                x_start = end + aw + bm.end()
+                x_end = _tstz_primary_fwd(sql, x_start)
+                if x_end is not None:
+                    am = re.match(r"(?is)\s+AND\s+", sql[x_end:])
+                    if am:
+                        y_start = x_end + am.end()
+                        y_end = _tstz_primary_fwd(sql, y_start)
+                        if y_end is not None:
+                            xm = _tstz_side_millis(
+                                sql[x_start:x_end], session_zone
+                            )
+                            ym = _tstz_side_millis(
+                                sql[y_start:y_end], session_zone
+                            )
+                            if xm is not None and ym is not None:
+                                neg = "NOT " if bm.group(1) else ""
+                                rep = (
+                                    f"(({M}) {neg}BETWEEN {xm} AND {ym})"
+                                )
+                                sql = sql[:start] + rep + sql[y_end:]
+                                changed = True
+                                break
+
+            # plain side BEFORE a marked side: «X op __tstz(...)» /
+            # «X between __tstz(...) and ...» — convert X
+            k = start - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            head2 = sql[:k + 1]
+            opm = None
+            for op in _CMP_OPS:
+                if head2.endswith(op):
+                    opm = op
+                    break
+            if opm:
+                lhs_start = _tstz_primary_bwd(sql, len(head2) - len(opm))
+                if lhs_start is not None:
+                    lhs = sql[lhs_start:len(head2) - len(opm)].strip()
+                    if not _tstz_unmark(lhs):
+                        lm = _tstz_side_millis(lhs, session_zone)
+                        if lm is not None:
+                            rep = f"{lm} {opm} ({M})"
+                            sql = sql[:lhs_start] + rep + sql[end:]
+                            changed = True
+                            break
+            abm = re.search(r"(?is)(\bNOT\s+)?\bBETWEEN\s*$", head2)
+            if abm:
+                subj_start = _tstz_primary_bwd(sql, abm.start())
+                if subj_start is not None:
+                    subj = sql[subj_start:abm.start()].strip()
+                    if not _tstz_unmark(subj):
+                        sm2 = _tstz_side_millis(subj, session_zone)
+                        if sm2 is not None:
+                            neg = "NOT " if abm.group(1) else ""
+                            am2 = re.match(r"(?is)\s*AND\s+", sql[end:])
+                            if am2:
+                                y_start = end + am2.end()
+                                y_end = _tstz_primary_fwd(sql, y_start)
+                                if y_end is not None:
+                                    ym2 = _tstz_side_millis(
+                                        sql[y_start:y_end], session_zone
+                                    )
+                                    if ym2 is not None:
+                                        rep = (
+                                            f"{sm2} {neg}BETWEEN ({M}) "
+                                            f"AND {ym2}"
+                                        )
+                                        sql = (
+                                            sql[:subj_start] + rep
+                                            + sql[y_end:]
+                                        )
+                                        changed = True
+                                        break
+    return sql
+
+
+def _expand_tstz_markers(sql: str) -> str:
+    """Remaining ``__tstz/__ttz`` markers (values that cross the output
+    boundary) → named_struct — struct ordering is millis-first, so
+    ORDER BY / greatest / least follow instant order natively."""
+    if "__tstz" not in sql and "__ttz" not in sql:
+        return sql
+    out = []
+    while True:
+        m = _TSTZ_MARK_RE.search(sql)
+        if not m:
+            out.append(sql)
+            return "".join(out)
+        j = _scan_matching_paren(sql, m.end())
+        parts = _split_top_level(sql[m.end():j - 1])
+        out.append(sql[:m.start()])
+        if len(parts) == 2:
+            out.append(
+                f"named_struct('millis', CAST({parts[0]} AS BIGINT), "
+                f"'zone', {parts[1]})"
+            )
+        else:  # malformed — leave (Spark will raise a clear error)
+            out.append(sql[m.start():j])
+        sql = sql[j:]
+
+
 _ARRAY_AGG_RE = re.compile(r"\barray_agg\s*\(", re.IGNORECASE)
 _FILTER_TAIL_RE = re.compile(r"\s*FILTER\s*\(", re.IGNORECASE)
 
@@ -9246,6 +10282,8 @@ def rewrite(
     json_scalar_cols: frozenset = frozenset(),
     char_cols: dict | None = None,
     ip_cols: frozenset | set | None = None,
+    session_zone: str = "UTC",
+    session_locale: str = "en",
 ) -> str:
     """Rewrite a Presto SQL string into Spark SQL.
 
@@ -9264,7 +10302,13 @@ def rewrite(
     sql = _rewrite_reduce_typing(sql)
     sql = _rewrite_element_array_concat(sql)
     sql = _rewrite_subscripts(sql)
+    # locale surgery first: parse-side halfday translation must land
+    # before the TSWTZ literal folds consume parse_datetime literals
+    sql = _rewrite_locale_datetime(sql, session_locale)
     sql = _rewrite_at_time_zone(sql)
+    # after the AT TIME ZONE desugar (so marked values flow into
+    # at_timezone), before every pass that consumes temporal literals
+    sql = _rewrite_tstz(sql, session_zone=session_zone)
     sql = _rewrite_timezone_offset_fns(sql)
     sql = _rewrite_kurtosis(sql)
     sql = _rewrite_ml_functions(sql)
@@ -9394,6 +10438,7 @@ def rewrite(
         }[m.group(1).lower()] + " FROM",
         sql,
     )
+    sql = _expand_tstz_markers(sql)
     sql = _rewrite_typed_literals(sql)
     return _apply_outside_literals(
         sql,

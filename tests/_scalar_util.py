@@ -816,14 +816,35 @@ _SIMPLE_TYPES = {
     "TimeType.TIME": "time",
     "INTERVAL_DAY_TIME": "interval_dts",
     "INTERVAL_YEAR_MONTH": "interval_ym",
+    # per-value-zone types (round 12): the engine models them as
+    # struct<millis,zone> (rewrite.py _rewrite_tstz); cells render to
+    # Presto's text engine-side (eval_sql) and compare against the
+    # (millis, zone) expectation rendered the same way
+    "TIMESTAMP_WITH_TIME_ZONE": "tstz",
+    "TimestampWithTimeZoneType.TIMESTAMP_WITH_TIME_ZONE": "tstz",
+    "TIME_WITH_TIME_ZONE": "ttz",
+    "TimeWithTimeZoneType.TIME_WITH_TIME_ZONE": "ttz",
 }
+
+
+def render_tstz(millis: int, zone: str, time_only: bool = False) -> str:
+    """Presto rendering of a (millis, zone) pair —
+    ``2001-01-22 03:04:05.321 +07:09`` / ``03:04:05.321 +07:09``."""
+    from presto_ads_spark.functions.tstz_compat import _zone_info
+
+    local = _dt.datetime.fromtimestamp(millis / 1000.0, _zone_info(zone))
+    body = local.strftime("%H:%M:%S" if time_only
+                          else "%Y-%m-%d %H:%M:%S")
+    return f"{body}.{millis % 1000:03d} {zone}"
 
 
 def eval_sql(sql: str, cat) -> str:
     """The SQL actually evaluated for a case: year-month intervals cannot
     cross the PySpark collect boundary (YearMonthIntervalType.fromInternal
-    is unimplemented), so they render to text engine-side."""
-    if cat == "interval_ym":
+    is unimplemented), so they render to text engine-side; TSWTZ/TWTZ
+    structs render to Presto text the same way (CAST lowers through the
+    rewrite layer's struct renderer)."""
+    if cat in ("interval_ym", "tstz", "ttz"):
         return f"CAST(({sql}) AS VARCHAR)"
     return sql
 
@@ -1085,6 +1106,16 @@ def values_match(cat, got, want, name=None) -> bool:
         return _interval_dts_millis(got) == int(want)
     if cat == "interval_ym":
         return _interval_ym_months(got) == int(want)
+    if cat in ("tstz", "ttz"):
+        # engine cell is the Presto rendering (eval_sql casts to
+        # varchar); expected is {"millis": …, "zone": …} from the
+        # porter's SqlTimestampWithTimeZone evaluation, or a plain
+        # rendering string (assertFunctionString sites)
+        if isinstance(want, dict):
+            want = render_tstz(
+                want["millis"], want["zone"], time_only=(cat == "ttz")
+            )
+        return str(got) == str(want)
     if isinstance(cat, tuple) and cat[0] == "char":
         # char(n) renders space-padded; compare rstripped (docstring'd
         # deviation — Spark CHAR reads strip trailing pad)

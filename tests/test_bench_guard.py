@@ -61,3 +61,29 @@ def test_baseline_tolerates_garbage_files(tmp_path):
 def test_empty_dir_gives_empty_baseline(tmp_path):
     bench = _load_bench_module()
     assert bench._previous_round_timings(str(tmp_path)) == {}
+
+
+def test_quiet_host_gate_waits_then_proceeds(monkeypatch):
+    # r11 verdict "What's wrong #2": uniform ~1.3x load inflation is
+    # invisible to the 3x per-query spike guard; the pre-bench gate
+    # sleep-polls (bounded) until the 1-min loadavg drops
+    bench = _load_bench_module()
+    readings = iter([5.0, 4.0, 1.2])
+    slept = []
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: (next(readings), 0.0, 0.0)
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    got = bench._wait_for_quiet_host(threshold=2.5, max_wait_sec=300,
+                                     poll_sec=15)
+    assert got == 1.2 and len(slept) == 2
+
+
+def test_quiet_host_gate_bounded(monkeypatch):
+    # a permanently-loaded host must not stall the bench forever
+    bench = _load_bench_module()
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 9.9, 9.9))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    got = bench._wait_for_quiet_host(threshold=2.5, max_wait_sec=60,
+                                     poll_sec=15)
+    assert got == 9.9

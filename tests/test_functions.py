@@ -763,6 +763,109 @@ def test_url_extract_port_int_overflow(engine):
     assert one(engine, "url_extract_port('http://h:2147483647/')") == 2147483647
 
 
+def test_tstz_literal_render_and_casts(engine):
+    # per-value-zone TIMESTAMP WITH TIME ZONE (DateTimeEncoding.java;
+    # TestTimestampWithTimeZoneBase.java:61-115, 244-315) — modeled as
+    # struct<millis,zone> by rewrite.py _rewrite_tstz
+    r = lambda e: one(engine, f"CAST({e} AS VARCHAR)")
+    assert r("TIMESTAMP '2001-1-22 03:04:05.321 +07:09'") == \
+        "2001-01-22 03:04:05.321 +07:09"
+    assert r("TIMESTAMP '2001-1-22 03:04 +07:09'") == \
+        "2001-01-22 03:04:00.000 +07:09"
+    assert r("TIMESTAMP '2001-1-22 +07:09'") == \
+        "2001-01-22 00:00:00.000 +07:09"
+    assert r("TIMESTAMP '2001-01-02 03:04:05.321 Europe/Berlin'") == \
+        "2001-01-02 03:04:05.321 Europe/Berlin"
+    import datetime as _dt
+
+    assert one(
+        engine, "CAST(TIMESTAMP '2001-1-22 03:04:05.321 +07:09' AS DATE)"
+    ) == _dt.date(2001, 1, 22)
+    # non-legacy cast→timestamp: local civil datetime in the VALUE's
+    # zone (TestTimestampWithTimeZone.java:61-71)
+    assert one(
+        engine,
+        "CAST(TIMESTAMP '2001-1-22 03:04:05.321 +07:09' AS TIMESTAMP)",
+    ) == _dt.datetime(2001, 1, 22, 3, 4, 5, 321000)
+    assert r(
+        "CAST(TIMESTAMP '2001-1-22 03:04:05.321 +07:09'"
+        " AS TIME WITH TIME ZONE)"
+    ) == "03:04:05.321 +07:09"
+    assert r("cast('2001-1-22 03:04:05.321 +07:09'"
+             " as timestamp with time zone)") == \
+        "2001-01-22 03:04:05.321 +07:09"
+
+
+def test_tstz_instant_comparisons(engine):
+    # equality/ordering are on the INSTANT, not the rendering
+    # (TestTimestampWithTimeZoneBase.java:116-242)
+    assert one(engine, "TIMESTAMP '2001-1-22 03:04:05.321 +07:09' = "
+               "TIMESTAMP '2001-1-22 02:04:05.321 +06:09'") is True
+    assert one(engine, "TIMESTAMP '2001-1-22 03:04:05.321 +07:09' = "
+               "TIMESTAMP '2001-1-22 03:04:05.333 +07:09'") is False
+    assert one(engine, "TIMESTAMP '2001-1-22 03:04:05.321 +07:09' < "
+               "TIMESTAMP '2001-1-22 02:04:05.333 +06:09'") is True
+    assert one(engine, "TIMESTAMP '2001-1-22 03:04:05.321 +07:09' "
+               "between TIMESTAMP '2001-1-22 02:04:05.111 +06:09' and "
+               "TIMESTAMP '2001-1-22 02:04:05.333 +06:09'") is True
+    assert one(engine, "TIMESTAMP '2017-03-30 14:15:16.432 +07:09' - "
+               "TIMESTAMP '2016-03-29 03:04:05.321 +08:09'") == \
+        __import__("datetime").timedelta(
+            days=366, seconds=43871, microseconds=111000
+        )
+
+
+def test_tstz_session_zone_coercion(spark):
+    # zone-less sides coerce at the SESSION zone (the reference suite
+    # runs at +06:09 — TestTimestampWithTimeZoneBase constructor)
+    from presto_ads_spark.engine import Engine
+
+    eng = Engine(spark.newSession(), sf_dir=None)
+    eng.sql("SET SESSION time_zone_id = '+06:09'")
+    assert eng.sql(
+        "SELECT TIMESTAMP '2001-1-22 03:04:05.321 +07:09' = "
+        "TIMESTAMP '2001-1-22 02:04:05.321' AS v"
+    ).collect()[0][0] is True
+    assert eng.sql(
+        "SELECT CAST(cast('2001-1-22 03:04:05.321' as timestamp with "
+        "time zone) AS VARCHAR) AS v"
+    ).collect()[0][0] == "2001-01-22 03:04:05.321 +06:09"
+    eng.sql("RESET SESSION time_zone_id")
+    assert eng.session_zone == "UTC"
+
+
+def test_tstz_functions(engine):
+    # extraction in the value's zone + zone fields + instant functions
+    # (TestDateTimeFunctionsBase zone-carrying pins)
+    assert one(engine, "hour(TIMESTAMP '2001-08-22 03:04:05.321 +07:09')") == 3
+    assert one(engine, "year_of_week(TIMESTAMP "
+               "'2001-08-22 03:04:05.321 +07:09')") == 2001
+    assert one(engine, "timezone_hour(TIMESTAMP "
+               "'2001-08-22 03:04:05.321 +07:09')") == 7
+    assert one(engine, "timezone_minute(TIMESTAMP "
+               "'2001-08-22 03:04:05.321 +07:09')") == 9
+    assert one(engine, "to_iso8601(TIMESTAMP "
+               "'2001-08-22 03:04:05.321 +07:09')") == \
+        "2001-08-22T03:04:05.321+07:09"
+    assert one(engine, "to_unixtime(TIMESTAMP "
+               "'2001-08-22 03:04:05.321 +07:09')") == 998423705.321
+    assert one(engine, "CAST(date_trunc('day', TIMESTAMP "
+               "'2001-08-22 03:04:05.321 +07:09') AS VARCHAR)") == \
+        "2001-08-22 00:00:00.000 +07:09"
+    assert one(engine, "CAST(TIMESTAMP '2001-1-22 03:04:05.321 +07:09' "
+               "+ INTERVAL '3' hour AS VARCHAR)") == \
+        "2001-01-22 06:04:05.321 +07:09"
+    assert one(engine, "CAST(TIMESTAMP '2001-1-22 03:04:05.321 +07:09' "
+               "+ INTERVAL '3' month AS VARCHAR)") == \
+        "2001-04-22 03:04:05.321 +07:09"
+    assert one(engine, "date_diff('day', "
+               "TIMESTAMP '2001-1-20 03:04:05.321 +07:09', "
+               "TIMESTAMP '2001-1-22 03:04:05.321 +07:09')") == 2
+    assert one(engine, "at_timezone(TIMESTAMP "
+               "'2001-08-22 03:04:05.321 +07:09', '+10:00') = "
+               "TIMESTAMP '2001-08-22 03:04:05.321 +07:09'") is True
+
+
 def test_split_part_presto_oob_null(engine):
     assert one(engine, "split_part('a/b/c', '/', 3)") == "c"
     assert one(engine, "split_part('a/b/c', '/', 9)") is None

@@ -38,7 +38,31 @@ def scalar_engine(spark):
 @pytest.mark.parametrize("start", range(0, len(CASES), BATCH))
 def test_scalar_corpus_batch(scalar_engine, start):
     chunk = CASES[start : start + BATCH]
-    results = eval_exprs(scalar_engine, [eval_sql(c["sql"], c["cat"]) for c in chunk])
+    # zone-sensitive cases carry the source suite's session zone (the
+    # TSWTZ layer's zone-less coercions read it); runs of equal tz
+    # evaluate as one batch
+    results = []
+    i = 0
+
+    def key(c):
+        return (c.get("tz", "UTC"), c.get("locale", "en"))
+
+    while i < len(chunk):
+        tz, loc = key(chunk[i])
+        j = i
+        while j < len(chunk) and key(chunk[j]) == (tz, loc):
+            j += 1
+        scalar_engine.session_zone = tz
+        scalar_engine.session_locale = loc
+        results.extend(
+            eval_exprs(
+                scalar_engine,
+                [eval_sql(c["sql"], c["cat"]) for c in chunk[i:j]],
+            )
+        )
+        i = j
+    scalar_engine.session_zone = "UTC"
+    scalar_engine.session_locale = "en"
     bad = []
     for c, got in zip(chunk, results):
         if isinstance(got, Exception):

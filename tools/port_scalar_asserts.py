@@ -129,16 +129,13 @@ _FIXTURE_FNS_RE = re.compile(
 # is valid Presto but the engine's emulation intentionally differs or the
 # construct has no Spark equivalent
 _DEVIATION_SKIPS: tuple[tuple[re.Pattern, str], ...] = (
-    (
-        re.compile(r"(?i)\bTIME(STAMP)?\s*'[^']*[A-Za-z_]{3,}[^']*'"),
-        "zone-carrying TIME/TIMESTAMP literal — per-value zone not "
-        "modeled (README timestamp-with-time-zone deviation)",
-    ),
-    (
-        re.compile(r"(?i)\bTIME(STAMP)?\s*'[^']*[+-]\d{2}:\d{2}'"),
-        "offset-carrying temporal literal — per-value zone not modeled "
-        "(README timestamp-with-time-zone deviation)",
-    ),
+    # Round 12: zone-carrying TIMESTAMP/TIME literals and casts are now
+    # modeled per-value (rewrite.py _rewrite_tstz struct<millis,zone>);
+    # the former blanket skips here are gone. What remains: the plain
+    # zone-less-cast-to-TIME/TIMESTAMP of a ZONE-CARRYING string, which
+    # Presto resolves through the packed representation in ways the NTZ
+    # model cannot (kept narrow: only `as time)`/`as timestamp)` — the
+    # WITH TIME ZONE targets are live).
     (
         re.compile(
             r"(?i)\bword_stem\s*\([^()]*,\s*'(?!(?:en|fr|es|pt|it|de)')"
@@ -149,12 +146,78 @@ _DEVIATION_SKIPS: tuple[tuple[re.Pattern, str], ...] = (
     (
         re.compile(
             r"(?i)cast\s*\(\s*'[^']*(?:[+-]\d{2}:\d{2}"
-            r"|[A-Za-z]+/[A-Za-z_]+)[^']*'\s+as\s+time(stamp)?\b"
+            r"|[A-Za-z]+/[A-Za-z_]+)[^']*'\s+as\s+time(stamp)?\s*\)"
         ),
-        "zone-carrying string → TIME/TIMESTAMP cast — per-value zone "
-        "not modeled (README timestamp-with-time-zone deviation)",
+        "zone-carrying string → zone-LESS TIME/TIMESTAMP cast — the "
+        "NTZ model drops the per-value zone on this edge (README "
+        "timestamp deviation; the WITH TIME ZONE cast targets are live)",
     ),
 )
+
+
+def file_session_zone(text: str) -> str:
+    """The test class's session time zone (testSessionBuilder()
+    .setTimeZoneKey(...)): offset keys render ±HH:MM, region keys keep
+    their id; AbstractTestFunctions' default is TestingSession's
+    Pacific/Apia (TestingSession.java:52)."""
+    m = re.search(
+        r"(?<![A-Z_])TIME_ZONE_KEY\s*=\s*getTimeZoneKeyForOffset\s*"
+        r"\(([^)]*)\)",
+        text,
+    )
+    if m and re.fullmatch(r"[\d\s*+-]+", m.group(1)):
+        total = int(eval(m.group(1), {"__builtins__": {}}))  # arith only
+        return f"{'-' if total < 0 else '+'}" \
+               f"{abs(total) // 60:02d}:{abs(total) % 60:02d}"
+    m = re.search(
+        r'(?<![A-Z_])TIME_ZONE_KEY\s*=\s*getTimeZoneKey\s*\("([^"]+)"\)',
+        text,
+    )
+    if m:
+        return m.group(1)
+    m = re.search(r'setTimeZoneKey\s*\(\s*getTimeZoneKey\s*\("([^"]+)"\)', text)
+    if m:
+        return m.group(1)
+    return "Pacific/Apia"
+
+
+def file_zone_keys(text: str) -> dict:
+    """TimeZoneKey constants defined in the file (WEIRD_TIME_ZONE_KEY =
+    getTimeZoneKeyForOffset(7 * 60 + 9), BERLIN_TIME_ZONE_KEY =
+    getTimeZoneKey("Europe/Berlin")) → {name: _ZoneKey(id)} for the
+    expected-value evaluator."""
+    out = {}
+    for m in re.finditer(
+        r"(\w+)\s*=\s*getTimeZoneKeyForOffset\s*\(([^)]*)\)", text
+    ):
+        if re.fullmatch(r"[\d\s*+-]+", m.group(2)):
+            total = int(eval(m.group(2), {"__builtins__": {}}))
+            out[m.group(1)] = _ZoneKey(
+                f"{'-' if total < 0 else '+'}"
+                f"{abs(total) // 60:02d}:{abs(total) % 60:02d}"
+            )
+    for m in re.finditer(r'(\w+)\s*=\s*getTimeZoneKey\s*\("([^"]+)"\)', text):
+        out[m.group(1)] = _ZoneKey(m.group(2))
+    # DateTimeZone constants derived from the keys (DATE_TIME_ZONE =
+    # getDateTimeZone(TIME_ZONE_KEY)) → tzinfo for the Joda evaluator —
+    # these must shadow the evaluator's per-suite fallbacks
+    from presto_ads_spark.functions.tstz_compat import _zone_info
+
+    for m in re.finditer(r"(\w+)\s*=\s*getDateTimeZone\s*\((\w+)\)", text):
+        key = out.get(m.group(2))
+        if isinstance(key, _ZoneKey):
+            try:
+                out[m.group(1)] = _zone_info(key.zid)
+            except Exception:  # noqa: BLE001 — unknown id: keep fallback
+                pass
+    return out
+
+
+class _ZoneKey:
+    """A Presto TimeZoneKey constant: carries the zone id string."""
+
+    def __init__(self, zid: str):
+        self.zid = zid
 
 # per-case adjudications — engine deviations documented in README
 _DST_LEGACY = (
@@ -1140,6 +1203,17 @@ def _joda_eval(expr: str, env: dict):
                 return set(ev(a) for a in n.args)
             if head == "ImmutableMap.builder":
                 return {}
+            if head == "DateTimeZone.forID":
+                from zoneinfo import ZoneInfo
+
+                return ZoneInfo(ev(n.args[0]))
+            if head in ("DateTimeZone.forOffsetHours",
+                        "DateTimeZone.forOffsetHoursMinutes"):
+                a = [int(ev(x)) for x in n.args]
+                h = a[0]
+                mi = a[1] if len(a) > 1 else 0
+                total = h * 60 + (mi if h >= 0 else -abs(mi))
+                return _dtm.timezone(_dtm.timedelta(minutes=total))
             if n.func.value.id == "Math" and n.func.attr in (
                 "nextUp", "nextDown"
             ):
@@ -1273,7 +1347,35 @@ def _joda_eval(expr: str, env: dict):
                 if len(a) == 2:  # (years, months)
                     return a[0] * 12 + a[1]
                 raise ValueError("SqlIntervalYearMonth arity")
+            if fn in ("__new_SqlTimestampWithTimeZone",
+                      "__new_SqlTimeWithTimeZone"):
+                # (millis, TimeZoneKey) → the engine comparison dict
+                # (tests/_scalar_util.py values_match 'tstz'/'ttz')
+                a = [ev(x) for x in args_nodes]
+                if len(a) == 2 and isinstance(a[1], _ZoneKey):
+                    return {"millis": int(a[0]), "zone": a[1].zid}
+                raise ValueError("SqlT*WithTimeZone args")
             args = [ev(x) for x in args_nodes]
+            if fn in ("toTimestampWithTimeZone", "toTimeWithTimeZone"):
+                # DateTimeTestingUtils: SqlT*WithTimeZone(dt.getMillis(),
+                # dt.getZone()) — zone id from the aware datetime
+                (dt,) = args
+                if not (isinstance(dt, _dtm.datetime) and dt.tzinfo):
+                    raise ValueError("toT*WithTimeZone arg")
+                tz = dt.tzinfo
+                if hasattr(tz, "key"):
+                    zid = tz.key
+                elif isinstance(tz, _dtm.timezone):
+                    off = tz.utcoffset(None)
+                    tot = round(off.total_seconds()) // 60
+                    # TimeZoneKey canonicalizes offset 0 to UTC
+                    zid = "UTC" if tot == 0 else (
+                        f"{'-' if tot < 0 else '+'}"
+                        f"{abs(tot) // 60:02d}:{abs(tot) % 60:02d}"
+                    )
+                else:
+                    raise ValueError("unnamed zone")
+                return {"millis": _joda_millis(dt), "zone": zid}
             if fn in ("sqlTimestampOf",):
                 if len(args) == 2 and isinstance(args[0], _dtm.datetime):
                     # non-legacy: the instant's UTC wall fields
@@ -2030,6 +2132,7 @@ def main() -> None:
     if args.only:
         sources = [s for s in sources if s[1] == args.only]
     for path, tag in sources:
+        cases_start = len(cases)
         text = open(path, encoding="utf-8").read()
         consts = file_string_constants(text)
         type_vars = file_type_vars(text)
@@ -2045,6 +2148,7 @@ def main() -> None:
             text[: lm.start()].count("\n") + 1
             for lm in re.finditer(r"localeAssertions\s*\.\s*assert", text)
         }
+        locale_names: set[str] = set()
         try:
             jctx = JodaCtx(text, base_dir=os.path.dirname(path))
         except Exception:  # noqa: BLE001 — joda replay is best-effort
@@ -2055,10 +2159,18 @@ def main() -> None:
         # is still fine: it's instant-/text-based)
         joda_expected_ok = "Legacy" not in path
 
+        zkeys = file_zone_keys(text)
+        session_zone = file_session_zone(text)
+        # session zone feeds the engine's TSWTZ layer (zone-less side
+        # coercions, varchar→TSWTZ casts); everything else ignores it
+        engine.session_zone = session_zone
+
         def _joda_env_for(line: int) -> dict:
             if jctx is None or line - 1 >= len(line_starts):
-                return {}
-            return jctx.env_at(line_starts[line - 1])
+                return dict(zkeys)
+            env = dict(zkeys)
+            env.update(jctx.env_at(line_starts[line - 1]))
+            return env
         pending = []  # (name, sql, cat, expected, type_text)
         try:
             gen_sites, consumed_lines = unrolled_sites(text, tag)
@@ -2211,12 +2323,7 @@ def main() -> None:
             if name in MANUAL_SKIPS:
                 skips.append((name, MANUAL_SKIPS[name]))
                 continue
-            if line in locale_lines:
-                skips.append(
-                    (name, "locale-parameterized session (Locale.KOREAN "
-                     "FunctionAssertions) — engine session locale is fixed")
-                )
-                continue
+            is_locale_site = line in locale_lines
             if any(a <= line < b for a, b in err_spans):
                 skips.append(
                     (name, "inside @Test(expectedExceptions) — pins an error")
@@ -2294,11 +2401,28 @@ def main() -> None:
                 skips.append((name, t))
                 continue
             cat, expected = t
+            if is_locale_site:
+                locale_names.add(name)
             pending.append((name, sql, cat, expected, type_text))
             if args.max and len(pending) + len(cases) >= args.max:
                 break
 
-        results = eval_exprs(engine, [eval_sql(p[1], p[2]) for p in pending])
+        # locale-parameterized sites (Locale.KOREAN FunctionAssertions)
+        # evaluate under the same session locale — split into a second
+        # batch so the zip ordering stays aligned
+        pending = [p for p in pending if p[0] not in locale_names] + [
+            p for p in pending if p[0] in locale_names
+        ]
+        n_plain = sum(1 for p in pending if p[0] not in locale_names)
+        results = eval_exprs(
+            engine, [eval_sql(p[1], p[2]) for p in pending[:n_plain]]
+        )
+        if n_plain < len(pending):
+            engine.session_locale = "ko"
+            results += eval_exprs(
+                engine, [eval_sql(p[1], p[2]) for p in pending[n_plain:]]
+            )
+            engine.session_locale = "en"
         for (name, sql, cat, expected, type_text), got in zip(
             pending, results
         ):
@@ -2332,6 +2456,17 @@ def main() -> None:
             fails.append(
                 (name, sql, f"got {solo!r} want {expected!r} ({type_text})")
             )
+        if session_zone != "UTC":
+            # zone-sensitive cases record the file's session zone so the
+            # corpus runner evaluates them under the same session
+            from presto_ads_spark.rewrite import _TSTZ_PROBE_RE
+
+            for c in cases[cases_start:]:
+                if _TSTZ_PROBE_RE.search(c["sql"]):
+                    c["tz"] = session_zone
+        for c in cases[cases_start:]:
+            if c["name"] in locale_names:
+                c["locale"] = "ko"
         print(
             f"{tag:6s} {path.rsplit('/', 1)[1]:45s} "
             f"pass {sum(1 for c in cases if c['name'].startswith(tag) and c['name'][len(tag):].isdigit()):5d}"

@@ -94,16 +94,18 @@ _FUNCTION_NOTES: dict[str, str] = {
     "parse_duration_seconds": "returns seconds as DOUBLE (Presto returns "
                               "interval)",
     "features": "positional double array (reference FeatureVector map)",
-    "learn_classifier": "model is the training set; classify answers "
-                        "nearest-neighbor (reference trains libsvm SVM); "
-                        "capped at 10k training rows — use llm/ml.py "
-                        "MLlib wrappers past that",
-    "learn_regressor": "model is the training set; regress answers "
-                       "nearest-neighbor (reference trains libsvm SVR); "
-                       "capped at 10k training rows — use llm/ml.py "
-                       "MLlib wrappers past that",
-    "classify": "nearest-neighbor over the learned set (reference: SVM)",
-    "regress": "nearest-neighbor over the learned set (reference: SVR)",
+    "learn_classifier": "trains a one-vs-rest linear SVM (numpy Pegasos, "
+                        "C=1) on the collected training cell — the "
+                        "reference trains libsvm C_SVC with a LINEAR "
+                        "kernel; capped at 10k training rows — use "
+                        "llm/ml.py MLlib wrappers past that",
+    "learn_regressor": "trains a least-squares line fit (reference: "
+                       "libsvm EPSILON_SVR, linear kernel); capped at "
+                       "10k training rows — use llm/ml.py MLlib "
+                       "wrappers past that",
+    "classify": "JVM-side linear scoring (dot product + argmax) over "
+                "the trained one-vs-rest weights",
+    "regress": "JVM-side linear scoring over the trained weights",
     "random": "bounded form lowered to floor(rand() * n)",
     "presto_json_canon": "per-row python UDF (compat path for CAST(row "
                          "AS JSON) array form) — reached only by NESTED "

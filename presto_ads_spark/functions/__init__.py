@@ -37,6 +37,9 @@ def register_all(spark: SparkSession) -> None:
         spark.sql(stmt)
     register_color_udfs(spark)
     register_ipaddress_udfs(spark)
+    from .ml_train import register_ml_train_udfs
+
+    register_ml_train_udfs(spark)
 
 
 def _register_python_udfs(spark: SparkSession) -> None:

@@ -12,7 +12,7 @@ scale with executors, unlike the reference's single-node libsvm fit.
 
 from __future__ import annotations
 
-from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.classification import LinearSVC, OneVsRest
 from pyspark.ml.functions import array_to_vector
 from pyspark.ml.regression import LinearRegression
 from pyspark.sql import DataFrame
@@ -24,11 +24,19 @@ def _vectorize(df: DataFrame, features_col: str) -> DataFrame:
 
 
 def learn_classifier(df: DataFrame, features_col: str, label_col: str):
-    """Presto learn_classifier(label, features) — returns a fitted model."""
-    lr = LogisticRegression(
-        featuresCol="__features", labelCol=label_col, maxIter=25
-    )
-    return lr.fit(_vectorize(df, features_col))
+    """Presto learn_classifier(label, features) — returns a fitted model.
+
+    LinearSVC matches the reference's model family (libsvm C_SVC with a
+    LINEAR kernel, LibSvmUtils.java:34); OneVsRest extends it past two
+    classes the same way the SQL-surface trainer does."""
+    vec = _vectorize(df, features_col)
+    svc = LinearSVC(featuresCol="__features", labelCol=label_col, maxIter=50)
+    n_classes = vec.select(label_col).distinct().count()
+    if n_classes > 2:
+        return OneVsRest(
+            classifier=svc, featuresCol="__features", labelCol=label_col
+        ).fit(vec)
+    return svc.fit(vec)
 
 
 def classify(df: DataFrame, model, features_col: str) -> DataFrame:

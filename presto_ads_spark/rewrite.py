@@ -1310,8 +1310,10 @@ def _rewrite_kurtosis(sql: str) -> str:
 
 
 # Upper bound on SQL-surface learn_classifier/learn_regressor training
-# rows — the 1-NN model array is broadcast into every evaluated row, so
-# past this it's both O(N)-per-row and a plan/driver hazard.
+# rows — the aggregate collects the training set into a single cell for
+# the trainer UDF (the same single-node fit shape as the reference's
+# libsvm), so bound that cell; MLlib (presto_ads_spark.llm.ml) is the
+# scale path for big models.
 ML_SQL_MODEL_CAP = 10_000
 
 
@@ -1322,65 +1324,112 @@ def _rewrite_ml_functions(sql: str) -> str:
     producing a model, ``classify(features, model)`` applies it (same for
     learn_regressor/regress).
 
-    The reference trains a libsvm SVM; SQL-expression templates can't, so
-    the model here is the training set itself (array of (label, vector)
-    structs) and classify/regress answer with the nearest neighbor by
-    squared euclidean distance — a faithful-on-separable-data stand-in,
-    annotated in SHOW FUNCTIONS. Everything stays JVM-side (HOFs, no UDF).
+    The reference trains a libsvm model with a LINEAR kernel
+    (LibSvmUtils.java:34; C_SVC for the classifier, EPSILON_SVR for the
+    regressor). Here the model value is a struct holding the sorted
+    class array plus REAL trained linear weights: the aggregate collects
+    the (capped) training set into one cell, and a deterministic numpy
+    trainer UDF (functions/ml_train.py — one-vs-rest linear SVM /
+    least-squares line fit) runs ONCE on that cell. Scoring in
+    classify/regress is pure JVM HOF arithmetic (zip_with dot product +
+    argmax over classes), so inference stays codegen'd and UDF-free no
+    matter how many rows are scored. Labels keep their original type
+    (bigint and varchar classifiers both work): the trainer sees only
+    1-based indexes into the JVM-side sorted distinct class array.
 
-    The model array rides along into EVERY evaluated row, so a large
-    training set is a per-row O(N) scan and a plan-size hazard; training
-    past ML_SQL_MODEL_CAP rows raises at runtime with a pointer to the
-    MLlib wrappers (presto_ads_spark.llm.ml), which are the scale path
+    Training past ML_SQL_MODEL_CAP rows raises at runtime with a pointer
+    to the MLlib wrappers (presto_ads_spark.llm.ml), the scale path
     (documented in README Known gaps)."""
 
     def features(args):
         cast = ", ".join(f"CAST(({a}) AS DOUBLE)" for a in args)
         return f"array({cast})"
 
-    def learn(cast_label: str | None):
-        def build(args):
-            if len(args) != 2:
-                return None
-            label = (
-                f"CAST(({args[0]}) AS {cast_label})" if cast_label
-                else f"({args[0]})"
-            )
-            agg = (
-                f"array_agg(struct({label} AS __ml_l, ({args[1]}) AS __ml_f))"
-            )
-            # Spark computes the duplicated aggregate once (identical agg
-            # expressions share one buffer); raise_error's void type
-            # coerces with the array branch.
-            return (
-                f"CASE WHEN size({agg}) > {ML_SQL_MODEL_CAP}"
-                f" THEN raise_error('learn_classifier/learn_regressor:"
-                f" training set exceeds {ML_SQL_MODEL_CAP} rows — the"
-                f" SQL-surface 1-NN model is carried into every evaluated"
-                f" row; use the MLlib wrappers (presto_ads_spark.llm.ml)"
-                f" for large models') ELSE {agg} END"
-            )
-        return build
+    def learn_classifier(args):
+        if len(args) != 2:
+            return None
+        agg = (
+            f"array_agg(struct(({args[0]}) AS __ml_l,"
+            f" ({args[1]}) AS __ml_f))"
+        )
+        # identical agg expressions share one buffer; raise_error's void
+        # type coerces with the class-array branch
+        classes = (
+            f"array_sort(array_distinct("
+            f"transform({agg}, __my -> __my.__ml_l)))"
+        )
+        guard = (
+            f"CASE WHEN size({agg}) > {ML_SQL_MODEL_CAP}"
+            f" THEN raise_error('learn_classifier/learn_regressor:"
+            f" training set exceeds {ML_SQL_MODEL_CAP} rows — the"
+            f" SQL-surface model trains on a single collected cell;"
+            f" use the MLlib wrappers (presto_ads_spark.llm.ml)"
+            f" for large models') ELSE {classes} END"
+        )
+        return (
+            f"struct({guard} AS __ml_classes,"
+            f" __ml_train_classifier("
+            f"transform({agg}, __mx -> __mx.__ml_f),"
+            f" transform({agg}, __mx -> CAST(array_position({classes},"
+            f" __mx.__ml_l) AS INT))) AS __ml_fit)"
+        )
 
-    def predict(args):
+    def learn_regressor(args):
+        if len(args) != 2:
+            return None
+        agg = (
+            f"array_agg(struct(CAST(({args[0]}) AS DOUBLE) AS __ml_l,"
+            f" ({args[1]}) AS __ml_f))"
+        )
+        fit = (
+            f"__ml_train_regressor("
+            f"transform({agg}, __mx -> __mx.__ml_f),"
+            f" transform({agg}, __mx -> __mx.__ml_l))"
+        )
+        return (
+            f"struct(CASE WHEN size({agg}) > {ML_SQL_MODEL_CAP}"
+            f" THEN raise_error('learn_classifier/learn_regressor:"
+            f" training set exceeds {ML_SQL_MODEL_CAP} rows — the"
+            f" SQL-surface model trains on a single collected cell;"
+            f" use the MLlib wrappers (presto_ads_spark.llm.ml)"
+            f" for large models') ELSE {fit} END AS __ml_fit)"
+        )
+
+    def classify(args):
         if len(args) != 2:
             return None
         feat, model = args
-        dist = (
-            f"aggregate(zip_with(__me.__ml_f, ({feat}),"
-            f" (__mx, __my) -> (__mx - __my) * (__mx - __my)),"
-            f" CAST(0 AS DOUBLE), (__ma, __mx) -> __ma + __mx)"
+        score = (
+            f"aggregate(zip_with("
+            f"element_at(({model}).__ml_fit.ws, __mi), ({feat}),"
+            f" (__ma, __mb) -> __ma * __mb), CAST(0 AS DOUBLE),"
+            f" (__ms, __mv) -> __ms + __mv)"
+            f" + element_at(({model}).__ml_fit.bs, __mi)"
         )
+        # argmax: sort (-score, index) structs — ties break to the
+        # lowest class index, deterministically
         return (
-            f"element_at(array_sort(transform(({model}),"
-            f" __me -> struct({dist} AS __ml_d, __me.__ml_l AS __ml_l))),"
-            f" 1).__ml_l"
+            f"element_at(({model}).__ml_classes,"
+            f" element_at(array_sort(transform("
+            f"sequence(1, size(({model}).__ml_classes)),"
+            f" __mi -> struct(-({score}) AS __ml_negscore,"
+            f" __mi AS __ml_i))), 1).__ml_i)"
         )
 
-    sql = _replace_fn_calls(sql, "learn_classifier", learn(None))
-    sql = _replace_fn_calls(sql, "learn_regressor", learn("DOUBLE"))
-    sql = _replace_fn_calls(sql, "classify", predict)
-    sql = _replace_fn_calls(sql, "regress", predict)
+    def regress(args):
+        if len(args) != 2:
+            return None
+        feat, model = args
+        return (
+            f"(aggregate(zip_with(({model}).__ml_fit.w, ({feat}),"
+            f" (__ma, __mb) -> __ma * __mb), CAST(0 AS DOUBLE),"
+            f" (__ms, __mv) -> __ms + __mv) + ({model}).__ml_fit.b)"
+        )
+
+    sql = _replace_fn_calls(sql, "learn_classifier", learn_classifier)
+    sql = _replace_fn_calls(sql, "learn_regressor", learn_regressor)
+    sql = _replace_fn_calls(sql, "classify", classify)
+    sql = _replace_fn_calls(sql, "regress", regress)
     sql = _replace_fn_calls(sql, "features", features)
     return sql
 

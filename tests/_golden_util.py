@@ -555,10 +555,11 @@ def duck_values_parens(sql: str) -> str:
             elif c == "'":
                 buf.append(c)
                 in_str = True
-            elif c == "(":
+            elif c in "([":
+                # '[' too: ARRAY[4, 1, 3] commas are not row separators
                 depth += 1
                 buf.append(c)
-            elif c == ")":
+            elif c in ")]":
                 if depth == 0:
                     break  # closing paren of an enclosing subquery
                 depth -= 1

@@ -1094,18 +1094,46 @@ def test_geospatial_wkb_round_trip(engine):
     ) is True
 
 
+def test_ml_sql_trained_classifier(engine):
+    # the SQL surface trains a REAL one-vs-rest linear SVM (reference:
+    # libsvm C_SVC, linear kernel) — a separable threshold target must
+    # be learned, not memorized
+    rows = engine.sql(
+        "SELECT classify(features(2.0), m) AS lo, "
+        "classify(features(97.0), m) AS hi FROM (SELECT "
+        "learn_classifier(IF(v > 50, 1, 0), features(CAST(v AS DOUBLE)))"
+        " AS m FROM UNNEST(sequence(1, 100)) AS t(v))"
+    ).collect()
+    assert (rows[0].lo, rows[0].hi) == (0, 1)
+    # varchar labels ride the same generic lowering (classifier<varchar>)
+    rows = engine.sql(
+        "SELECT classify(features(-3.0, 0.0), m) AS neg, "
+        "classify(features(3.0, 1.0), m) AS pos FROM (SELECT "
+        "learn_classifier(IF(x > 0, 'pos', 'neg'), features(x, y)) AS m "
+        "FROM (VALUES (-2.0, 0.5), (-1.0, 1.5), (-3.0, 0.1), "
+        "(1.0, 0.4), (2.0, 1.2), (3.0, 0.9)) t(x, y))"
+    ).collect()
+    assert (rows[0].neg, rows[0].pos) == ("neg", "pos")
+
+
+def test_ml_sql_trained_regressor(engine):
+    # least-squares fit recovers an exact linear target (reference:
+    # epsilon-SVR agrees on linear data up to epsilon)
+    rows = engine.sql(
+        "SELECT regress(features(10.0, 4.0), m) AS p FROM (SELECT "
+        "learn_regressor(2.0 * x + 3.0 * y + 1.0, features(x, y)) AS m "
+        "FROM (VALUES (1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 0.5), "
+        "(0.0, 3.0)) t(x, y))"
+    ).collect()
+    assert abs(rows[0].p - (2.0 * 10.0 + 3.0 * 4.0 + 1.0)) < 1e-6
+
+
 def test_ml_sql_model_cap(engine):
-    # the SQL-surface 1-NN template refuses training sets above
-    # ML_SQL_MODEL_CAP (the model array rides into every evaluated row);
-    # big models belong to the MLlib wrappers (llm/ml.py)
+    # training collects the set into one cell (single-node fit, like the
+    # reference's libsvm); sets above ML_SQL_MODEL_CAP refuse with a
+    # pointer to the MLlib wrappers (llm/ml.py)
     import pytest as _pytest
 
-    ok = engine.sql(
-        "SELECT classify(features(2.0), m) AS c FROM (SELECT "
-        "learn_classifier(v % 3, features(CAST(v AS DOUBLE))) AS m "
-        "FROM UNNEST(sequence(1, 100)) AS t(v))"
-    ).collect()
-    assert ok[0].c == 2
     with _pytest.raises(Exception, match="exceeds 10000 rows"):
         engine.sql(
             "SELECT learn_classifier(v % 3, features(CAST(v AS DOUBLE))) "

@@ -225,6 +225,10 @@ class Engine:
         # UTC-anchored regardless (README timestamp deviation).
         self.session_zone: str = "UTC"
         self.session_locale: str = "en"
+        # Presto resolves named-zone offsets for TIME WITH TIME ZONE at
+        # the query start (DateTimeFunctions 'HACK WARNING'); None =
+        # rewrite-time now, settable for deterministic replay
+        self.session_start_ms: int | None = None
         # view-output type markers: char(n) lengths and ipaddress column
         # names persisted across CREATE VIEW statement boundaries so the
         # rewrite fixpoints keep working over view columns (round 10,
@@ -321,6 +325,7 @@ class Engine:
             ip_cols=ip_cols,
             session_zone=self.session_zone,
             session_locale=self.session_locale,
+            session_start_ms=self.session_start_ms,
         )
 
     # -- statement entry point -------------------------------------------

@@ -4723,7 +4723,11 @@ def _tstz_interval_kind(text: str) -> str | None:
     return "ym" if m.group(1).upper() in ("YEAR", "MONTH") else "dts"
 
 
-def _rewrite_tstz(sql: str, session_zone: str = "UTC") -> str:
+def _rewrite_tstz(
+    sql: str,
+    session_zone: str = "UTC",
+    session_start_ms: int | None = None,
+) -> str:
     """Fold zone-carrying temporal literals and lower the full operator
     surface over the marked values (see section comment). Conservative:
     activates only where a per-value zone actually appears, so the
@@ -4761,15 +4765,23 @@ def _rewrite_tstz(sql: str, session_zone: str = "UTC") -> str:
     sql = "".join(out)
 
     # 2 + 3. casts and lowerings to a fixpoint (lowerings may nest)
+    if session_start_ms is None:
+        # Presto resolves named-zone offsets at the QUERY start (see
+        # DateTimeFunctions 'HACK WARNING'); default = now
+        import time as _time
+
+        session_start_ms = int(_time.time() * 1000)
     for _ in range(16):
-        new = _tstz_lower_once(sql, session_zone)
+        new = _tstz_lower_once(sql, session_zone, session_start_ms)
         if new == sql:
             return sql
         sql = new
     return sql
 
 
-def _tstz_lower_once(sql: str, session_zone: str) -> str:
+def _tstz_lower_once(
+    sql: str, session_zone: str, session_start_ms: int = 0
+) -> str:
     from .functions.tstz_compat import parse_tstz_literal, parse_ttz_literal
 
     # -- CAST(... AS ... WITH TIME ZONE) and casts OF marked values -----
@@ -4977,8 +4989,50 @@ def _tstz_lower_once(sql: str, session_zone: str) -> str:
         um = _tstz_unmark(a[0])
         if not um:
             return None
-        h, M, _old = um
-        return f"{h}({M}, {a[1].strip()})"
+        h, M, z_old = um
+        zarg = a[1].strip()
+        ivm = re.fullmatch(
+            r"(?is)INTERVAL\s*'([^']*)'\s+" + _IVL_UNIT_RANGE, zarg
+        )
+        if ivm:
+            # interval-typed target (DateTimeFunctions.timeAtTimeZone /
+            # timestampAtTimeZone INTERVAL_DAY_TO_SECOND overloads):
+            # whole minutes → fixed-offset zone key
+            ms = _interval_literal_millis(ivm.group(1), ivm.group(2))
+            if ms is None:
+                return None
+            if ms % 60_000:
+                return ("raise_error('Invalid time zone offset interval:"
+                        " interval contains seconds')")
+            mins = ms // 60_000
+            if abs(mins) > 14 * 60:
+                return f"raise_error('Invalid offset minutes {mins}')"
+            zarg = "'{}{:02d}:{:02d}'".format(
+                "-" if mins < 0 else "+", abs(mins) // 60, abs(mins) % 60
+            )
+        if h == "__tstz":
+            # timestampAtTimeZone: same instant, new zone
+            return f"{h}({M}, {zarg})"
+        # timeAtTimeZone (DateTimeFunctions.java:1311-1336): TIME's
+        # millis are 1970-anchored, but offsets of named zones must be
+        # the ones valid at SESSION START (the reference's documented
+        # 'HACK WARNING' correction), then the target-local clock
+        # renormalizes into [0, 24h)
+        s_ms = f"{session_start_ms}L"
+
+        def off(z, i):
+            return (
+                f"(unix_millis(from_utc_timestamp("
+                f"timestamp_millis({i}), {z})) - ({i}))"
+            )
+
+        def diff(z):
+            return f"({off(z, '0')} - {off(z, s_ms)})"
+
+        m1 = f"(({M}) + {diff(z_old)} - {diff(zarg)})"
+        local = f"({m1} + {off(zarg, '0')})"
+        m2 = f"({m1} - ({local} - pmod({local}, 86400000)))"
+        return f"__ttz({m2}, {zarg})"
 
     sql = _replace_fn_calls(sql, "at_timezone", at_tz_build)
 
@@ -6981,6 +7035,337 @@ def _render_presto_interval_dts(total_ms: int) -> str:
     mm2, rem = divmod(rem, 60_000)
     ss, mss = divmod(rem, 1000)
     return f"{s}{d} {hh:02d}:{mm2:02d}:{ss:02d}.{mss:03d}"
+
+
+_IVL_VALUES_ALIAS_WITH_RE = re.compile(
+    r"\b(\w+)\s*\(([^()]*)\)\s+AS\s*\(\s*VALUES\b", re.IGNORECASE
+)
+_IVL_VALUES_ALIAS_INLINE_RE = re.compile(
+    r"\(\s*VALUES\b", re.IGNORECASE
+)
+_IVL_ONLY_LIT_RE = re.compile(
+    r"INTERVAL\s*'[^']*'\s+" + _IVL_UNIT_RANGE + r"\s*\Z", re.IGNORECASE
+)
+_IVL_AGG_WRAP_RE = re.compile(
+    r"(?:MIN|MAX|SUM|GREATEST|LEAST|COALESCE|TRY)\s*\((.*)\)\s*\Z",
+    re.IGNORECASE | re.DOTALL,
+)
+_IVL_IDENT_RE = re.compile(r"(?:\w+\s*\.\s*)*(\w+)\s*\Z")
+
+
+def _split_top_level_on(text: str, seps: str) -> list[str]:
+    """Split on top-level occurrences of any char in ``seps`` (outside
+    parens/brackets and single-quoted strings)."""
+    parts, buf, depth, in_str = [], [], 0, False
+    for c in text:
+        if in_str:
+            buf.append(c)
+            in_str = c != "'"
+        elif c == "'":
+            buf.append(c)
+            in_str = True
+        elif c in "([":
+            depth += 1
+            buf.append(c)
+        elif c in ")]":
+            depth -= 1
+            buf.append(c)
+        elif depth == 0 and c in seps:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf))
+    return parts
+
+
+def _interval_values_column_pools(sql: str) -> dict[str, str]:
+    """Column names bound by a VALUES alias (``WITH t(a, b) AS (VALUES
+    ...)`` or ``(VALUES ...) t(a, b)``) whose items are all interval
+    literals (or NULL) of one family → {name: 'dts'|'ym'}. A name bound
+    to conflicting families (or to a non-interval position under another
+    alias) is dropped — same statement-local-pool idiom as
+    ``_provably_double``."""
+    pools: dict[str, str | None] = {}
+
+    def classify_item(item: str) -> str | None:
+        s = item.strip()
+        if re.fullmatch(r"NULL", s, re.IGNORECASE):
+            return "null"
+        if re.fullmatch(r"TIMESTAMP\s*'[^']*'", s, re.IGNORECASE):
+            return "ts"
+        m = _IVL_ONLY_LIT_RE.match(s)
+        if m is None:
+            return None
+        first = m.group(1).upper().split()[0]
+        return "ym" if first in ("YEAR", "MONTH") else "dts"
+
+    def scan_values(start: int) -> list[str] | None:
+        """From just past the VALUES keyword: per-column family over all
+        rows, or None when any position mixes families/non-intervals."""
+        depth, i, in_str = 0, start, False
+        while i < len(sql):
+            c = sql[i]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(
+                r"(ORDER|LIMIT|UNION|EXCEPT|INTERSECT|WHERE)\b",
+                sql[i:], re.IGNORECASE,
+            ):
+                break
+            i += 1
+        rows = _split_top_level_on(sql[start:i], ",")
+        fams: list[str] = []
+        for row in rows:
+            r = row.strip()
+            if r.startswith("(") and r.endswith(")"):
+                r = r[1:-1]
+            items = _split_top_level_on(r, ",")
+            for ci, item in enumerate(items):
+                f = classify_item(item)
+                while len(fams) <= ci:
+                    fams.append("null")
+                if f is None:
+                    fams[ci] = "none"
+                elif f != "null" and fams[ci] in ("null", f):
+                    fams[ci] = f
+                elif f != "null":
+                    fams[ci] = "none"
+        return fams
+
+    def bind(cols: str, fams: list[str]) -> None:
+        names = [c.strip().lower() for c in cols.split(",")]
+        for ci, name in enumerate(names):
+            fam = fams[ci] if ci < len(fams) else "null"
+            if fam in ("dts", "ym", "ts"):
+                if pools.get(name, fam) != fam:
+                    pools[name] = None  # conflicting bindings: drop
+                elif name not in pools or pools[name] is not None:
+                    pools[name] = fam
+            elif name in pools:
+                pools[name] = None
+
+    for m in _IVL_VALUES_ALIAS_WITH_RE.finditer(sql):
+        bind(m.group(2), scan_values(m.end()))
+    for m in _IVL_VALUES_ALIAS_INLINE_RE.finditer(sql):
+        # (VALUES ...) [AS] t(a, b) — find the close paren, then alias
+        depth, i, in_str = 1, m.end(), False
+        while depth and i < len(sql):
+            c = sql[i]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        am = re.match(
+            r"\s*(?:AS\s+)?(\w+)\s*\(([^()]*)\)", sql[i:], re.IGNORECASE
+        )
+        if am:
+            bind(am.group(2), scan_values(m.end()))
+    return {k: v for k, v in pools.items() if v}
+
+
+def _provably_interval(e: str, pools: dict[str, str]) -> str | None:
+    """'dts' / 'ym' when ``e`` is syntactically provably an interval:
+    a literal, an interval-preserving wrapper (min/max/sum/greatest/
+    least/coalesce/try) over one, a VALUES-bound interval column, or
+    +/- arithmetic where EVERY operand proves interval (timestamp +
+    interval must NOT classify — its result is a timestamp)."""
+    s = e.strip()
+    while s.startswith("(") and s.endswith(")"):
+        inner = s[1:-1]
+        if _split_top_level_on(inner, ",") != [inner]:
+            break  # not a simple paren wrap
+        depth = 0
+        ok = True
+        for c in inner:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    ok = False
+                    break
+        if not ok:
+            break
+        s = inner.strip()
+    m = _IVL_ONLY_LIT_RE.match(s)
+    if m and s.upper().startswith("INTERVAL"):
+        first = m.group(1).upper().split()[0]
+        return "ym" if first in ("YEAR", "MONTH") else "dts"
+    if re.fullmatch(r"TIMESTAMP\s*'[^']*'", s, re.IGNORECASE):
+        return "ts"
+    cm = re.fullmatch(
+        r"CAST\s*\((.*)\s+AS\s+INTERVAL\s+" + _IVL_UNIT_RANGE + r"\s*\)",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if cm:
+        first = cm.group(2).upper().split()[0]
+        return "ym" if first in ("YEAR", "MONTH") else "dts"
+    m = _IVL_AGG_WRAP_RE.fullmatch(s)
+    if m:
+        # these wrappers demand same-typed arguments in any query that
+        # analyzes, so ONE proven argument pins the family
+        fams = {
+            _provably_interval(a, pools)
+            for a in _split_top_level_on(m.group(1), ",")
+        } - {None}
+        if len(fams) == 1:
+            return fams.pop()
+        return None
+    if s.startswith("-") or s.startswith("+"):
+        return _provably_interval(s[1:], pools)
+    parts = [
+        p for p in _split_top_level_on(s, "+-") if p.strip()
+    ]
+    if len(parts) > 1:
+        fams_list = [_provably_interval(p, pools) for p in parts]
+        if None in fams_list:
+            return None
+        n_ts = fams_list.count("ts")
+        if n_ts == 0 and len(set(fams_list)) == 1:
+            return fams_list[0]
+        if n_ts == 1:
+            return "ts"   # timestamp ± interval(s) → timestamp
+        if n_ts == 2 and len(parts) == 2:
+            return "dts"  # timestamp - timestamp → day-time interval
+        return None
+    m = _IVL_IDENT_RE.fullmatch(s)
+    if m and not _IVL_ONLY_LIT_RE.match(s):
+        return pools.get(m.group(1).lower())
+    return None
+
+
+def _rewrite_interval_varchar_casts(sql: str) -> str:
+    """CAST(<provably-interval expr> AS VARCHAR) → Presto's rendering
+    (IntervalDayTime.formatMillis 'D HH:MM:SS.mmm' /
+    IntervalYearMonth 'Y-M') computed at runtime — covers non-literal
+    interval values (aggregates, VALUES-bound columns: the reference's
+    AbstractTestDistributedQueries testComplexCast shape), which the
+    literal fold can't see. Millis come exact from epoch + interval →
+    unix_micros; the transform(array(..)) wrapper binds the millis
+    subexpression once (pure JVM HOF, no UDF)."""
+    if not re.search(r"\b(INTERVAL|TIMESTAMP)\b", sql, re.IGNORECASE):
+        return sql
+    pools = _interval_values_column_pools(sql)
+
+    def render_ts(e: str) -> str:
+        # TimestampOperators.castToSlice: 'yyyy-MM-dd HH:mm:ss.SSS';
+        # __spark_date_format is the Java-pattern passthrough spelling
+        # (plain date_format would hit the MySQL %-pattern compat pass)
+        return f"__spark_date_format(({e}), 'yyyy-MM-dd HH:mm:ss.SSS')"
+
+    def render_dts(e: str) -> str:
+        # subtract the base: under a non-UTC session zone the epoch
+        # literal's unix_micros is the zone offset, not 0; day-time
+        # interval addition is instant-based so the difference is exact
+        ms = (
+            f"(unix_micros(TIMESTAMP '1970-01-01 00:00:00' + ({e}))"
+            f" - unix_micros(TIMESTAMP '1970-01-01 00:00:00')) div 1000"
+        )
+        return (
+            f"element_at(transform(array({ms}), __iv -> concat("
+            f"CASE WHEN __iv < 0 THEN '-' ELSE '' END,"
+            f" CAST(abs(__iv) div 86400000 AS STRING), ' ',"
+            f" lpad(CAST((abs(__iv) div 3600000) % 24 AS STRING), 2, '0'),"
+            f" ':',"
+            f" lpad(CAST((abs(__iv) div 60000) % 60 AS STRING), 2, '0'),"
+            f" ':',"
+            f" lpad(CAST((abs(__iv) div 1000) % 60 AS STRING), 2, '0'),"
+            f" '.', lpad(CAST(abs(__iv) % 1000 AS STRING), 3, '0'))), 1)"
+        )
+
+    def render_ym(e: str) -> str:
+        # widen to the full YEAR TO MONTH range first: extract(YEAR ..)
+        # is rejected on a MONTH-only interval type
+        wide = f"CAST(({e}) AS INTERVAL YEAR TO MONTH)"
+        months = (
+            f"CAST(extract(YEAR FROM {wide}) * 12"
+            f" + extract(MONTH FROM {wide}) AS BIGINT)"
+        )
+        return (
+            f"element_at(transform(array({months}), __iv -> concat("
+            f"CASE WHEN __iv < 0 THEN '-' ELSE '' END,"
+            f" CAST(abs(__iv) div 12 AS STRING), '-',"
+            f" CAST(abs(__iv) % 12 AS STRING))), 1)"
+        )
+
+    out, pos = [], 0
+    mask = _literal_mask(sql)
+    for m in re.finditer(r"\bCAST\s*\(", sql, re.IGNORECASE):
+        if m.start() < pos or mask[m.start()]:
+            continue
+        depth, i, in_str = 1, m.end(), False
+        while depth and i < len(sql):
+            c = sql[i]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1]
+        am = re.search(
+            r"\s+AS\s+VARCHAR(?:\s*\(\s*\d+\s*\))?\s*\Z",
+            inner, re.IGNORECASE,
+        )
+        if am is None:
+            continue
+        expr = inner[: am.start()]
+        # the AS found must be top-level, not inside the operand
+        if _split_top_level_on(inner, ",") != [inner]:
+            continue
+        if re.search(
+            r"\s+AS\s+", expr, re.IGNORECASE
+        ) and _split_top_level_on(expr, ",") == [expr]:
+            # e.g. CAST(CAST(x AS Y) AS VARCHAR): recheck that our AS is
+            # the outermost by balance — expr must be paren-balanced
+            depth2 = 0
+            bal = True
+            q = False
+            for c in expr:
+                if q:
+                    q = c != "'"
+                elif c == "'":
+                    q = True
+                elif c == "(":
+                    depth2 += 1
+                elif c == ")":
+                    depth2 -= 1
+                    if depth2 < 0:
+                        bal = False
+                        break
+            if not bal or depth2 != 0:
+                continue
+        fam = _provably_interval(expr, pools)
+        if fam is None:
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(
+            render_dts(expr) if fam == "dts"
+            else render_ym(expr) if fam == "ym"
+            else render_ts(expr)
+        )
+        pos = i
+    if not out:
+        return sql
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _normalize_interval_literals(sql: str) -> str:
@@ -10333,6 +10718,7 @@ def rewrite(
     ip_cols: frozenset | set | None = None,
     session_zone: str = "UTC",
     session_locale: str = "en",
+    session_start_ms: int | None = None,
 ) -> str:
     """Rewrite a Presto SQL string into Spark SQL.
 
@@ -10357,7 +10743,9 @@ def rewrite(
     sql = _rewrite_at_time_zone(sql)
     # after the AT TIME ZONE desugar (so marked values flow into
     # at_timezone), before every pass that consumes temporal literals
-    sql = _rewrite_tstz(sql, session_zone=session_zone)
+    sql = _rewrite_tstz(
+        sql, session_zone=session_zone, session_start_ms=session_start_ms
+    )
     sql = _rewrite_timezone_offset_fns(sql)
     sql = _rewrite_kurtosis(sql)
     sql = _rewrite_ml_functions(sql)
@@ -10392,6 +10780,8 @@ def rewrite(
     sql = _rewrite_array_join_timestamps(sql)
     sql = _fold_time_interval_arith(sql)
     sql = _fold_temporal_literal_varchar_casts(sql)
+    # non-literal interval → varchar (aggregates / VALUES-bound columns)
+    sql = _rewrite_interval_varchar_casts(sql)
     sql = _fold_ts_literals_in_varchar_container_casts(sql)
     # after the varchar fold (which needs the original unit spelling for
     # its own regex, though both handle every range) and the TIME fold;

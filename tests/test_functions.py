@@ -1094,6 +1094,40 @@ def test_geospatial_wkb_round_trip(engine):
     ) is True
 
 
+def test_interval_timestamp_varchar_casts(engine):
+    """Non-literal interval/timestamp → VARCHAR render Presto-style
+    (IntervalDayTime.formatMillis 'D HH:MM:SS.mmm', IntervalYearMonth
+    'Y-M', TimestampOperators 'yyyy-MM-dd HH:mm:ss.SSS') — the
+    provably-typed static pass over aggregates, arithmetic and
+    VALUES-bound columns (reference: AbstractTestDistributedQueries
+    testComplexCast)."""
+    cases = [
+        ("WITH t(a, b) AS (VALUES (1, INTERVAL '1' SECOND)) "
+         "SELECT CAST(max(b) AS VARCHAR) FROM t", "0 00:00:01.000"),
+        ("SELECT CAST(b + b AS VARCHAR) FROM (VALUES "
+         "(INTERVAL '90' MINUTE)) t(b)", "0 03:00:00.000"),
+        ("SELECT CAST(-b AS VARCHAR) FROM (VALUES (INTERVAL '1' HOUR))"
+         " t(b)", "-0 01:00:00.000"),
+        ("WITH t(y) AS (VALUES (INTERVAL '-14' MONTH)) "
+         "SELECT CAST(min(y) AS VARCHAR) FROM t", "-1-2"),
+        ("SELECT CAST(TIMESTAMP '2020-01-01 00:00:00' + "
+         "INTERVAL '1' DAY AS VARCHAR)", "2020-01-02 00:00:00.000"),
+        ("SELECT CAST(TIMESTAMP '2020-03-01 10:00:00' - "
+         "TIMESTAMP '2020-02-28 09:30:00' AS VARCHAR)",
+         "2 00:30:00.000"),
+        ("SELECT CAST(coalesce(b, INTERVAL '0' SECOND) AS VARCHAR) "
+         "FROM (VALUES (CAST(NULL AS INTERVAL SECOND))) t(b)",
+         "0 00:00:00.000"),
+        # non-provable operands must pass through untouched
+        ("SELECT CAST(max(a) AS VARCHAR) FROM (VALUES (1), (2)) t(a)",
+         "2"),
+        ("SELECT CAST(max(d) AS VARCHAR) FROM (VALUES "
+         "(DATE '2020-01-01')) t(d)", "2020-01-01"),
+    ]
+    for q, want in cases:
+        assert engine.sql(q).collect()[0][0] == want, q
+
+
 def test_ml_sql_trained_classifier(engine):
     # the SQL surface trains a REAL one-vs-rest linear SVM (reference:
     # libsvm C_SVC, linear kernel) — a separable threshold target must

@@ -45,15 +45,18 @@ def test_scalar_corpus_batch(scalar_engine, start):
     i = 0
 
     def key(c):
-        return (c.get("tz", "UTC"), c.get("locale", "en"))
+        return (
+            c.get("tz", "UTC"), c.get("locale", "en"), c.get("start_ms")
+        )
 
     while i < len(chunk):
-        tz, loc = key(chunk[i])
+        tz, loc, start_ms = key(chunk[i])
         j = i
-        while j < len(chunk) and key(chunk[j]) == (tz, loc):
+        while j < len(chunk) and key(chunk[j]) == (tz, loc, start_ms):
             j += 1
         scalar_engine.session_zone = tz
         scalar_engine.session_locale = loc
+        scalar_engine.session_start_ms = start_ms
         results.extend(
             eval_exprs(
                 scalar_engine,
@@ -63,6 +66,7 @@ def test_scalar_corpus_batch(scalar_engine, start):
         i = j
     scalar_engine.session_zone = "UTC"
     scalar_engine.session_locale = "en"
+    scalar_engine.session_start_ms = None
     bad = []
     for c, got in zip(chunk, results):
         if isinstance(got, Exception):

@@ -219,6 +219,29 @@ class _ZoneKey:
     def __init__(self, zid: str):
         self.zid = zid
 
+
+class _JOffsetTime:
+    """java.time.OffsetTime: a wall time + fixed zone offset (minutes).
+    Used by TestDateTimeFunctionsBase's WEIRD_TIME fixtures."""
+
+    def __init__(self, t, offset_minutes: int):
+        self.t = t  # datetime.time
+        self.offset_minutes = offset_minutes
+
+    def offset_id(self) -> str:
+        m = self.offset_minutes
+        if m == 0:
+            return "UTC"  # TimeZoneKey canonicalizes Z/+00:00
+        return f"{'-' if m < 0 else '+'}{abs(m) // 60:02d}:{abs(m) % 60:02d}"
+
+    def millis_utc(self) -> int:
+        """OffsetTime.atDate(epoch).toInstant().toEpochMilli()."""
+        local_ms = (
+            self.t.hour * 3_600_000 + self.t.minute * 60_000
+            + self.t.second * 1000 + self.t.microsecond // 1000
+        )
+        return local_ms - self.offset_minutes * 60_000
+
 # per-case adjudications — engine deviations documented in README
 _DST_LEGACY = (
     "legacy TIMESTAMP arithmetic applies the session zone's DST "
@@ -257,7 +280,19 @@ MANUAL_SKIPS: dict[str, str] = {
         "forbids map-typed keys (INVALID_MAP_KEY_TYPE), a hard engine "
         "limit for constructor-time map keys (documented deviation)"
     ),
+    "DTFB1060": (
+        "session-start-parameterized twin (setStartTime 1980 pins the "
+        "HISTORICAL +05:30 Kathmandu offset) — the corpus replays one "
+        "session start (2017 winter); the current-rules twin of this "
+        "exact SQL is live (DTFB1048)"
+    ),
 }
+
+# The corpus replays ONE session start for zone-sensitive at_timezone /
+# TIME WITH TIME ZONE semantics (Presto resolves named-zone offsets at
+# query start — DateTimeFunctions 'HACK WARNING'): the reference's own
+# europeWarsawSessionWinter fixture instant, 2017-01-01 10:00 Warsaw.
+CORPUS_SESSION_START_MS = 1_483_261_200_000
 
 
 def error_expected_spans(text: str) -> list[tuple[int, int]]:
@@ -1064,6 +1099,8 @@ def _joda_eval(expr: str, env: dict):
     constants.  Returns datetime/date/time/int/float/str.  Raises
     ValueError on anything unsupported."""
     src = expr.strip()
+    # inline block comments ('2 /* not 3 */') are annotations, not terms
+    src = _sub_outside_dquotes(r"/\*.*?\*/", "", src).strip()
     # non-legacy instantiation: the ternary selector is constant false
     src = re.sub(r"\bisLegacyTimestamp\s*\(\s*session\s*\)", "False", src)
     # constant-selector ternaries over simple operands (identifiers /
@@ -1129,6 +1166,8 @@ def _joda_eval(expr: str, env: dict):
                 return _SESSION
             if n.id == "UTC":
                 return _dtm.timezone.utc
+            if n.id == "UTC_KEY":
+                return _ZoneKey("UTC")
             if n.id == "UTF_8":
                 return _SESSION  # opaque charset arg (getBytes ignores)
             if n.id == "ALL_BYTES":
@@ -1145,6 +1184,10 @@ def _joda_eval(expr: str, env: dict):
                     return _JODA_ZONES[dotted]
                 if dotted in _JAVA_NAMED:
                     return _JAVA_NAMED[dotted]
+                if dotted == "TimeZoneKey.UTC_KEY":
+                    return _ZoneKey("UTC")
+                if dotted == "ZoneOffset.UTC":
+                    return _dtm.timezone.utc
             raise ValueError("attribute")
         if isinstance(n, _ast.UnaryOp) and isinstance(n.op, _ast.USub):
             return -ev(n.operand)
@@ -1262,6 +1305,35 @@ def _joda_eval(expr: str, env: dict):
             if len(a) == 3:
                 return _dtm.time(a[0], a[1], a[2])
             raise ValueError("LocalTime.of arity")
+        # OffsetTime.of(h, m, s, nanos, zoneOffset) — WEIRD_TIME fixture
+        if (
+            isinstance(n.func, _ast.Attribute)
+            and isinstance(n.func.value, _ast.Name)
+            and n.func.value.id == "OffsetTime"
+            and n.func.attr == "of"
+        ):
+            a = [ev(x) for x in n.args]
+            if len(a) == 5 and isinstance(a[4], _dtm.timezone):
+                off = a[4].utcoffset(None)
+                return _JOffsetTime(
+                    _dtm.time(
+                        int(a[0]), int(a[1]), int(a[2]), int(a[3]) // 1000
+                    ),
+                    round(off.total_seconds()) // 60,
+                )
+            raise ValueError("OffsetTime.of form")
+        # ZoneOffset.ofHoursMinutes(h, m) / ZoneOffset.UTC handled as
+        # fixed-offset tzinfo
+        if (
+            isinstance(n.func, _ast.Attribute)
+            and isinstance(n.func.value, _ast.Name)
+            and n.func.value.id == "ZoneOffset"
+            and n.func.attr in ("ofHoursMinutes", "ofHours")
+        ):
+            a = [int(ev(x)) for x in n.args]
+            h = a[0]
+            mi = a[1] if len(a) > 1 else 0
+            return _dtm.timezone(_dtm.timedelta(hours=h, minutes=mi))
         if (
             isinstance(n.func, _ast.Attribute)
             and isinstance(n.func.value, _ast.Name)
@@ -1356,6 +1428,32 @@ def _joda_eval(expr: str, env: dict):
                     return {"millis": int(a[0]), "zone": a[1].zid}
                 raise ValueError("SqlT*WithTimeZone args")
             args = [ev(x) for x in args_nodes]
+            if fn == "getTimeZoneKey" and len(args) == 1 and isinstance(
+                args[0], str
+            ):
+                return _ZoneKey(args[0])
+            if fn == "getTimeZoneKeyForOffset" and len(args) == 1:
+                total = int(args[0])
+                return _ZoneKey(
+                    f"{'-' if total < 0 else '+'}"
+                    f"{abs(total) // 60:02d}:{abs(total) % 60:02d}"
+                )
+            if fn == "getDateTimeZone" and len(args) == 1 and isinstance(
+                args[0], _ZoneKey
+            ):
+                from presto_ads_spark.functions.tstz_compat import (
+                    _zone_info,
+                )
+
+                return _zone_info(args[0].zid)
+            if fn == "toTimeWithTimeZone" and len(args) == 1 and isinstance(
+                args[0], _JOffsetTime
+            ):
+                # DateTimeTestingUtils-style in-file helper
+                # (TestDateTimeFunctionsBase.java:1202-1212):
+                # SqlTimeWithTimeZone(millisUtc(ot), key(ot.offset.id))
+                ot = args[0]
+                return {"millis": ot.millis_utc(), "zone": ot.offset_id()}
             if fn in ("toTimestampWithTimeZone", "toTimeWithTimeZone"):
                 # DateTimeTestingUtils: SqlT*WithTimeZone(dt.getMillis(),
                 # dt.getZone()) — zone id from the aware datetime
@@ -1561,6 +1659,13 @@ def _joda_eval(expr: str, env: dict):
                     n *= 1000
                 return recv.replace(**{field: n})
             raise ValueError(f"DateTime.{meth}")
+        if isinstance(recv, _JOffsetTime):
+            # delegate to the LocalTime handlers on the wall time; any
+            # time-valued result re-wraps with the same offset
+            inner = method(recv.t, meth, args)
+            if isinstance(inner, _dtm.time):
+                return _JOffsetTime(inner, recv.offset_minutes)
+            return inner
         if isinstance(recv, _dtm.time):
             tg = {
                 "getHour": recv.hour, "getMinute": recv.minute,
@@ -1738,7 +1843,8 @@ class JodaCtx:
                     pass
         self.consts.update(file_string_constants(text))
         for m in re.finditer(
-            r"static\s+final\s+(DateTime|LocalTime|OffsetTime|Duration)\s+"
+            r"static\s+final\s+(DateTime|LocalTime|OffsetTime|Duration"
+            r"|ZoneOffset)\s+"
             r"(\w+)\s*=\s*([^;]+);",
             text,
         ):
@@ -2126,6 +2232,7 @@ def main() -> None:
     from presto_ads_spark.session import get_spark
 
     engine = Engine(get_spark(), sf_dir=None)
+    engine.session_start_ms = CORPUS_SESSION_START_MS
 
     cases, skips, fails = [], [], []
     sources = _sources()
@@ -2456,14 +2563,16 @@ def main() -> None:
             fails.append(
                 (name, sql, f"got {solo!r} want {expected!r} ({type_text})")
             )
-        if session_zone != "UTC":
-            # zone-sensitive cases record the file's session zone so the
-            # corpus runner evaluates them under the same session
-            from presto_ads_spark.rewrite import _TSTZ_PROBE_RE
+        from presto_ads_spark.rewrite import _TSTZ_PROBE_RE
 
-            for c in cases[cases_start:]:
-                if _TSTZ_PROBE_RE.search(c["sql"]):
+        for c in cases[cases_start:]:
+            if _TSTZ_PROBE_RE.search(c["sql"]):
+                # zone-sensitive cases record the file's session zone
+                # AND the replayed session start so the corpus runner
+                # evaluates them under the same session
+                if session_zone != "UTC":
                     c["tz"] = session_zone
+                c["start_ms"] = CORPUS_SESSION_START_MS
         for c in cases[cases_start:]:
             if c["name"] in locale_names:
                 c["locale"] = "ko"

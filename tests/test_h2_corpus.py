@@ -59,3 +59,11 @@ def test_h2_corpus(h2_engine, h2_duck, case):
 
 def test_h2_corpus_skips_documented():
     assert all(s["reason"] for s in _hc.SKIPPED)
+
+
+def test_h2_corpus_covered_sites_have_live_gcases():
+    # every "covered" java-built site must point at a G-case that
+    # actually runs in CASES — the coverage claim is checkable
+    gcase_names = {c["name"] for c in _hc.CASES if c["name"].startswith("G")}
+    assert gcase_names, "no G-cases in the corpus?"
+    assert all(c["gcase"] for c in _hc.COVERED)

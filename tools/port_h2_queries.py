@@ -170,6 +170,28 @@ for _k in ("D825", "S139", "S167", "S169"):
     )
 # remaining java-built sites with per-site reasons
 MANUAL_SKIPS.update({
+    "D330": "assertCreateTableAsSelect helper body (SELECT * FROM a "
+            "session-created CTAS table) — the CTAS round-trip surface "
+            "is covered by the write battery "
+            "(tests/test_distributed_writes.py)",
+    "D434": "SELECT * FROM a session-created INSERT fixture table "
+            "(testInsert) — the INSERT surface is covered by the write "
+            "battery (tests/test_distributed_writes.py)",
+    "D443": "SELECT * FROM a session-created INSERT fixture table "
+            "(testInsert, post-partial-column inserts) — covered by the "
+            "write battery",
+    "D617": "session-created VIEW fixture (testView) — CREATE/OR "
+            "REPLACE VIEW round-trips are covered by the write battery",
+    "D619": "session-created VIEW fixture self-join (testView) — "
+            "covered by the write battery",
+    "D623": "session-created VIEW fixture under a WITH shadowing the "
+            "base table (testView) — covered by the write battery",
+    "D960": "stateful_sleeping_sum comes from the test plugin fixture "
+            "(not part of the engine's function surface); the "
+            "left-join-with-filter-function shape is exercised by the "
+            "ported join corpus",
+})
+MANUAL_SKIPS.update({
     "L4311": "mod(1000, orderkey) inside the 5000-value IN list raises "
              "division-by-zero on the driver fixture (orderkey starts at "
              "0) — runnable only on dbgen data (orderkey >= 1); the "
@@ -552,6 +574,8 @@ def generated_sites() -> list[tuple[str, int, str, str | None]]:
                           "(SELECT avg(orderkey) FROM orders) > 3")
             )
         ],
+        # D998 testComplexCast ports directly (the bare-identifier
+        # session-arg shift makes the site extractable), so no G-case
         ("G", 7908,
          "SELECT count(*) FROM (SELECT * FROM ("
          "SELECT (SELECT count(*) WHERE c = 1) "
@@ -789,7 +813,7 @@ def main() -> None:
     eng = Engine(spark, sf_dir=None)
     duck = gu.duckdb_h2_connection(sf_dir)
 
-    passed, failed, skipped = [], [], []
+    passed, failed, skipped, covered = [], [], [], []
     seen_sql: set[str] = set()
     n_done = 0
     sites = [
@@ -803,6 +827,17 @@ def main() -> None:
     for prefix, line, name, inner in sites:
         if args.line and (line != args.line or prefix != "L"):
             continue
+        key = f"{prefix}{line}"
+
+        def record_skip(reason):
+            # sites whose exact semantics already run live as a
+            # hand-instantiated G-case are COVERED, not skipped —
+            # separate ledger so the skip count reflects real gaps
+            if "hand-instantiated G-case" in reason:
+                covered.append((key, reason))
+            else:
+                skipped.append((key, reason))
+
         if name == "generated":
             actual, oracle = inner
         else:
@@ -811,42 +846,44 @@ def main() -> None:
                 continue
             # assertQuery(Session, sql[, oracle]) where the session only
             # toggles optimizer properties — result semantics identical,
-            # so drop the session argument and port the query
-            if jargs[0].strip() in ("noJoinReordering()", "getSession()"):
+            # so drop the session argument and port the query. A bare
+            # identifier first arg (``session`` local var) is the same
+            # shape; MANUAL_SKIPS still catches the sites where the
+            # session fixture matters (prepared statements etc.).
+            if jargs[0].strip() in ("noJoinReordering()", "getSession()") or (
+                len(jargs) >= 2 and re.fullmatch(r"\w+", jargs[0].strip())
+                and parse_string_expr(jargs[0]) is None
+            ):
                 jargs = jargs[1:]
             actual = parse_string_expr(jargs[0])
             if actual is None:
-                skipped.append((
-                    line,
-                    MANUAL_SKIPS.get(
-                        f"{prefix}{line}",
-                        "non-literal SQL (java expression)",
-                    ),
-                ))
+                record_skip(MANUAL_SKIPS.get(
+                    key, "non-literal SQL (java expression)"))
+                continue
+            # manual triage + actual-side screens apply regardless of
+            # whether the oracle text is extractable
+            if key in MANUAL_SKIPS:
+                record_skip(MANUAL_SKIPS[key])
+                continue
+            reason = triage_skip(actual)
+            if reason:
+                skipped.append((key, reason))
                 continue
             oracle = None
             if len(jargs) >= 2:
                 oracle = parse_string_expr(jargs[1])
                 if oracle is None:
-                    skipped.append(
-                        (line, "non-literal oracle (java expression)")
-                    )
+                    record_skip("non-literal oracle (java expression)")
                     continue
             if len(jargs) > 2:
-                skipped.append((line, "3+ args (session/typed overload)"))
+                skipped.append((key, "3+ args (session/typed overload)"))
                 continue
-        if f"{prefix}{line}" in MANUAL_SKIPS:
-            skipped.append((line, MANUAL_SKIPS[f"{prefix}{line}"]))
-            continue
-        # hand-instantiated G-cases are pre-vetted — triage only
-        # extracted sites (the info-schema G-cases pin a stable subset)
-        reason = None
-        if name != "generated":
-            reason = triage_skip(actual) or (
-                oracle and triage_skip(oracle)
-            )
-        if reason:
-            skipped.append((line, reason))
+            reason = oracle and triage_skip(oracle)
+            if reason:
+                skipped.append((key, reason))
+                continue
+        if name == "generated" and key in MANUAL_SKIPS:
+            record_skip(MANUAL_SKIPS[key])
             continue
         if actual in seen_sql:
             continue
@@ -920,7 +957,7 @@ def main() -> None:
                 rec["oracle"] = explicit
         if duck_rows is None:
             skipped.append(
-                (line, f"oracle cannot run (DuckDB): {str(derr)[:120]}")
+                (key, f"oracle cannot run (DuckDB): {str(derr)[:120]}")
             )
             continue
         try:
@@ -947,7 +984,10 @@ def main() -> None:
         if args.max and n_done >= args.max:
             break
 
-    print(f"PASS {len(passed)}  FAIL {len(failed)}  SKIP {len(skipped)}")
+    print(
+        f"PASS {len(passed)}  FAIL {len(failed)}  SKIP {len(skipped)}"
+        f"  COVERED {len(covered)}"
+    )
     from collections import Counter
 
     reasons = Counter(r for _, r in skipped)
@@ -975,7 +1015,16 @@ def main() -> None:
             f.write("\n\nSKIPPED = ")
             f.write(
                 pprint.pformat(
-                    [{"line": ln, "reason": r} for ln, r in skipped],
+                    [{"site": ln, "reason": r} for ln, r in skipped],
+                    width=100,
+                    sort_dicts=False,
+                )
+            )
+            f.write("\n\n# java-built sites whose exact semantics run live"
+                    " as G-cases above\nCOVERED = ")
+            f.write(
+                pprint.pformat(
+                    [{"site": ln, "gcase": r} for ln, r in covered],
                     width=100,
                     sort_dicts=False,
                 )

@@ -5281,6 +5281,28 @@ def _tstz_operators(sql: str, session_zone: str) -> str:
         )
         sql = sql[:m.start()] + rep + sql[b_end:]
         i = m.start() + len(rep)
+    # commuted interval-first addition (IntervalDayTimeOperators /
+    # IntervalYearMonthOperators add overloads are symmetric):
+    # «INTERVAL '3' hour + __ttz(...)» → «__ttz(...) + INTERVAL '3' hour»
+    # so the marker-led ± INTERVAL branch below handles both spellings
+    _ivl_first = re.compile(
+        r"(?is)\bINTERVAL\s*'(?:[^']|'')*'\s+"
+        r"(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
+        r"(?:\s+TO\s+(?:MONTH|HOUR|MINUTE|SECOND))?\s*\+\s*"
+        r"(?=(?:__tstz|__ttz)\s*\()"
+    )
+    while True:
+        m = _ivl_first.search(sql)
+        if not m:
+            break
+        mm = _TSTZ_MARK_RE.match(sql, m.end())
+        mark_end = _scan_matching_paren(sql, mm.end())
+        ivl_txt = sql[m.start():m.end()].rstrip()
+        ivl_txt = ivl_txt[:-1].rstrip()  # drop the trailing '+'
+        sql = (
+            sql[:m.start()] + sql[m.end():mark_end] + " + " + ivl_txt
+            + sql[mark_end:]
+        )
     changed = True
     while changed:
         changed = False

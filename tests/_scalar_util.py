@@ -903,6 +903,10 @@ def type_category(t: str):
     tuples for containers), or None when unsupported (temporal,
     sketches, …) — the porter skips those with the raw type text."""
     t = " ".join(t.split())
+    # class-qualified factory spellings (VarcharType.createVarcharType)
+    t = re.sub(r"^(?:VarcharType|CharType|DecimalType)\.", "", t)
+    # redundant parens around a bare type name: new ArrayType((INTEGER))
+    t = re.sub(r"^\(\s*([A-Za-z_][\w.]*)\s*\)$", r"\1", t)
     if t in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[t]
     m = re.match(r"^createVarcharType\s*\(\s*\d+\s*\)$", t)

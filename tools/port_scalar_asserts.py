@@ -198,6 +198,19 @@ def file_zone_keys(text: str) -> dict:
             )
     for m in re.finditer(r'(\w+)\s*=\s*getTimeZoneKey\s*\("([^"]+)"\)', text):
         out[m.group(1)] = _ZoneKey(m.group(2))
+    # DateTimeZone constants built directly from a fixed offset
+    # (TestDateTimeOperatorsBase: WEIRD_TIME_ZONE =
+    # DateTimeZone.forOffsetHoursMinutes(5, 9)) → tzinfo
+    for m in re.finditer(
+        r"(\w+)\s*=\s*DateTimeZone\.forOffsetHoursMinutes\s*"
+        r"\(\s*(-?\d+)\s*,\s*(\d+)\s*\)",
+        text,
+    ):
+        h, mi = int(m.group(2)), int(m.group(3))
+        sign = -1 if h < 0 else 1
+        out[m.group(1)] = _dtm.timezone(
+            sign * _dtm.timedelta(hours=abs(h), minutes=mi)
+        )
     # DateTimeZone constants derived from the keys (DATE_TIME_ZONE =
     # getDateTimeZone(TIME_ZONE_KEY)) → tzinfo for the Joda evaluator —
     # these must shadow the evaluator's per-suite fallbacks
@@ -1324,6 +1337,17 @@ def _joda_eval(expr: str, env: dict):
             raise ValueError("OffsetTime.of form")
         # ZoneOffset.ofHoursMinutes(h, m) / ZoneOffset.UTC handled as
         # fixed-offset tzinfo
+        if (
+            isinstance(n.func, _ast.Attribute)
+            and isinstance(n.func.value, _ast.Name)
+            and n.func.value.id == "DateTimeZone"
+            and n.func.attr == "forOffsetHoursMinutes"
+        ):
+            a = [int(ev(x)) for x in n.args]
+            sign = -1 if a[0] < 0 else 1
+            return _dtm.timezone(
+                sign * _dtm.timedelta(hours=abs(a[0]), minutes=a[1])
+            )
         if (
             isinstance(n.func, _ast.Attribute)
             and isinstance(n.func.value, _ast.Name)

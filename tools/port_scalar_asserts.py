@@ -175,7 +175,13 @@ def file_session_zone(text: str) -> str:
     )
     if m:
         return m.group(1)
-    m = re.search(r'setTimeZoneKey\s*\(\s*getTimeZoneKey\s*\("([^"]+)"\)', text)
+    # a bare setTimeZoneKey match counts only BEFORE the first @Test —
+    # later ones are method-local sessions (TestTimeBase's Sydney DST
+    # fixture), not the class session
+    head = text.split("@Test", 1)[0]
+    m = re.search(
+        r'setTimeZoneKey\s*\(\s*getTimeZoneKey\s*\("([^"]+)"\)', head
+    )
     if m:
         return m.group(1)
     return "Pacific/Apia"
@@ -292,6 +298,11 @@ MANUAL_SKIPS: dict[str, str] = {
         "map_entries over a map whose KEYS are maps — Spark's MapType "
         "forbids map-typed keys (INVALID_MAP_KEY_TYPE), a hard engine "
         "limit for constructor-time map keys (documented deviation)"
+    ),
+    "TB155": (
+        "zone-scoped local FunctionAssertions session (Kathmandu) — "
+        "the corpus replays the file's class session zone; the "
+        "default-session twin of this cast is live (TB141)"
     ),
     "DTFB1060": (
         "session-start-parameterized twin (setStartTime 1980 pins the "
@@ -1683,6 +1694,19 @@ def _joda_eval(expr: str, env: dict):
                     n *= 1000
                 return recv.replace(**{field: n})
             raise ValueError(f"DateTime.{meth}")
+        if isinstance(recv, _dtm.tzinfo) and meth == "toTimeZone":
+            # DateTimeZone.toTimeZone() → packed as its TimeZoneKey
+            if hasattr(recv, "key"):
+                return _ZoneKey(recv.key)
+            off = recv.utcoffset(None)
+            tot = round(off.total_seconds()) // 60
+            return _ZoneKey(
+                "UTC" if tot == 0 else
+                f"{'-' if tot < 0 else '+'}"
+                f"{abs(tot) // 60:02d}:{abs(tot) % 60:02d}"
+            )
+        if isinstance(recv, _dtm.tzinfo) and meth == "getID":
+            return recv.key if hasattr(recv, "key") else str(recv)
         if isinstance(recv, _JOffsetTime):
             # delegate to the LocalTime handlers on the wall time; any
             # time-valued result re-wraps with the same offset
@@ -1834,7 +1858,8 @@ _MILLI_OF_SECOND = object()  # java.time.temporal.ChronoField sentinel
 # the generic method dispatch below
 _JODA_LOCAL_DECL_RE = re.compile(
     r"^\s*(?:final\s+)?(DateTime|LocalTime|OffsetTime|String|double|int"
-    r"|long|Map(?:<[^;=]*>)?|List(?:<[^;=]*>)?)\s+"
+    r"|long|TimeZoneKey|DateTimeZone"
+    r"|Map(?:<[^;=]*>)?|List(?:<[^;=]*>)?)\s+"
     r"(\w+)\s*=\s*([^;]+);\s*$",
     re.MULTILINE,
 )

@@ -61,9 +61,20 @@ def test_h2_corpus_skips_documented():
     assert all(s["reason"] for s in _hc.SKIPPED)
 
 
-def test_h2_corpus_covered_sites_have_live_gcases():
-    # every "covered" java-built site must point at a G-case that
-    # actually runs in CASES — the coverage claim is checkable
+def test_h2_corpus_covered_sites_have_live_coverage():
+    # every "covered" site must point at live coverage: a G-case that
+    # runs in CASES, the identical SQL as another live corpus case, or
+    # a verbatim PREPARE/EXECUTE engine test — the claim is checkable
     gcase_names = {c["name"] for c in _hc.CASES if c["name"].startswith("G")}
     assert gcase_names, "no G-cases in the corpus?"
-    assert all(c["gcase"] for c in _hc.COVERED)
+    for c in _hc.COVERED:
+        assert c["gcase"], c
+        if "same SQL = corpus case" in c["gcase"]:
+            ref = c["gcase"].split("corpus case ")[1].split(";")[0].strip()
+            assert any(x["name"] == ref for x in _hc.CASES), c
+        elif "PREPARE/EXECUTE" in c["gcase"]:
+            import os
+
+            t = open(os.path.join(os.path.dirname(__file__),
+                                  "test_engine.py")).read()
+            assert "test_execute_using" in t, c

@@ -830,10 +830,13 @@ def main() -> None:
         key = f"{prefix}{line}"
 
         def record_skip(reason):
-            # sites whose exact semantics already run live as a
-            # hand-instantiated G-case are COVERED, not skipped —
-            # separate ledger so the skip count reflects real gaps
-            if "hand-instantiated G-case" in reason:
+            # sites whose exact semantics already run live elsewhere —
+            # a hand-instantiated G-case, the identical SQL as another
+            # corpus case, or a verbatim PREPARE/EXECUTE engine test —
+            # are COVERED, not skipped: the skip count reflects real gaps
+            if ("hand-instantiated G-case" in reason
+                    or "same SQL = corpus case" in reason
+                    or "ported as PREPARE/EXECUTE" in reason):
                 covered.append((key, reason))
             else:
                 skipped.append((key, reason))

@@ -15,18 +15,19 @@ presto-record-decoder), and every reference SQL file executes UNMODIFIED
 collapses to a view name) through ``Engine.sql``, with counts checked
 against the generator's ground truth.
 
-Raw leg: count.sql runs over the undecoded binary frame (count(*)
-needs no field mapping); the per-column raw queries are skipped with a
-reason — the reference's raw benchmark maps columns at fixed byte
-offsets (presto-record-decoder RawRowDecoder), and the engine's raw
-decoder exposes the payload as one typed column (decode_raw), not an
-offset map. Documented capability difference.
+Raw leg: messages pack big-endian (LONG, DOUBLE, 12-byte varchar)
+fields per column and decode through ``decoders.decode_raw_fields`` —
+the byte-offset raw decoder mirroring presto-record-decoder's
+RawColumnDecoder (big-endian signed integers, pure-SQL IEEE-754 double
+reassembly, mapped-range UTF-8 varchar) — so all four reference queries
+run on raw too.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import struct
 
 import pytest
 
@@ -100,16 +101,37 @@ def kafka_views(spark):
             name = f"kafka_{schema}_{enc}"
             decoded.createOrReplaceTempView(name)
             views[(schema, enc)] = name
-        # raw: the undecoded frame itself (count(*) leg)
-        frame = sub.createDataFrame(csv_payloads, "value: binary")
+        # raw: fixed byte layout — (LONG, DOUBLE, 12-byte varchar) per
+        # column index, decoded by byte-offset mapping like the
+        # reference's RawRowDecoder benchmark schemas
+        raw_payloads = []
+        for r in rows:
+            buf = b""
+            for i in range(1, width + 1):
+                buf += struct.pack(">q", r[f"c_bigint_{i}"])
+                buf += struct.pack(">d", r[f"c_double_{i}"])
+                buf += r[f"c_varchar_{i}"].encode()[:12].ljust(12)
+            raw_payloads.append((buf,))
+        specs = []
+        off = 0
+        for i in range(1, width + 1):
+            specs.append((f"c_bigint_{i}", "bigint", "LONG", off))
+            specs.append((f"c_double_{i}", "double", "DOUBLE", off + 8))
+            specs.append(
+                (f"c_varchar_{i}", "varchar", None, off + 16, off + 28)
+            )
+            off += 28
+        frame = sub.createDataFrame(raw_payloads, "value: binary")
         name = f"kafka_{schema}_raw"
-        frame.createOrReplaceTempView(name)
+        decoders.decode_raw_fields(frame, specs).createOrReplaceTempView(
+            name
+        )
         views[(schema, "raw")] = name
     return sub, views
 
 
 # kafka.yaml variables: count over every schema × table; count_column_N
-# over the matching-width schema, csv + json (raw: see module docstring)
+# over the matching-width schema, all three encodings
 _CASES = [
     ("count.sql", schema, enc)
     for schema in _WIDTHS
@@ -117,7 +139,7 @@ _CASES = [
 ] + [
     (f"count_column_{w}.sql", schema, enc)
     for schema, w in _WIDTHS.items()
-    for enc in ("csv", "json")
+    for enc in ("csv", "json", "raw")
 ]
 
 
@@ -136,12 +158,36 @@ def test_kafka_benchto_verbatim(kafka_views, fname, schema, enc):
     assert all(v == N_ROWS for v in row), (fname, schema, enc, tuple(row))
 
 
-def test_kafka_benchto_raw_column_skip_documented():
-    """The raw per-column legs are intentionally absent: the reference
-    maps raw columns at byte offsets (RawRowDecoder); decode_raw is a
-    single-column view of the payload. This test pins the reason so the
-    ledger is checkable."""
-    assert "decode_raw" in open(
-        os.path.join(os.path.dirname(__file__), "..", "presto_ads_spark",
-                     "sources", "decoders.py")
-    ).read()
+def test_raw_field_decoder_bit_faithful(spark):
+    """decode_raw_fields must reproduce Java ByteBuffer semantics
+    bit-for-bit: min/max signed integers, -0.0, ±Infinity, NaN, the
+    smallest denormal and smallest normal double, UTF-8 text
+    (reference: RawColumnDecoder.getLong/getDouble/getSlice)."""
+    import math
+
+    from presto_ads_spark.sources import decoders
+
+    vals = [
+        (123456789012345, -42, 3.141592653589793, -0.0, float("inf")),
+        (-(2 ** 63), 127, float("nan"), 5e-324,
+         2.2250738585072014e-308),
+    ]
+    rows = [
+        (struct.pack(">q", a) + struct.pack(">b", b)
+         + b"".join(struct.pack(">d", x) for x in (c, d, e)),)
+        for a, b, c, d, e in vals
+    ]
+    out = decoders.decode_raw_fields(
+        spark.createDataFrame(rows, "value: binary"),
+        [("a", "bigint", "LONG", 0), ("b", "bigint", "BYTE", 8),
+         ("c", "double", "DOUBLE", 9), ("d", "double", "DOUBLE", 17),
+         ("e", "double", "DOUBLE", 25)],
+    ).collect()
+    for row, want in zip(out, vals):
+        for g, w in zip(tuple(row), want):
+            if isinstance(w, float) and math.isnan(w):
+                assert math.isnan(g)
+            elif isinstance(w, float):
+                assert g == w and math.copysign(1, g) == math.copysign(1, w)
+            else:
+                assert g == w

@@ -1831,16 +1831,16 @@ def tpcds_distinct_dim_or_filter(spark, sf_dir):
     "120 / more) per group (tpcds/q50.sql '30 days' ... '>120 days').",
     oracle="""
 SELECT o_orderpriority,
-  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
-      THEN 1 ELSE 0 END) AS d30,
-  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+      THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
         AND date_diff('day', o_orderdate, l_shipdate) <= 60
-      THEN 1 ELSE 0 END) AS d60,
-  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+      THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
         AND date_diff('day', o_orderdate, l_shipdate) <= 90
-      THEN 1 ELSE 0 END) AS d90,
-  SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
-      THEN 1 ELSE 0 END) AS d_more
+      THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+      THEN 1 ELSE 0 END) AS BIGINT) AS d_more
 FROM lineitem, orders
 WHERE l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -1886,12 +1886,12 @@ WITH ss AS (
   WHERE o_orderkey = l_orderkey AND l_returnflag = 'A'
 )
 SELECT
-  SUM(CASE WHEN ss.cust IS NOT NULL AND cs.cust IS NULL
-      THEN 1 ELSE 0 END) AS store_only,
-  SUM(CASE WHEN ss.cust IS NULL AND cs.cust IS NOT NULL
-      THEN 1 ELSE 0 END) AS catalog_only,
-  SUM(CASE WHEN ss.cust IS NOT NULL AND cs.cust IS NOT NULL
-      THEN 1 ELSE 0 END) AS store_and_catalog
+  CAST(SUM(CASE WHEN ss.cust IS NOT NULL AND cs.cust IS NULL
+      THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+  CAST(SUM(CASE WHEN ss.cust IS NULL AND cs.cust IS NOT NULL
+      THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+  CAST(SUM(CASE WHEN ss.cust IS NOT NULL AND cs.cust IS NOT NULL
+      THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
 FROM ss FULL OUTER JOIN cs
   ON ss.cust = cs.cust AND ss.item = cs.item
 """,

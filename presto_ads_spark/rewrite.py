@@ -1130,7 +1130,13 @@ def _rewrite_at_time_zone(sql: str) -> str:
         j = m.end()
         while j < len(sql) and sql[j].isspace():
             j += 1
-        if j < len(sql) and sql[j] == "'":  # zone string literal
+        im = re.match(
+            r"(?is)INTERVAL\s*'(?:[^']|'')*'\s+" + _IVL_UNIT_RANGE,
+            sql[j:],
+        )
+        if im:  # interval-typed zone offset (at_timezone overloads)
+            k = j + im.end()
+        elif j < len(sql) and sql[j] == "'":  # zone string literal
             k = j + 1
             while k < len(sql):
                 if sql[k] == "'":

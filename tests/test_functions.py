@@ -1123,6 +1123,14 @@ def test_interval_timestamp_varchar_casts(engine):
          "2"),
         ("SELECT CAST(max(d) AS VARCHAR) FROM (VALUES "
          "(DATE '2020-01-01')) t(d)", "2020-01-01"),
+        # AT TIME ZONE with an INTERVAL zone operand (SqlBase.g4 allows
+        # any expression; DateTimeFunctions' interval overloads fold a
+        # whole-minute offset to a fixed zone key)
+        ("SELECT CAST((TIMESTAMP '2001-01-02 03:04:05.321 +05:00' "
+         "AT TIME ZONE INTERVAL '2' HOUR) AS VARCHAR)",
+         "2001-01-02 00:04:05.321 +02:00"),
+        ("SELECT CAST((TIME '10:00 +01:00' AT TIME ZONE "
+         "INTERVAL '-3' HOUR) AS VARCHAR)", "06:00:00.000 -03:00"),
     ]
     for q, want in cases:
         assert engine.sql(q).collect()[0][0] == want, q

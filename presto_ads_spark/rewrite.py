@@ -945,6 +945,14 @@ def _rewrite_element_array_concat(sql: str) -> str:
         return sql
     prev = 0
     for start, end, items in spans:
+        if start < prev:
+            # a nested chain: «('X y' || s) || z» — the outer span's
+            # first operand (the paren group) overlaps the inner span
+            # already emitted; leave the outer chain untouched (the
+            # emitter requires disjoint spans — r12 fuzzer find: the
+            # overlap used to re-append the inner region, corrupting
+            # the statement)
+            continue
         texts = [sql[a:b].strip() for a, b in items]
         depths = [_array_call_depth(t) for t in texts]
         out.append(sql[prev:start])

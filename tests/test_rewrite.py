@@ -667,3 +667,17 @@ def test_width_bucket2_null_propagates():
     # alone returns 0 (the lambda is NULL for every bin)
     out = rewrite("SELECT width_bucket(x, ARRAY[1, 5, 10]) FROM t")
     assert "CASE WHEN (x) IS NULL" in out and "size(filter(" in out
+
+
+def test_nested_concat_chain_not_corrupted():
+    """r12 fuzzer find: a parenthesized || chain nested inside another
+    || chain made _rewrite_element_array_concat emit overlapping spans,
+    duplicating the inner region into broken SQL. Nested chains must
+    pass through untouched; flat literal chains still wrap."""
+    q = "SELECT (('X y' || s) || NULL) FROM t"
+    assert rewrite(q) == q
+    q2 = "SELECT reverse((('X y' || s) || CAST(NULL AS VARCHAR))) FROM t"
+    out = rewrite(q2)
+    assert out.count("'X y'") == 1 and "s(" not in out
+    # the wrap behavior itself is intact
+    assert "array(1) || array(2)" in rewrite("SELECT 1 || ARRAY[2]")

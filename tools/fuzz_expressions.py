@@ -467,6 +467,11 @@ _DUCK_RENAMES = [
     # DuckDB ignores NULLs — route through compensating macros
     (r"\bgreatest\(", "presto_greatest("),
     (r"\bleast\(", "presto_least("),
+    # Presto substr with a negative start past the string head is ''
+    # (StringFunctions.java:237 startCodePoint < 0); DuckDB clamps the
+    # window to the head — compensating macro (3-arg, the only arity
+    # the grammar emits)
+    (r"\bsubstr\(", "presto_substr("),
 ]
 
 
@@ -506,6 +511,17 @@ def install_duck_macros(duck) -> None:
             f"CREATE OR REPLACE MACRO presto_{gl}(a, b) AS "
             f"CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE {gl}(a, b) END"
         )
+    # Presto substr (StringFunctions.java:260-293): start 0 / length<=0
+    # → ''; negative start is end-relative and '' when it lands before
+    # the head — DuckDB clamps that window to the head instead
+    duck.execute(
+        "CREATE OR REPLACE MACRO presto_substr(s, st, ln) AS "
+        "CASE WHEN s IS NULL OR st IS NULL OR ln IS NULL THEN NULL "
+        "WHEN st = 0 OR ln <= 0 THEN '' "
+        "WHEN st < 0 AND length(s) + st < 0 THEN '' "
+        "WHEN st < 0 THEN substr(s, length(s) + st + 1, ln) "
+        "ELSE substr(s, st, ln) END"
+    )
 
 
 def run_fuzz(n: int, seed: int, eng, duck, verbose: bool = True):

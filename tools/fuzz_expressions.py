@@ -97,10 +97,17 @@ def str_expr(r: random.Random, depth: int = 0) -> str:
     #   (StringFunctions.java:121-133), DuckDB returns s unchanged
     op = r.choice(["concat", "upper", "lower", "trim", "ltrim", "rtrim",
                    "substr", "neg_substr", "replace", "strip_replace",
-                   "reverse", "case", "lpad", "rpad"])
+                   "reverse", "case", "lpad", "rpad", "date_format",
+                   "split_part"])
     x = str_expr(r, depth + 1)
     if op == "concat":
         return f"({x} || {str_expr(r, depth + 1)})"
+    if op == "date_format":
+        return ts_str_expr(r, depth + 1)
+    if op == "split_part":
+        # fixed single-char delimiter; Presto returns NULL past the
+        # last field where DuckDB returns '' (presto_split_part macro)
+        return f"split_part({x}, ' ', {r.randint(1, 3)})"
     if op == "substr":
         return f"substr({x}, {r.randint(1, 3)}, {r.randint(0, 4)})"
     if op == "neg_substr":
@@ -158,9 +165,27 @@ def ts_expr(r: random.Random, depth: int = 0) -> str:
 
 
 def ts_int_expr(r: random.Random, depth: int = 0) -> str:
-    """Integer field extraction from a timestamp (portable subset)."""
-    fn = r.choice(["year", "month", "day", "hour", "minute"])
+    """Integer field extraction from a timestamp (portable subset —
+    day_of_week/day_of_year/week/quarter map to DuckDB's
+    isodow/dayofyear/weekofyear/quarter in duck_dialect; Presto's
+    day_of_week is ISO 1=Monday..7=Sunday like isodow)."""
+    fn = r.choice(["year", "month", "day", "hour", "minute",
+                   "day_of_week", "day_of_year", "week", "quarter"])
     return f"{fn}({ts_expr(r, depth + 1)})"
+
+
+# date_format MySQL patterns with known DuckDB strftime twins — the
+# generator only emits these, so duck_dialect's %i→%M / %s→%S literal
+# translation is safe
+_DF_PATTERNS = ("%Y-%m-%d", "%H:%i:%s", "%Y/%m", "%d %H", "%Y-%m-%d %H:%i")
+
+
+def ts_str_expr(r: random.Random, depth: int = 0) -> str:
+    """date_format over a SIMPLE operand (no commas — duck_dialect's
+    pattern translation regex requires it): exercises the
+    datetime_compat MySQL-pattern layer end-to-end."""
+    x = r.choice([r.choice(TS_COLS), "TIMESTAMP '2024-01-20 12:34:56'"])
+    return f"date_format({x}, '{r.choice(_DF_PATTERNS)}')"
 
 
 def array_expr(r: random.Random, depth: int = 0) -> str:
@@ -472,6 +497,12 @@ _DUCK_RENAMES = [
     # window to the head — compensating macro (3-arg, the only arity
     # the grammar emits)
     (r"\bsubstr\(", "presto_substr("),
+    # datetime field spellings (Presto → DuckDB)
+    (r"\bday_of_week\(", "isodow("),
+    (r"\bday_of_year\(", "dayofyear("),
+    (r"\bweek\(", "weekofyear("),
+    # Presto split_part returns NULL past the last field; DuckDB ''
+    (r"\bsplit_part\(", "presto_split_part("),
 ]
 
 
@@ -488,6 +519,15 @@ def duck_dialect(q: str) -> str:
         _rewrite_int_literal_division(q),
         frozenset(INT_COLS) | infer_values_int_cols(q),
     ).replace(" DIV ", " // ")
+    # MySQL %-patterns → strftime C patterns (the grammar only emits
+    # comma-free first operands and the _DF_PATTERNS whitelist)
+    dq = _re.sub(
+        r"date_format\(([^,()]+(?:\([^()]*\))?[^,()]*),\s*'([^']*)'\)",
+        lambda m: "strftime({}, '{}')".format(
+            m.group(1), m.group(2).replace("%i", "%M").replace("%s", "%S")
+        ),
+        dq,
+    )
     for pat, rep in _DUCK_RENAMES:
         dq = _re.sub(pat, rep, dq)
     return dq
@@ -521,6 +561,14 @@ def install_duck_macros(duck) -> None:
         "WHEN st < 0 AND length(s) + st < 0 THEN '' "
         "WHEN st < 0 THEN substr(s, length(s) + st + 1, ln) "
         "ELSE substr(s, st, ln) END"
+    )
+    # Presto split_part returns NULL past the last field
+    # (StringFunctions.splitPart); DuckDB returns ''
+    duck.execute(
+        "CREATE OR REPLACE MACRO presto_split_part(s, d, n) AS "
+        "CASE WHEN s IS NULL OR d IS NULL OR n IS NULL THEN NULL "
+        "WHEN len(string_split(s, d)) < n THEN NULL "
+        "ELSE split_part(s, d, n) END"
     )
 
 

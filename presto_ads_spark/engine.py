@@ -229,6 +229,13 @@ class Engine:
         # the query start (DateTimeFunctions 'HACK WARNING'); None =
         # rewrite-time now, settable for deterministic replay
         self.session_start_ms: int | None = None
+        # Presto 0.216 legacy_timestamp session property: legacy casts of
+        # zone-carrying strings APPLY the zone and land on the session-
+        # zone local instant (TimestampOperators.castFromSlice →
+        # DateTimeUtils.parseTimestampLiteral(timeZoneKey, …)); the
+        # engine's NTZ model defaults to the non-legacy reading (zone
+        # parsed then dropped — README timestamp deviation notes this)
+        self.legacy_timestamp: bool = False
         # view-output type markers: char(n) lengths and ipaddress column
         # names persisted across CREATE VIEW statement boundaries so the
         # rewrite fixpoints keep working over view columns (round 10,
@@ -326,6 +333,7 @@ class Engine:
             session_zone=self.session_zone,
             session_locale=self.session_locale,
             session_start_ms=self.session_start_ms,
+            legacy_timestamp=self.legacy_timestamp,
         )
 
     # -- statement entry point -------------------------------------------
@@ -460,6 +468,21 @@ class Engine:
         operator/ExplainAnalyzeOperator.java:34 — runs the query and
         annotates the plan; detailed per-operator metrics live in the Spark
         UI / status store)."""
+        m = _DELETE_RE.match(inner_sql)
+        if m:
+            # DELETE goes through the engine's rewrite-and-swap path
+            # (Spark parquet tables have no native DELETE); the analyzed
+            # "plan" reports the delete like the reference's
+            # ExplainAnalyze-over-TableDelete shape
+            res = self.sql(inner_sql)
+            n = res.collect()[0][0]
+            plan = (
+                f"Delete[{m.group(1)}] (rewrite-and-swap, "
+                f"rows_deleted={n})"
+            )
+            return self.spark.createDataFrame(
+                [(plan,)], "query_plan string"
+            )
         df = self.spark.sql(rewrite(inner_sql))
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
@@ -585,6 +608,9 @@ class Engine:
             # (rewrite.py _rewrite_locale_datetime)
             self.session_locale = value
             return self.spark.range(0).select()
+        if name.lower() == "legacy_timestamp":
+            self.legacy_timestamp = value.strip().lower() in ("true", "1")
+            return self.spark.range(0).select()
         if name.lower() == "join_distribution_type":
             # Presto: PARTITIONED disables broadcast; AUTOMATIC/BROADCAST use it.
             thr = "-1" if value.upper() == "PARTITIONED" else "10485760"
@@ -599,6 +625,8 @@ class Engine:
             self.session_zone = "UTC"
         elif name.lower() == "locale":
             self.session_locale = "en"
+        elif name.lower() == "legacy_timestamp":
+            self.legacy_timestamp = False
         elif name.lower() in SESSION_PROPERTY_MAP:
             self.spark.conf.unset(SESSION_PROPERTY_MAP[name.lower()])
         return self.spark.range(0).select()

@@ -10,6 +10,9 @@ the MySQL patterns and exposes Column-level helpers.
 
 from __future__ import annotations
 
+import datetime
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -124,6 +127,167 @@ def parse_datetime(col: Column | str, joda_pattern: str) -> Column:
 # are locale-fixed, so non-English sessions lower the name-producing
 # tokens to JVM lookups over these CLDR name tables (public CLDR data);
 # rewrite.py _rewrite_locale_datetime does the pattern surgery.
+_EN_MON_SHORT = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                 "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_EN_MON_FULL = ["January", "February", "March", "April", "May", "June",
+                "July", "August", "September", "October", "November",
+                "December"]
+_EN_WD_SHORT = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+_EN_WD_FULL = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+               "Saturday", "Sunday"]
+
+
+def parse_mysql_datetime(text: str, pattern: str):
+    """Rewrite-time literal fold for ``date_parse`` corners java.time
+    cannot express (DateTimeFunctions.java:1180-1290 — the reference
+    builds a Joda formatter from the MySQL pattern): conflicting
+    %Y + %y (Joda's LAST saved field wins), ISO-week %x%v
+    (weekyear/weekOfWeekyear), variable-width %s.%f fractions
+    (appendFractionOfSecond(6, 9) truncated to millis), and two-digit
+    %y with the 1970 pivot (appendTwoDigitYear). Returns a naive
+    ``datetime.datetime`` or None when the (text, pattern) pair is
+    outside the modeled subset — the caller then leaves the call on the
+    established java.time path."""
+    f: dict[str, int] = {}
+    pos = 0
+    i = 0
+
+    def take_num(key: str, maxlen: int) -> bool:
+        nonlocal pos
+        m = re.match(r"\d{1,%d}" % maxlen, text[pos:])
+        if not m:
+            return False
+        f[key] = int(m.group())
+        pos += m.end()
+        return True
+
+    def take_text(key: str, names: list[str], base: int = 1) -> bool:
+        # Joda text parse is case-insensitive, longest match first
+        nonlocal pos
+        low = text[pos:].lower()
+        best = None
+        for idx, n in enumerate(names):
+            if low.startswith(n.lower()) and (
+                best is None or len(n) > len(names[best])
+            ):
+                best = idx
+        if best is None:
+            return False
+        f[key] = best + base
+        pos += len(names[best])
+        return True
+
+    toks: list[str] = []
+    while i < len(pattern):
+        if pattern[i] == "%" and i + 1 < len(pattern):
+            t = pattern[i + 1]
+            if t == "r":
+                toks += ["%h", ":", "%i", ":", "%s", " ", "%p"]
+            elif t == "T":
+                toks += ["%H", ":", "%i", ":", "%s"]
+            elif t == "%":
+                toks.append("%")
+            else:
+                toks.append("%" + t)
+            i += 2
+        else:
+            toks.append(pattern[i])
+            i += 1
+
+    for tok in toks:
+        if len(tok) == 1:
+            if pos < len(text) and text[pos] == tok:
+                pos += 1
+                continue
+            return None
+        t = tok[1]
+        ok = True
+        if t == "Y":
+            ok = take_num("year", 4)
+        elif t == "y":
+            m = re.match(r"\d{1,2}", text[pos:])
+            if not m:
+                return None
+            v = int(m.group())
+            pos += m.end()
+            # appendTwoDigitYear(PIVOT_YEAR=2020): 70-99 → 19xx
+            f["year"] = 1900 + v if v >= 70 else 2000 + v
+        elif t in ("m", "c"):
+            ok = take_num("month", 2)
+        elif t in ("d", "e"):
+            ok = take_num("day", 2)
+        elif t == "j":
+            ok = take_num("doy", 3)
+        elif t in ("H", "k"):
+            ok = take_num("hour", 2)
+        elif t in ("h", "I", "l"):
+            ok = take_num("clockhour", 2)
+        elif t == "i":
+            ok = take_num("minute", 2)
+        elif t in ("s", "S"):
+            ok = take_num("second", 2)
+        elif t == "f":
+            m = re.match(r"\d{1,9}", text[pos:])
+            if not m:
+                return None
+            # fraction-of-second, truncated to millis
+            f["millis"] = int(
+                int(m.group().ljust(9, "0")[:9]) / 1_000_000
+            )
+            pos += m.end()
+        elif t == "p":
+            m = re.match(r"(?i)(AM|PM)", text[pos:])
+            if not m:
+                return None
+            f["pm"] = int(m.group().upper() == "PM")
+            pos += m.end()
+        elif t == "b":
+            ok = take_text("month", _EN_MON_SHORT)
+        elif t == "M":
+            ok = take_text("month", _EN_MON_FULL)
+        elif t == "a":
+            ok = take_text("dow", _EN_WD_SHORT)
+        elif t == "W":
+            ok = take_text("dow", _EN_WD_FULL)
+        elif t == "v":
+            ok = take_num("week", 2)
+        elif t == "x":
+            ok = take_num("weekyear", 4)
+        else:
+            return None  # %w/%U/%u/%V/%X/%D error in Presto; unknown
+        if not ok:
+            return None
+    if pos != len(text):
+        return None
+
+    try:
+        if "weekyear" in f or "week" in f:
+            if {"year", "month", "day", "doy"} & f.keys():
+                return None  # mixed calendars — out of modeled subset
+            base = datetime.date.fromisocalendar(
+                f.get("weekyear", 1970), f.get("week", 1), f.get("dow", 1)
+            )
+        elif "doy" in f:
+            if {"month", "day"} & f.keys():
+                return None
+            base = datetime.date(f.get("year", 1970), 1, 1) + \
+                datetime.timedelta(days=f["doy"] - 1)
+        else:
+            base = datetime.date(
+                f.get("year", 1970), f.get("month", 1), f.get("day", 1)
+            )
+        if "clockhour" in f:
+            hour = f["clockhour"] % 12 + (12 if f.get("pm") else 0)
+        else:
+            hour = f.get("hour", 0)
+        return datetime.datetime(
+            base.year, base.month, base.day, hour, f.get("minute", 0),
+            f.get("second", 0), f.get("millis", 0) * 1000,
+        )
+    except ValueError:
+        return None
+
+
 LOCALE_DATETIME_NAMES: dict[str, dict] = {
     "ko": {
         # Monday-first (Spark weekday() is 0=Monday)

@@ -43,6 +43,16 @@ def _train_classifier_ovr(feats, label_idx):
         return None
     import numpy as np
 
+    # the rewrite filters NULL label/features rows before the agg; this
+    # guard keeps a stray None from surfacing as an opaque Py4J task
+    # failure (the reference rejects NULLs at the aggregation layer)
+    if any(f is None for f in feats) or any(
+        i is None for i in label_idx
+    ):
+        raise ValueError(
+            "learn_classifier: NULL feature vector or label in the"
+            " training set"
+        )
     x = np.asarray([list(f) for f in feats], dtype=float)
     y = np.asarray(label_idx, dtype=int) - 1
     n, d = x.shape
@@ -73,6 +83,11 @@ def _train_regressor(feats, labels):
         return None
     import numpy as np
 
+    if any(f is None for f in feats) or any(v is None for v in labels):
+        raise ValueError(
+            "learn_regressor: NULL feature vector or label in the"
+            " training set"
+        )
     x = np.asarray([list(f) for f in feats], dtype=float)
     y = np.asarray(labels, dtype=float)
     a = np.hstack([x, np.ones((len(y), 1))])

@@ -610,6 +610,32 @@ def _rewrite_datetime_patterns(sql: str) -> str:
             j += 1
         args = sql[m.end() : j - 1]
         pat = re.search(r"'([^']*)'\s*$", args)
+        if fn == "date_parse" and pat:
+            # literal-corner fold: patterns java.time can't express
+            # (conflicting %Y+%y last-wins, ISO-week %x/%v, variable
+            # %f fractions) parse in Python at rewrite time when the
+            # input is a literal too (DateTimeFunctions.java Joda
+            # builder semantics — parse_mysql_datetime docstring)
+            p = pat.group(1)
+            corner = (
+                re.search(r"%[vxf]", p)
+                or ("%Y" in p and "%y" in p)
+            )
+            arg0 = args[: pat.start()].rstrip().rstrip(",").strip()
+            am = re.fullmatch(r"'([^']*)'", arg0)
+            if corner and am:
+                from .functions.datetime_compat import (
+                    parse_mysql_datetime,
+                )
+
+                dt = parse_mysql_datetime(am.group(1), p)
+                if dt is not None:
+                    lit = dt.strftime("%Y-%m-%d %H:%M:%S") + \
+                        ".%03d" % (dt.microsecond // 1000)
+                    out.append(sql[i : m.start()])
+                    out.append(f"TIMESTAMP '{lit}'")
+                    i = j
+                    continue
         if (
             fn == "date_format"
             and pat
@@ -1362,38 +1388,56 @@ def _rewrite_ml_functions(sql: str) -> str:
     def learn_classifier(args):
         if len(args) != 2:
             return None
-        agg = (
+        raw = (
             f"array_agg(struct(({args[0]}) AS __ml_l,"
             f" ({args[1]}) AS __ml_f))"
         )
-        # identical agg expressions share one buffer; raise_error's void
-        # type coerces with the class-array branch
+        # NULL label/features rows are skipped, matching the reference's
+        # aggregation layer (Presto never feeds NULL args to the input
+        # function); identical agg expressions share one buffer
+        agg = (
+            f"filter({raw}, __mn -> __mn.__ml_l IS NOT NULL"
+            f" AND __mn.__ml_f IS NOT NULL)"
+        )
+        # raise_error's void type coerces with the class-array branch
         classes = (
             f"array_sort(array_distinct("
             f"transform({agg}, __my -> __my.__ml_l)))"
         )
-        guard = (
-            f"CASE WHEN size({agg}) > {ML_SQL_MODEL_CAP}"
-            f" THEN raise_error('learn_classifier/learn_regressor:"
+        over_cap = f"size({agg}) > {ML_SQL_MODEL_CAP}"
+        err = (
+            f"raise_error('learn_classifier/learn_regressor:"
             f" training set exceeds {ML_SQL_MODEL_CAP} rows — the"
             f" SQL-surface model trains on a single collected cell;"
             f" use the MLlib wrappers (presto_ads_spark.llm.ml)"
-            f" for large models') ELSE {classes} END"
+            f" for large models')"
         )
-        return (
-            f"struct({guard} AS __ml_classes,"
-            f" __ml_train_classifier("
+        fit = (
+            f"__ml_train_classifier("
             f"transform({agg}, __mx -> __mx.__ml_f),"
             f" transform({agg}, __mx -> CAST(array_position({classes},"
-            f" __mx.__ml_l) AS INT))) AS __ml_fit)"
+            f" __mx.__ml_l) AS INT)))"
+        )
+        # the fit itself is guarded too — an over-cap set must never
+        # reach the Python trainer UDF (that single cell is the hazard
+        # the cap bounds), not just fail on the classes field
+        return (
+            f"struct(CASE WHEN {over_cap} THEN {err} ELSE {classes} END"
+            f" AS __ml_classes,"
+            f" CASE WHEN {over_cap} THEN {err} ELSE {fit} END"
+            f" AS __ml_fit)"
         )
 
     def learn_regressor(args):
         if len(args) != 2:
             return None
-        agg = (
+        raw = (
             f"array_agg(struct(CAST(({args[0]}) AS DOUBLE) AS __ml_l,"
             f" ({args[1]}) AS __ml_f))"
+        )
+        agg = (
+            f"filter({raw}, __mn -> __mn.__ml_l IS NOT NULL"
+            f" AND __mn.__ml_f IS NOT NULL)"
         )
         fit = (
             f"__ml_train_regressor("
@@ -4581,7 +4625,12 @@ _TSTZ_PROBE_RE = re.compile(
     r"|\s[A-Za-z][A-Za-z_]*(?:/[A-Za-z0-9_+\-]+)+|\sUTC|\sGMT)\s*'|"
     # zone-carrying producers without a temporal-literal keyword
     r"\bfrom_unixtime\s*\([^()]*,|\bfrom_iso8601_timestamp\s*\(|"
-    r"\bparse_datetime\s*\("
+    r"\bparse_datetime\s*\(|"
+    # zone-carrying STRING literal cast to a zone-less temporal target
+    # (TimestampOperators.castFromSlice / TimeOperators.castFromSlice)
+    r"'[^']*(?:[+-]\d{1,2}:\d{2}"
+    r"|\s[A-Za-z][A-Za-z_]*(?:/[A-Za-z0-9_+\-]+)+|\sUTC|\sGMT)\s*'"
+    r"\s*AS\s+TIME(?:STAMP)?\s*\)"
 )
 _TSTZ_TEMP_LIT_RE = re.compile(
     r"\b(TIMESTAMP|TIME)\s*'((?:[^']|'')*)'", re.IGNORECASE
@@ -4737,10 +4786,48 @@ def _tstz_interval_kind(text: str) -> str | None:
     return "ym" if m.group(1).upper() in ("YEAR", "MONTH") else "dts"
 
 
+_LEGACY_DST_ARITH_RE = re.compile(
+    r"(?is)(TIMESTAMP\s*'(?:[^']|'')*')\s*([+-])\s*"
+    r"(INTERVAL\s*'(?:[^']|'')*'\s+(?:DAY|HOUR|MINUTE|SECOND)"
+    r"(?:\s+TO\s+(?:HOUR|MINUTE|SECOND))?)\b"
+)
+
+
+def _rewrite_legacy_dst_arithmetic(sql: str, session_zone: str) -> str:
+    """legacy_timestamp=true: TIMESTAMP ± INTERVAL DAY TO SECOND is
+    instant arithmetic in the SESSION zone (DateTimeOperators — the
+    legacy chronology add), so adding an hour across a DST transition
+    moves the local clock by 0 or 2 hours (TestDateTimeOperatorsLegacy
+    testTimeZoneGap/testDaylightTimeSaving). Lowered as a
+    to_utc/from_utc pair around the add — constant-folded by Catalyst
+    for literal operands, zone-less NTZ otherwise untouched. Runs after
+    _rewrite_tstz, so any remaining TIMESTAMP literal is zone-less."""
+    mask = _literal_mask(sql)
+    out, pos = [], 0
+    while True:
+        m = _LEGACY_DST_ARITH_RE.search(sql, pos)
+        if not m:
+            break
+        if mask[m.start()]:
+            out.append(sql[pos:m.start() + 1])
+            pos = m.start() + 1
+            continue
+        ts, op, ivl = m.group(1), m.group(2), m.group(3)
+        out.append(sql[pos:m.start()])
+        out.append(
+            f"from_utc_timestamp(to_utc_timestamp({ts},"
+            f" '{session_zone}') {op} {ivl}, '{session_zone}')"
+        )
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_tstz(
     sql: str,
     session_zone: str = "UTC",
     session_start_ms: int | None = None,
+    legacy_timestamp: bool = False,
 ) -> str:
     """Fold zone-carrying temporal literals and lower the full operator
     surface over the marked values (see section comment). Conservative:
@@ -4786,7 +4873,9 @@ def _rewrite_tstz(
 
         session_start_ms = int(_time.time() * 1000)
     for _ in range(16):
-        new = _tstz_lower_once(sql, session_zone, session_start_ms)
+        new = _tstz_lower_once(
+            sql, session_zone, session_start_ms, legacy_timestamp
+        )
         if new == sql:
             return sql
         sql = new
@@ -4794,7 +4883,8 @@ def _rewrite_tstz(
 
 
 def _tstz_lower_once(
-    sql: str, session_zone: str, session_start_ms: int = 0
+    sql: str, session_zone: str, session_start_ms: int = 0,
+    legacy_timestamp: bool = False,
 ) -> str:
     from .functions.tstz_compat import parse_tstz_literal, parse_ttz_literal
 
@@ -4866,6 +4956,47 @@ def _tstz_lower_once(
                     f"timestamp_millis(pmod(unix_millis({local}),"
                     f" 86400000))"
                 )
+        elif target in ("TIMESTAMP", "TIME"):
+            # zone-carrying STRING literal → zone-less temporal
+            # (TimestampOperators.castFromSlice / TimeOperators):
+            # legacy_timestamp parses WITH the zone and lands on the
+            # session-zone local instant; non-legacy parses the local
+            # fields and DROPS the zone (TestTimestamp vs
+            # TestTimestampLegacy testCastFromVarcharContainingTimeZone)
+            sm = re.fullmatch(r"'((?:[^']|'')*)'", expr)
+            if sm:
+                from .functions.tstz_compat import (
+                    parse_tstz_literal,
+                    parse_ttz_literal,
+                    split_zone,
+                )
+
+                body = sm.group(1).replace("''", "'")
+                sz = split_zone(body)
+                if sz is not None:
+                    if legacy_timestamp:
+                        parsed = (
+                            parse_tstz_literal(body)
+                            if target == "TIMESTAMP"
+                            else parse_ttz_literal(body)
+                        )
+                        if parsed is not None:
+                            loc = _tstz_local(
+                                f"{parsed[0]}L", f"'{session_zone}'"
+                            )
+                            rep = (
+                                loc if target == "TIMESTAMP"
+                                else f"timestamp_millis(pmod("
+                                     f"unix_millis({loc}), 86400000))"
+                            )
+                    else:
+                        parsed = (
+                            parse_tstz_literal(sz[0], default_zone="UTC")
+                            if target == "TIMESTAMP"
+                            else parse_ttz_literal(sz[0], default_zone="UTC")
+                        )
+                        if parsed is not None:
+                            rep = f"timestamp_millis({parsed[0]}L)"
         if rep is None:
             i = m.end()
             continue
@@ -5045,7 +5176,16 @@ def _tstz_lower_once(
 
         m1 = f"(({M}) + {diff(z_old)} - {diff(zarg)})"
         local = f"({m1} + {off(zarg, '0')})"
-        m2 = f"({m1} - ({local} - pmod({local}, 86400000)))"
+        # renormalize into [0, 24h] — the reference's loop is
+        # `while (localMillis > DAYS.toMillis(1))` (strictly greater),
+        # so a local value of EXACTLY 86,400,000 is retained, which a
+        # bare pmod would map to 0 (DateTimeFunctions.timeAtTimeZone)
+        adj = (
+            f"(CASE WHEN {local} > 0 AND pmod({local}, 86400000) = 0"
+            f" THEN {local} - 86400000"
+            f" ELSE {local} - pmod({local}, 86400000) END)"
+        )
+        m2 = f"({m1} - {adj})"
         return f"__ttz({m2}, {zarg})"
 
     sql = _replace_fn_calls(sql, "at_timezone", at_tz_build)
@@ -5299,24 +5439,37 @@ def _tstz_operators(sql: str, session_zone: str) -> str:
     # IntervalYearMonthOperators add overloads are symmetric):
     # «INTERVAL '3' hour + __ttz(...)» → «__ttz(...) + INTERVAL '3' hour»
     # so the marker-led ± INTERVAL branch below handles both spellings
+    # The match is a whole CHAIN of interval literals («i1 - i2 + …»)
+    # so a mixed additive prefix commutes as a unit: «i1 - i2 + t»
+    # → «t + i1 - i2» (instant arithmetic; left-assoc preserves signs).
     _ivl_first = re.compile(
-        r"(?is)\bINTERVAL\s*'(?:[^']|'')*'\s+"
+        r"(?is)(?:\bINTERVAL\s*'(?:[^']|'')*'\s+"
         r"(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
-        r"(?:\s+TO\s+(?:MONTH|HOUR|MINUTE|SECOND))?\s*\+\s*"
+        r"(?:\s+TO\s+(?:MONTH|HOUR|MINUTE|SECOND))?\s*[+-]\s*)+"
         r"(?=(?:__tstz|__ttz)\s*\()"
     )
+    _pos = 0
     while True:
-        m = _ivl_first.search(sql)
+        m = _ivl_first.search(sql, _pos)
         if not m:
             break
+        chain = sql[m.start():m.end()].rstrip()
+        # Only commute when the chain STARTS an additive term (not the
+        # right operand of a preceding '-'/'*'/'/' — stealing it there
+        # would flip signs / break precedence), and only when the final
+        # operator binding the marker is '+' («ivl - tstz» is invalid).
+        prev = sql[:m.start()].rstrip()
+        if (prev and prev[-1] in "-*/") or chain[-1] != "+":
+            _pos = m.start() + 1
+            continue
         mm = _TSTZ_MARK_RE.match(sql, m.end())
         mark_end = _scan_matching_paren(sql, mm.end())
-        ivl_txt = sql[m.start():m.end()].rstrip()
-        ivl_txt = ivl_txt[:-1].rstrip()  # drop the trailing '+'
+        chain_body = chain[:-1].rstrip()  # drop the trailing '+'
         sql = (
-            sql[:m.start()] + sql[m.end():mark_end] + " + " + ivl_txt
+            sql[:m.start()] + sql[m.end():mark_end] + " + " + chain_body
             + sql[mark_end:]
         )
+        _pos = 0
     changed = True
     while changed:
         changed = False
@@ -5782,15 +5935,34 @@ def _expand_presto_aggregates(sql: str) -> str:
         # ReduceAggregationFunction.java: fold inputs through input_fn
         # from the initial state; the combine_fn merges partials — the
         # array_agg expansion folds sequentially so combine is redundant
-        # (assumes the documented associativity contract holds). State is
-        # widened to DOUBLE: aggregate() requires init/state type equality
-        # and the SQL surface can't see the input's numeric type.
+        # (assumes the documented associativity contract holds). The
+        # state TYPE is Presto's unification of the initial-state and
+        # input types (literal 0 + BIGINT inputs → BIGINT state, not a
+        # blanket DOUBLE): Spark's aggregate() wants init == state type
+        # exactly, so a numeric init is passed through
+        # element_at(array(init, first_element), 1) — the array
+        # constructor computes the least-common type JVM-side, keeping
+        # integer states integer. Non-numeric inits (array/map/row
+        # states) pass through unchanged — their lambdas already close
+        # over the state type. NOTE: each group's inputs materialize as
+        # one array cell before the fold (README documents the bound);
+        # Presto streams the state row-by-row.
         if len(a) != 4:
             return None
-        return (
-            f"aggregate(array_agg({a[0]}),"
-            f" CAST({a[1]} AS DOUBLE), {a[2]})"
-        )
+        arr = f"array_agg({a[0]})"
+        init = a[1].strip()
+        if re.fullmatch(
+            r"(?is)[+-]?\d+(\.\d+)?([eE][+-]?\d+)?"
+            r"|CAST\s*\(.*AS\s+"
+            r"(TINYINT|SMALLINT|INT|INTEGER|BIGINT|REAL|FLOAT|DOUBLE"
+            r"|DECIMAL\s*(\(\s*\d+\s*(,\s*\d+\s*)?\))?)\s*\)",
+            init,
+        ):
+            init = (
+                f"element_at(array(({init}),"
+                f" element_at({arr}, 1)), 1)"
+            )
+        return f"aggregate({arr}, {init}, {a[2]})"
 
     sql = _replace_fn_calls(sql, "reduce_agg", reduce_agg)
     sql = _replace_fn_calls(sql, "geometry_union_agg", geometry_union_agg)
@@ -7086,7 +7258,9 @@ _IVL_AGG_WRAP_RE = re.compile(
     r"(?:MIN|MAX|SUM|GREATEST|LEAST|COALESCE|TRY)\s*\((.*)\)\s*\Z",
     re.IGNORECASE | re.DOTALL,
 )
-_IVL_IDENT_RE = re.compile(r"(?:\w+\s*\.\s*)*(\w+)\s*\Z")
+_IVL_IDENT_RE = re.compile(
+    r"(?:\w+\s*\.\s*)*?(?:(\w+)\s*\.\s*)?(\w+)\s*\Z"
+)
 
 
 def _split_top_level_on(text: str, seps: str) -> list[str]:
@@ -7177,20 +7351,27 @@ def _interval_values_column_pools(sql: str) -> dict[str, str]:
                     fams[ci] = "none"
         return fams
 
-    def bind(cols: str, fams: list[str]) -> None:
+    def bind(alias: str, cols: str, fams: list[str]) -> None:
+        # Bind under BOTH the qualified key «alias.col» and the bare
+        # name. A qualified reference only resolves through its own
+        # alias's key, so «r.b» on an unrelated table never inherits a
+        # VALUES binding for a same-named column (the bare key still
+        # serves unqualified references, with conflict-drop).
         names = [c.strip().lower() for c in cols.split(",")]
+        alias = alias.strip().lower()
         for ci, name in enumerate(names):
             fam = fams[ci] if ci < len(fams) else "null"
-            if fam in ("dts", "ym", "ts"):
-                if pools.get(name, fam) != fam:
-                    pools[name] = None  # conflicting bindings: drop
-                elif name not in pools or pools[name] is not None:
-                    pools[name] = fam
-            elif name in pools:
-                pools[name] = None
+            for key in (f"{alias}.{name}", name):
+                if fam in ("dts", "ym", "ts"):
+                    if pools.get(key, fam) != fam:
+                        pools[key] = None  # conflicting bindings: drop
+                    elif key not in pools or pools[key] is not None:
+                        pools[key] = fam
+                elif key in pools:
+                    pools[key] = None
 
     for m in _IVL_VALUES_ALIAS_WITH_RE.finditer(sql):
-        bind(m.group(2), scan_values(m.end()))
+        bind(m.group(1), m.group(2), scan_values(m.end()))
     for m in _IVL_VALUES_ALIAS_INLINE_RE.finditer(sql):
         # (VALUES ...) [AS] t(a, b) — find the close paren, then alias
         depth, i, in_str = 1, m.end(), False
@@ -7209,7 +7390,7 @@ def _interval_values_column_pools(sql: str) -> dict[str, str]:
             r"\s*(?:AS\s+)?(\w+)\s*\(([^()]*)\)", sql[i:], re.IGNORECASE
         )
         if am:
-            bind(am.group(2), scan_values(m.end()))
+            bind(am.group(1), am.group(2), scan_values(m.end()))
     return {k: v for k, v in pools.items() if v}
 
 
@@ -7280,7 +7461,11 @@ def _provably_interval(e: str, pools: dict[str, str]) -> str | None:
         return None
     m = _IVL_IDENT_RE.fullmatch(s)
     if m and not _IVL_ONLY_LIT_RE.match(s):
-        return pools.get(m.group(1).lower())
+        qual, name = m.group(1), m.group(2).lower()
+        if qual:
+            # qualified reference: only its own alias's binding counts
+            return pools.get(f"{qual.lower()}.{name}")
+        return pools.get(name)
     return None
 
 
@@ -8121,6 +8306,23 @@ def _rewrite_projected_in_subquery(sql: str) -> str:
             if mask[m.start()]:
                 continue
             if any(a <= m.start() < b for a, b in zones):
+                target = m
+                break
+            # WHERE-context «(x IN (SELECT …)) IS [NOT] NULL» needs the
+            # 3VL CASE too: Spark's null-aware (semi) join flattens the
+            # unknown result to FALSE before IS NULL can observe it
+            # (AbstractTestDistributedQueries testDelete SemiJoin null
+            # handling). A false positive (wrapping paren not the IN's)
+            # is safe — the CASE form is equivalent in any context.
+            try:
+                op = sql.index("(", m.start(), m.end())
+                jj = _scan_matching_paren(sql, op + 1)
+            except ValueError:
+                continue
+            after = sql[jj:].lstrip()
+            if after.startswith(")") and re.match(
+                r"(?is)\s*IS\s+(NOT\s+)?NULL", after[1:]
+            ):
                 target = m
                 break
         if target is None:
@@ -10755,6 +10957,7 @@ def rewrite(
     session_zone: str = "UTC",
     session_locale: str = "en",
     session_start_ms: int | None = None,
+    legacy_timestamp: bool = False,
 ) -> str:
     """Rewrite a Presto SQL string into Spark SQL.
 
@@ -10780,8 +10983,11 @@ def rewrite(
     # after the AT TIME ZONE desugar (so marked values flow into
     # at_timezone), before every pass that consumes temporal literals
     sql = _rewrite_tstz(
-        sql, session_zone=session_zone, session_start_ms=session_start_ms
+        sql, session_zone=session_zone, session_start_ms=session_start_ms,
+        legacy_timestamp=legacy_timestamp,
     )
+    if legacy_timestamp and session_zone != "UTC":
+        sql = _rewrite_legacy_dst_arithmetic(sql, session_zone)
     sql = _rewrite_timezone_offset_fns(sql)
     sql = _rewrite_kurtosis(sql)
     sql = _rewrite_ml_functions(sql)

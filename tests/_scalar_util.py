@@ -460,6 +460,22 @@ def parse_java_value(s: str):
                 int(parse_java_value(x)) for x in a[:7]
             )
             return _dt.datetime(y, mo, d, h, mi, sec, ms * 1000)
+        # sqlTimestampOf(LocalDateTime.of(y, mo, d, h, mi, s[, nanos]))
+        # — the non-legacy suites' zone-dropped local wall clock
+        if len(a) == 1:
+            ldt = _call_body(a[0].strip(), "LocalDateTime.of")
+            if ldt is not None:
+                parts = [
+                    int(parse_java_value(x))
+                    for x in split_java_args(ldt)
+                ]
+                if len(parts) in (5, 6, 7):
+                    y, mo, d, h, mi = parts[:5]
+                    sec = parts[5] if len(parts) > 5 else 0
+                    nanos = parts[6] if len(parts) > 6 else 0
+                    return _dt.datetime(
+                        y, mo, d, h, mi, sec, nanos // 1000
+                    )
         raise ValueError(f"sqlTimestampOf non-literal form {s!r}")
     body = _call_body(s, "sqlTimeOf")
     if body is not None:

@@ -1278,3 +1278,34 @@ def test_scalar_corpus_burndown_round9(engine):
     assert one(engine, "1 || ARRAY [2]") == [1, 2]
     # decimal literal -> integer casts round HALF_UP
     assert one(engine, "CAST(DECIMAL '2.5' AS BIGINT)") == 3
+
+
+def test_reduce_agg_typed_state(engine):
+    """State type is Presto's unification of initial-state and input
+    types (ReduceAggregationFunction.java) — integer stays integer,
+    BIGINT inputs widen the literal init, an explicit DOUBLE init wins."""
+    df = engine.sql(
+        "SELECT reduce_agg(y, 0, (a, b) -> a + b, (a, b) -> a + b) AS r"
+        " FROM (VALUES 5, 6, 7) AS t(y)"
+    )
+    assert df.schema["r"].dataType.simpleString() == "int"
+    assert df.collect()[0].r == 18
+    df = engine.sql(
+        "SELECT reduce_agg(y, 0, (a, b) -> a + b, (a, b) -> a + b) AS r"
+        " FROM (VALUES CAST(5 AS BIGINT), 6, 7) AS t(y)"
+    )
+    assert df.schema["r"].dataType.simpleString() == "bigint"
+    assert df.collect()[0].r == 18
+    df = engine.sql(
+        "SELECT reduce_agg(y, CAST(0 AS DOUBLE), (a, b) -> a + b,"
+        " (a, b) -> a + b) AS r FROM (VALUES 5, 6, 7) AS t(y)"
+    )
+    assert df.schema["r"].dataType.simpleString() == "double"
+    assert df.collect()[0].r == 18.0
+    # non-numeric state passes through untouched (no numeric splice)
+    df = engine.sql(
+        "SELECT reduce_agg(y, '', (s, x) -> concat(s, CAST(x AS"
+        " VARCHAR)), (a, b) -> concat(a, b)) AS r"
+        " FROM (VALUES 5, 6, 7) AS t(y)"
+    )
+    assert sorted(df.collect()[0].r) == ["5", "6", "7"]

@@ -72,12 +72,6 @@ FILE_SKIPS: dict[str, str] = {
             "oracle-verified in the benchto TPC-H tier instead"
         for q in ("q02", "q10", "q13", "q15", "q20")
     },
-    "horology_functions/dateTimeOperatorsAccessible.sql":
-        "projects INTERVAL YEAR TO MONTH values, which cannot cross the "
-        "PySpark collect boundary (YearMonthIntervalType.fromInternal "
-        "unimplemented); the same operators are pinned in the scalar "
-        "corpus via engine-side VARCHAR rendering (tests/_scalar_util.py "
-        "eval_sql)",
     "orc/select_varchar_orc_dictionary.sql":
         "LIMIT 1 over an unordered scan with a single-row expected — "
         "nondeterministic by the reference's own semantics; the ORC "
@@ -200,7 +194,25 @@ def test_golden_verbatim(veng, case):
                     .write.mode("append").insertInto(tbl)
         for st in stmts[:-1]:
             veng.sql(st).collect()
-        rows = veng.sql(stmts[-1]).collect()
+        df = veng.sql(stmts[-1])
+        # YEAR-TO-MONTH interval values cannot cross the PySpark collect
+        # boundary (YearMonthIntervalType.fromInternal unimplemented) —
+        # render those COLUMNS to string engine-side before collecting.
+        # The query itself still ran verbatim; this is a transport shim,
+        # the same approach the scalar corpus uses (_scalar_util eval_sql)
+        from pyspark.sql.types import YearMonthIntervalType
+
+        if any(
+            isinstance(f.dataType, YearMonthIntervalType)
+            for f in df.schema.fields
+        ):
+            df = df.select(*[
+                df[i].cast("string") if isinstance(
+                    f.dataType, YearMonthIntervalType
+                ) else df[i]
+                for i, f in enumerate(df.schema.fields)
+            ])
+        rows = df.collect()
         err = compare_case(rows, case)
         assert err is None, f"{case.rel}: {err}"
     finally:

@@ -43,7 +43,20 @@ def test_h2_corpus(h2_engine, h2_duck, case):
             _gu.duck_values_parens(_gu.duck_int_division(osql))
         ).fetchall()
     ]
-    got = [tuple(r) for r in h2_engine.sql(case["sql"]).collect()]
+    # DDL-fixture cases replay the reference test method's own
+    # CREATE/INSERT/DELETE statements engine-side (the oracle reads
+    # only base tables), then tear down — see port_h2_queries
+    # FIXTURE_SITES
+    try:
+        for st in case.get("setup") or []:
+            h2_engine.sql(st).collect()
+        got = [tuple(r) for r in h2_engine.sql(case["sql"]).collect()]
+    finally:
+        for st in case.get("teardown") or []:
+            try:
+                h2_engine.sql(st).collect()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
     if case["count_only"]:
         assert len(got) == len(duck_rows), case["sql"]
         return

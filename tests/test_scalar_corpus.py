@@ -46,17 +46,20 @@ def test_scalar_corpus_batch(scalar_engine, start):
 
     def key(c):
         return (
-            c.get("tz", "UTC"), c.get("locale", "en"), c.get("start_ms")
+            c.get("tz", "UTC"), c.get("locale", "en"), c.get("start_ms"),
+            c.get("legacy", False),
         )
 
     while i < len(chunk):
-        tz, loc, start_ms = key(chunk[i])
+        tz, loc, start_ms, legacy = key(chunk[i])
         j = i
-        while j < len(chunk) and key(chunk[j]) == (tz, loc, start_ms):
+        while j < len(chunk) and key(chunk[j]) == (tz, loc, start_ms,
+                                                   legacy):
             j += 1
         scalar_engine.session_zone = tz
         scalar_engine.session_locale = loc
         scalar_engine.session_start_ms = start_ms
+        scalar_engine.legacy_timestamp = legacy
         results.extend(
             eval_exprs(
                 scalar_engine,
@@ -67,6 +70,7 @@ def test_scalar_corpus_batch(scalar_engine, start):
     scalar_engine.session_zone = "UTC"
     scalar_engine.session_locale = "en"
     scalar_engine.session_start_ms = None
+    scalar_engine.legacy_timestamp = False
     bad = []
     for c, got in zip(chunk, results):
         if isinstance(got, Exception):

@@ -572,6 +572,144 @@ def install_duck_macros(duck) -> None:
     )
 
 
+# --- TSWTZ / locale self-oracle cases ---------------------------------
+# Zone-carrying temporal expressions can't use DuckDB as the oracle
+# (TIMESTAMPTZ semantics differ); the expected value is computed HERE
+# with plain datetime/zoneinfo — an independent evaluator exercising the
+# rewrite layer's literal folds, operator lowerings, interval-chain
+# commutes and AT TIME ZONE splices (where the r12/r13 bugs lived),
+# not the zone math it shares with functions/tstz_compat.
+
+_TSTZ_OFFSETS = ("+07:09", "-05:00", "+05:30", "-11:00", "+13:45")
+_TSTZ_REGIONS = (
+    "Europe/Berlin", "America/Los_Angeles", "Asia/Kathmandu", "Asia/Oral",
+)
+
+
+def _pyzone(z: str):
+    import datetime as _dt
+    import re as _re
+    from zoneinfo import ZoneInfo
+
+    if _re.fullmatch(r"[+-]\d{2}:\d{2}", z):
+        sign = -1 if z[0] == "-" else 1
+        return _dt.timezone(
+            sign * _dt.timedelta(hours=int(z[1:3]), minutes=int(z[4:6]))
+        )
+    return ZoneInfo(z)
+
+
+def _tstz_render(instant_ms: int, zone: str) -> str:
+    """Presto CAST(TSWTZ AS VARCHAR): local millis clock + zone id."""
+    import datetime as _dt
+
+    dt = _dt.datetime.fromtimestamp(instant_ms / 1000.0, _pyzone(zone))
+    return dt.strftime("%Y-%m-%d %H:%M:%S.") + f"{instant_ms % 1000:03d}" \
+        .rjust(3, "0") + " " + zone
+
+
+def _add_months_clamped(instant_ms: int, zone: str, months: int) -> int:
+    """Presto YM-interval add on TSWTZ: calendar add on the local clock
+    in the value's zone (day clamped), repacked. Fuzz restricts YM ops
+    to OFFSET zones, so the repack is unambiguous."""
+    import calendar
+    import datetime as _dt
+
+    tz = _pyzone(zone)
+    loc = _dt.datetime.fromtimestamp(instant_ms / 1000.0, tz)
+    y = loc.year + (loc.month - 1 + months) // 12
+    m = (loc.month - 1 + months) % 12 + 1
+    d = min(loc.day, calendar.monthrange(y, m)[1])
+    out = loc.replace(year=y, month=m, day=d)
+    return round(out.timestamp() * 1000)  # millis ride on .microsecond
+
+
+def gen_tstz_case(r: random.Random):
+    """One zone-carrying query + its python-computed expected row."""
+    import datetime as _dt
+
+    zone = r.choice(_TSTZ_OFFSETS + _TSTZ_REGIONS)
+    y, mo, d = r.randint(2001, 2024), r.randint(1, 12), r.randint(1, 28)
+    h, mi, s, ms = (r.randint(0, 23), r.randint(0, 59), r.randint(0, 59),
+                    r.choice([0, 321, 999]))
+    tz = _pyzone(zone)
+    instant = int(
+        _dt.datetime(y, mo, d, h, mi, s, ms * 1000, tzinfo=tz)
+        .timestamp() * 1000
+    )
+    frac = f".{ms:03d}" if ms else ""
+    expr = f"TIMESTAMP '{y}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}{frac} {zone}'"
+
+    for _ in range(r.randint(0, 2)):
+        op = r.choice(["dts", "dts_first", "ym", "attz", "attz_ivl"])
+        if op in ("dts", "dts_first"):
+            n = r.randint(1, 72)
+            unit = r.choice(["HOUR", "MINUTE", "DAY", "SECOND"])
+            ms_per = {"SECOND": 1000, "MINUTE": 60_000,
+                      "HOUR": 3_600_000, "DAY": 86_400_000}[unit]
+            if op == "dts_first":
+                expr = f"INTERVAL '{n}' {unit} + {expr}"
+                instant += n * ms_per
+            else:
+                sign = r.choice(["+", "-"])
+                expr = f"{expr} {sign} INTERVAL '{n}' {unit}"
+                instant += (n if sign == "+" else -n) * ms_per
+        elif op == "ym" and zone in _TSTZ_OFFSETS:
+            n = r.randint(1, 30)
+            sign = r.choice(["+", "-"])
+            expr = f"{expr} {sign} INTERVAL '{n}' MONTH"
+            instant = _add_months_clamped(
+                instant, zone, n if sign == "+" else -n
+            )
+        elif op == "attz":
+            zone = r.choice(_TSTZ_OFFSETS + _TSTZ_REGIONS)
+            expr = f"({expr}) AT TIME ZONE '{zone}'"
+        elif op == "attz_ivl":
+            hh, mm = r.randint(0, 13), r.choice([0, 30, 45])
+            zone = f"+{hh:02d}:{mm:02d}" if hh or mm else "UTC"
+            expr = f"({expr}) AT TIME ZONE INTERVAL '{hh:02d}:{mm:02d}' HOUR TO MINUTE"
+
+    final = r.choice(["varchar", "hour", "tz_hour", "to_unixtime"])
+    if final == "varchar":
+        want = _tstz_render(instant, zone)
+        return f"SELECT CAST({expr} AS VARCHAR) AS x", [(want,)]
+    loc = _dt.datetime.fromtimestamp(instant / 1000.0, _pyzone(zone))
+    if final == "hour":
+        return f"SELECT hour({expr}) AS x", [(loc.hour,)]
+    if final == "tz_hour":
+        off = loc.utcoffset() or _dt.timedelta(0)
+        total_min = int(off.total_seconds()) // 60
+        tzh = int(total_min / 60)  # truncation toward zero, like Presto
+        return f"SELECT timezone_hour({expr}) AS x", [(tzh,)]
+    return (
+        f"SELECT round(to_unixtime({expr}), 3) AS x",
+        [(round(instant / 1000.0, 3),)],
+    )
+
+
+_KO_WD = ["월요일", "화요일", "수요일", "목요일", "금요일", "토요일",
+          "일요일"]
+_KO_MON = [f"{i}월" for i in range(1, 13)]
+
+
+def gen_locale_case(r: random.Random):
+    """format_datetime under the ko session locale — expected computed
+    from an independent hardcoded name table + python weekday()."""
+    import datetime as _dt
+
+    y, mo, d = r.randint(2001, 2024), r.randint(1, 12), r.randint(1, 28)
+    h = r.randint(0, 23)
+    lit = f"TIMESTAMP '{y}-{mo:02d}-{d:02d} {h:02d}:15:00'"
+    kind = r.choice(["EEEE", "MMMM", "a"])
+    if kind == "EEEE":
+        want = _KO_WD[_dt.date(y, mo, d).weekday()]
+    elif kind == "MMMM":
+        want = _KO_MON[mo - 1]
+    else:
+        want = "오전" if h < 12 else "오후"
+    return f"SELECT format_datetime({lit}, '{kind}') AS x", [(want,)], "ko"
+
+
 def run_fuzz(n: int, seed: int, eng, duck, verbose: bool = True):
     """Run n seeded queries through Engine.sql and DuckDB; returns the
     list of mismatch descriptions (empty = clean)."""
@@ -582,17 +720,32 @@ def run_fuzz(n: int, seed: int, eng, duck, verbose: bool = True):
     failures: list[str] = []
     oracle_skipped = 0
     for i in range(n):
-        q = gen_query(rng)
+        locale = None
+        roll = rng.random()
+        if roll < 0.15:
+            q, want = gen_tstz_case(rng)   # python self-oracle (TSWTZ)
+        elif roll < 0.20:
+            q, want, locale = gen_locale_case(rng)
+        else:
+            q = gen_query(rng)
+            try:
+                want = [
+                    tuple(r)
+                    for r in duck.execute(duck_dialect(q)).fetchall()
+                ]
+            except Exception:
+                oracle_skipped += 1
+                continue  # oracle-side dialect gap, not our bug
         try:
-            want = [tuple(r) for r in duck.execute(duck_dialect(q)).fetchall()]
-        except Exception:
-            oracle_skipped += 1
-            continue  # oracle-side dialect gap, not our bug
-        try:
+            if locale is not None:
+                eng.session_locale = locale
             got = [tuple(r) for r in eng.sql(q).collect()]
             diff = gu.compare_pyrows(got, want)
         except Exception as e:  # noqa: BLE001
             diff = f"ENGINE EXC {type(e).__name__}: {str(e)[:160]}"
+        finally:
+            if locale is not None:
+                eng.session_locale = "en"
         if diff is not None:
             failures.append(
                 f"query {i} seed {seed}: {q}\n  {str(diff)[:300]}"

@@ -143,23 +143,20 @@ _DEVIATION_SKIPS: tuple[tuple[re.Pattern, str], ...] = (
         "word_stem language beyond en/fr/es/pt/it/de — remaining "
         "Snowball languages not implemented (README deviation)",
     ),
-    (
-        re.compile(
-            r"(?i)cast\s*\(\s*'[^']*(?:[+-]\d{2}:\d{2}"
-            r"|[A-Za-z]+/[A-Za-z_]+)[^']*'\s+as\s+time(stamp)?\s*\)"
-        ),
-        "zone-carrying string → zone-LESS TIME/TIMESTAMP cast — the "
-        "NTZ model drops the per-value zone on this edge (README "
-        "timestamp deviation; the WITH TIME ZONE cast targets are live)",
-    ),
+    # Round 13: zone-carrying string → zone-less TIMESTAMP/TIME casts
+    # are live in both modes (rewrite.py _tstz_lower_once: non-legacy
+    # keeps the written wall clock, legacy_timestamp converts through
+    # the session zone — TimestampOperators.castFromSlice).
 )
 
 
-def file_session_zone(text: str) -> str:
+def file_session_zone(text: str, path: str | None = None) -> str:
     """The test class's session time zone (testSessionBuilder()
     .setTimeZoneKey(...)): offset keys render ±HH:MM, region keys keep
     their id; AbstractTestFunctions' default is TestingSession's
-    Pacific/Apia (TestingSession.java:52)."""
+    Pacific/Apia (TestingSession.java:52). A subclass with no zone of
+    its own (Test*Legacy extends Test*Base) inherits the base class's
+    — resolved through the ``extends`` chain in the same directory."""
     m = re.search(
         r"(?<![A-Z_])TIME_ZONE_KEY\s*=\s*getTimeZoneKeyForOffset\s*"
         r"\(([^)]*)\)",
@@ -184,6 +181,16 @@ def file_session_zone(text: str) -> str:
     )
     if m:
         return m.group(1)
+    if path is not None:
+        em = re.search(r"\bextends\s+(\w+)\b", text)
+        if em:
+            base = os.path.join(
+                os.path.dirname(path), em.group(1) + ".java"
+            )
+            if os.path.exists(base):
+                return file_session_zone(
+                    open(base, encoding="utf-8").read(), base
+                )
     return "Pacific/Apia"
 
 
@@ -262,12 +269,6 @@ class _JOffsetTime:
         return local_ms - self.offset_minutes * 60_000
 
 # per-case adjudications — engine deviations documented in README
-_DST_LEGACY = (
-    "legacy TIMESTAMP arithmetic applies the session zone's DST "
-    "transition (TestDateTimeOperatorsLegacy runs at a zone with a "
-    "2013 DST gap); engine timestamps are zone-less NTZ (README "
-    "timestamp deviation)"
-)
 _DP_CORNER = (
     "date_parse MySQL-pattern corner (conflicting %Y+%y override, "
     "ISO-week %x%v, variable-width %s.%f fractions, locale AM/PM "
@@ -281,7 +282,6 @@ MANUAL_SKIPS: dict[str, str] = {
     "SF978": "char-type propagation through concat (README char deviation)",
     "SF981": "char-type propagation through concat (README char deviation)",
     "SF984": "char-type propagation through concat (README char deviation)",
-    **{f"DTOL{n}": _DST_LEGACY for n in (55, 59, 64, 68, 95, 100, 117)},
     # timezone_hour/timezone_minute read the SESSION zone of a zone-less
     # timestamp (legacy semantics; the suite runs at -11:00) — engine
     # sessions are UTC-anchored NTZ (README timestamp deviation)
@@ -290,10 +290,6 @@ MANUAL_SKIPS: dict[str, str] = {
         "zone (-11:00); engine sessions are UTC-anchored NTZ (README "
         "timestamp deviation)"
     ),
-    **{
-        f"DTFB{n}": _DP_CORNER
-        for n in (835, 839, 843, 846, 849, 852, 906, 909)
-    },
     "MO952": (
         "map_entries over a map whose KEYS are maps — Spark's MapType "
         "forbids map-typed keys (INVALID_MAP_KEY_TYPE), a hard engine "
@@ -2316,10 +2312,14 @@ def main() -> None:
         joda_expected_ok = "Legacy" not in path
 
         zkeys = file_zone_keys(text)
-        session_zone = file_session_zone(text)
+        session_zone = file_session_zone(text, path)
         # session zone feeds the engine's TSWTZ layer (zone-less side
         # coercions, varchar→TSWTZ casts); everything else ignores it
         engine.session_zone = session_zone
+        # the *Legacy suites run legacy_timestamp=true (super(true)):
+        # zone-carrying string→TIMESTAMP/TIME casts convert through the
+        # session zone there instead of dropping the zone
+        engine.legacy_timestamp = "Legacy" in path
 
         def _joda_env_for(line: int) -> dict:
             if jctx is None or line - 1 >= len(line_starts):
@@ -2612,16 +2612,24 @@ def main() -> None:
             fails.append(
                 (name, sql, f"got {solo!r} want {expected!r} ({type_text})")
             )
-        from presto_ads_spark.rewrite import _TSTZ_PROBE_RE
+        from presto_ads_spark.rewrite import (
+            _LEGACY_DST_ARITH_RE,
+            _TSTZ_PROBE_RE,
+        )
 
         for c in cases[cases_start:]:
-            if _TSTZ_PROBE_RE.search(c["sql"]):
+            legacy_site = "Legacy" in path and _LEGACY_DST_ARITH_RE.search(
+                c["sql"]
+            )
+            if _TSTZ_PROBE_RE.search(c["sql"]) or legacy_site:
                 # zone-sensitive cases record the file's session zone
                 # AND the replayed session start so the corpus runner
                 # evaluates them under the same session
                 if session_zone != "UTC":
                     c["tz"] = session_zone
                 c["start_ms"] = CORPUS_SESSION_START_MS
+                if "Legacy" in path:
+                    c["legacy"] = True
         for c in cases[cases_start:]:
             if c["name"] in locale_names:
                 c["locale"] = "ko"

@@ -510,15 +510,33 @@ class Engine:
             if f.dataType.typeName()
             not in ("array", "map", "struct", "binary")
         ]
+        # TSWTZ/TWTZ model columns (struct<millis BIGINT, zone STRING>,
+        # rewrite.py _rewrite_tstz) get instant-based stats like the
+        # reference's TimestampWithTimeZoneType range (min/max/ndv over
+        # the packed millis; low/high render as the UTC instant)
+        def _is_tstz(dt) -> bool:
+            return (
+                dt.typeName() == "struct"
+                and [x.name for x in dt.fields] == ["millis", "zone"]
+            )
+
+        tstz = [f for f in df.schema.fields if _is_tstz(f.dataType)]
+        simple = simple + tstz
         aggs: list = [F.count(F.lit(1)).alias("__n")]
         for f in simple:
-            c = F.col(f.name)
+            if _is_tstz(f.dataType):
+                c = F.col(f.name).getField("millis")
+                lo = F.timestamp_millis(F.min(c))
+                hi = F.timestamp_millis(F.max(c))
+            else:
+                c = F.col(f.name)
+                lo, hi = F.min(c), F.max(c)
             aggs.append(F.approx_count_distinct(c).alias(f"{f.name}__ndv"))
             aggs.append(
                 F.sum(c.isNull().cast("long")).alias(f"{f.name}__nulls")
             )
-            aggs.append(F.min(c).cast("string").alias(f"{f.name}__lo"))
-            aggs.append(F.max(c).cast("string").alias(f"{f.name}__hi"))
+            aggs.append(lo.cast("string").alias(f"{f.name}__lo"))
+            aggs.append(hi.cast("string").alias(f"{f.name}__hi"))
             if f.dataType.typeName() == "string":
                 aggs.append(
                     F.sum(F.length(c).cast("long")).alias(f"{f.name}__sz")

@@ -4942,18 +4942,23 @@ def _tstz_lower_once(
         elif um:
             h, M, Z = um
             local = _tstz_local(M, Z)
+            # legacy_timestamp reads the instant in the SESSION zone
+            # for zone-less TIMESTAMP/TIME targets
+            # (TimestampWithTimeZoneOperators castToTimestamp legacy
+            # branch — TestTimestampWithTimeZoneLegacy testCastToTime);
+            # non-legacy keeps the VALUE's local civil clock
+            sess_local = _tstz_local(M, f"'{session_zone}'")
             if re.fullmatch(r"VARCHAR(\(\d+\))?|STRING", target):
                 rep = _tstz_render(M, Z, h)
             elif target == "TIMESTAMP":
-                # non-legacy semantics: local civil datetime in the
-                # VALUE's zone (TestTimestampWithTimeZone:61-71)
-                rep = local
+                rep = sess_local if legacy_timestamp else local
             elif target == "DATE":
                 rep = f"CAST({local} AS DATE)"
             elif target == "TIME":
                 # engine TIME model: NTZ timestamp on the epoch day
+                base = sess_local if legacy_timestamp else local
                 rep = (
-                    f"timestamp_millis(pmod(unix_millis({local}),"
+                    f"timestamp_millis(pmod(unix_millis({base}),"
                     f" 86400000))"
                 )
         elif target in ("TIMESTAMP", "TIME"):

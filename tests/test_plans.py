@@ -237,3 +237,41 @@ def test_tpcds_three_fact_agg_join_aggregates_first(spark):
     p = plans.formatted_plan(df)
     assert p.count("HashAggregate") >= 6  # 3 channels x partial+final
     plans.assert_no_python_udf(df)
+
+
+def test_tstz_struct_group_join_stats_jvm(spark):
+    """TSWTZ model columns (struct<millis,zone>) flow through the CBO
+    path JVM-side: grouping and joining on the struct key plan as
+    HashAggregate / regular joins with no Python eval node, and
+    SHOW STATS reports instant-based stats for the column."""
+    from presto_ads_spark import plans
+    from presto_ads_spark.engine import Engine
+
+    eng = Engine(spark.newSession(), sf_dir=None)
+    grouped = eng.sql(
+        "SELECT z, count(*) AS n FROM (VALUES"
+        " TIMESTAMP '2017-03-01 10:00 +07:09',"
+        " TIMESTAMP '2017-03-01 10:00 +07:09',"
+        " TIMESTAMP '2017-03-01 12:00 +07:09') AS t(z) GROUP BY z"
+    )
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    plans.assert_no_python_udf(grouped)
+    assert sorted(r.n for r in grouped.collect()) == [1, 2]
+
+    joined = eng.sql(
+        "SELECT count(*) AS n FROM (VALUES"
+        " TIMESTAMP '2017-03-01 10:00 +07:09') a(x)"
+        " JOIN (VALUES TIMESTAMP '2017-03-01 10:00 +07:09') b(y)"
+        " ON a.x = b.y"
+    )
+    plans.assert_no_python_udf(joined)
+    assert joined.collect()[0].n == 1
+
+    stats = eng.sql(
+        "SHOW STATS FOR (SELECT TIMESTAMP '2017-03-01 10:00 +07:09' AS z,"
+        " 1 AS v)"
+    ).collect()
+    zrow = next(r for r in stats if r.column_name == "z")
+    assert zrow.distinct_values_count == 1.0
+    assert zrow.low_value.startswith("2017-03-01 02:51")  # UTC instant

@@ -211,6 +211,13 @@ def file_zone_keys(text: str) -> dict:
             )
     for m in re.finditer(r'(\w+)\s*=\s*getTimeZoneKey\s*\("([^"]+)"\)', text):
         out[m.group(1)] = _ZoneKey(m.group(2))
+    # TestingSession.DEFAULT_TIME_ZONE_KEY is Pacific/Apia
+    # (TestingSession.java:52) — TestTimestampBase/TestTimeBase bind
+    # their class key to it
+    for m in re.finditer(
+        r"(\w+)\s*=\s*TestingSession\.DEFAULT_TIME_ZONE_KEY", text
+    ):
+        out[m.group(1)] = _ZoneKey("Pacific/Apia")
     # DateTimeZone constants built directly from a fixed offset
     # (TestDateTimeOperatorsBase: WEIRD_TIME_ZONE =
     # DateTimeZone.forOffsetHoursMinutes(5, 9)) → tzinfo

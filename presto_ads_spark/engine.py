@@ -279,10 +279,12 @@ class Engine:
         votes: dict[str, set[bool]] = {}
         dvotes: dict[str, set[bool]] = {}
         svotes: dict[str, set[bool]] = {}
+        tvotes: dict[str, set[str]] = {}
         for tbl in self.spark.catalog.listTables():
             try:
                 for f in self.spark.table(tbl.name).schema.fields:
                     t = f.dataType.simpleString()
+                    tvotes.setdefault(f.name.lower(), set()).add(t)
                     votes.setdefault(f.name.lower(), set()).add(t in integral)
                     dvotes.setdefault(f.name.lower(), set()).add(t in floating)
                     # struct-free anywhere in the type → eligible for the
@@ -295,6 +297,12 @@ class Engine:
         self._scalar_cols = frozenset(
             n for n, v in svotes.items() if v == {True}
         )
+        # unanimous full Spark type per column name — feeds the
+        # $internal$*_data_size_for_stats lowering (names typed
+        # differently across tables are dropped: ambiguous)
+        self._col_types = {
+            n: next(iter(v)) for n, v in tvotes.items() if len(v) == 1
+        }
         self._nonint_cols = frozenset(
             n for n, v in votes.items() if False in v
         )
@@ -330,6 +338,7 @@ class Engine:
             json_scalar_cols=self._scalar_cols,
             char_cols=char_cols,
             ip_cols=ip_cols,
+            col_types=self._col_types,
             session_zone=self.session_zone,
             session_locale=self.session_locale,
             session_start_ms=self.session_start_ms,

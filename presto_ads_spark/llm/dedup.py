@@ -281,10 +281,22 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
         # 6–20× slower than the shuffle join it replaced). Broadcasting
         # the narrow pair list and shuffling the array frame by id is the
         # shape that scales: each array row moves at most twice.
+        # shuffle_hash strategy hints PIN the no-broadcast contract for
+        # the fat array frames: the InMemoryRelation's size estimate
+        # undercounts array rows, so without the hint the planner
+        # broadcast-exchanged the WHOLE shingle frame into the second
+        # join (hash-relation build of fat rows — the 6-20x slowdown
+        # measured when this shape was first replaced, plus run-to-run
+        # variance as the estimate hovered around the threshold). The
+        # explicit broadcast hint on the narrow pair list still WINS
+        # for the first join (Spark hint priority: broadcast >
+        # shuffle_hash), so `a` streams without a shuffle; the second
+        # join shuffles both sides by id_b and hash-builds on the
+        # hinted array side — each array row still moves at most twice.
         a = sh_arr.select(F.col("id").alias("id_a"),
-                          F.col("sh").alias("sa"))
+                          F.col("sh").alias("sa")).hint("shuffle_hash")
         b = sh_arr.select(F.col("id").alias("id_b"),
-                          F.col("sh").alias("sb"))
+                          F.col("sh").alias("sb")).hint("shuffle_hash")
         n_inter = F.size(F.array_intersect("sa", "sb"))
         return (
             hint(cand)

@@ -1775,7 +1775,12 @@ def _rewrite_typed_literals(sql: str) -> str:
                     + "'"
                 )
             except (ValueError, ArithmeticError):
-                return lit
+                # malformed JSON literal: Presto rejects it when the
+                # literal is processed (JsonUtil.createJsonParser) — a
+                # runtime raise keeps TRY-composability handled above
+                # and surfaces the Presto error otherwise
+                msg = lit[1:-1][:60].replace("'", "''")
+                return f"CAST(raise_error('Cannot cast to JSON: {msg}') AS STRING)"
         if t in ("VARCHAR", "CHAR"):
             return lit
         if t == "INTEGER":
@@ -2212,8 +2217,35 @@ def _rewrite_try_generic(sql: str) -> str:
         if re.match(r"(?is)^\s*CASE\b.*\bEND\s*$", e):
             lowered_case = _lower_try_case(e)
             return f"({lowered_case if lowered_case is not None else e})"
-        if re.search(r"(?:!=|<>|<=|>=|[=<>])", _mask_parens_and_literals(e)):
+        cmps = list(re.finditer(
+            r"!=|<>|<=|>=|=|<|>", _mask_parens_and_literals(e)
+        ))
+        if cmps:
+            # a SINGLE top-level comparison: the only error sources TRY
+            # can swallow are arithmetic/cast errors in its operands
+            # (comparisons themselves don't error), so lowering each
+            # side through the try_* arithmetic IS the TRY semantics —
+            # an erroring operand → NULL operand → NULL comparison
+            # (testNonEqualityJoinWithTryInFilter). Multiple comparisons
+            # / boolean connectives stay a visible analyzer reject.
+            if len(cmps) == 1:
+                m0 = cmps[0]
+                lhs, rhs = e[:m0.start()].strip(), e[m0.end():].strip()
+                if lhs and rhs:
+                    ll = _lower_try_arith(lhs) or lhs
+                    rl = _lower_try_arith(rhs) or rhs
+                    return f"(({ll}) {m0.group(0)} ({rl}))"
             return None
+        # TRY(ABS(x)): bigint abs overflows on exactly Long.MIN_VALUE
+        # (AbsFunction checkCondition) — guard that value to NULL; the
+        # inner expression is itself try-lowered first. (A DOUBLE inner
+        # equal to -2^63 would false-NULL — integral-typed sites only.)
+        mm = re.match(r"^abs\s*\(", e, re.IGNORECASE)
+        if mm and _scan_matching_paren(e, mm.end()) == len(e):
+            x = e[mm.end():-1].strip()
+            xl = _lower_try_arith(x) or x
+            return (f"(CASE WHEN ({xl}) = BIGINT '-9223372036854775808'"
+                    f" THEN NULL ELSE abs({xl}) END)")
         # TRY over the 2-arg map constructor: Presto's map() raises on a
         # NULL key or length-mismatched arrays and TRY yields NULL
         # (MapConstructor.java); guard both conditions explicitly — the
@@ -2230,6 +2262,21 @@ def _rewrite_try_generic(sql: str) -> str:
                         f" OR size(({ks})) <> size(({vs})) THEN NULL"
                         f" ELSE map_from_arrays(({ks}), ({vs})) END)"
                     )
+        # TRY(JSON '...') over a MALFORMED literal folds to NULL at
+        # rewrite time (the literal is static — JsonUtil.createJsonParser
+        # rejects it at parse, TRY swallows); a well-formed literal falls
+        # through to the typed-literal canonicalization
+        mm = re.match(r"(?is)^JSON\s*('(?:[^']|'')*')$", e.strip())
+        if mm:
+            import json as _json
+
+            lit = mm.group(1)
+            try:
+                _json.loads(
+                    lit[1:-1].replace("''", "'").replace("\\\\", "\\")
+                )
+            except ValueError:
+                return "(NULL)"
         # TRY(json_parse(x)) is the standard bad-row-cleaning idiom: the
         # shim's raise_error cannot be swallowed, so re-express the
         # validation as a NULL-yielding guard (JsonFunctions.java
@@ -10954,6 +11001,242 @@ def _rewrite_empty_grouping_global(sql: str) -> str:
     return sql + "".join(arm.format(i=i) for i in range(n_empty))
 
 
+# --- $internal$ statistics aggregates (ANALYZE stats collection) --------
+# SumDataSizeForStats.java:40 / MaxDataSizeForStats.java:40 — hidden
+# aggregates over block.getEstimatedDataSizeForStats(position): UTF-8
+# byte length for variable-width slices (VariableWidthBlock), the fixed
+# block width for fixed-width types, the recursive element sum for
+# ARRAY/MAP/ROW blocks, and 0 for NULL positions. Lowered to SUM/MAX of
+# a type-directed JVM expression (no UDFs, map-side partial aggregation
+# preserved): the per-value size expression recurses over Presto
+# constructor spellings (ARRAY[..], map(..), ROW(..), CAST) at the text
+# level and over catalog column types (engine schema voting, passed as
+# ``col_types``) for leaf column references.
+
+_DS_FIXED_WIDTH = {
+    "boolean": 1, "tinyint": 1, "byte": 1, "smallint": 2, "short": 2,
+    "int": 4, "integer": 4, "date": 4, "float": 4, "real": 4,
+    "bigint": 8, "long": 8, "double": 8, "timestamp": 8,
+    "timestamp_ltz": 8, "timestamp_ntz": 8,
+}
+
+
+def _ds_split_type_args(t: str) -> list[str]:
+    """Split a Spark simpleString type argument list on depth-0 commas."""
+    args, depth, last = [], 0, 0
+    for i, c in enumerate(t):
+        if c in "<(":
+            depth += 1
+        elif c in ">)":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(t[last:i])
+            last = i + 1
+    args.append(t[last:])
+    return [a.strip() for a in args]
+
+
+def _ds_of_type(e: str, t: str, depth: int = 0) -> str | None:
+    """Per-value estimated-data-size expression for value ``e`` of Spark
+    type ``t`` (simpleString grammar). NULL → 0, matching a null block
+    position. Returns None for types with no Presto stats size."""
+    t = t.strip().lower()
+    if t in _DS_FIXED_WIDTH:
+        return f"IF({e} IS NULL, 0, {_DS_FIXED_WIDTH[t]})"
+    if t == "string" or t.startswith("varchar"):
+        return f"COALESCE(octet_length({e}), 0)"
+    if t.startswith("char"):
+        # Presto Chars store the value with trailing spaces trimmed
+        return f"COALESCE(octet_length(rtrim({e})), 0)"
+    if t == "binary":
+        return f"COALESCE(length({e}), 0)"
+    if t.startswith("decimal"):
+        m = re.match(r"decimal\((\d+)", t)
+        width = 8 if (int(m.group(1)) if m else 10) <= 18 else 16
+        return f"IF({e} IS NULL, 0, {width})"
+    v = f"__ds{depth}"
+    if t.startswith("array<"):
+        inner = _ds_of_type(f"{v}x", t[6:-1], depth + 1)
+        if inner is None:
+            return None
+        return (f"IF({e} IS NULL, 0, aggregate({e}, CAST(0 AS BIGINT),"
+                f" ({v}a, {v}x) -> {v}a + CAST({inner} AS BIGINT)))")
+    if t.startswith("map<"):
+        kt, vt = _ds_split_type_args(t[4:-1])
+        ik = _ds_of_type(f"{v}x", kt, depth + 1)
+        iv = _ds_of_type(f"{v}x", vt, depth + 1)
+        if ik is None or iv is None:
+            return None
+        return (
+            f"IF({e} IS NULL, 0,"
+            f" aggregate(map_keys({e}), CAST(0 AS BIGINT),"
+            f" ({v}a, {v}x) -> {v}a + CAST({ik} AS BIGINT))"
+            f" + aggregate(map_values({e}), CAST(0 AS BIGINT),"
+            f" ({v}a, {v}x) -> {v}a + CAST({iv} AS BIGINT)))"
+        )
+    if t.startswith("struct<"):
+        parts = []
+        for fld in _ds_split_type_args(t[7:-1]):
+            name, _, ft = fld.partition(":")
+            sub = _ds_of_type(f"({e}).{name.strip()}", ft, depth)
+            if sub is None:
+                return None
+            parts.append(sub)
+        return "(" + " + ".join(parts) + ")" if parts else "0"
+    return None
+
+
+def _ds_scan_bracket(s: str, start: int) -> int:
+    """Index just past the ``]`` matching the ``[`` at start-1
+    (literal- and paren-aware)."""
+    depth, j, in_str = 1, start, False
+    while j < len(s) and depth:
+        c = s[j]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        j += 1
+    return j
+
+
+_DS_CAST_TYPE_MAP = {
+    "varbinary": "binary", "boolean": "boolean", "tinyint": "tinyint",
+    "smallint": "smallint", "integer": "int", "int": "int",
+    "bigint": "bigint", "real": "float", "double": "double",
+    "date": "date", "timestamp": "timestamp", "varchar": "string",
+    "json": "string",
+}
+
+
+def _ds_expr(a: str, col_types: dict) -> str | None:
+    """Estimated-data-size expression for the Presto expression text
+    ``a`` — syntactic recursion over constructor forms, catalog-type
+    dispatch for leaves. None when the type cannot be derived."""
+    a = a.strip()
+    while a.startswith("(") and _scan_matching_paren(a, 1) == len(a):
+        a = a[1:-1].strip()
+    # ARRAY[e1, e2, ...] constructor: sum of element sizes
+    m = re.match(r"(?is)^ARRAY\s*\[", a)
+    if m and _ds_scan_bracket(a, m.end()) == len(a):
+        elems = _split_top_level(a[m.end():-1])
+        parts = [_ds_expr(e, col_types) for e in elems]
+        if all(p is not None for p in parts):
+            return "(" + " + ".join(parts) + ")" if parts else "0"
+        return None
+    # map(ARRAY[...], ARRAY[...]) / ROW(...) constructors
+    for fname in ("map", "row"):
+        m = re.match(rf"(?is)^{fname}\s*\(", a)
+        if m and _scan_matching_paren(a, m.end()) == len(a):
+            parts = [
+                _ds_expr(e, col_types)
+                for e in _split_top_level(a[m.end():-1])
+            ]
+            if all(p is not None for p in parts):
+                return "(" + " + ".join(parts) + ")" if parts else "0"
+            return None
+    # IF(cond, a, b): size follows the taken branch (NULL branch → 0)
+    m = re.match(r"(?is)^IF\s*\(", a)
+    if m and _scan_matching_paren(a, m.end()) == len(a):
+        parts = _split_top_level(a[m.end():-1])
+        if len(parts) == 3:
+            da = _ds_expr(parts[1], col_types)
+            db = _ds_expr(parts[2], col_types)
+            if da is not None and db is not None:
+                return f"IF({parts[0]}, {da}, {db})"
+        return None
+    # CAST(x AS T): dispatch on the declared target type
+    m = re.match(r"(?is)^(?:TRY_)?CAST\s*\(", a)
+    if m and _scan_matching_paren(a, m.end()) == len(a):
+        tm = re.search(
+            r"(?is)\bAS\s+([A-Za-z_]+)\s*(?:\(\s*(\d+)[^)]*\))?\s*\)$", a
+        )
+        if tm:
+            tname = tm.group(1).lower()
+            if tname == "char":
+                n = tm.group(2)
+                inner = a[m.end(): tm.start()].strip()
+                trunc = (f"substring({inner}, 1, {n})" if n else inner)
+                return f"COALESCE(octet_length(rtrim({trunc})), 0)"
+            if tname in ("decimal", "dec", "numeric"):
+                p = int(tm.group(2) or 38)
+                return f"IF({a} IS NULL, 0, {8 if p <= 18 else 16})"
+            st = _DS_CAST_TYPE_MAP.get(tname)
+            if st is not None:
+                return _ds_of_type(a, st)
+    # typed literals: TYPE 'value'
+    m = re.match(
+        r"(?is)^(TINYINT|SMALLINT|INTEGER|INT|BIGINT|REAL|DOUBLE|DATE"
+        r"|TIMESTAMP|DECIMAL|CHAR|VARCHAR)\s*'", a
+    )
+    if m:
+        tname = m.group(1).lower()
+        if tname == "decimal":
+            digits = len(re.sub(r"\D", "", a[m.end():]))
+            return f"IF({a} IS NULL, 0, {8 if digits <= 18 else 16})"
+        st = _DS_CAST_TYPE_MAP.get(tname, "string")
+        return _ds_of_type(a, "string" if tname in ("char", "varchar")
+                           else st)
+    # plain string literal
+    if re.match(r"(?s)^'", a):
+        return f"octet_length({a})"
+    if re.match(r"(?i)^NULL$", a):
+        return "0"
+    if re.match(r"(?i)^(TRUE|FALSE)$", a):
+        return "1"
+    # bare numeric literals (Presto: in-range integer literal → INTEGER,
+    # decimal point / exponent → DOUBLE-ish 8)
+    if re.match(r"^[+-]?\d+$", a):
+        return "4" if abs(int(a)) <= 2147483647 else "8"
+    if re.match(r"^[+-]?(\d+\.\d*|\.\d+|\d+)(e[+-]?\d+)?$", a, re.I):
+        return "8"
+    # leaf column reference (optionally qualified) → catalog type
+    m = re.match(r'^(?:[A-Za-z_][\w$]*\.)*([A-Za-z_][\w$]*|"[^"]+")$', a)
+    if m and col_types:
+        name = m.group(1).strip('"').lower()
+        t = col_types.get(name)
+        if t is not None:
+            return _ds_of_type(a, t)
+    return None
+
+
+def _rewrite_stats_data_size_aggs(sql: str, col_types: dict | None) -> str:
+    """``"$internal$sum_data_size_for_stats"(x)`` /
+    ``"$internal$max_data_size_for_stats"(x)`` → SUM/MAX of the
+    type-directed per-value size expression (BIGINT output, NULL on
+    empty input — NullableLongState semantics)."""
+    if "$internal$" not in sql:
+        return sql
+    sql = re.sub(
+        r'"\$internal\$(sum|max)_data_size_for_stats"\s*\(',
+        lambda m: f"__pads_dsagg_{m.group(1).lower()}(",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    def build(kind):
+        def _b(args):
+            if len(args) != 1:
+                return None
+            ds = _ds_expr(args[0], col_types or {})
+            if ds is None:
+                raise ValueError(
+                    f"$internal${kind}_data_size_for_stats: cannot derive"
+                    f" the value type of {args[0]!r} (register the table"
+                    f" so column types are known)"
+                )
+            return f"CAST({kind.upper()}({ds}) AS BIGINT)"
+        return _b
+
+    sql = _replace_fn_calls(sql, "__pads_dsagg_sum", build("sum"))
+    sql = _replace_fn_calls(sql, "__pads_dsagg_max", build("max"))
+    return sql
+
+
 def rewrite(
     sql: str,
     json_scalar_cols: frozenset = frozenset(),
@@ -10963,6 +11246,7 @@ def rewrite(
     session_locale: str = "en",
     session_start_ms: int | None = None,
     legacy_timestamp: bool = False,
+    col_types: dict | None = None,
 ) -> str:
     """Rewrite a Presto SQL string into Spark SQL.
 
@@ -10974,6 +11258,9 @@ def rewrite(
     ' '))``), so literal-splitting first would hide them. Function renames
     are word-boundary regexes and DO respect literal boundaries."""
     sql = _rewrite_literal_backslashes(sql)
+    # before the ARRAY[...] literal rewrite: the data-size lowering
+    # recurses over the Presto constructor spellings
+    sql = _rewrite_stats_data_size_aggs(sql, col_types)
     sql = _rewrite_array_literals(sql)
     sql = _widen_array_decimal_literals(sql)
     sql = _rewrite_sign_typed(sql)

@@ -398,3 +398,79 @@ def test_view_boundary_type_markers(engine):
         "CREATE OR REPLACE VIEW __tv_int AS SELECT 5 AS va, 2 AS vb"
     )
     assert one("SELECT va / vb AS r FROM __tv_int") == 2
+
+
+def test_stats_data_size_aggregates(engine, duck):
+    """$internal$sum/max_data_size_for_stats (SumDataSizeForStats.java:40,
+    MaxDataSizeForStats.java:40 — the hidden aggregates ANALYZE stats
+    collection plans over every column): lowered to SUM/MAX of a
+    type-directed per-value size expression, matching
+    Block.getEstimatedDataSizeForStats (UTF-8 bytes for varchar, fixed
+    widths, recursive container sums, 0 for NULL positions)."""
+    def q(sql):
+        return engine.sql(sql).collect()[0][0]
+
+    base = duck.execute(
+        "SELECT sum(length(o_orderpriority)), max(length(o_orderpriority)),"
+        " count(*) FROM orders"
+    ).fetchone()
+    s, mx, n = base
+    assert q('SELECT "$internal$sum_data_size_for_stats"(o_orderpriority)'
+             ' FROM orders') == s
+    assert q('SELECT "$internal$max_data_size_for_stats"(o_orderpriority)'
+             ' FROM orders') == mx
+    assert q('SELECT "$internal$sum_data_size_for_stats"'
+             '(CAST(o_orderpriority AS VARBINARY)) FROM orders') == s
+    assert q('SELECT "$internal$sum_data_size_for_stats"'
+             '(ARRAY[o_orderpriority, o_orderpriority]) FROM orders') == 2 * s
+    # map: 4 bytes per INTEGER key + value slice bytes
+    assert q('SELECT "$internal$sum_data_size_for_stats"'
+             '(map(ARRAY[1], ARRAY[o_orderpriority])) FROM orders') == 4 * n + s
+    assert q('SELECT "$internal$sum_data_size_for_stats"'
+             '(ROW(o_orderpriority, o_orderkey)) FROM orders') == s + 8 * n
+    # fixed-width leaf via catalog type; NULL position counts 0
+    assert q('SELECT "$internal$sum_data_size_for_stats"(o_orderkey)'
+             ' FROM orders') == 8 * n
+    assert q('SELECT "$internal$sum_data_size_for_stats"'
+             '(IF(o_orderkey = (SELECT min(o_orderkey) FROM orders),'
+             ' NULL, o_orderpriority)) FROM orders') < s
+    # empty input → NULL (NullableLongState never initialized)
+    assert q('SELECT "$internal$sum_data_size_for_stats"(o_orderpriority)'
+             ' FROM orders WHERE o_orderkey < 0') is None
+
+
+def test_json_literal_validity(engine):
+    """Malformed JSON literals error when processed
+    (JsonUtil.createJsonParser); TRY folds them to NULL at rewrite time
+    (testTryWithInvalidJSON)."""
+    def q(sql):
+        return engine.sql(sql).collect()[0][0]
+
+    assert q("SELECT JSON_FORMAT(TRY(JSON 'INVALID')) AS r") is None
+    assert q("SELECT JSON_FORMAT(TRY(JSON_PARSE('INVALID'))) AS r") is None
+    assert q("SELECT JSON_FORMAT(TRY(JSON '[]')) || '123' AS r") == "[]123"
+    assert q("SELECT JSON_FORMAT(TRY(JSON 'INVALID')) || '123' AS r") is None
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="Cannot cast to JSON"):
+        engine.sql("SELECT JSON 'INVALID' AS r").collect()
+
+
+def test_try_comparison_and_abs_overflow(engine):
+    """TRY over a single top-level comparison lowers its operands
+    through try_* arithmetic (the only TRY-swallowable errors there);
+    TRY(ABS(bigint)) guards Long.MIN_VALUE
+    (testNonEqualityJoinWithTryInFilter, testTryExpressionsWithOverflow)."""
+    def q(sql):
+        return engine.sql(sql).collect()[0][0]
+
+    rows = sorted(
+        tuple(r) for r in engine.sql(
+            "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN"
+            " (VALUES (1,1), (1,2)) t2(c,d)"
+            " ON a=c AND TRY(1 / (b-a) != 1000)"
+        ).collect()
+    )
+    assert rows == [(1, 1, None, None), (1, 2, 1, 1), (1, 2, 1, 2)]
+    assert q("SELECT 123 + TRY(ABS(-9223372036854775807 - 1)) AS r") is None
+    assert q("SELECT TRY(ABS(-5)) AS r") == 5
+    assert q("SELECT TRY(1/0 = 1) AS r") is None

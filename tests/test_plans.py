@@ -275,3 +275,21 @@ def test_tstz_struct_group_join_stats_jvm(spark):
     zrow = next(r for r in stats if r.column_name == "z")
     assert zrow.distinct_values_count == 1.0
     assert zrow.low_value.startswith("2017-03-01 02:51")  # UTC instant
+
+
+def test_minhash_verify_never_broadcasts_shingle_arrays(spark):
+    """The verify stage's shingle-array frames must never build a
+    broadcast hash relation (fat rows — measured 6-20x slower than the
+    shuffle join, and the InMemoryRelation size estimate undercounts
+    array payloads, so the planner WILL pick it without the pinned
+    shuffle_hash strategy hint — llm/dedup.py ngram_jaccard_pairs)."""
+    import re
+
+    df = REGISTRY["dedup_minhash_verify"].spark_fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fat = re.compile(r"\b(sa|sb|sh)#\d")
+    for line in plan.splitlines():
+        if line.strip(" +:-*").startswith("BroadcastExchange"):
+            assert not fat.search(line), f"fat broadcast: {line[:160]}"
+    assert "ShuffledHashJoin" in plan

@@ -90,8 +90,8 @@ MANUAL_SKIPS: dict[int, str] = {
     # (r7) 1709/1716 live: _rewrite_real_decimal_cmp reproduces Presto's
     # REAL common-supertype coercion when both comparison operands are
     # explicit CASTs (issue #7520 family).
-    1977: "generic TRY over a comparison expression (error-swallowing "
-          "boolean TRY not expressible; documented gap)",
+    # (r13) 1977 live: TRY over a single top-level comparison lowers
+    # its operands through try_* arithmetic (_rewrite_try_generic).
     2452: "MAP value IN (subquery) — Spark cannot order/compare MAP "
           "types in a subquery predicate",
     3048: "checksum() bytes are engine-specific (xxhash64-based in the "
@@ -106,8 +106,7 @@ MANUAL_SKIPS: dict[int, str] = {
     # grouping-column match; Presto accepts subsets in any order), and
     # the plain-GROUP-BY grouping()→0 fold now recurses per subquery
     # scope.
-    4950: "TRY over overflowing ABS: generic error-swallowing TRY not "
-          "expressible (passthrough deviation, README)",
+    # (r13) 4950 live: TRY(ABS(bigint)) guards Long.MIN_VALUE.
     # (r7) 5458 live: _unwrap_parenthesized_joins strips inert parens
     # around FROM join groups so the UNNEST lowering can emit LATERAL
     # VIEW. 5516/5535 live: the star-EXCEPT ORDER-BY hoist + join-ON
@@ -199,8 +198,11 @@ MANUAL_SKIPS.update({
             "the stable-subset pin is G-case 169",
     "S172": "information_schema catalog filter over java vars — the "
             "engine has no catalog dimension (single Spark catalog)",
-    "D626": "SELECT * FROM a session-created DDL fixture table (the "
-            "write battery covers the surface)",
+    "D626": "catalog.schema-QUALIFIED reference to the test_view "
+            "fixture (java-built name) — engine views are session "
+            "temp views, not addressable through the catalog "
+            "namespace; the unqualified sites are live fixture cases "
+            "(D617/D619/D623)",
     "TSF32": "current_user oracle reads the java session fixture — the "
              "engine pins current_user in tests/test_engine.py",
     "TSF44": "current_path oracle reads the java session fixture — "
@@ -209,15 +211,13 @@ MANUAL_SKIPS.update({
              "session path is a no-op namespace here (engine test)",
 })
 
-# $internal$ statistics aggregates (FunctionRegistry's hidden namespace,
-# used only by ANALYZE stats collection; absent from SHOW FUNCTIONS in
-# the reference too) — not part of the user-facing surface.
-for _ln in (754, 759, 762, 765, 766, 769, 770, 773, 774, 781, 784, 787):
-    MANUAL_SKIPS[f"A{_ln}"] = (
-        '"$internal$*_data_size_for_stats" hidden-namespace statistics '
-        "aggregate (ANALYZE-only, hidden from SHOW FUNCTIONS in the "
-        "reference) — outside the public surface"
-    )
+# $internal$*_data_size_for_stats (ANALYZE stats aggregates) run live:
+# rewrite._rewrite_stats_data_size_aggs lowers them to SUM/MAX of a
+# type-directed size expression. The actual can't run on DuckDB (the
+# $internal$ name), so the reference's explicit table-referencing
+# oracles engage via the dialect-blocked fallback; the two hardcoded
+# dbgen literals (A759 char sum = 725468, A784 char max) get hand
+# data-independent oracles (char stores trailing-space-trimmed values).
 
 # Sites whose natural oracle cannot run on DuckDB (dialect gaps: WITH
 # ORDINALITY, TRY, map_agg, named-struct CAST, reserved-word aliases,
@@ -235,6 +235,12 @@ MANUAL_ORACLES: dict[str, dict] = {
     # string literal), which the table-referencing heuristic would use
     # to null the explicit oracle — but DuckDB's information_schema
     # differs from the engine's, so the hand VALUES oracle must stick
+    # data_size_for_stats over CAST(... AS CHAR(1000)): the reference
+    # hardcodes its dbgen byte count ("no easy way to compute it in
+    # H2") — recompute data-independently; CHAR stores values with
+    # trailing spaces trimmed (Chars.trimTrailingSpaces)
+    "A759": {"oracle": "SELECT sum(length(rtrim(comment))) FROM orders"},
+    "A784": {"oracle": "SELECT max(length(rtrim(comment))) FROM orders"},
     "G139": {"oracle": "VALUES ('orders')"},
     "G167": {"oracle": "VALUES ('default')"},
     "G169": {"oracle": "VALUES ('orders', 'orderkey')"},
@@ -950,6 +956,56 @@ FIXTURE_SITES: dict[str, dict] = {
         "oracle": _Q_VIEW,
         "teardown": _DROP_VIEW,
     },
+    "D650": {
+        "setup": ["CREATE TABLE test_table_1 AS SELECT 'abcdefg' a",
+                  "CREATE VIEW test_view_1 AS SELECT a FROM test_table_1"],
+        "sql": "SELECT * FROM test_view_1",
+        "oracle": "VALUES 'abcdefg'",
+        "teardown": ["DROP VIEW test_view_1", "DROP TABLE test_table_1"],
+    },
+    "D656": {
+        # view over a dropped-and-recreated base table re-resolves at
+        # query time (testCompatibleTypeChangeForView)
+        "setup": ["CREATE TABLE test_table_1 AS SELECT 'abcdefg' a",
+                  "CREATE VIEW test_view_1 AS SELECT a FROM test_table_1",
+                  "DROP TABLE test_table_1",
+                  "CREATE TABLE test_table_1 AS SELECT 'abc' a"],
+        "sql": "SELECT * FROM test_view_1",
+        "oracle": "VALUES 'abc'",
+        "teardown": ["DROP VIEW test_view_1", "DROP TABLE test_table_1"],
+    },
+    "D670": {
+        "setup": ["CREATE TABLE test_table_2 AS SELECT BIGINT '1' v",
+                  "CREATE VIEW test_view_2 AS SELECT * FROM test_table_2"],
+        "sql": "SELECT * FROM test_view_2",
+        "oracle": "VALUES 1",
+        "teardown": ["DROP VIEW test_view_2", "DROP TABLE test_table_2"],
+    },
+    "D676": {
+        # implicitly-coercible type change under the view
+        # (testCompatibleTypeChangeForViewWithCoercion)
+        "setup": ["CREATE TABLE test_table_2 AS SELECT BIGINT '1' v",
+                  "CREATE VIEW test_view_2 AS SELECT * FROM test_table_2",
+                  "DROP TABLE test_table_2",
+                  "CREATE TABLE test_table_2 AS SELECT INTEGER '1' v"],
+        "sql": "SELECT * FROM test_view_2 WHERE v = 1",
+        "oracle": "VALUES 1",
+        "teardown": ["DROP VIEW test_view_2", "DROP TABLE test_table_2"],
+    },
+    "D778": {
+        "setup": ["CREATE TABLE test_query_logging_count AS"
+                  " SELECT 1 foo_1, 2 foo_2_4"],
+        "sql": "SELECT foo_1, foo_2_4 FROM test_query_logging_count",
+        "oracle": "SELECT 1, 2",
+        "teardown": ["DROP TABLE test_query_logging_count"],
+    },
+    "D850": {
+        "setup": ["CREATE TABLE test_symbol_aliasing AS"
+                  " SELECT 1 foo_1, 2 foo_2_4"],
+        "sql": "SELECT foo_1, foo_2_4 FROM test_symbol_aliasing",
+        "oracle": "SELECT 1, 2",
+        "teardown": ["DROP TABLE test_symbol_aliasing"],
+    },
     "D638": {
         "setup": ["CREATE VIEW test_view_uppercase AS SELECT X"
                   " FROM (SELECT 123 X)",
@@ -1004,9 +1060,9 @@ def triage_skip(sql: str) -> str | None:
                 "(AbstractTestDistributedQueries assertUpdate setup) — "
                 "the CREATE/INSERT/DELETE/VIEW surface is covered by the "
                 "write battery (tests/test_distributed_writes.py)")
-    if re.search(r"json\s+'invalid'|json_parse\('invalid'\)", low):
-        return ("JSON validity not modeled — json values are strings "
-                "(README json shims)")
+    # JSON validity is live: malformed JSON literals raise (TRY folds to
+    # NULL at rewrite time) and json_parse validates through the
+    # canonicalizer — rewrite._rewrite_typed_literals / _rewrite_try_generic
     return None
 
 

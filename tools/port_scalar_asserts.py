@@ -1422,6 +1422,10 @@ def _joda_eval(expr: str, env: dict):
             args_nodes = n.args
             if fn == "__new_DateTime":
                 a = [ev(x) for x in args_nodes]
+                if len(a) == 2 and isinstance(a[0], _dtm.datetime):
+                    # new DateTime(instant, zone): same instant viewed
+                    # in the target zone (testFromUnixTimeWithOffset)
+                    return a[0].astimezone(a[1])
                 if len(a) == 8:
                     y, mo, d, h, mi, s, ms, zone = a
                     return _dtm.datetime(
@@ -1614,6 +1618,15 @@ def _joda_eval(expr: str, env: dict):
                     "minutesBetween": 60_000, "hoursBetween": 3_600_000,
                     "daysBetween": 86_400_000,
                     "weeksBetween": 7 * 86_400_000}[fn]
+            q = abs(ms) // unit
+            return _Between(q if ms >= 0 else -q)
+        if isinstance(a, _JOffsetTime) and isinstance(b, _JOffsetTime):
+            # OffsetTime overloads: millisUtc(end) - millisUtc(start)
+            # (TestDateTimeFunctionsBase.java:1177-1195), MILLISECONDS
+            # .toX truncates toward zero like the abs// pattern
+            ms = b.millis_utc() - a.millis_utc()
+            unit = {"millisBetween": 1, "secondsBetween": 1000,
+                    "minutesBetween": 60_000, "hoursBetween": 3_600_000}[fn]
             q = abs(ms) // unit
             return _Between(q if ms >= 0 else -q)
         raise ValueError("between operand types")

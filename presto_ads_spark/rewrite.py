@@ -5204,7 +5204,8 @@ def _tstz_lower_once(
             mins = ms // 60_000
             if abs(mins) > 14 * 60:
                 return f"raise_error('Invalid offset minutes {mins}')"
-            zarg = "'{}{:02d}:{:02d}'".format(
+            # offset 0 canonicalizes to UTC (TimeZoneKey.java:138)
+            zarg = "'UTC'" if mins == 0 else "'{}{:02d}:{:02d}'".format(
                 "-" if mins < 0 else "+", abs(mins) // 60, abs(mins) % 60
             )
         if h == "__tstz":

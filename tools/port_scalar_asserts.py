@@ -1476,6 +1476,8 @@ def _joda_eval(expr: str, env: dict):
                 return _ZoneKey(args[0])
             if fn == "getTimeZoneKeyForOffset" and len(args) == 1:
                 total = int(args[0])
+                if total == 0:  # TimeZoneKey.java:138 canonicalizes
+                    return _ZoneKey("UTC")
                 return _ZoneKey(
                     f"{'-' if total < 0 else '+'}"
                     f"{abs(total) // 60:02d}:{abs(total) % 60:02d}"

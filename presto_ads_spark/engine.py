@@ -547,8 +547,12 @@ class Engine:
             aggs.append(lo.cast("string").alias(f"{f.name}__lo"))
             aggs.append(hi.cast("string").alias(f"{f.name}__hi"))
             if f.dataType.typeName() == "string":
+                # UTF-8 byte size — the same measure the
+                # $internal$*_data_size_for_stats aggregates report
+                # (Block.getEstimatedDataSizeForStats slice length)
                 aggs.append(
-                    F.sum(F.length(c).cast("long")).alias(f"{f.name}__sz")
+                    F.sum(F.octet_length(c).cast("long"))
+                    .alias(f"{f.name}__sz")
                 )
         stats = df.agg(*aggs).collect()[0].asDict()
         n = stats["__n"]

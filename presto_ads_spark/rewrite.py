@@ -2188,8 +2188,12 @@ def _rewrite_try_generic(sql: str) -> str:
     TRY(CAST(..)) rewrite; here the remaining common forms map to Spark's
     try_* arithmetic (ANSI mode errors on overflow/zero-division, exactly
     what TRY guards). A binary top-level arithmetic op becomes the try_*
-    twin; anything else is left for the analyzer to reject visibly
-    (documented gap — silent error-swallowing can't be faked)."""
+    twin; a SINGLE top-level comparison lowers each operand the same way
+    (operand errors are the only TRY-swallowable ones there); malformed
+    static JSON literals fold to NULL; TRY(ABS(bigint)) guards
+    Long.MIN_VALUE. Multi-comparison boolean bodies are left for the
+    analyzer to reject visibly (documented gap — fully generic
+    error-swallowing can't be faked)."""
 
     def build(args):
         if len(args) != 1:
@@ -2231,10 +2235,31 @@ def _rewrite_try_generic(sql: str) -> str:
             if len(cmps) == 1:
                 m0 = cmps[0]
                 lhs, rhs = e[:m0.start()].strip(), e[m0.end():].strip()
+
+                def _try_side(s):
+                    # a fully-parenthesized operand hides its arithmetic
+                    # from the top-level scan — unwrap before lowering
+                    # (fuzzer-caught: TRY((-7 / b) <> b) must try_divide);
+                    # same for a unary sign over a paren group, the shape
+                    # the integral-division pre-rewrite emits (-(7 DIV b))
+                    while (
+                        s.startswith("(")
+                        and _scan_matching_paren(s, 1) == len(s.rstrip())
+                    ):
+                        s = s[1:s.rstrip().rindex(")")].strip()
+                    mu = re.match(r"^([-+])\s*\(", s)
+                    if mu and _scan_matching_paren(
+                        s, mu.end()
+                    ) == len(s.rstrip()):
+                        inner = _try_side(
+                            s[mu.end():s.rstrip().rindex(")")].strip()
+                        )
+                        return f"{mu.group(1)}({inner})"
+                    return _lower_try_arith(s) or s
+
                 if lhs and rhs:
-                    ll = _lower_try_arith(lhs) or lhs
-                    rl = _lower_try_arith(rhs) or rhs
-                    return f"(({ll}) {m0.group(0)} ({rl}))"
+                    return (f"(({_try_side(lhs)}) {m0.group(0)}"
+                            f" ({_try_side(rhs)}))")
             return None
         # TRY(ABS(x)): bigint abs overflows on exactly Long.MIN_VALUE
         # (AbsFunction checkCondition) — guard that value to NULL; the
@@ -6017,6 +6042,34 @@ def _expand_presto_aggregates(sql: str) -> str:
             )
         return f"aggregate({arr}, {init}, {a[2]})"
 
+    def approx_percentile_nonconst(a):
+        # approx_percentile(v, p) with a NON-LITERAL percentage: Spark's
+        # percentile_approx demands a foldable percentage, but Presto
+        # accepts any expression that is CONSTANT over the input rows
+        # (ApproximateDoublePercentileAggregations checkCondition at
+        # runtime — testAggregationWithSomeArgumentCasts). Lower to the
+        # exact nearest-rank pick over a sorted collected array; max(p)
+        # realizes the row-constant percentage. Group-materialization
+        # bound like reduce_agg (README); literal percentages keep the
+        # sketch-based percentile_approx fast path below via rename.
+        if len(a) != 2:
+            return None
+        v, p = a[0].strip(), a[1].strip()
+        if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)(E[+-]?\d+)?", p,
+                        re.IGNORECASE):
+            return None
+        if re.fullmatch(r"(?is)(DOUBLE|DECIMAL|REAL)\s*'[^']*'", p):
+            return None
+        if re.match(r"(?is)^ARRAY\s*[\[(]", p):
+            return None  # array-of-percentages literal: rename path
+        return (
+            f"try_element_at(array_sort(array_agg({v})), "
+            f"greatest(1, CAST(ceil(max({p}) * count({v})) AS INT)))"
+        )
+
+    sql = _replace_fn_calls(
+        sql, "approx_percentile", approx_percentile_nonconst
+    )
     sql = _replace_fn_calls(sql, "reduce_agg", reduce_agg)
     sql = _replace_fn_calls(sql, "geometry_union_agg", geometry_union_agg)
     sql = _replace_fn_calls(sql, "convex_hull_agg", convex_hull_agg)

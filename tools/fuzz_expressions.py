@@ -220,8 +220,19 @@ def bool_expr(r: random.Random, depth: int = 0) -> str:
     if depth > 2:
         return r.choice(["TRUE", "FALSE", "a > 0", "b IS NULL"])
     kind = r.choice(
-        ["cmp", "null", "between", "in", "not", "andor", "strcmp", "tscmp"]
+        ["cmp", "null", "between", "in", "not", "andor", "strcmp", "tscmp",
+         "trycmp"]
     )
+    if kind == "trycmp":
+        # TRY over a single comparison whose operand may divide by zero
+        # (column b holds 0): the engine lowers operands through try_*
+        # arithmetic → NULL; DuckDB's /0 is NULL natively, so the
+        # TRY-stripped oracle agrees row-wise
+        return (
+            f"TRY(({int_expr(r, depth + 1)} / b) "
+            f"{r.choice(['<', '<=', '=', '>=', '>', '<>'])} "
+            f"{int_expr(r, depth + 1)})"
+        )
     if kind == "tscmp":
         return (
             f"({ts_expr(r, depth + 1)} "

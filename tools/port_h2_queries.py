@@ -131,8 +131,8 @@ MANUAL_SKIPS: dict[int, str] = {
 # re-key by source-file prefix, then add non-L sites
 MANUAL_SKIPS = {f"L{k}": v for k, v in MANUAL_SKIPS.items()}
 MANUAL_SKIPS.update({
-    "A422": "approx_percentile with a non-constant percentile argument "
-            "(Spark requires a foldable percentage)",
+    # (r13) A422 live: non-literal percentile lowers to the exact
+    # nearest-rank pick (rewrite approx_percentile_nonconst).
     "L6923": "custom_add comes from the installPlugin() test fixture — "
              "not part of the engine's function surface",
     "L6932": "custom_sum comes from the installPlugin() test fixture — "

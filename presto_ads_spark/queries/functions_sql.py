@@ -689,3 +689,55 @@ SELECT o_orderkey,
 FROM orders WHERE o_orderkey < 64
 """
     )
+
+
+@q(
+    "fn_stats_data_size",
+    extended=True,
+    tags=("functions", "agg", "stats"),
+    doc="$internal$sum/max_data_size_for_stats — the hidden aggregates "
+    "Presto's statistics collection plans over every column "
+    "(SumDataSizeForStats.java:40, MaxDataSizeForStats.java:40): "
+    "UTF-8 slice bytes for varchar/varbinary, fixed widths for "
+    "fixed-width types, recursive container sums. Lowered to SUM/MAX "
+    "of a type-directed JVM expression (map-side partial aggregation "
+    "preserved — rewrite._rewrite_stats_data_size_aggs). Plus the "
+    "non-literal approx_percentile percentage form "
+    "(testAggregationWithSomeArgumentCasts).",
+    oracle="""
+SELECT
+  CAST(sum(length(o_orderpriority)) AS BIGINT) AS sz_varchar,
+  CAST(max(length(o_orderpriority)) AS BIGINT) AS mx_varchar,
+  CAST(sum(length(o_orderpriority)) AS BIGINT) AS sz_varbinary,
+  CAST(sum(length(o_orderpriority)) + sum(length(o_orderstatus))
+       AS BIGINT) AS sz_array,
+  CAST(8 * count(*) + sum(length(o_orderpriority)) AS BIGINT) AS sz_map,
+  CAST(8 * count(*) + sum(length(o_orderstatus)) AS BIGINT) AS sz_row,
+  CAST(8 * count(*) AS BIGINT) AS sz_bigint,
+  CAST(0.25 AS DOUBLE) AS pct_nonconst
+FROM orders
+""",
+)
+def fn_stats_data_size(spark, sf_dir):
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    return eng.sql(
+        """
+SELECT
+  "$internal$sum_data_size_for_stats"(o_orderpriority) AS sz_varchar,
+  "$internal$max_data_size_for_stats"(o_orderpriority) AS mx_varchar,
+  "$internal$sum_data_size_for_stats"(CAST(o_orderpriority AS VARBINARY))
+    AS sz_varbinary,
+  "$internal$sum_data_size_for_stats"(ARRAY[o_orderpriority, o_orderstatus])
+    AS sz_array,
+  "$internal$sum_data_size_for_stats"(map(ARRAY[o_orderkey],
+                                          ARRAY[o_orderpriority])) AS sz_map,
+  "$internal$sum_data_size_for_stats"(ROW(o_orderkey, o_orderstatus))
+    AS sz_row,
+  "$internal$sum_data_size_for_stats"(o_orderkey) AS sz_bigint,
+  APPROX_PERCENTILE(0.25E0, least((o_orderkey + 1) / (o_orderkey + 1), 1))
+    AS pct_nonconst
+FROM orders
+"""
+    )

@@ -2363,17 +2363,43 @@ def _lower_try_arith(e: str):
     e = e.strip()
     while e.startswith("(") and _scan_matching_paren(e, 1) == len(e.rstrip()):
         e = e[1 : e.rstrip().rindex(")")].strip()
-    # a top-level CASE arm or predicate keyword means +/- tokens may be
-    # unary signs after a keyword (ELSE -8) or live inside an arm/operand
-    # (THEN 1+2, BETWEEN -1 AND 2) — splitting there breaks the syntax
-    # (fuzz find, seed 777 #2556). Refuse; TRY falls back to passthrough.
-    if re.search(
-        r"\b(CASE|WHEN|THEN|ELSE|END|BETWEEN|LIKE|IS|IN|AND|OR|NOT)\b",
-        _mask_parens_and_literals(e),
-        re.IGNORECASE,
+    # a top-level predicate keyword means +/- tokens may be unary signs
+    # after a keyword (ELSE -8) or live inside an arm/operand (THEN 1+2,
+    # BETWEEN -1 AND 2) — splitting there breaks the syntax (fuzz find,
+    # seed 777 #2556). But a BALANCED ``CASE … END`` block is a
+    # self-contained operand: arithmetic OUTSIDE it (``CASE … END / b``,
+    # the shape every NULL-propagation shim emits — least/greatest,
+    # substr guards) still needs the try_* lowering, or a zero divisor
+    # escapes the TRY as an ANSI error (fuzz find, seed 7 #12). Mask the
+    # CASE spans, refuse only on keywords outside them, and split only
+    # at operators outside them.
+    masked = _mask_parens_and_literals(e)
+    spans, stack = [], []
+    for mkw in re.finditer(r"\b(CASE|END)\b", masked, re.IGNORECASE):
+        if mkw.group(1).upper() == "CASE":
+            stack.append(mkw.start())
+        elif stack:
+            start = stack.pop()
+            if not stack:
+                spans.append((start, mkw.end()))
+        else:
+            return None  # unbalanced END — not an expression we can split
+    if stack:
+        return None  # unbalanced CASE
+
+    def _outside(i: int) -> bool:
+        return not any(s <= i < t for s, t in spans)
+
+    if any(
+        _outside(mkw.start())
+        for mkw in re.finditer(
+            r"\b(CASE|WHEN|THEN|ELSE|END|BETWEEN|LIKE|IS|IN|AND|OR|NOT)\b",
+            masked,
+            re.IGNORECASE,
+        )
     ):
         return None
-    ops = _top_level_binops(e)
+    ops = [(k, c) for k, c in _top_level_binops(e) if _outside(k)]
     if not ops:
         return None
     additive = [(k, c) for k, c in ops if c in "+-"]

@@ -38,8 +38,18 @@ def _previous_round_timings(here: str | None = None) -> dict[str, float]:
             continue
         try:
             with open(p, encoding="utf-8") as f:
-                queries = json.load(f).get("queries") or {}
-        except (OSError, ValueError):
+                data = json.load(f)
+            # the driver commits its artifacts as a wrapper object with
+            # the bench's JSON line under "parsed" — accept both forms
+            # (top-level was this script's own historical output shape);
+            # r13 find: every BENCH_r*.json on disk is the wrapped form,
+            # so the guard had silently become inert.
+            queries = (
+                data.get("queries")
+                or (data.get("parsed") or {}).get("queries")
+                or {}
+            )
+        except (OSError, ValueError, AttributeError):
             continue
         for k, v in queries.items():
             try:

@@ -239,9 +239,15 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
                         text_col: str = "text", id_col: str = "doc_id",
-                        threshold: float = 0.5, n: int = 3) -> DataFrame:
+                        threshold: float = 0.5, n: int = 3,
+                        candidates_fit_broadcast: bool | None = None) -> DataFrame:
     """Exact n-gram Jaccard for pairs (all pairs if candidates is None —
-    only sane for small inputs / verification of LSH candidates)."""
+    only sane for small inputs / verification of LSH candidates).
+
+    ``candidates_fit_broadcast``: callers that already probed the
+    candidate list's size (e.g. the registry's verify pipeline, which
+    gates its own broadcast on the same persisted frame) pass the result
+    here so the probe count-job isn't repeated per run."""
     if candidate_pairs is not None:
         # Candidate-driven verify, EXPLODE-FREE: only docs that appear in
         # a candidate pair are shingled at all (semi-join before shingling
@@ -259,8 +265,17 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
         # Persist the UN-hinted frames and hint at each join site (a hint
         # baked inside a cached subtree may not survive InMemoryRelation
         # substitution).
+        # The persist is load-bearing twice over: cand is referenced at
+        # 4 plan sites below, and without the InMemoryRelation barrier
+        # each reference re-embeds the candidate pipeline's full subtree
+        # (measured r13: dropping it grew the verify plan 10k → 14.5k
+        # rendered lines and the query 4.4 → 9.5 s from planning alone).
         cand = candidate_pairs.select("id_a", "id_b").persist()
-        hint = F.broadcast if fits_broadcast(cand) else (lambda d: d)
+        if candidates_fit_broadcast is None:
+            candidates_fit_broadcast = fits_broadcast(cand)
+        hint = (
+            F.broadcast if candidates_fit_broadcast else (lambda d: d)
+        )
         ids = (
             cand.select(F.col("id_a").alias("cid"))
             .union(cand.select(F.col("id_b").alias("cid")))

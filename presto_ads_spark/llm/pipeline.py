@@ -85,23 +85,28 @@ def boilerplate_ngrams(
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") >= F.col("n_docs") * F.lit(min_doc_frac))
-        .select("g", F.lit(1).alias("is_boiler"))
+        .select("g")
     )
-    flagged = exploded.join(F.broadcast(gram_df), "g", "left")
+    # n_grams is size(grams) row-wise — no need to push every gram through
+    # the per-doc regroup just to count it; only BOILERPLATE hits survive
+    # the inner join, so the regroup aggregates the hit stream alone and
+    # the bounded per-doc hit counts broadcast back onto the row-wise base.
+    base = docs.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+    hits = (
+        exploded.join(F.broadcast(gram_df), "g", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_boiler"))
+        .persist()
+    )
+    n_boiler = F.coalesce(F.col("__n_boiler"), F.lit(0)).cast("bigint")
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias(
-                "n_boiler"
-            ),
-        )
+        base.join(gated_broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.col("n_boiler").cast("bigint").alias("n_boiler"),
-            (F.col("n_boiler") / F.col("n_grams")).alias("boiler_ratio"),
-            (F.col("n_boiler") * 2 < F.col("n_grams")).alias("keep"),
+            "n_grams",
+            n_boiler.alias("n_boiler"),
+            (n_boiler / F.col("n_grams")).alias("boiler_ratio"),
+            (n_boiler * 2 < F.col("n_grams")).alias("keep"),
         )
     )
 
@@ -141,32 +146,55 @@ def decontaminate(
     also in the eval set), ``contaminated``, ``keep``.
     Reference analog: none in presto-ads — corpus-prep extension.
     """
-    gram_hashes = lambda c: F.transform(  # noqa: E731
-        shingles(tokens(c), n), lambda g: F.xxhash64(g)
-    )
+    def gram_frame(frame: DataFrame, txt: str, keep_cols: list) -> DataFrame:
+        # token array STAGED as a projection before shingles(): slicing
+        # the raw split() inside the per-gram lambda re-evaluates the
+        # split once per gram — O(len²) per document (same fix as
+        # dedup.shingle_table; the pre-r13 shape paid it on every doc)
+        toked = frame.select(*keep_cols, tokens(F.col(txt)).alias("__t"))
+        return toked.select(
+            *keep_cols,
+            F.transform(
+                shingles(F.col("__t"), n), lambda g: F.xxhash64(g)
+            ).alias("__g"),
+        )
+
     eval_grams = (
-        eval_df.select(F.explode(gram_hashes(F.col(eval_text_col))).alias("g"))
+        gram_frame(eval_df, eval_text_col, [])
+        .select(F.explode(F.col("__g")).alias("g"))
         .distinct()
-        .withColumn("__hit", F.lit(1))
         .persist()  # the gate probe doubles as materialization
     )
-    doc_grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(gram_hashes(F.col(text_col))).alias("g"),
+    # Per-doc gram arrays persisted once: the row-wise n_grams branch and
+    # the exploded hit branch both read it (at 100 TB this is the natural
+    # stage boundary to a temp table).
+    doc_grams = gram_frame(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col,
+        ["doc_id"],
+    ).persist()
+    # n_grams is size(__g) — a row-wise projection; no reason to explode
+    # every gram through an aggregate just to count it.
+    base = doc_grams.select("doc_id", F.size("__g").cast("bigint").alias("n_grams"))
+    # Only HITS survive the inner join (most grams miss the eval set), so
+    # the per-doc regroup aggregates the tiny hit stream instead of every
+    # (doc, gram) pair. The hit-count frame is bounded by the number of
+    # contaminated docs — gated broadcast back onto the row-wise base.
+    hits = (
+        doc_grams.select("doc_id", F.explode(F.col("__g")).alias("g"))
+        .join(gated_broadcast(eval_grams), "g", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_hit"))
+        .persist()
     )
-    flagged = doc_grams.join(gated_broadcast(eval_grams), "g", "left")
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
-        )
+        base.join(gated_broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.col("n_hit").cast("bigint").alias("n_hit"),
-            (F.col("n_hit") > 0).alias("contaminated"),
-            (F.col("n_hit") == 0).alias("keep"),
+            "n_grams",
+            F.coalesce(F.col("__n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) > 0).alias("contaminated"),
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) == 0).alias("keep"),
         )
     )
 

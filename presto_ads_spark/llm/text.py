@@ -27,9 +27,13 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Quality-scoring features: token/char counts, token length stats,
-    stopword ratio, type-token ratio. One projection — no shuffle."""
+    stopword ratio, type-token ratio. One projection — no shuffle.
+
+    ``carry_cols`` are passed through unchanged so downstream consumers
+    don't need a self-join back to the source table for them."""
     toks = tokens(F.col(text_col))
     n_toks = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
@@ -40,6 +44,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.length(F.col(text_col)).cast("int").alias("n_chars"),
         n_toks.cast("int").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_types"),

@@ -15,14 +15,19 @@ from . import q
 from ..llm import dedup, multimodal, pipeline, similarity, text
 from ..llm.dedup import MINHASH_AB, MINHASH_P
 from ..llm.hints import fits_broadcast
-from ._util import t
+from ._util import scan_parts, spread, t
 
 # --- shared corpus ---------------------------------------------------------
 
 
 def near_corpus(spark, sf_dir):
     """documents ∪ near-dup copies (id+1e6, last 3 tokens dropped, every 5th
-    doc) ∪ exact copies (id+2e6, every 7th doc)."""
+    doc) ∪ exact copies (id+2e6, every 7th doc).
+
+    Deliberately NOT ``spread`` (r13 A/B): fanning the 3-partition union
+    out to 32 round-robin partitions read 0.78 s vs 0.44 s for
+    dedup_exact — the md5/shingle projections are cheap enough per row
+    that the exchange costs more than the parallelism returns."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     near = (
@@ -186,13 +191,20 @@ def dedup_minhash_verify(spark, sf_dir):
     # signature/banding pipeline runs once (at 100 TB this materializes to
     # a table between the two stages).
     est = dedup.minhash_near_dups(corpus, threshold=0.5).persist()
+    # ONE bounded size probe serves both broadcast gates below (the pair
+    # list handed to the verify stage is a projection of the same
+    # persisted frame, so re-probing it would just repeat the count job).
+    est_fits = fits_broadcast(est)
     exact = dedup.ngram_jaccard_pairs(
-        corpus, candidate_pairs=est.select("id_a", "id_b"), threshold=0.0
+        corpus,
+        candidate_pairs=est.select("id_a", "id_b"),
+        threshold=0.0,
+        candidates_fit_broadcast=est_fits,
     )
     # exact has at most |est| rows (one per surviving candidate pair) — the
     # broadcast hint is gated on the persisted est's size, so a huge
     # candidate set degrades to a shuffle join instead of a forced broadcast.
-    exact = F.broadcast(exact) if fits_broadcast(est) else exact
+    exact = F.broadcast(exact) if est_fits else exact
     return est.join(exact, ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
@@ -319,7 +331,12 @@ SELECT query_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
 def sim_brute_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    out = similarity.brute_force_topk(emb, queries, k=5)
+    # spread the SCANNED side only: its 1-partition scan otherwise
+    # serializes the whole Q×N kernel on one core (the query side is
+    # broadcast, so spreading it would only add an exchange).
+    out = similarity.brute_force_topk(
+        spread(emb, scan_parts(sf_dir, "embeddings")), queries, k=5
+    )
     return out.select(
         "query_id", "nbr_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
     )
@@ -364,7 +381,9 @@ SELECT query_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
 )
 def sim_lsh_topk(spark, sf_dir):
     out = similarity.lsh_topk(
-        t(spark, sf_dir, "embeddings"), k=3, bits=_BUCKET_BITS
+        spread(t(spark, sf_dir, "embeddings"), scan_parts(sf_dir, "embeddings")),
+        k=3,
+        bits=_BUCKET_BITS,
     )
     return out.select(
         "query_id", "nbr_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
@@ -418,7 +437,7 @@ SELECT query_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
 )
 def sim_ivf_topk(spark, sf_dir):
     out = similarity.ivf_topk(
-        t(spark, sf_dir, "embeddings"),
+        spread(t(spark, sf_dir, "embeddings"), scan_parts(sf_dir, "embeddings")),
         k=3,
         n_cells=_IVF_CELLS,
         nprobe=_IVF_NPROBE,
@@ -450,7 +469,9 @@ FROM documents
 """,
 )
 def text_quality_stats(spark, sf_dir):
-    return text.text_stats(t(spark, sf_dir, "documents"))
+    return text.text_stats(
+        spread(t(spark, sf_dir, "documents"), scan_parts(sf_dir, "documents"))
+    )
 
 
 _LANG_SCORES = ",\n  ".join(
@@ -527,7 +548,11 @@ FROM documents
 """,
 )
 def multimodal_features(spark, sf_dir):
-    payloads = multimodal.attach_payload(t(spark, sf_dir, "documents"))
+    # spread (§2.5): the Arrow-batched Python stage otherwise runs every
+    # batch through ONE worker (single-partition fixture scan)
+    payloads = multimodal.attach_payload(
+        spread(t(spark, sf_dir, "documents"), scan_parts(sf_dir, "documents"))
+    )
     return multimodal.extract_features(payloads)
 
 
@@ -555,7 +580,9 @@ FROM pairs GROUP BY id_a
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return similarity.embedding_near_dups(
-        t(spark, sf_dir, "embeddings"), threshold=0.2, bits=_BUCKET_BITS
+        spread(t(spark, sf_dir, "embeddings"), scan_parts(sf_dir, "embeddings")),
+        threshold=0.2,
+        bits=_BUCKET_BITS,
     )
 
 
@@ -598,8 +625,12 @@ def pipeline_clean_corpus(spark, sf_dir):
     from ..llm import text as llm_text
 
     docs = t(spark, sf_dir, "documents")
-    stats = llm_text.text_stats(docs).join(
-        docs.select("doc_id", "lang", "text"), "doc_id"
+    # text_stats is a pure projection, so the stats ⋈ documents self-join
+    # the pre-r13 shape paid (a full shuffle of the table by doc_id) is
+    # removable: carry lang/text THROUGH the stats projection instead
+    # (guide §2.4 — remove shuffles outright).
+    stats = llm_text.text_stats(
+        docs, carry_cols=("lang", "text")
     )
     kept = stats.filter(
         (F.col("n_tokens") >= 20)

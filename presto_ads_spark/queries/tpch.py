@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import q
-from ._util import REVENUE_SQL, dec, dsum, revenue_expr, t, ts
+from ._util import REVENUE_SQL, dec, dsum, revenue_expr, t, t_spread, ts
 
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary report: scan → filter → grouped agg (8 aggregates).
@@ -45,7 +45,14 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q01(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    # t_spread (guide §2.5): the single-row-group fixture file gives the
+    # scan ONE partition, serializing the 8 exact-decimal partial
+    # aggregates on one core. Measured A/B (interleaved, sf0.1): 1.68 s
+    # spread vs 3.13 s serial — the decimal128 agg work is heavy enough
+    # to beat the exchange cost (unlike the broadcast-probe chains, where
+    # the same exchange LOST and was removed). No-op on real multi-file
+    # inputs by construction.
+    l = t_spread(spark, sf_dir, "lineitem")
     # 20,4 (not 12,4): DuckDB multiplies in the wider operand's physical
     # width — (20,4) forces int128 so the (16,12) product can't overflow.
     charge = dec("l_extendedprice", 20, 4) * dec(

@@ -138,12 +138,15 @@ def test_decontaminate_broadcast_degrades_past_cap(spark, monkeypatch):
     ev = spark.createDataFrame(
         [(1, "a b c d e f g h i j k l m n o p")], "id bigint, text string"
     )
-    # route through the REAL gate with a 2-row cap (the default max_rows
-    # binds hints.BROADCAST_ROW_CAP at def time)
+    # route through the REAL gate with a 0-row cap (the default max_rows
+    # binds hints.BROADCAST_ROW_CAP at def time). Cap 0 so BOTH
+    # data-dependent frames — the eval gram set AND the r13 per-doc
+    # hit-count join-back — lose their hints and the plan degrades to
+    # key-equi shuffle joins end to end.
     monkeypatch.setattr(
         pipeline,
         "gated_broadcast",
-        lambda df: hints.gated_broadcast(df, max_rows=2),
+        lambda df: hints.gated_broadcast(df, max_rows=0),
     )
     df = pipeline.decontaminate(docs, ev)
     analyzed = df._jdf.queryExecution().analyzed().toString()

@@ -123,18 +123,46 @@ def minhash_signatures_rowwise(df: DataFrame, text_col: str = "text",
     hashes = F.transform(
         shingles(F.col("__t"), n), lambda s: md5_hash_col(s) % MINHASH_P
     )
-    cols = [
-        F.array_min(
-            F.transform(
-                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
-            )
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_AB)
-    ]
-    # persist the hash arrays: CollapseProject would otherwise inline the
-    # md5 pipeline into each of the K array-min expressions.
-    hashed = toked.select("id", hashes.alias("hs")).persist()
-    return hashed.select("id", *cols)
+    # ONE fold computes all K mins (least per hash fn per element): md5
+    # runs once per shingle and no intermediate hash-array persist is
+    # needed. The K=16-field struct is referenced 16 times by the field
+    # extraction below, so CollapseProject will NOT inline the fold into
+    # each extraction (it only collapses single-reference or cheap
+    # expressions) — the fold stays a single lower Project, the barrier
+    # the former `hashed.persist()` existed to provide, minus the cache
+    # materialization pass and the CacheManager entry (r13: each persist
+    # costs a canonicalize-and-match of its whole subtree on every
+    # downstream persist/exec call).
+    # bigint accumulator fields: the merge lambda's (a*h+b) % P is BIGINT
+    # (h is), and aggregate() requires merge type == zero type. P itself
+    # is > any hash value (all values in [0, P)), so least-fold == the
+    # former array_min.
+    init = F.struct(
+        *[
+            F.lit(MINHASH_P).cast("bigint").alias(f"m{i}")
+            for i in range(len(MINHASH_AB))
+        ]
+    )
+    fold = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.struct(
+            *[
+                F.least(acc[f"m{i}"], (F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(
+                    f"m{i}"
+                )
+                for i, (a, b) in enumerate(MINHASH_AB)
+            ]
+        ),
+    )
+    staged = toked.select("id", fold.alias("__s"))
+    return staged.select(
+        "id",
+        *[
+            F.col("__s")[f"m{i}"].alias(f"mh{i}")
+            for i in range(len(MINHASH_AB))
+        ],
+    )
 
 
 def lsh_candidate_pairs(
@@ -240,14 +268,28 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.5, n: int = 3,
-                        candidates_fit_broadcast: bool | None = None) -> DataFrame:
+                        candidates_fit_broadcast: bool | None = None,
+                        carry_cols: tuple[str, ...] = (),
+                        keep_zero_overlap: bool = False) -> DataFrame:
     """Exact n-gram Jaccard for pairs (all pairs if candidates is None —
     only sane for small inputs / verification of LSH candidates).
 
     ``candidates_fit_broadcast``: callers that already probed the
     candidate list's size (e.g. the registry's verify pipeline, which
     gates its own broadcast on the same persisted frame) pass the result
-    here so the probe count-job isn't repeated per run."""
+    here so the probe count-job isn't repeated per run.
+
+    ``carry_cols``: extra ``candidate_pairs`` columns carried through to
+    the output unchanged (candidate-driven branch only) — lets a caller
+    that would otherwise join the result BACK to the candidate frame
+    (e.g. to pair est_jaccard with exact jaccard) skip that join.
+
+    ``keep_zero_overlap``: emit candidate pairs whose shingle sets do not
+    intersect (jaccard 0.0 = 0/|A∪B|) instead of dropping them — with
+    carry_cols this makes the output row set exactly the candidate list,
+    which is what replaces the caller-side LEFT join + COALESCE(.., 0.0).
+    Default False keeps the legacy contract (zero-overlap pairs never
+    surfaced from the exploded intersection join either)."""
     if candidate_pairs is not None:
         # Candidate-driven verify, EXPLODE-FREE: only docs that appear in
         # a candidate pair are shingled at all (semi-join before shingling
@@ -270,7 +312,7 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
         # each reference re-embeds the candidate pipeline's full subtree
         # (measured r13: dropping it grew the verify plan 10k → 14.5k
         # rendered lines and the query 4.4 → 9.5 s from planning alone).
-        cand = candidate_pairs.select("id_a", "id_b").persist()
+        cand = candidate_pairs.select("id_a", "id_b", *carry_cols).persist()
         if candidates_fit_broadcast is None:
             candidates_fit_broadcast = fits_broadcast(cand)
         hint = (
@@ -320,15 +362,18 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
             .select(
                 "id_a",
                 "id_b",
+                *carry_cols,
                 n_inter.alias("n_inter"),
                 (F.size("sa") + F.size("sb")).alias("n_ab"),
             )
             # n_inter >= 1 keeps the legacy contract: zero-overlap pairs
-            # never surfaced from the exploded intersection join either.
-            .filter(F.col("n_inter") >= 1)
+            # never surfaced from the exploded intersection join either
+            # (keep_zero_overlap instead emits them as 0/|A∪B| = 0.0).
+            .filter(F.lit(keep_zero_overlap) | (F.col("n_inter") >= 1))
             .select(
                 "id_a",
                 "id_b",
+                *carry_cols,
                 (
                     F.col("n_inter").cast("double")
                     / (F.col("n_ab") - F.col("n_inter")).cast("double")

@@ -187,30 +187,26 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_minhash_verify(spark, sf_dir):
     corpus = near_corpus(spark, sf_dir)
-    # est feeds the candidate list AND the final join — persist so the
+    # est feeds the verify stage's candidate list — persist so the
     # signature/banding pipeline runs once (at 100 TB this materializes to
-    # a table between the two stages).
+    # a table between the two stages), and probe its size ONCE for the
+    # verify joins' broadcast gate.
     est = dedup.minhash_near_dups(corpus, threshold=0.5).persist()
-    # ONE bounded size probe serves both broadcast gates below (the pair
-    # list handed to the verify stage is a projection of the same
-    # persisted frame, so re-probing it would just repeat the count job).
     est_fits = fits_broadcast(est)
-    exact = dedup.ngram_jaccard_pairs(
+    # est_jaccard rides THROUGH the verify pipeline (carry_cols) and
+    # zero-overlap candidates surface as jaccard 0.0 (= 0/|A∪B|), so the
+    # output row set is exactly est's — the former est ⋈ exact LEFT join
+    # + COALESCE(jaccard, 0.0) is gone, and est appears at ONE plan site
+    # instead of two (r13: the join-back shape re-rendered the whole
+    # persisted est subtree a second time in every run's plan).
+    return dedup.ngram_jaccard_pairs(
         corpus,
-        candidate_pairs=est.select("id_a", "id_b"),
+        candidate_pairs=est.select("id_a", "id_b", "est_jaccard"),
         threshold=0.0,
         candidates_fit_broadcast=est_fits,
-    )
-    # exact has at most |est| rows (one per surviving candidate pair) — the
-    # broadcast hint is gated on the persisted est's size, so a huge
-    # candidate set degrades to a shuffle join instead of a forced broadcast.
-    exact = F.broadcast(exact) if est_fits else exact
-    return est.join(exact, ["id_a", "id_b"], "left").select(
-        "id_a",
-        "id_b",
-        "est_jaccard",
-        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
-    )
+        carry_cols=("est_jaccard",),
+        keep_zero_overlap=True,
+    ).select("id_a", "id_b", "est_jaccard", "jaccard")
 
 
 @q(

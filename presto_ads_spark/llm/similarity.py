@@ -119,8 +119,21 @@ def sign_lsh_bucket(vec: Column, bits: int = 8) -> Column:
 
 def normalized(arr: Column) -> Column:
     """v / ||v|| — so pairwise cosine is a single dot fold (norms computed
-    once per vector, not once per pair)."""
-    return F.transform(arr, lambda x: x / norm(arr))
+    once per vector, not once per pair).
+
+    Shaped as ONE aggregate with a finish lambda: the sum-of-squares fold
+    runs once per vector and the finish transform divides each element by
+    sqrt(acc). The naive ``transform(arr, x -> x / norm(arr))`` embeds the
+    whole norm fold inside the per-element lambda — O(d²) arithmetic per
+    vector (measured r13: the normalize projection dominates every LSH/IVF
+    bucketing stage). Same operands, same IEEE op sequence per element
+    (x / sqrt(Σv²)), so outputs are bit-identical to the naive form."""
+    return F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+        lambda acc: F.transform(arr, lambda x: x / F.sqrt(acc)),
+    )
 
 
 def lsh_topk(emb: DataFrame, k: int = 5, bits: int = 8,

@@ -821,11 +821,11 @@ def sim_topk(spark, sf_dir):
 @q(
     "text_metrics",
     tags=("llm", "text", "suite"),
-    doc="Text-analysis suite join-merged on doc_id: quality stats, "
-    "marker-based language-ID, rolling-hash fingerprint, repetition "
-    "signals (absorbs text_quality_stats, text_lang_id, "
-    "text_fingerprint, text_repetition). Pure projection per probe — "
-    "zero shuffle beyond the joins (co-grained on doc_id).",
+    doc="Text-analysis suite fused into one staged projection chain: "
+    "quality stats, marker-based language-ID, rolling-hash fingerprint, "
+    "repetition signals (absorbs text_quality_stats, text_lang_id, "
+    "text_fingerprint, text_repetition). One scan, zero joins/shuffles — "
+    "each probe is a 1:1 row-local projection of the same table.",
     oracle=f"""
 SELECT s.doc_id, s.n_chars, s.n_tokens, s.n_types, s.type_token_ratio,
        s.avg_token_len, s.stopword_ratio, s.len_ok,
@@ -848,13 +848,16 @@ JOIN (
 """,
 )
 def text_metrics(spark, sf_dir):
-    stats = REGISTRY["text_quality_stats"].spark_fn(spark, sf_dir)
-    lang = REGISTRY["text_lang_id"].spark_fn(spark, sf_dir)
-    fp = REGISTRY["text_fingerprint"].spark_fn(spark, sf_dir)
-    rep = REGISTRY["text_repetition"].spark_fn(spark, sf_dir).withColumnRenamed(
-        "keep", "rep_keep"
+    # ONE fused projection chain (llm/text.py metrics) instead of the four
+    # standalone probes join-merged on doc_id: every probe is a 1:1
+    # row-local projection of the same table, so the joins only
+    # re-attached columns a single pass computes (r13: 4 scans + 3 joins
+    # → 1 scan, 0 joins; outputs bit-identical — shared expression
+    # builders). spread: the fused per-row work (repetition scans +
+    # fingerprint fold) is the measured CPU-heavy family.
+    return text.metrics(
+        spread(t(spark, sf_dir, "documents"), scan_parts(sf_dir, "documents"))
     )
-    return stats.join(lang, "doc_id").join(fp, "doc_id").join(rep, "doc_id")
 
 
 # ===========================================================================

@@ -297,3 +297,75 @@ def test_lsh_bucket_cap_excises_hot_bucket(spark):
     capped = dedup.minhash_near_dups(df, threshold=0.5, max_bucket=5)
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (10, 11) in got and not any(a < 6 for a, _ in got)
+
+
+def test_ngram_jaccard_carry_cols_and_zero_overlap(spark):
+    # r13 verify restructure: carry_cols ride candidate columns through
+    # the pipeline and keep_zero_overlap surfaces non-intersecting pairs
+    # as exact jaccard 0.0 — together the output row set must be EXACTLY
+    # the candidate list (what replaced the est LEFT JOIN exact +
+    # COALESCE(jaccard, 0.0) join-back).
+    from presto_ads_spark.llm import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # shingles {a b c, b c d, c d e}
+            (2, "a b c d x"),   # ∩ doc1 = 2, ∪ = 4 -> jaccard 0.5
+            (3, "p q r s t"),   # disjoint from doc1
+        ],
+        "doc_id bigint, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2, 0.75), (1, 3, 0.125)],
+        "id_a bigint, id_b bigint, est double",
+    )
+    out = dedup.ngram_jaccard_pairs(
+        docs,
+        candidate_pairs=cands,
+        threshold=0.0,
+        carry_cols=("est",),
+        keep_zero_overlap=True,
+    )
+    rows = {(r.id_a, r.id_b): (r.est, r.jaccard) for r in out.collect()}
+    assert set(rows) == {(1, 2), (1, 3)}  # row set == candidate list
+    assert rows[(1, 2)] == (0.75, 0.5)
+    assert rows[(1, 3)] == (0.125, 0.0)  # zero overlap surfaces as 0.0
+    # legacy contract unchanged: without keep_zero_overlap the
+    # non-intersecting pair never surfaces
+    legacy = dedup.ngram_jaccard_pairs(
+        docs, candidate_pairs=cands, threshold=0.0
+    )
+    assert {(r.id_a, r.id_b) for r in legacy.collect()} == {(1, 2)}
+
+
+def test_fused_metrics_equals_standalone_probes(spark):
+    # r13 text_metrics fusion: metrics() must be bit-identical to the
+    # former stats ⋈ lang ⋈ fingerprint ⋈ repetition(keep→rep_keep)
+    # join-merge (shared expression builders make this true by
+    # construction; this pins it).
+    from presto_ads_spark.llm import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "en"),
+            (2, "el la de algo mas el la", "es"),
+            (3, "a a a a a a", "en"),
+            (4, "", "und"),
+            (5, "solo", "de"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    fused = text.metrics(df)
+    joined = (
+        text.text_stats(df)
+        .join(text.lang_id(df), "doc_id")
+        .join(text.fingerprint(df), "doc_id")
+        .join(
+            text.repetition_stats(df).withColumnRenamed("keep", "rep_keep"),
+            "doc_id",
+        )
+    )
+    assert fused.columns == joined.columns
+    f_rows = sorted(map(tuple, fused.collect()))
+    j_rows = sorted(map(tuple, joined.collect()))
+    assert f_rows == j_rows

@@ -123,46 +123,25 @@ def minhash_signatures_rowwise(df: DataFrame, text_col: str = "text",
     hashes = F.transform(
         shingles(F.col("__t"), n), lambda s: md5_hash_col(s) % MINHASH_P
     )
-    # ONE fold computes all K mins (least per hash fn per element): md5
-    # runs once per shingle and no intermediate hash-array persist is
-    # needed. The K=16-field struct is referenced 16 times by the field
-    # extraction below, so CollapseProject will NOT inline the fold into
-    # each extraction (it only collapses single-reference or cheap
-    # expressions) — the fold stays a single lower Project, the barrier
-    # the former `hashed.persist()` existed to provide, minus the cache
-    # materialization pass and the CacheManager entry (r13: each persist
-    # costs a canonicalize-and-match of its whole subtree on every
-    # downstream persist/exec call).
-    # bigint accumulator fields: the merge lambda's (a*h+b) % P is BIGINT
-    # (h is), and aggregate() requires merge type == zero type. P itself
-    # is > any hash value (all values in [0, P)), so least-fold == the
-    # former array_min.
-    init = F.struct(
-        *[
-            F.lit(MINHASH_P).cast("bigint").alias(f"m{i}")
-            for i in range(len(MINHASH_AB))
-        ]
-    )
-    fold = F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.struct(
-            *[
-                F.least(acc[f"m{i}"], (F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(
-                    f"m{i}"
-                )
-                for i, (a, b) in enumerate(MINHASH_AB)
-            ]
-        ),
-    )
-    staged = toked.select("id", fold.alias("__s"))
-    return staged.select(
-        "id",
-        *[
-            F.col("__s")[f"m{i}"].alias(f"mh{i}")
-            for i in range(len(MINHASH_AB))
-        ],
-    )
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+            )
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    # persist the hash arrays: CollapseProject would otherwise inline the
+    # md5 pipeline into each of the K array-min expressions.
+    # (r13 note: a single aggregate() fold to a K-field struct of running
+    # minima — no persist, md5 once per shingle — was tried and REVERTED:
+    # bench-protocol A/B on the full lsh query read the fold form SLOWER
+    # in every paired round, warm 2.2 s vs 1.4-1.7 s and cold 5-12 s vs
+    # 3-4 s at sf0.1 — the per-element K-field struct allocation in the
+    # fold's merge lambda costs more than the K separate array passes
+    # over the materialized hash arrays.)
+    hashed = toked.select("id", hashes.alias("hs")).persist()
+    return hashed.select("id", *cols)
 
 
 def lsh_candidate_pairs(

@@ -38,22 +38,26 @@ def scan_parts(sf_dir: str, *names: str) -> int:
 
 
 def spread(df: DataFrame, est_parts: int) -> DataFrame:
-    """Scale-adaptive parallelism fix for unsplittable small-file scans
+    """Scale-adaptive parallelism fix for unsplittable SERIAL scans
     (optimization guide §2.5, input skew): the bench fixtures are
     single-row-group parquet files, so every scan is ONE task and all
     downstream narrow work (HOF projections, broadcast-join probes,
     partial aggregates) serializes on one core. When the estimated scan
-    partition count is below the session's default parallelism,
-    round-robin repartition immediately after the read so the compute
-    above the exchange fans out. On real multi-file inputs (anything
-    past ~``cores × 128 MB``) the estimate meets the parallelism and
-    this is a NO-OP — no exchange is added, so the 100 TB plan is
-    untouched."""
+    partition count is exactly 1, round-robin repartition immediately
+    after the read so the compute above the exchange fans out across
+    the session's parallelism. Past one split this is a NO-OP — an
+    interleaved sf1 A/B on q01 (lineitem at 2 natural splits) read the
+    exchange as a net LOSS (1.47 s natural vs 1.96 s spread: the full-
+    table shuffle costs more than doubling an already-parallel partial
+    agg recovers), while the single-split sf0.1 A/Bs all read it as a
+    win — so the predicate is "fix serial scans", never "add exchanges
+    to parallel ones". At 100 TB every scan has many splits and the
+    plan is untouched."""
     if os.environ.get("SPARK_GRAFT_SPREAD") == "0":  # A/B toggle (r13)
         return df
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if est_parts < p:
+    if est_parts == 1 and p > 1:
         return df.repartition(p)
     return df
 

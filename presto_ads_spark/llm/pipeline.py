@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import md5_hash_col, shingles
+from .dedup import md5_hash_col, shingles_sql
 from .hints import gated_broadcast
 from .text import tokens
 
@@ -59,15 +59,18 @@ def boilerplate_ngrams(
     # collision merges two grams' doc frequencies — vanishing at any
     # realistic distinct-gram count and harmless near the threshold.
     # token array staged first: slicing the raw split() inside shingles()
-    # re-evaluates the split per gram (O(len²) per document)
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("__t"),
-    ).select(
+    # re-evaluates the split per gram (O(len²) per document). SQL-string
+    # projections: one JVM parse instead of per-column py4j trees (r14).
+    # NULL-text docs are dropped EXPLICITLY (r13 verdict item 7): the old
+    # explode-based shape dropped them implicitly, the row-wise base would
+    # keep them with NULL gram counts, and the oracle (which groups over
+    # the exploded gram table) drops them — pin the contract here.
+    # n_docs below still counts every document, matching the oracle's nd.
+    docs = df.filter(F.col(text_col).isNotNull()).selectExpr(
+        f"`{id_col}` AS doc_id", f"split(`{text_col}`, ' ') AS __t"
+    ).selectExpr(
         "doc_id",
-        F.transform(
-            shingles(F.col("__t"), n), lambda g: F.xxhash64(g)
-        ).alias("grams"),
+        f"transform({shingles_sql('__t', n)}, g -> xxhash64(g)) AS grams",
     )
     # persist the hashed gram arrays — the df-count branch and the
     # join-back branch would otherwise each re-run scan+split+shingle
@@ -150,13 +153,16 @@ def decontaminate(
         # token array STAGED as a projection before shingles(): slicing
         # the raw split() inside the per-gram lambda re-evaluates the
         # split once per gram — O(len²) per document (same fix as
-        # dedup.shingle_table; the pre-r13 shape paid it on every doc)
-        toked = frame.select(*keep_cols, tokens(F.col(txt)).alias("__t"))
-        return toked.select(
+        # dedup.shingle_table; the pre-r13 shape paid it on every doc).
+        # SQL-string projections: one JVM parse per select (r14).
+        # NULL-text rows dropped explicitly — the oracle groups over the
+        # exploded gram table, which never sees them (r13 verdict item 7).
+        toked = frame.filter(F.col(txt).isNotNull()).selectExpr(
+            *keep_cols, f"split(`{txt}`, ' ') AS __t"
+        )
+        return toked.selectExpr(
             *keep_cols,
-            F.transform(
-                shingles(F.col("__t"), n), lambda g: F.xxhash64(g)
-            ).alias("__g"),
+            f"transform({shingles_sql('__t', n)}, g -> xxhash64(g)) AS __g",
         )
 
     eval_grams = (

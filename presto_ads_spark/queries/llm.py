@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from . import q
 from ..llm import dedup, multimodal, pipeline, similarity, text
 from ..llm.dedup import MINHASH_AB, MINHASH_P
-from ..llm.hints import fits_broadcast
 from ._util import scan_parts, spread, t
 
 # --- shared corpus ---------------------------------------------------------
@@ -29,16 +28,19 @@ def near_corpus(spark, sf_dir):
     dedup_exact — the md5/shingle projections are cheap enough per row
     that the exchange costs more than the parallelism returns."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    near = (
-        d.filter((F.col("doc_id") % 5 == 0) & (F.size(toks) > 10))
-        .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ").alias("text"),
-        )
+    # SQL-string projections (one JVM parse each) — the Column-API form of
+    # this union was ~0.2-0.4 s of py4j construction per invocation on a
+    # path shared by every dedup/text bench query (r14; same analyzed
+    # operators, oracle-checked).
+    near = d.filter(
+        "doc_id % 5 = 0 AND size(split(text, ' ')) > 10"
+    ).selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 3),"
+        " ' ') AS text",
     )
-    exact = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    exact = d.filter("doc_id % 7 = 0").selectExpr(
+        "doc_id + 2000000 AS doc_id", "text"
     )
     return d.unionAll(near).unionAll(exact)
 
@@ -189,10 +191,12 @@ def dedup_minhash_verify(spark, sf_dir):
     corpus = near_corpus(spark, sf_dir)
     # est feeds the verify stage's candidate list — persist so the
     # signature/banding pipeline runs once (at 100 TB this materializes to
-    # a table between the two stages), and probe its size ONCE for the
-    # verify joins' broadcast gate.
-    est = dedup.minhash_near_dups(corpus, threshold=0.5).persist()
-    est_fits = fits_broadcast(est)
+    # a table between the two stages). The verify joins' broadcast gate
+    # reuses the candidate-list probe from inside the LSH pipeline (est is
+    # a row-subset of the candidate list, so "cands fit" answers for est
+    # too) — ONE bounded count job per run instead of two (r14).
+    est, est_fits = dedup.minhash_near_dups_probed(corpus, threshold=0.5)
+    est = est.persist()
     # est_jaccard rides THROUGH the verify pipeline (carry_cols) and
     # zero-overlap candidates surface as jaccard 0.0 (= 0/|A∪B|), so the
     # output row set is exactly est's — the former est ⋈ exact LEFT join

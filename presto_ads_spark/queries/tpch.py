@@ -702,21 +702,33 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 """,
 )
 def q18(spark, sf_dir):
+    # Aggregate-before-join (guide §2.3): the HAVING subquery already
+    # computes SUM(l_quantity) per orderkey, and the outer GROUP BY keys
+    # include o_orderkey — unique in orders — so every output group is
+    # exactly one qualifying order and its sum_qty IS that same exact
+    # decimal sum. Carrying `q` through the join replaces the old shape's
+    # second lineitem join + 5-column re-aggregation (two extra exchanges
+    # over the fact table at scale) with nothing. Oracle hash-gate pins
+    # the equivalence (same decimal sum, same final double cast).
     l = t(spark, sf_dir, "lineitem")
     big_orders = (
         l.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 180)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(big_orders, o.o_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(l, F.col("o_orderkey") == l.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(dec("l_quantity"), "sum_qty"))
+        o.join(big_orders, o.o_orderkey == F.col("l_orderkey"))
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
     )
 
 

@@ -369,3 +369,31 @@ def test_fused_metrics_equals_standalone_probes(spark):
     f_rows = sorted(map(tuple, fused.collect()))
     j_rows = sorted(map(tuple, joined.collect()))
     assert f_rows == j_rows
+
+
+def test_null_text_docs_dropped_from_gram_pipelines(spark):
+    # r13 verdict item 7: the hits-only restructures compute n_grams
+    # row-wise, which would KEEP a NULL-text doc (with a NULL/-1 gram
+    # count) where the old explode shape — and the DuckDB oracle, which
+    # groups over the exploded gram table — drop it. The explicit
+    # isNotNull filter pins the oracle's row-set contract.
+    from presto_ads_spark.llm import pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, None),
+            (3, "a b c d e"),
+        ],
+        "doc_id bigint, text string",
+    )
+    boiler = pipeline.boilerplate_ngrams(docs, n=3, min_doc_frac=0.5)
+    assert {r.doc_id for r in boiler.collect()} == {1, 3}
+
+    evals = spark.createDataFrame(
+        [(9, "a b c x y"), (10, None)], "doc_id bigint, text string"
+    )
+    dec = pipeline.decontaminate(docs, evals, n=3)
+    out = {r.doc_id: r.n_hit for r in dec.collect()}
+    assert set(out) == {1, 3}  # NULL-text train doc dropped
+    assert out[1] == 1 and out[3] == 1  # "a b c" hits; NULL eval row inert

@@ -296,3 +296,33 @@ def test_minhash_verify_never_broadcasts_shingle_arrays(spark):
         if line.strip(" +:-*").startswith("BroadcastExchange"):
             assert not fat.search(line), f"fat broadcast: {line[:160]}"
     assert "ShuffledHashJoin" in plan
+
+
+def test_scan_parts_reads_max_partition_bytes_conf(spark):
+    """scan_parts must derive its split estimate from the SESSION's
+    spark.sql.files.maxPartitionBytes, not a hardcoded 128 MB (r14): with
+    the conf tuned, a fixture that estimates 1 split at the default must
+    estimate many at a tiny split size, and spread() must react."""
+    from presto_ads_spark.queries._util import (
+        max_partition_bytes,
+        scan_parts,
+        spread,
+    )
+
+    key = "spark.sql.files.maxPartitionBytes"
+    orig = spark.conf.get(key)
+    try:
+        assert scan_parts(SF_DIR, "lineitem") == 1  # tiny fixture, default conf
+        spark.conf.set(key, "4096b")
+        assert max_partition_bytes() == 4096
+        parts = scan_parts(SF_DIR, "lineitem")
+        import math
+        import os
+
+        size = os.path.getsize(os.path.join(SF_DIR, "lineitem.parquet"))
+        assert parts == math.ceil(size / 4096) > 1
+        # spread() is a plan no-op past one estimated split
+        df = spark.range(10)
+        assert spread(df, parts) is df
+    finally:
+        spark.conf.set(key, orig)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import q
+from ..llm.hints import gated_broadcast
 from ._util import REVENUE_SQL, dec, dsum, revenue_expr, t, t_spread, ts
 
 # ---------------------------------------------------------------------------
@@ -189,12 +190,25 @@ def q05(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Stream the FACT table (r14, guide §3.1): the planner's static file
+    # sizes made it broadcast LINEITEM (the 100 TB side) and probe with
+    # customer⋈orders — backwards at any scale, and the 600k-row hash-
+    # relation build dominated the bench (interleaved A/B: 1.20 s gated
+    # vs 1.43 s old, ungated ceiling 1.08). The date-filtered
+    # customer⋈orders side (projected to 2 keys) goes through a SIZE-GATED
+    # broadcast: tiny here, degrades to the plain key-equi shuffle joins
+    # past the row cap — identical join graph, same inner equi-conditions.
+    co = gated_broadcast(
+        c.join(o, c.c_custkey == o.o_custkey).select(
+            "o_orderkey", "c_nationkey"
+        )
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(co, l.l_orderkey == F.col("o_orderkey"))
         .join(
             F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            (l.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

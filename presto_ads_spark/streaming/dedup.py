@@ -43,7 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..llm.dedup import MINHASH_AB, MINHASH_P, md5_hash_col, shingles
+from ..llm.dedup import MINHASH_AB, MINHASH_P, md5_hash_sql, shingles_sql
 
 PAIR_OUTPUT = StructType(
     [
@@ -61,27 +61,49 @@ BUCKET_STATE = StructType(
 )
 
 
+# One aggregate() fold to a K-field struct of running minima, extracted
+# through the inline() GENERATOR. Rationale (r14): a stream can't persist
+# the per-doc hash array the way the batch form does, so the old K
+# array-min columns each inlined the whole md5 shingle pipeline — 16
+# md5+conv evaluations per shingle per row. The fold hashes each shingle
+# ONCE; inline(array(fold)) surfaces the K fields as columns through a
+# Generate node, which CollapseProject cannot merge into downstream
+# projections (a plain struct column would be re-expanded K times).
+# (The batch path measured the fold SLOWER than persisted arrays — r13
+# revert — but on a stream the alternative is the 16x md5 re-evaluation,
+# not a cached array, so the tradeoff flips; measured 13.9 -> see
+# OPTIMIZATION_r14.md.)
+_SIG_FOLD_SQL = (
+    "aggregate({hashes}, "
+    + "named_struct("
+    + ", ".join(f"'mh{i}', CAST({MINHASH_P} AS BIGINT)"
+                for i in range(len(MINHASH_AB)))
+    + "), (acc, h) -> named_struct("
+    + ", ".join(
+        f"'mh{i}', least(acc.mh{i}, ({a} * h + {b}) % {MINHASH_P})"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    + "), acc -> acc)"
+)
+
+
 def streaming_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Row-wise MinHash signatures for a STREAMING frame — identical
-    permutations/shingles to the batch ``minhash_signatures_rowwise``, but
-    without its ``persist()`` staging (streaming frames can't cache; a
-    micro-batch re-evaluates the hash pipeline per array-min instead,
-    which it amortizes over its own small size)."""
-    toked = docs.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__t")
+    permutations/shingles (and bit-identical minima) to the batch
+    ``minhash_signatures_rowwise``, restructured as a single fold because
+    streaming frames can't cache the hash-array staging projection."""
+    toked = docs.selectExpr(
+        f"`{id_col}` AS id", f"split(`{text_col}`, ' ') AS __t"
     )
-    hashes = F.transform(
-        shingles(F.col("__t"), n), lambda s: md5_hash_col(s) % MINHASH_P
+    hashes = (
+        f"transform({shingles_sql('__t', n)}, "
+        f"s -> {md5_hash_sql('s')} % {MINHASH_P})"
     )
-    cols = [
-        F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_AB)
-    ]
-    return toked.select("id", *cols)
+    return toked.selectExpr(
+        "id", f"inline(array({_SIG_FOLD_SQL.format(hashes=hashes)}))"
+    )
 
 
 def band_entries(sig: DataFrame, bands: int = 4) -> DataFrame:
@@ -89,23 +111,18 @@ def band_entries(sig: DataFrame, bands: int = 4) -> DataFrame:
     banding layout as the batch ``lsh_candidate_pairs``."""
     k = len(MINHASH_AB)
     rows = k // bands
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{i}").cast("string")
-                        for i in range(b * rows, (b + 1) * rows)
-                    ],
-                ).alias("bk"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return sig.select("id", F.explode(entries).alias("e")).select(
-        "id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
+    entries = "array(" + ", ".join(
+        "named_struct('band', {b}, 'bk', concat_ws(',', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{i} AS STRING)"
+                for i in range(b * rows, (b + 1) * rows)
+            ),
+        )
+        for b in range(bands)
+    ) + ")"
+    return sig.selectExpr("id", f"explode({entries}) AS e").selectExpr(
+        "id", "e.band AS band", "e.bk AS bk"
     )
 
 

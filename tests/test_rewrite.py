@@ -681,3 +681,43 @@ def test_nested_concat_chain_not_corrupted():
     assert out.count("'X y'") == 1 and "s(" not in out
     # the wrap behavior itself is intact
     assert "array(1) || array(2)" in rewrite("SELECT 1 || ARRAY[2]")
+
+
+def test_interval_chain_commute_keeps_signs():
+    """r12 advisor find (rewrite.py _tstz_operators): the interval-first
+    commute must move a mixed additive prefix as a UNIT so the
+    subtracted interval keeps its sign — «i1 - i2 + t» → «t + i1 - i2»,
+    never «i1 - <t> + i2». TIME '10:00 +01:00' (= 09:00 UTC, 32,400,000
+    ms) + 5h - 3h must land on 11:00 UTC."""
+    out = rewrite(
+        "SELECT INTERVAL '5' HOUR - INTERVAL '3' HOUR"
+        " + TIME '10:00 +01:00' AS x"
+    )
+    plus_5h = out.find("+ unix_millis(timestamp_millis(0) + INTERVAL '5' HOUR)")
+    minus_3h = out.find("- unix_millis(timestamp_millis(0) + INTERVAL '3' HOUR)")
+    assert plus_5h != -1 and minus_3h != -1, out
+    # and no interval may have been stolen to the other side of the marker
+    assert out.count("INTERVAL") == 2
+
+
+def test_interval_pool_qualified_lookup_no_collision():
+    """r12 advisor find (rewrite.py _provably_interval): a VALUES alias
+    binding column «b» to an interval must not leak onto a qualified
+    reference «r.b» of an UNRELATED source; only the binding alias's
+    own qualified references (and bare names) resolve."""
+    from presto_ads_spark.rewrite import (
+        _interval_values_column_pools,
+        _provably_interval,
+    )
+
+    sql = (
+        "WITH t(b) AS (VALUES (INTERVAL '1' DAY)) "
+        "SELECT CAST(r.b AS VARCHAR) FROM r"
+    )
+    pools = _interval_values_column_pools(sql)
+    assert _provably_interval("r.b", pools) is None
+    assert _provably_interval("t.b", pools) == "dts"
+    assert _provably_interval("b", pools) == "dts"
+    # end-to-end: the unrelated qualified cast stays a plain string cast
+    out = rewrite(sql)
+    assert "CAST(r.b AS STRING)" in out

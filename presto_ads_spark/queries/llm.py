@@ -535,6 +535,7 @@ def text_fingerprint(spark, sf_dir):
 @q(
     "multimodal_features",
     tags=("llm", "multimodal"),
+    bench=True,  # r14: drive the Arrow mapInPandas boundary (§4) in BENCH
     doc="Binary payload + mapInPandas feature extraction (deterministic "
     "md5 stand-in for the decode step; real codec stubbed — "
     "llm/multimodal.py).",
@@ -708,6 +709,7 @@ SELECT DISTINCT id_a, id_b FROM cands
 @q(
     "streaming_lsh_dedup",
     extended=True,
+    bench=True,  # r14: drive applyInPandasWithState + the signature fold
     tags=("llm", "dedup", "streaming"),
     doc="Dedup-on-INGEST: the near-dup corpus is re-delivered as a file "
     "STREAM and candidate pairs come from the stateful LSH bucket "

@@ -40,14 +40,19 @@ def _parse_bytes(v: str) -> int:
     return int(num) * _BYTE_SUFFIXES[suffix]
 
 
-def max_partition_bytes() -> int:
-    """Effective spark.sql.files.maxPartitionBytes of the ACTIVE session —
-    read at call time (r13 verdict item 6: a hardcoded 128 MB silently
-    diverges from Spark's real split count whenever the conf is tuned,
-    making ``spread`` fire — or not — wrongly)."""
+def max_partition_bytes(session: SparkSession | None = None) -> int:
+    """Effective spark.sql.files.maxPartitionBytes — read at call time
+    (r13 verdict item 6: a hardcoded 128 MB silently diverges from
+    Spark's real split count whenever the conf is tuned, making
+    ``spread`` fire — or not — wrongly).
+
+    Pass the session that will RUN the query when you have it: the
+    active-session fallback reads the wrong conf when several sessions
+    with diverged runtime confs coexist (e.g. ``spark.newSession()`` in
+    the same JVM — caught by the full test suite's session mix)."""
     from pyspark.sql import SparkSession
 
-    s = SparkSession.getActiveSession()
+    s = session or SparkSession.getActiveSession()
     if s is not None:
         try:
             return _parse_bytes(s.conf.get("spark.sql.files.maxPartitionBytes"))
@@ -56,7 +61,9 @@ def max_partition_bytes() -> int:
     return _DEFAULT_MAX_PARTITION_BYTES
 
 
-def scan_parts(sf_dir: str, *names: str) -> int:
+def scan_parts(
+    sf_dir: str, *names: str, session: SparkSession | None = None
+) -> int:
     """Estimated number of scan partitions Spark will give the named
     tables combined: ceil(file_size / maxPartitionBytes) per file. An
     unreadable path returns a huge count so ``spread`` stays a no-op.
@@ -66,7 +73,7 @@ def scan_parts(sf_dir: str, *names: str) -> int:
     yields one non-empty scan task, so ``spread`` under-fires there; the
     fixtures this estimate was tuned on are single-row-group files well
     under one split."""
-    mpb = max_partition_bytes()
+    mpb = max_partition_bytes(session)
     total = 0
     for name in names:
         try:
@@ -104,7 +111,9 @@ def spread(df: DataFrame, est_parts: int) -> DataFrame:
 
 def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``t()`` + ``spread`` keyed on the table's own file size."""
-    return spread(t(spark, sf_dir, name), scan_parts(sf_dir, name))
+    return spread(
+        t(spark, sf_dir, name), scan_parts(sf_dir, name, session=spark)
+    )
 
 
 def dec(col: str | Column, prec: int = 12, scale: int = 4) -> Column:

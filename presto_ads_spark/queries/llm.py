@@ -335,7 +335,7 @@ def sim_brute_topk(spark, sf_dir):
     # serializes the whole Q×N kernel on one core (the query side is
     # broadcast, so spreading it would only add an exchange).
     out = similarity.brute_force_topk(
-        spread(emb, scan_parts(sf_dir, "embeddings")), queries, k=5
+        spread(emb, scan_parts(sf_dir, "embeddings", session=spark)), queries, k=5
     )
     return out.select(
         "query_id", "nbr_id", "cos_sim", F.col("rnk").cast("int").alias("rnk")
@@ -381,7 +381,7 @@ SELECT query_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
 )
 def sim_lsh_topk(spark, sf_dir):
     out = similarity.lsh_topk(
-        spread(t(spark, sf_dir, "embeddings"), scan_parts(sf_dir, "embeddings")),
+        spread(t(spark, sf_dir, "embeddings"), scan_parts(sf_dir, "embeddings", session=spark)),
         k=3,
         bits=_BUCKET_BITS,
     )
@@ -437,7 +437,7 @@ SELECT query_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
 )
 def sim_ivf_topk(spark, sf_dir):
     out = similarity.ivf_topk(
-        spread(t(spark, sf_dir, "embeddings"), scan_parts(sf_dir, "embeddings")),
+        spread(t(spark, sf_dir, "embeddings"), scan_parts(sf_dir, "embeddings", session=spark)),
         k=3,
         n_cells=_IVF_CELLS,
         nprobe=_IVF_NPROBE,
@@ -470,7 +470,7 @@ FROM documents
 )
 def text_quality_stats(spark, sf_dir):
     return text.text_stats(
-        spread(t(spark, sf_dir, "documents"), scan_parts(sf_dir, "documents"))
+        spread(t(spark, sf_dir, "documents"), scan_parts(sf_dir, "documents", session=spark))
     )
 
 
@@ -552,7 +552,7 @@ def multimodal_features(spark, sf_dir):
     # spread (§2.5): the Arrow-batched Python stage otherwise runs every
     # batch through ONE worker (single-partition fixture scan)
     payloads = multimodal.attach_payload(
-        spread(t(spark, sf_dir, "documents"), scan_parts(sf_dir, "documents"))
+        spread(t(spark, sf_dir, "documents"), scan_parts(sf_dir, "documents", session=spark))
     )
     return multimodal.extract_features(payloads)
 
@@ -581,7 +581,7 @@ FROM pairs GROUP BY id_a
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return similarity.embedding_near_dups(
-        spread(t(spark, sf_dir, "embeddings"), scan_parts(sf_dir, "embeddings")),
+        spread(t(spark, sf_dir, "embeddings"), scan_parts(sf_dir, "embeddings", session=spark)),
         threshold=0.2,
         bits=_BUCKET_BITS,
     )
@@ -862,7 +862,7 @@ def text_metrics(spark, sf_dir):
     # builders). spread: the fused per-row work (repetition scans +
     # fingerprint fold) is the measured CPU-heavy family.
     return text.metrics(
-        spread(t(spark, sf_dir, "documents"), scan_parts(sf_dir, "documents"))
+        spread(t(spark, sf_dir, "documents"), scan_parts(sf_dir, "documents", session=spark))
     )
 
 

@@ -130,39 +130,68 @@ def _make_bucket_fn(max_bucket: int | None, ttl_ms: int | None):
     def bucket_group(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # Vectorized pair fan-out (r14, guide §4): the original per-doc
+        # Python loop built each pair with interpreter-level appends —
+        # ~18 µs/pair, and a near-dup-heavy corpus emits MILLIONS of
+        # pairs (sf1: 1.54M pairs → ~27 s in this loop alone). The pair
+        # SET an arriving batch adds is exactly (new × known) ∪
+        # (pairs within new, in arrival order), which numpy builds with
+        # repeat/tile and triu_indices. Emitted set, state contents and
+        # saturation semantics are identical to the loop (pinned by the
+        # stream/batch parity test); only intra-batch row ORDER differs,
+        # which no consumer observes (candidate pairs are a set).
+        import numpy as np
+
         band = int(key[0])
         if state.hasTimedOut:
             state.remove()
             return
         if state.exists:
-            ids, saturated = state.get
-            ids = list(ids)
+            prev_ids, saturated = state.get
+            known = np.asarray(list(prev_ids), dtype="int64")
         else:
-            ids, saturated = [], False
-        known = set(ids)
-        out_a: list[int] = []
-        out_b: list[int] = []
+            known, saturated = np.empty(0, dtype="int64"), False
+        out_lo: list = []
+        out_hi: list = []
         for pdf in pdfs:
-            for doc in pdf["id"].astype("int64"):
-                doc = int(doc)
-                if doc in known:
-                    continue  # at-least-once redelivery: idempotent
-                if saturated:
-                    continue
-                for other in ids:
-                    lo, hi = (doc, other) if doc < other else (other, doc)
-                    out_a.append(lo)
-                    out_b.append(hi)
-                ids.append(doc)
-                known.add(doc)
-                if max_bucket is not None and len(ids) >= max_bucket:
+            docs = pd.unique(pdf["id"].to_numpy(dtype="int64"))
+            if known.size:
+                # at-least-once redelivery: idempotent
+                docs = docs[~np.isin(docs, known)]
+            if saturated or docs.size == 0:
+                continue
+            if max_bucket is not None:
+                room = max_bucket - known.size
+                if room <= 0:
                     saturated = True
-        state.update((ids, saturated))
+                    continue
+                if docs.size >= room:
+                    # the doc that REACHES the cap is still admitted and
+                    # paired; everything after it is dropped (same as the
+                    # loop's post-append saturation flip)
+                    docs = docs[:room]
+                    saturated = True
+            if known.size:
+                a = np.repeat(docs, known.size)
+                b = np.tile(known, docs.size)
+                out_lo.append(np.minimum(a, b))
+                out_hi.append(np.maximum(a, b))
+            if docs.size > 1:
+                iu, ju = np.triu_indices(docs.size, 1)
+                a, b = docs[iu], docs[ju]
+                out_lo.append(np.minimum(a, b))
+                out_hi.append(np.maximum(a, b))
+            known = np.concatenate([known, docs])
+        state.update((known.tolist(), saturated))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        if out_a:
+        if out_lo:
             yield pd.DataFrame(
-                {"id_a": out_a, "id_b": out_b, "band": band}
+                {
+                    "id_a": np.concatenate(out_lo),
+                    "id_b": np.concatenate(out_hi),
+                    "band": band,
+                }
             )
 
     return bucket_group

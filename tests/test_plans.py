@@ -312,10 +312,13 @@ def test_scan_parts_reads_max_partition_bytes_conf(spark):
     key = "spark.sql.files.maxPartitionBytes"
     orig = spark.conf.get(key)
     try:
-        assert scan_parts(SF_DIR, "lineitem") == 1  # tiny fixture, default conf
+        # session passed EXPLICITLY: the active-session fallback reads a
+        # different session's conf when several coexist (newSession()
+        # elsewhere in this suite made exactly that happen).
+        assert scan_parts(SF_DIR, "lineitem", session=spark) == 1
         spark.conf.set(key, "4096b")
-        assert max_partition_bytes() == 4096
-        parts = scan_parts(SF_DIR, "lineitem")
+        assert max_partition_bytes(spark) == 4096
+        parts = scan_parts(SF_DIR, "lineitem", session=spark)
         import math
         import os
 

@@ -198,10 +198,17 @@ def q05(spark, sf_dir):
     # customer⋈orders side (projected to 2 keys) goes through a SIZE-GATED
     # broadcast: tiny here, degrades to the plain key-equi shuffle joins
     # past the row cap — identical join graph, same inner equi-conditions.
+    # Persisted BEFORE the probe (same idiom as the dedup candidate list):
+    # the gate's bounded count job otherwise recomputes customer⋈orders a
+    # second time for the broadcast itself — measured at sf1 (2 natural
+    # lineitem splits): new+persist 1.48–1.58 s vs 1.69–2.70 unpersisted
+    # vs 1.74–2.83 old shape, interleaved; sf0.1 agrees (1.19 vs 1.24
+    # warm). Within-query intermediate — dropped by clearCache between
+    # bench queries.
     co = gated_broadcast(
-        c.join(o, c.c_custkey == o.o_custkey).select(
-            "o_orderkey", "c_nationkey"
-        )
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("o_orderkey", "c_nationkey")
+        .persist()
     )
     return (
         l.join(co, l.l_orderkey == F.col("o_orderkey"))
